@@ -1,0 +1,137 @@
+"""End-to-end SparkAutoSchema API tests over the driver testdata + catalog."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_auto_schema import SparkAutoSchema
+from spark_auto_schema.catalog import deployed_schema_df, schema_exists, table_exists
+from spark_auto_schema.io import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lineitem_end_to_end(spark):
+    sas = SparkAutoSchema(
+        schema="analytics",
+        table="lineitem",
+        file=f"{SF_DIR}/lineitem.parquet",
+        spark=spark,
+    )
+    ddl = sas.generate_table_ddl()
+    types = {ci.name: ci.proposed_type for ci in sas.metadata}
+    assert types == {
+        "l_orderkey": "int4",
+        "l_partkey": "int4",
+        "l_suppkey": "int4",
+        "l_linenumber": "int4",
+        "l_quantity": "int4",  # integral doubles demote (RAS.py:317)
+        "l_extendedprice": "float8",
+        "l_discount": "float8",
+        "l_tax": "float8",
+        "l_returnflag": "varchar(256)",
+        "l_linestatus": "varchar(256)",
+        "l_shipdate": "date",  # all timestamps midnight-normalized
+    }
+    assert ddl.startswith('CREATE TABLE analytics.lineitem (\n"l_orderkey" int4\n')
+    assert ddl.endswith(")\nDISTSTYLE EVEN\n")
+
+
+def test_events_identifier_rule_and_nanos(spark):
+    sas = SparkAutoSchema(
+        schema="analytics",
+        table="events",
+        file=f"{SF_DIR}/events.parquet",
+        spark=spark,
+    )
+    sas._ensure_metadata()
+    types = {ci.name: ci.proposed_type for ci in sas.metadata}
+    # event_id/user_id end with _id -> bool rule disabled -> int4
+    assert types["event_id"] == "int4"
+    assert types["user_id"] == "int4"
+    assert types["ts"] == "timestamp"  # nanos parquet read + not midnight
+    assert types["value"] == "float8"
+    assert types["event_type"] == "varchar(256)"
+    assert types["props"] == "varchar(256)"
+
+
+def test_get_column_list(spark):
+    sas = SparkAutoSchema(
+        schema="s", table="t", file=f"{SF_DIR}/region.parquet", spark=spark
+    )
+    assert sas.get_column_list() == ["r_regionkey", "r_name"]
+
+
+def test_column_override(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    sas = SparkAutoSchema(
+        schema="s", table="t", file_df=df, columns=["c1", "c2"], spark=spark
+    )
+    assert sas.get_column_list() == ["c1", "c2"]
+
+
+def test_requires_file_or_df(spark):
+    with pytest.raises(ValueError):
+        SparkAutoSchema(schema="s", table="t", spark=spark)
+
+
+def test_catalog_existence_and_diff(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS sas_cat_test")
+    spark.sql("DROP TABLE IF EXISTS sas_cat_test.t1")
+    spark.sql(
+        "CREATE TABLE sas_cat_test.t1 (l_orderkey INT, l_quantity DOUBLE, "
+        "extra_col STRING) USING parquet LOCATION '"
+        + str(tmp_path / "t1")
+        + "'"
+    )
+    try:
+        assert schema_exists(spark, "sas_cat_test")
+        assert not schema_exists(spark, "sas_nope")
+        assert table_exists(spark, "sas_cat_test", "t1")
+        assert not table_exists(spark, "sas_cat_test", "nope")
+
+        dep = deployed_schema_df(spark, "sas_cat_test", "t1")
+        got = dict(dep.collect())
+        assert got == {
+            "l_orderkey": "int4",
+            "l_quantity": "float8",
+            "extra_col": "varchar(256)",
+        }
+
+        sas = SparkAutoSchema(
+            schema="sas_cat_test",
+            table="t1",
+            file=f"{SF_DIR}/lineitem.parquet",
+            spark=spark,
+        )
+        diff = sas.evaluate_table_ddl_diffs()
+        rows = {r["field"]: r["reason"] for r in diff.collect()}
+        # l_orderkey int4 vs int4: ok; l_quantity proposed int4 vs float8: mismatch;
+        # extra_col deployed-only: DEPRECATED; other lineitem cols: MISSING
+        assert rows["l_quantity"] == "TYPE MISMATCH"
+        assert rows["extra_col"] == "DEPRECATED"
+        assert rows["l_extendedprice"] == "MISSING"
+        assert "l_orderkey" not in rows
+
+        alter = sas.generate_column_ddl()
+        assert "ALTER TABLE sas_cat_test.t1 ADD COLUMN l_extendedprice float8;" in alter
+        assert "l_shipdate date;" in alter
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sas_cat_test.t1")
+        spark.sql("DROP DATABASE IF EXISTS sas_cat_test")
+
+
+def test_empty_file_returns_none_ddl(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"a": pa.array([], type=pa.string())}), path)
+    sas = SparkAutoSchema(schema="s", table="t", file=path, spark=spark)
+    assert sas.generate_table_ddl() is None  # RAS.py:149-150
+
+
+def test_read_table_events_nanos(spark):
+    df = read_table(spark, SF_DIR, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0

@@ -1,0 +1,83 @@
+"""Differential test: run the ACTUAL reference library (pandas) and our Spark
+engine on identical fixture files; assert identical proposed types.
+
+SURVEY.md section 5.5 — the strongest oracle for the inference core.
+
+The reference imports psycopg2 at module top (RAS.py:17) which is not
+installed here; we stub it (the inference path never touches it).  Known,
+documented divergences are excluded below.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types as pytypes
+
+import pytest
+
+from spark_auto_schema.inference import infer_table_schema
+from spark_auto_schema.io import load_file
+
+REF = "/root/reference/redshift_auto_schema/RedshiftAutoSchema.py"
+
+# Documented divergences (inference.py module docstring):
+#  - numeric_string: reference hits `'str' <= int` TypeError -> float8 on
+#    object-dtype numeric text; we return int4 (pandas-typed CSV gives the
+#    reference int4 too, so the quirk only shows on parquet string columns).
+EXCLUDED_PARQUET = {"numeric_string"}
+
+
+@pytest.fixture(scope="module")
+def reference_cls():
+    if "psycopg2" not in sys.modules:
+        stub = pytypes.ModuleType("psycopg2")
+        ext = pytypes.ModuleType("psycopg2.extensions")
+
+        class _Conn:  # placeholder for the type annotation only
+            pass
+
+        ext.connection = _Conn
+        stub.extensions = ext
+        sys.modules["psycopg2"] = stub
+        sys.modules["psycopg2.extensions"] = ext
+    spec = importlib.util.spec_from_file_location("ref_ras", REF)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as ex:  # pragma: no cover
+        pytest.skip(f"reference import failed: {ex}")
+    return mod.RedshiftAutoSchema
+
+
+def _reference_types(reference_cls, path, **kwargs):
+    ref = reference_cls(schema="s", table="t", file=path, **kwargs)
+    try:
+        ref._generate_table_metadata()
+    except Exception as ex:  # pandas version drift in the reference itself
+        pytest.skip(f"reference inference failed on this pandas: {ex}")
+    return dict(zip(ref.metadata["index"], ref.metadata["proposed_type"]))
+
+
+def test_differential_parquet(spark, reference_cls, infer_probe_parquet):
+    ref_types = _reference_types(reference_cls, infer_probe_parquet)
+    ours = {
+        ci.name: ci.proposed_type
+        for ci in infer_table_schema(load_file(spark, infer_probe_parquet))
+    }
+    mismatches = {
+        k: (ref_types.get(k), v)
+        for k, v in ours.items()
+        if k not in EXCLUDED_PARQUET and ref_types.get(k) != v
+    }
+    assert mismatches == {}
+
+
+def test_differential_lineitem(spark, reference_cls):
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    ref_types = _reference_types(reference_cls, path)
+    ours = {
+        ci.name: ci.proposed_type
+        for ci in infer_table_schema(load_file(spark, path))
+    }
+    assert ours == ref_types
