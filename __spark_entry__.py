@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: single-pass schema inference over sf0.001
+lineitem, returning the metadata DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md section 2 plus the LLM-pipeline extensions.  Oracle SQL is
+*generated from the same constants* (stopword lists, type-class table,
+thresholds) as the Spark implementations so the two sides cannot drift.
+
+Entries without an oracle (minhash/simhash/LSH/mapInPandas) use Spark
+hashing or Arrow UDFs that DuckDB cannot reproduce — the driver records the
+weaker rows-only check for those, as the contract allows.
 """
 
 from __future__ import annotations
@@ -12,27 +18,691 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_auto_schema import SparkAutoSchema
+from spark_auto_schema.diff import evaluate_diffs
+from spark_auto_schema.inference import infer_table_schema, inference_to_df
+from spark_auto_schema.io import read_table
+from spark_auto_schema.ops import dedup, multimodal, similarity, text
+from spark_auto_schema.types import TYPE_CLASSES
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: infer the lineitem schema at sf0.001 in one pass."""
+    sas = SparkAutoSchema(
+        schema="analytics",
+        table="lineitem",
+        file="/root/testdata/sf0.001/lineitem.parquet",
+        spark=spark,
+    )
+    return sas.metadata_df()
+
+
+# ---------------------------------------------------------------------------
+# inference queries + generated oracles
+# ---------------------------------------------------------------------------
+
+# Known testdata schemas (FIXTURES.md section 4): column -> probe kind.
+_TABLE_KINDS: dict[str, dict[str, str]] = {
+    "lineitem": {
+        "l_orderkey": "int",
+        "l_partkey": "int",
+        "l_suppkey": "int",
+        "l_linenumber": "int",
+        "l_quantity": "float",
+        "l_extendedprice": "float",
+        "l_discount": "float",
+        "l_tax": "float",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "orders": {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "string",
+        "o_totalprice": "float",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "events": {
+        "event_id": "int",
+        "ts": "timestamp",
+        "user_id": "int",
+        "event_type": "string",
+        "value": "float",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "int",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int",
+    },
+    "customer": {
+        "c_custkey": "int",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "float",
+        "c_mktsegment": "string",
+    },
+    "embeddings": {
+        "vec_id": "int",
+        "embedding": "array",
+        "label": "int",
+    },
+}
+
+_INT_RANGE_SQL = "min({v}) >= -2147483648 AND max({v}) <= 2147483647"
+
+
+def _infer_col_sql(table: str, col: str, kind: str) -> str:
+    """DuckDB aggregate CASE replicating the inference decision tree for one
+    column (reference tree: RedshiftAutoSchema.py:294-339)."""
+    identifier = col.endswith("_id")
+    c = f'"{col}"'
+    if kind == "int":
+        boolline = (
+            ""
+            if identifier
+            else f"WHEN coalesce(bool_and({c} IN (0,1)), FALSE) THEN 'bool' "
+        )
+        body = (
+            f"CASE WHEN count({c}) = 0 THEN 'notype' "
+            + boolline
+            + f"WHEN {_INT_RANGE_SQL.format(v=c)} THEN 'int4' ELSE 'int8' END"
+        )
+    elif kind == "float":
+        body = (
+            f"CASE WHEN count({c}) = 0 THEN 'notype' "
+            f"WHEN coalesce(bool_and({c} = floor({c})), FALSE) THEN "
+            f"(CASE WHEN {_INT_RANGE_SQL.format(v=c)} THEN 'int4' ELSE 'int8' END) "
+            f"ELSE 'float8' END"
+        )
+    elif kind == "timestamp":
+        body = (
+            f"CASE WHEN count({c}) = 0 THEN 'notype' "
+            f"WHEN bool_and({c} = date_trunc('day', {c})) THEN 'date' "
+            f"ELSE 'timestamp' END"
+        )
+    elif kind == "string":
+        d = f"try_cast({c} AS DOUBLE)"
+        t = f"try_cast({c} AS TIMESTAMP)"
+        boolline = (
+            ""
+            if identifier
+            else (
+                f"WHEN coalesce(bool_and(lower({c}) IN "
+                f"('true','false','t','f','0','1')), FALSE) THEN 'bool' "
+            )
+        )
+        body = (
+            f"CASE WHEN count({c}) = 0 THEN 'notype' "
+            + boolline
+            + f"WHEN coalesce(bool_and({d} IS NOT NULL), FALSE) THEN "
+            f"(CASE WHEN bool_and({d} = floor({d})) THEN "
+            f"(CASE WHEN min({d}) >= -2147483648 AND max({d}) <= 2147483647 "
+            f"THEN 'int4' ELSE 'int8' END) ELSE 'float8' END) "
+            f"WHEN coalesce(bool_and({t} IS NOT NULL), FALSE) THEN "
+            f"(CASE WHEN bool_and({t} = date_trunc('day', {t})) THEN 'date' "
+            f"ELSE 'timestamp' END) "
+            f"WHEN max(length({c})) <= 240 THEN 'varchar(256)' "
+            f"ELSE 'varchar(65535)' END"
+        )
+    elif kind == "array":
+        body = (
+            f"CASE WHEN count({c}) = 0 THEN 'notype' "
+            f"WHEN max(length(CAST({c} AS VARCHAR))) <= 240 THEN 'varchar(256)' "
+            f"ELSE 'varchar(65535)' END"
+        )
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    return f"SELECT '{col}' AS field, {body} AS proposed_type FROM {table}"
+
+
+def _infer_table_sql(table: str) -> str:
+    return " UNION ALL ".join(
+        _infer_col_sql(table, col, kind) for col, kind in _TABLE_KINDS[table].items()
+    )
+
+
+def _infer_query(table: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_table(spark, sf_dir, table)
+        return inference_to_df(spark, infer_table_schema(df)).select(
+            "field", "proposed_type"
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# diff / ddl queries
+# ---------------------------------------------------------------------------
+
+_DIFF_PROPOSED = [
+    ("a", "int4"),
+    ("b", "int4"),
+    ("c", "float8"),
+    ("e", "notype"),
+    ("f", "timestamp"),
+]
+_DIFF_DEPLOYED = [
+    ("a", "integer"),
+    ("b", "varchar(256)"),
+    ("d", "date"),
+    ("f", "timestamp without time zone"),
+]
+
+
+def _classify_sql(col: str) -> str:
+    """DuckDB CASE mirroring types.classify_type (13-class alias table)."""
+    whens = " ".join(
+        "WHEN lower(trim({c})) IN ({a}) THEN {cls}".format(
+            c=col,
+            a=", ".join(f"'{x}'" for x in aliases),
+            cls=cls,
+        )
+        for cls, aliases in TYPE_CLASSES.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _diff_stub_dfs(spark: SparkSession):
+    p = spark.createDataFrame(_DIFF_PROPOSED, "field string, proposed_type string")
+    d = spark.createDataFrame(_DIFF_DEPLOYED, "field string, deployed_type string")
+    return p, d
+
+
+def _q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, d = _diff_stub_dfs(spark)
+    return evaluate_diffs(p, d)
+
+
+def _values_sql(rows: list[tuple[str, str]]) -> str:
+    return ", ".join(f"('{a}', '{b}')" for a, b in rows)
+
+
+def _diff_oracle_sql() -> str:
+    return f"""
+WITH proposed(field, proposed_type) AS (VALUES {_values_sql(_DIFF_PROPOSED)}),
+     deployed(field, deployed_type) AS (VALUES {_values_sql(_DIFF_DEPLOYED)}),
+     j AS (SELECT coalesce(p.field, d.field) AS field, proposed_type, deployed_type
+           FROM proposed p FULL OUTER JOIN deployed d ON p.field = d.field),
+     r AS (SELECT field, proposed_type, deployed_type,
+                  CASE WHEN proposed_type IS NOT NULL AND deployed_type IS NULL THEN 'MISSING'
+                       WHEN proposed_type IS NULL AND deployed_type IS NOT NULL THEN 'DEPRECATED'
+                       WHEN {_classify_sql('proposed_type')} != {_classify_sql('deployed_type')} THEN 'TYPE MISMATCH'
+                  END AS reason
+           FROM j)
+SELECT field, proposed_type, deployed_type, reason FROM r
+WHERE (proposed_type IS NULL OR proposed_type != 'notype') AND reason IS NOT NULL
+"""
+
+
+def _q_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    diff = _q_schema_diff(spark, sf_dir)
+    return diff.where(F.col("reason") == "MISSING").select(
+        "field",
+        F.concat(
+            F.lit("ALTER TABLE analytics.t ADD COLUMN "),
+            F.col("field"),
+            F.lit(" "),
+            F.col("proposed_type"),
+            F.lit(";"),
+        ).alias("ddl"),
+    )
+
+
+def _column_ddl_oracle_sql() -> str:
+    return (
+        f"WITH diff AS ({_diff_oracle_sql()}) "
+        "SELECT field, 'ALTER TABLE analytics.t ADD COLUMN ' || field || ' ' || "
+        "proposed_type || ';' AS ddl FROM diff WHERE reason = 'MISSING'"
+    )
+
+
+def _q_column_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sas = SparkAutoSchema(
+        schema="s", table="lineitem", file=f"{sf_dir}/lineitem.parquet", spark=spark
+    )
+    return spark.createDataFrame([(c,) for c in sas.get_column_list()], "field string")
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+
+def _q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_REGION_CUSTOMERS_SQL = """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.where((F.col("event_type") == "error") & (F.col("value") > 100)).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("epoch_us"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+_ERROR_EVENTS_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS epoch_us, round(value, 2) AS value
+FROM events WHERE event_type = 'error' AND value > 100
+"""
+
+
+def _q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rn")
+    )
+
+
+_TOP_EVENTS_SQL = """
+SELECT user_id, event_id, round(value, 2) AS value, rn FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 2
+"""
+
+
+def _q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_MONTHLY_ORDERS_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def _q_distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+
+
+def _q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey")
+
+
+def _q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    is_new = F.when(
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+     l AS (SELECT user_id, event_id, us,
+                  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+           FROM e),
+     n AS (SELECT user_id, event_id, us,
+                  CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM l)
+SELECT user_id, event_id,
+       sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# extension queries (text / dedup / similarity / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _stop_pat(lang: str) -> str:
+    return r"\b(" + "|".join(text.STOPWORDS[lang]) + r")\b"
+
+
+def _lang_id_oracle_sql() -> str:
+    langs = sorted(text.STOPWORDS)
+    hits = {
+        lang: f"len(regexp_extract_all(text, '{_stop_pat(lang)}'))" for lang in langs
+    }
+    greatest = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return (
+        f"SELECT doc_id, CASE {whens} END AS lang_pred, "
+        f"{greatest} AS lang_hits FROM documents"
+    )
+
+
+def _quality_oracle_sql() -> str:
+    stop = f"len(regexp_extract_all(text, '{_stop_pat('en')}'))"
+    punct = r"len(regexp_extract_all(text, '[^\w\s]'))"
+    nw = "len(string_split(text, ' '))"
+    # literals cast to DOUBLE (DuckDB types bare x.y literals as DECIMAL) and
+    # the final round done through DECIMAL(18,10), mirroring
+    # ops.text.quality_score's portable double-rounding
+    raw = (
+        f"least(1.0::DOUBLE, {nw} / 100.0::DOUBLE) * 0.5::DOUBLE + "
+        f"(1.0::DOUBLE - {punct} / length(text)) * 0.3::DOUBLE + "
+        f"least(1.0::DOUBLE, {stop} / {nw} * 5.0::DOUBLE) * 0.2::DOUBLE"
+    )
+    return (
+        f"SELECT doc_id, CAST(round(CAST({raw} AS DECIMAL(18,10)), 4) AS DOUBLE) "
+        "AS quality FROM documents"
+    )
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_words,
+       round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4) AS avg_word_len,
+       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+FROM documents
+"""
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+_HASH_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+_MULTIMODAL_BYTES_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+"""
+
+_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+"""
+
+_EMBEDDING_TOPK_SQL = """
+SELECT b.vec_id,
+       round(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))), 4) AS cos_sim
+FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a, embeddings b
+WHERE b.vec_id != 0
+ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+"""
+
+
+def _q_text_stats(spark, sf_dir):
+    return text.text_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    return text.token_count(read_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    return text.language_id(read_table(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    return text.quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return text.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+def _q_hash_dedup(spark, sf_dir):
+    return dedup.hash_dedup(read_table(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _q_multimodal_bytes(spark, sf_dir):
+    payloads = multimodal.attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return payloads.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"))
+
+
+def _q_embedding_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        read_table(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
+# rows-only entries (Spark-side hashing / Arrow UDFs, not DuckDB-reproducible)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), verify_threshold=0.8
+    )
+
+
+def _q_simhash_sigs(spark, sf_dir):
+    return dedup.simhash(read_table(spark, sf_dir, "documents"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_topk(
+        read_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        num_planes=3,
+        num_tables=6,
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    payloads = multimodal.attach_binary_payload(
+        read_table(spark, sf_dir, "documents")
+    )
+    feats = multimodal.extract_media_features(payloads, fake=True)
+    return feats.select("doc_id", "n_bytes", F.col("byte_hist")[0].alias("hist_bin0"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for t in _TABLE_KINDS:
+        q[f"infer_{t}"] = _infer_query(t)
+    q["column_list_lineitem"] = _q_column_list
+    q["schema_diff"] = _q_schema_diff
+    q["column_ddl"] = _q_column_ddl
+    q["pricing_summary"] = _q_pricing_summary
+    q["top_customers"] = _q_top_customers
+    q["region_customers"] = _q_region_customers
+    q["error_events"] = _q_error_events
+    q["top_events_per_user"] = _q_top_events_per_user
+    q["monthly_orders"] = _q_monthly_orders
+    q["distinct_status"] = _q_distinct_status
+    q["customers_no_orders"] = _q_customers_no_orders
+    q["nation_presence"] = _q_nation_presence
+    q["sessionize_events"] = _q_sessionize
+    q["text_stats"] = _q_text_stats
+    q["token_count"] = _q_token_count
+    q["lang_id"] = _q_lang_id
+    q["quality_score"] = _q_quality
+    q["fingerprint_docs"] = _q_fingerprint
+    q["dedup_exact"] = _q_hash_dedup
+    q["ngram_jaccard_dups"] = _q_ngram_jaccard
+    q["multimodal_bytes"] = _q_multimodal_bytes
+    q["embedding_topk"] = _q_embedding_topk
+    # rows-only (no oracle): Spark xxhash64 / Arrow-UDF based
+    q["minhash_dup_pairs"] = _q_minhash_pairs
+    q["simhash_signatures"] = _q_simhash_sigs
+    q["ann_lsh_topk"] = _q_ann_lsh
+    q["media_features"] = _q_media_features
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for t in _TABLE_KINDS:
+        o[f"infer_{t}"] = _infer_table_sql(t)
+    o["column_list_lineitem"] = (
+        "SELECT column_name AS field FROM (DESCRIBE lineitem)"
+    )
+    o["schema_diff"] = _diff_oracle_sql()
+    o["column_ddl"] = _column_ddl_oracle_sql()
+    o["pricing_summary"] = _PRICING_SQL
+    o["top_customers"] = _TOP_CUSTOMERS_SQL
+    o["region_customers"] = _REGION_CUSTOMERS_SQL
+    o["error_events"] = _ERROR_EVENTS_SQL
+    o["top_events_per_user"] = _TOP_EVENTS_SQL
+    o["monthly_orders"] = _MONTHLY_ORDERS_SQL
+    o["distinct_status"] = "SELECT DISTINCT o_orderstatus FROM orders"
+    o["customers_no_orders"] = (
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+    o["nation_presence"] = (
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "UNION SELECT s_nationkey FROM supplier"
+    )
+    o["sessionize_events"] = _SESSIONIZE_SQL
+    o["text_stats"] = _TEXT_STATS_SQL
+    o["token_count"] = _TOKEN_COUNT_SQL
+    o["lang_id"] = _lang_id_oracle_sql()
+    o["quality_score"] = _quality_oracle_sql()
+    o["fingerprint_docs"] = _FINGERPRINT_SQL
+    o["dedup_exact"] = _HASH_DEDUP_SQL
+    o["ngram_jaccard_dups"] = _NGRAM_JACCARD_SQL
+    o["multimodal_bytes"] = _MULTIMODAL_BYTES_SQL
+    o["embedding_topk"] = _EMBEDDING_TOPK_SQL
+    return o

@@ -76,8 +76,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        # long nanos -> microsecond timestamp, all JVM-side arithmetic
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # long nanos -> microsecond timestamp.  Integer `div`, NOT `/`:
+        # float division of ~1.7e18 ns epoch values loses sub-microsecond
+        # precision (double ulp at that magnitude is 256 ns).
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale contract:
+
+* :func:`cosine_topk` — brute-force exact top-k against ONE query vector.
+  The query is broadcast (a literal single row); the scan is embarrassingly
+  parallel; the only shuffle is the final top-k (a TakeOrdered, k rows per
+  partition then k global).  Correct baseline at any scale for single-query
+  lookups, O(n*d) work.
+* :func:`ann_lsh_topk` — random-hyperplane LSH: each vector gets a
+  small integer bucket signature; candidates are bucket-colliding vectors
+  only (multi-table to boost recall), reranked exactly.  This is the
+  100 TB path: the per-query candidate set is bucket-sized, not the corpus.
+
+Dot products run in built-in higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, no Python in the loop.  Hyperplanes are
+deterministic (numpy PCG64 with a fixed seed, driver-side constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:
+    import numpy as _np
+except Exception:  # pragma: no cover
+    _np = None
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of the vector with ``id_col == query_id``.
+
+    Returns (vec_id, cos_sim rounded to 4) for the k best non-query rows,
+    ties broken by id.  The query row is a broadcast nested-loop of exactly
+    one row — no data-sized shuffle."""
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("q"))
+    sim = F.round(cosine(F.col(vec_col), F.col("q")), 4)
+    return (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    if _np is None:  # pragma: no cover
+        raise RuntimeError("numpy required for LSH hyperplanes")
+    rng = _np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane signature: integer whose bit i = sign(dot(plane_i, v))."""
+    sig = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, lit_plane) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("int")
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 6,
+    num_tables: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    Candidates = vectors sharing the query's bucket in ANY of the hash
+    tables; they are reranked with exact cosine.  Recall improves with
+    ``num_tables``; cost per query is the union of bucket sizes (corpus /
+    2^num_planes expected per table), not the corpus."""
+    tables = [
+        _hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
+    ]
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            lsh_signature(F.col(vec_col), tables[t]).alias(f"sig{t}")
+            for t in range(num_tables)
+        ],
+    )
+    q = sigs.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q"),
+        *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(num_tables)],
+    )
+    collide = None
+    for t in range(num_tables):
+        c = F.col(f"sig{t}") == F.col(f"qsig{t}")
+        collide = c if collide is None else (collide | c)
+    sim = F.round(cosine(F.col(vec_col), F.col("q")), 4)
+    return (
+        sigs.crossJoin(F.broadcast(q))
+        .where(collide & (F.col(id_col) != query_id))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, found via LSH bucket self-join.
+
+    Pairs are only generated within identical signature buckets (high
+    threshold => near-identical vectors almost surely collide), then exactly
+    verified.  Bucket-local join, never an n^2 cross join."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, on="sig")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

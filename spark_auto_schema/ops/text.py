@@ -1,0 +1,118 @@
+"""Text analysis operators: stats, token counting, language ID, quality,
+fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.  Each operator has an exact ANSI-SQL
+equivalent (see ``__spark_entry__.oracle_sql``) so the driver's DuckDB oracle
+can verify it value-for-value; the SQL is generated from the same constants
+below to keep the two in lockstep.
+
+Scale notes (100 TB): every operator here is a narrow per-row projection —
+no shuffle, no state; it pipelines inside the scan stage and scales linearly
+with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword profiles for the n-gram/stopword-hit language heuristic.
+# Deterministic and tiny by design: language ID at scale must stay JVM-side.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "zh": ("de", "le", "shi", "bu", "wo", "zai", "you"),
+}
+
+# BPE-ish tokenization regex: letter runs, single digits, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^\w\s]"
+
+
+def _n_words(text: Column) -> Column:
+    return F.size(F.split(text, " "))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language profile (word-bounded)."""
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(text, F.lit(pat))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document surface statistics: chars, words, word length, punctuation."""
+    t = F.col(text_col)
+    n_words = _n_words(t)
+    n_chars = F.length(t)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(F.length(F.replace(t, F.lit(" "), F.lit(""))) / n_words, 4).alias(
+            "avg_word_len"
+        ),
+        F.regexp_count(t, F.lit(PUNCT_RE)).alias("n_punct"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        _n_words(t).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: stopword-profile hit counts, argmax with
+    deterministic alphabetical tie-break.
+
+    Returns (id, lang_pred, lang_hits).  One projection, no shuffle.
+    """
+    t = F.col(text_col)
+    hit_cols = {lang: stopword_hits(t, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hit_cols.values())
+    pred = None
+    for lang in sorted(STOPWORDS):  # alphabetical order = tie-break
+        cond = hit_cols[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.alias("lang_hits"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, low punctuation,
+    stopword density.  The exact arithmetic (and its evaluation order) is
+    mirrored in the DuckDB oracle, rounded to 4 decimals.
+    """
+    t = F.col(text_col)
+    n_words = _n_words(t).cast("double")
+    n_chars = F.length(t).cast("double")
+    punct_ratio = F.regexp_count(t, F.lit(PUNCT_RE)) / n_chars
+    stop_ratio = stopword_hits(t, "en") / n_words
+    score = (
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * F.lit(0.5)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.2)
+    )
+    # double-round through DECIMAL(18,10): engines disagree on round() of
+    # doubles sitting one ulp below a half boundary (e.g. 0.49124999...96);
+    # snapping to 10 decimal digits first makes the 4-digit round portable
+    quality = F.round(score.cast("decimal(18,10)"), 4).cast("double")
+    return df.select(F.col(id_col), quality.alias("quality"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the lowercased text with
+    everything but [a-z0-9 ] stripped.  Identical content -> identical
+    fingerprint regardless of case/punctuation noise."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

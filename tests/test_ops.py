@@ -1,0 +1,190 @@
+"""Extension-operator tests: text analysis, dedup family, similarity, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_auto_schema.io import read_table
+from spark_auto_schema.ops import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings").cache()
+
+
+# ------------------------------------------------------------------- text
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "ab cd! efg")], "doc_id long, text string")
+    row = text.text_stats(df).collect()[0]
+    assert row["n_chars"] == 10
+    assert row["n_words"] == 3
+    assert row["n_punct"] == 1
+    assert row["avg_word_len"] == round(8 / 3, 4)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "hello world, 42!")], "doc_id long, text string")
+    row = text.token_count(df).collect()[0]
+    assert row["ws_tokens"] == 3
+    # helloworld -> 2 letter runs, '4','2' digits, ',' '!' punct
+    assert row["bpe_tokens"] == 6
+
+
+def test_language_id_deterministic(spark, docs):
+    out1 = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()}
+    out2 = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()}
+    assert out1 == out2
+    assert set(out1.values()) <= set(text.STOPWORDS)
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World 42"), (2, "hello world 42!!"), (3, "different")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_quality_score_range(spark, docs):
+    vals = [r["quality"] for r in text.quality_score(docs).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+# ------------------------------------------------------------------ dedup
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    clones = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    return docs.unionByName(clones)
+
+
+def test_exact_dedup(spark, docs, docs_with_dups):
+    base = docs.count()
+    out = dedup.exact_dedup(docs_with_dups)
+    assert out.count() == base  # 3 clones collapse onto originals
+    assert out.where(F.col("dup_count") > 1).count() == 3
+    # survivor is the min id (the original)
+    assert out.where(F.col("dup_count") > 1).agg(
+        F.max("keep_id")
+    ).collect()[0][0] < 100000
+
+
+def test_hash_dedup_matches_exact(spark, docs_with_dups):
+    assert (
+        dedup.hash_dedup(docs_with_dups).count()
+        == dedup.exact_dedup(docs_with_dups).count()
+    )
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {r["shingle"] for r in dedup.shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_finds_clones(spark, docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # each clone pairs with its original at jaccard 1.0
+    assert {(i, i + 100000) for i in range(3)} <= got
+
+
+def test_minhash_lsh_finds_clones(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(docs_with_dups, verify_threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(3)} <= got
+
+
+def test_simhash_identical_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated words entirely different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+# -------------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    got = similarity.cosine_topk(emb, query_id=0, k=5).collect()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    q = data[0]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in data.items()
+        if i != 0
+    }
+    expect = sorted(sims.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:5]
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (i, round(s, 4)) for i, s in expect
+    ]
+
+
+def test_ann_lsh_recall(spark, emb):
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()}
+    # these synthetic embeddings are weakly correlated (top cosine ~0.37), so
+    # recall needs short signatures + many tables; deterministic via seed
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(
+            emb, 0, k=10, num_planes=3, num_tables=6
+        ).collect()
+    }
+    assert len(exact & approx) >= 5
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    clone = emb.limit(1).withColumn("vec_id", F.lit(99999).cast("long"))
+    pairs = similarity.embedding_near_dup_pairs(emb.unionByName(clone), threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 99999) in got
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_fake_features(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs.limit(10))
+    feats = multimodal.extract_media_features(payloads, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert sum(r["byte_hist"]) == r["n_bytes"]
+        assert len(r["byte_hist"]) == multimodal.FEATURE_BINS
+    # metadata struct carries byte length
+    m = payloads.select("media_meta.n_bytes").collect()[0][0]
+    assert m > 0
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs.limit(1))
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_media_features(payloads, fake=False).collect()
+
+
+def test_frame_sample_stub(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs.limit(2))
+    frames = multimodal.frame_sample_stub(payloads, every_n_bytes=16, max_frames=4)
+    rows = frames.collect()
+    assert {r["doc_id"] for r in rows} == {0, 1}
+    assert all(1 <= len(r["frame_bytes"]) <= 16 for r in rows)
+    assert max(r["frame_idx"] for r in rows) <= 3
