@@ -98,6 +98,29 @@ _TABLE_KINDS: dict[str, dict[str, str]] = {
         "embedding": "array",
         "label": "int",
     },
+    "part": {
+        "p_partkey": "int",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "float",
+    },
+    "supplier": {
+        "s_suppkey": "int",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "float",
+    },
+    "nation": {
+        "n_nationkey": "int",
+        "n_name": "string",
+        "n_regionkey": "int",
+    },
+    "region": {
+        "r_regionkey": "int",
+        "r_name": "string",
+    },
 }
 
 _INT_RANGE_SQL = "min({v}) >= -2147483648 AND max({v}) <= 2147483647"
@@ -429,6 +452,40 @@ def _q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.union(s).distinct()
 
 
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_ROLLUP_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.cube("event_type", F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_CUBE_EVENTS_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n_events
+FROM events GROUP BY CUBE(event_type, strftime(ts, '%Y-%m'))
+"""
+
+
+def _q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
@@ -652,6 +709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
     q["customers_no_orders"] = _q_customers_no_orders
+    q["customers_with_orders"] = _q_customers_with_orders
+    q["rollup_orders"] = _q_rollup_orders
+    q["cube_events"] = _q_cube_events
     q["nation_presence"] = _q_nation_presence
     q["sessionize_events"] = _q_sessionize
     q["text_stats"] = _q_text_stats
@@ -691,6 +751,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c_custkey FROM customer WHERE NOT EXISTS "
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
     )
+    o["customers_with_orders"] = (
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+    o["rollup_orders"] = _ROLLUP_ORDERS_SQL
+    o["cube_events"] = _CUBE_EVENTS_SQL
     o["nation_presence"] = (
         "SELECT c_nationkey AS nationkey FROM customer "
         "UNION SELECT s_nationkey FROM supplier"

@@ -1,0 +1,139 @@
+"""Structured Streaming operators: windowed event aggregation with late-data
+handling, and a streaming schema-drift monitor.
+
+No reference analog (the reference is batch-only, single file at a time);
+these are the rebuild's streaming extensions, expressed on the standard
+``readStream -> transform -> writeStream`` model so state management,
+checkpointing, and watermark-based late-data eviction come from the engine.
+
+Scale notes: windowed counts are partial-aggregated per microbatch and the
+watermark bounds state size; the drift monitor runs the same single-pass
+inference aggregate per microbatch (operating on microbatch-sized data) and
+compares against a baseline schema — a constant-size driver-side diff.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .inference import ColumnInference, infer_table_schema
+
+# events.parquet carries timestamp[ns]; file streams require an explicit
+# schema, so declare ts as long (nanosAsLong) and convert in the stream.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of event parquet drops in ``source_dir``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type with a watermark.
+
+    The watermark lets the engine drop state for windows older than the
+    late-data horizon — bounded state regardless of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a stream into an in-memory sink with availableNow (test/dev)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+class SchemaDriftMonitor:
+    """Detect schema drift in a stream of file drops via foreachBatch.
+
+    Each microbatch runs the single-pass inference aggregate and diffs the
+    proposed types against the baseline; drift records are handed to
+    ``on_drift`` (e.g. alerting, a Delta audit table).
+    """
+
+    def __init__(
+        self,
+        baseline: dict[str, str],
+        on_drift: Callable[[int, list[dict]], None],
+    ) -> None:
+        self.baseline = baseline
+        self.on_drift = on_drift
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        inferred: list[ColumnInference] | None = infer_table_schema(batch_df)
+        if inferred is None:  # empty microbatch
+            return
+        drift: list[dict] = []
+        seen = set()
+        for ci in inferred:
+            seen.add(ci.name)
+            expected = self.baseline.get(ci.name)
+            if expected is None:
+                drift.append(
+                    {"field": ci.name, "reason": "MISSING", "proposed": ci.proposed_type}
+                )
+            elif expected != ci.proposed_type and ci.proposed_type != "notype":
+                drift.append(
+                    {
+                        "field": ci.name,
+                        "reason": "TYPE MISMATCH",
+                        "proposed": ci.proposed_type,
+                        "deployed": expected,
+                    }
+                )
+        for name in self.baseline:
+            if name not in seen:
+                drift.append({"field": name, "reason": "DEPRECATED"})
+        if drift:
+            self.on_drift(batch_id, drift)
+
+    def attach(self, stream_df: DataFrame):
+        """Start the monitor on a streaming DataFrame (availableNow)."""
+        return (
+            stream_df.writeStream.foreachBatch(self)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,95 @@
+"""Structured Streaming tests: windowed counts vs batch equivalence, drift
+monitor over file drops."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_auto_schema.io import read_table
+from spark_auto_schema.streaming import (
+    SchemaDriftMonitor,
+    read_event_stream,
+    run_to_memory,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "drop1.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    # complete mode: append would (correctly) withhold the final windows the
+    # watermark hasn't closed when the file stream drains
+    run_to_memory(
+        windowed_event_counts(stream, "1 hour", "2 hours"),
+        "win_counts",
+        output_mode="complete",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = read_table(spark, SF_DIR, "events")
+    expect = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"])
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+        .collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_drift_monitor_detects_changes(spark, events_dir):
+    baseline = {
+        "event_id": "int4",
+        "ts": "timestamp",
+        "user_id": "int4",
+        "event_type": "varchar(256)",
+        "value": "float8",
+        # 'props' intentionally absent -> MISSING
+        "legacy": "date",  # not in stream -> DEPRECATED
+        "event_type_widened": "int4",
+    }
+    del baseline["event_type_widened"]
+    baseline["event_type"] = "int4"  # force TYPE MISMATCH
+    seen: list[tuple[int, list[dict]]] = []
+    monitor = SchemaDriftMonitor(baseline, lambda bid, drift: seen.append((bid, drift)))
+    stream = read_event_stream(spark, events_dir)
+    q = monitor.attach(stream)
+    q.awaitTermination()
+    assert seen, "monitor produced no drift for a drifted baseline"
+    reasons = {(d["field"], d["reason"]) for _, drift in seen for d in drift}
+    assert ("props", "MISSING") in reasons
+    assert ("legacy", "DEPRECATED") in reasons
+    assert ("event_type", "TYPE MISMATCH") in reasons
+
+
+def test_drift_monitor_silent_when_clean(spark, events_dir):
+    baseline = {
+        "event_id": "int4",
+        "ts": "timestamp",
+        "user_id": "int4",
+        "event_type": "varchar(256)",
+        "value": "float8",
+        "props": "varchar(256)",
+    }
+    seen: list = []
+    monitor = SchemaDriftMonitor(baseline, lambda bid, drift: seen.append(drift))
+    q = monitor.attach(read_event_stream(spark, events_dir))
+    q.awaitTermination()
+    assert seen == []
