@@ -25,7 +25,14 @@ from spark_auto_schema import SparkAutoSchema
 from spark_auto_schema.diff import evaluate_diffs
 from spark_auto_schema.inference import infer_table_schema, inference_to_df
 from spark_auto_schema.io import read_table
-from spark_auto_schema.ops import dedup, multimodal, similarity, text
+from spark_auto_schema.ops import (
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
 from spark_auto_schema.types import TYPE_CLASSES
 
 # ---------------------------------------------------------------------------
@@ -521,6 +528,227 @@ FROM n
 """
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, small dim broadcast, agg + top-k."""
+    c = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, revenue, orderdate, o_orderpriority FROM (
+  SELECT o_orderkey, o_orderpriority,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+) ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join with customer-nation == supplier-nation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_LOCAL_SUPPLIER_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _q_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks the latest click by the same user
+    at-or-before its timestamp (oracle: DuckDB's native ASOF LEFT JOIN)."""
+    e = read_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = relational.asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+_ASOF_PRIOR_CLICK_SQL = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) - epoch_us(r.click_ts) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') r
+ON l.user_id = r.user_id AND l.ts >= r.click_ts
+"""
+
+
+def _q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    out = relational.time_bucket_agg(
+        e,
+        ts_col="ts",
+        bucket="day",
+        dims=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_TIME_BUCKET_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, sum(CAST(props->>'k' AS INT)) AS sum_k,
+       count(props->>'k') AS n_k
+FROM events GROUP BY event_type
+"""
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, "doc_id", 0.1).select("doc_id")
+
+
+def _hash_sample_oracle_sql() -> str:
+    t = sampling.fraction_threshold(0.1)
+    return (
+        "SELECT doc_id FROM documents "
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{t}'"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    samp = sampling.stratified_sample(o, "o_orderstatus", "o_orderkey", 0.05)
+    return samp.select("o_orderkey", "o_orderstatus")
+
+
+def _stratified_sample_oracle_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4),
+                                     o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
+SELECT o_orderkey, o_orderstatus FROM ranked WHERE rk <= ceil(n * 0.05)
+"""
+
+
+def _q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    train, ev = sampling.split_train_eval(d, "doc_id", 0.1)
+    return train.select("doc_id", F.lit("train").alias("split")).unionByName(
+        ev.select("doc_id", F.lit("eval").alias("split"))
+    )
+
+
+def _train_eval_oracle_sql() -> str:
+    t = sampling.fraction_threshold(0.1)
+    return (
+        "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) "
+        f"< '{t}' THEN 'eval' ELSE 'train' END AS split FROM documents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # extension queries (text / dedup / similarity / multimodal)
 # ---------------------------------------------------------------------------
@@ -658,6 +886,54 @@ def _q_embedding_topk(spark, sf_dir):
     )
 
 
+def _q_top_terms(spark, sf_dir):
+    return text.top_terms(read_table(spark, sf_dir, "documents"), k=20)
+
+
+_TOP_TERMS_SQL = """
+SELECT term, count(*) AS n FROM (
+  SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' ')) AS term
+  FROM documents)
+WHERE length(term) > 0
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
+def _q_frame_sample(spark, sf_dir):
+    payloads = multimodal.attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample_stub(payloads, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )
+
+
+# documents text is pure ASCII (verified at sf0.1), so byte offsets equal
+# character offsets and DuckDB's varchar substring replays the binary slicing
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id, i AS frame_idx, md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM documents,
+     UNNEST(generate_series(0, least(7, CAST(floor(length(text) / 64) AS BIGINT)))) AS t(i)
+"""
+
+
+def _q_label_neardup(spark, sf_dir):
+    return similarity.label_blocked_near_dup(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+_LABEL_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.3
+"""
+
+
 # rows-only entries (Spark-side hashing / Arrow UDFs, not DuckDB-reproducible)
 
 
@@ -678,6 +954,22 @@ def _q_ann_lsh(spark, sf_dir):
         k=10,
         num_planes=3,
         num_tables=6,
+    )
+
+
+def _q_simhash_neardup(spark, sf_dir):
+    return dedup.simhash_near_dup_pairs(
+        read_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def _q_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(
+        read_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        centroid_stride=50,
+        nprobe=3,
     )
 
 
@@ -714,6 +1006,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cube_events"] = _q_cube_events
     q["nation_presence"] = _q_nation_presence
     q["sessionize_events"] = _q_sessionize
+    q["shipping_priority"] = _q_shipping_priority
+    q["local_supplier_volume"] = _q_local_supplier_volume
+    q["grouping_sets_orders"] = _q_grouping_sets
+    q["asof_prior_click"] = _q_asof_prior_click
+    q["time_bucket_events"] = _q_time_bucket
+    q["json_props_agg"] = _q_json_props
+    q["hash_sample_docs"] = _q_hash_sample
+    q["stratified_sample_orders"] = _q_stratified_sample
+    q["train_eval_split"] = _q_train_eval_split
     q["text_stats"] = _q_text_stats
     q["token_count"] = _q_token_count
     q["lang_id"] = _q_lang_id
@@ -723,10 +1024,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["multimodal_bytes"] = _q_multimodal_bytes
     q["embedding_topk"] = _q_embedding_topk
+    q["top_terms"] = _q_top_terms
+    q["frame_sample"] = _q_frame_sample
+    q["embedding_label_neardup"] = _q_label_neardup
     # rows-only (no oracle): Spark xxhash64 / Arrow-UDF based
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["simhash_signatures"] = _q_simhash_sigs
+    q["simhash_near_dup"] = _q_simhash_neardup
     q["ann_lsh_topk"] = _q_ann_lsh
+    q["ivf_topk"] = _q_ivf_topk
     q["media_features"] = _q_media_features
     return q
 
@@ -762,6 +1068,15 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT s_nationkey FROM supplier"
     )
     o["sessionize_events"] = _SESSIONIZE_SQL
+    o["shipping_priority"] = _SHIPPING_PRIORITY_SQL
+    o["local_supplier_volume"] = _LOCAL_SUPPLIER_SQL
+    o["grouping_sets_orders"] = _GROUPING_SETS_SQL
+    o["asof_prior_click"] = _ASOF_PRIOR_CLICK_SQL
+    o["time_bucket_events"] = _TIME_BUCKET_SQL
+    o["json_props_agg"] = _JSON_PROPS_SQL
+    o["hash_sample_docs"] = _hash_sample_oracle_sql()
+    o["stratified_sample_orders"] = _stratified_sample_oracle_sql()
+    o["train_eval_split"] = _train_eval_oracle_sql()
     o["text_stats"] = _TEXT_STATS_SQL
     o["token_count"] = _TOKEN_COUNT_SQL
     o["lang_id"] = _lang_id_oracle_sql()
@@ -771,4 +1086,7 @@ def oracle_sql() -> dict[str, str]:
     o["ngram_jaccard_dups"] = _NGRAM_JACCARD_SQL
     o["multimodal_bytes"] = _MULTIMODAL_BYTES_SQL
     o["embedding_topk"] = _EMBEDDING_TOPK_SQL
+    o["top_terms"] = _TOP_TERMS_SQL
+    o["frame_sample"] = _FRAME_SAMPLE_SQL
+    o["embedding_label_neardup"] = _LABEL_NEARDUP_SQL
     return o

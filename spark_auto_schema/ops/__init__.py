@@ -7,6 +7,6 @@ built-in Spark SQL expressions (JVM, whole-stage codegen) except the
 explicitly Arrow-batched multimodal UDFs.
 """
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, relational, sampling, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "relational", "sampling", "similarity", "text"]

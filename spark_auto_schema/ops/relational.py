@@ -1,0 +1,101 @@
+"""Temporal relational operators Spark lacks as built-ins: as-of join and
+time-bucketed range aggregation.
+
+The reference library has no temporal operators at all (its only join is the
+schema-diff full outer join, RedshiftAutoSchema.py:217); these extend the
+engine for event/feed workloads.
+
+Scale design (100 TB):
+
+* :func:`asof_join` — the classic union + window formulation.  Naive as-of
+  implementations (per-key cross join, or a range-condition theta join)
+  explode to |L|x|R| per key; the union trick is ONE shuffle of |L|+|R| rows
+  partitioned by key, a per-partition sort, and a running ``last(...,
+  ignorenulls)`` — linear in input, no pair blowup, AQE-skew-splittable.
+* :func:`time_bucket_agg` — truncate-to-bucket then hash aggregate: one
+  shuffle keyed on (bucket, dims), map-side partial aggregation first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) for the same ``on`` key.
+
+    Returns all left columns plus each requested right ``value_cols`` (NULL
+    when no prior right row exists).  Matches DuckDB's ``ASOF LEFT JOIN``
+    semantics, which the driver oracle uses to verify it.
+
+    Implementation: tag both inputs, union, one window per ``on`` key ordered
+    by (ts, tag) with right rows sorting before left rows at equal
+    timestamps (inclusive semantics), then ``last(value, ignorenulls=True)``
+    over the running frame.  One shuffle, no per-key pair explosion.
+
+    Determinism: if multiple right rows share (key, ts), the one sorting
+    last by its value struct wins — a total order, stable across runs.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on and c != right_ts]
+
+    val_fields = [right_ts] + [c for c in value_cols if c != right_ts]
+    val = F.struct(*[F.col(c) for c in val_fields])
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0 if not strict else 1).alias("__tag"),
+        val.alias("__v"),
+        F.lit(None).cast("string").alias("__lrow_marker"),
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1 if not strict else 0).alias("__tag"),
+        F.lit(None).cast(r.schema["__v"].dataType).alias("__v"),
+        F.lit("L").alias("__lrow_marker"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
+
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag", "__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__v", ignorenulls=True).over(w))
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    # the matched right timestamp is always emitted, then the value columns
+    out_cols += [F.col(f"__m.{c}").alias(c) for c in val_fields]
+    return matched.where(F.col("__lrow_marker").isNotNull()).select(*out_cols)
+
+
+def time_bucket_agg(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    aggs: list,
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style rollup: truncate ``ts_col`` to ``bucket`` (a
+    ``date_trunc`` unit: 'hour', 'day', 'week', ...), group by (bucket,
+    *dims*), apply ``aggs``.
+
+    One hash-partitioned aggregate with map-side combine; at 100 TB the
+    shuffle carries only partial aggregates per (bucket, dims) group.
+    """
+    dims = dims or []
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    return df.groupBy(b, *[F.col(d) for d in dims]).agg(*aggs)

@@ -1,0 +1,86 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be (a) reproducible across runs and engines (so
+downstream stages and audits agree on the exact row set), and (b) shuffle-free
+where possible.  Spark's ``df.sample`` is seed-deterministic but
+partitioning-dependent; these operators key off a *content hash* instead, so
+the sample is a pure function of the data.
+
+* :func:`hash_sample` — keep a row iff a hex prefix of ``md5(key)`` falls
+  under the fraction threshold.  A narrow per-row filter: no shuffle, pushes
+  into the scan stage, identical row set in any engine with md5 (the DuckDB
+  oracle replays it exactly).
+* :func:`stratified_sample` — exact ``ceil(fraction * n_h)`` rows per
+  stratum, chosen by rank over the same content hash: deterministic,
+  per-stratum proportional, one shuffle (the per-stratum window sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Width of the hex prefix compared against the threshold: 4 hex chars = a
+# uniform draw from [0, 65536) per key.
+_HEX_DIGITS = 4
+_SPACE = 16**_HEX_DIGITS
+
+
+def _hash_prefix(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold string t such that P[md5-prefix < t] ~= fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(_SPACE, int(fraction * _SPACE)), f"0{_HEX_DIGITS}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample: rows whose md5(key) 4-hex-digit
+    prefix is below the threshold.  Content-keyed, so the same keys are kept
+    on every run, engine, and partitioning — and the filter is a narrow
+    projection that pipelines inside the scan (no shuffle, no state)."""
+    return df.where(_hash_prefix(F.col(key_col)) < F.lit(fraction_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key_col: str, fraction: float
+) -> DataFrame:
+    """Exact-size proportional sample: the ``ceil(fraction * n_h)`` rows of
+    each stratum with the smallest (md5(key), key) rank.
+
+    The hash-rank makes the choice deterministic and content-keyed like
+    :func:`hash_sample`, but with exact per-stratum counts (hash thresholding
+    only hits the fraction in expectation).  Cost: one shuffle on the stratum
+    key for the window sort + a window count — at scale prefer
+    :func:`hash_sample` unless exact stratum sizes are required."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    order = Window.partitionBy(stratum_col).orderBy(
+        _hash_prefix(F.col(key_col)), F.col(key_col)
+    )
+    whole = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(order))
+        .withColumn("__n", F.count(F.lit(1)).over(whole))
+        .where(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rk", "__n")
+    )
+
+
+def split_train_eval(
+    df: DataFrame, key_col: str, eval_fraction: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic disjoint train/eval split on the same content hash.
+
+    Returns (train, eval); every key lands in exactly one side, stable across
+    runs — the property training pipelines need so examples never leak
+    between splits when data is re-read or re-partitioned."""
+    t = F.lit(fraction_threshold(eval_fraction))
+    pref = _hash_prefix(F.col(key_col))
+    return df.where(pref >= t), df.where(pref < t)

@@ -139,6 +139,102 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 50,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize every vector to its
+    nearest centroid, then search only the ``nprobe`` centroids nearest the
+    query, reranking candidates exactly.
+
+    The coarse quantizer here is a deterministic subsample (every
+    ``centroid_stride``-th id) standing in for trained k-means centroids —
+    the *plumbing* (broadcast centroid table, argmin assignment via one
+    window, partition-pruned probe) is the real IVF dataflow.  At 100 TB the
+    assignment is one broadcast join + window argmin, and each query touches
+    |corpus| * nprobe / nlist rows, not the corpus.  Persisting the assigned
+    table partitioned by ``centroid`` makes the probe a partition-pruned
+    scan."""
+    from pyspark.sql.window import Window
+
+    cents = df.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    # assignment: broadcast the (tiny) centroid table, argmin by cosine
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    probe_cids = [
+        r["cid"]
+        for r in scored.where(F.col(id_col) == query_id)
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+        .collect()
+    ]
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("q"))
+    sim = F.round(cosine(F.col(vec_col), F.col("q")), 4)
+    return (
+        assigned.where(F.col("cid").isin(probe_cids))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def label_blocked_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Exact cosine near-dup pairs *within a blocking key* (same ``label``):
+    (id_a, id_b, cos_sim >= threshold), id_a < id_b.
+
+    Blocking on an existing attribute makes the pair space an equi-join —
+    hash-partitioned on the block key, each pair computed exactly once, no
+    n^2 cross join.  This is the exact-answer complement to the LSH path in
+    :func:`embedding_near_dup_pairs` for corpora with natural block keys
+    (class, source shard, language)."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, on="blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

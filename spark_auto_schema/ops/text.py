@@ -110,6 +110,26 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(F.col(id_col), quality.alias("quality"))
 
 
+def top_terms(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k terms by frequency: lowercase, strip non-[a-z0-9 ],
+    split on spaces, count, keep the k most frequent (term asc tie-break).
+
+    Explode + hash aggregate: the shuffle carries (term, partial_count)
+    after map-side combine — the classic scale-safe wordcount.  The final
+    top-k is a TakeOrdered over the aggregated term table."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    return (
+        df.select(F.explode(F.split(norm, " ")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of the lowercased text with
     everything but [a-z0-9 ] stripped.  Identical content -> identical

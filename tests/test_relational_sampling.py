@@ -1,0 +1,199 @@
+"""Tests for the temporal relational operators (as-of join, time buckets)
+and the deterministic sampling family."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_auto_schema.io import read_table
+from spark_auto_schema.ops import relational, sampling, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- asof_join
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "l1"),
+            (1, _ts("2024-01-01 12:00:00"), "l2"),
+            (2, _ts("2024-01-01 09:00:00"), "l3"),
+            (3, _ts("2024-01-01 09:00:00"), "l4"),  # key with no right rows
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 10.0),
+            (1, _ts("2024-01-01 11:00:00"), 20.0),
+            (1, _ts("2024-01-01 13:00:00"), 30.0),  # after every left row
+            (2, _ts("2024-01-01 09:00:00"), 40.0),  # exactly at left ts
+        ],
+        "k long, rts timestamp, val double",
+    )
+    return left, right
+
+
+def test_asof_join_backward(spark, asof_frames):
+    left, right = asof_frames
+    out = relational.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["val"]
+    )
+    got = {r["tag"]: (r["rts"], r["val"]) for r in out.collect()}
+    assert got["l1"] == (_ts("2024-01-01 09:30:00"), 10.0)
+    assert got["l2"] == (_ts("2024-01-01 11:00:00"), 20.0)
+    # inclusive: right row at exactly left ts matches
+    assert got["l3"] == (_ts("2024-01-01 09:00:00"), 40.0)
+    # no prior right row -> NULLs, left row still present
+    assert got["l4"] == (None, None)
+    assert out.count() == left.count()
+
+
+def test_asof_join_strict(spark, asof_frames):
+    left, right = asof_frames
+    out = relational.asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["val"],
+        strict=True,
+    )
+    got = {r["tag"]: r["val"] for r in out.collect()}
+    # strict: the equal-timestamp right row no longer matches
+    assert got["l3"] is None
+    assert got["l1"] == 10.0
+
+
+def test_asof_join_one_shuffle_no_pair_blowup(spark, asof_frames):
+    left, right = asof_frames
+    out = relational.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["val"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + window: no join operator at all in the physical plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one hash partitioning (+AQE read)
+
+
+def test_time_bucket_agg(spark):
+    e = read_table(spark, SF_DIR, "events")
+    out = relational.time_bucket_agg(
+        e, "ts", "day", dims=["event_type"], aggs=[F.count(F.lit(1)).alias("n")]
+    )
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == e.count()
+    days = [r["bucket_ts"] for r in out.select("bucket_ts").distinct().collect()]
+    assert all(d.hour == 0 and d.minute == 0 for d in days)
+
+
+# ----------------------------------------------------------------- sampling
+def test_hash_sample_deterministic_and_sized(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(d, "doc_id", 0.2).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.hash_sample(d.repartition(7), "doc_id", 0.2).collect()
+    }
+    assert s1 == s2  # content-keyed: partitioning-independent
+    n = d.count()
+    assert 0.1 * n < len(s1) < 0.3 * n
+    # monotone: a smaller fraction's sample nests inside a larger one's
+    s_small = {r["doc_id"] for r in sampling.hash_sample(d, "doc_id", 0.05).collect()}
+    assert s_small <= s1
+
+
+def test_stratified_sample_exact_sizes(spark):
+    o = read_table(spark, SF_DIR, "orders")
+    frac = 0.1
+    samp = sampling.stratified_sample(o, "o_orderstatus", "o_orderkey", frac)
+    import math
+
+    want = {
+        r["o_orderstatus"]: math.ceil(r["n"] * frac)
+        for r in o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["o_orderstatus"]: r["n"]
+        for r in samp.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_split_train_eval_partitions(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    train, ev = sampling.split_train_eval(d, "doc_id", 0.25)
+    train_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    eval_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert train_ids | eval_ids == all_ids
+    assert train_ids & eval_ids == set()
+    # eval side is the hash_sample of the same fraction
+    hs = {r["doc_id"] for r in sampling.hash_sample(d, "doc_id", 0.25).collect()}
+    assert eval_ids == hs
+
+
+def test_fraction_threshold_bounds():
+    assert sampling.fraction_threshold(0.0) == "0000"
+    assert sampling.fraction_threshold(1.0) == "10000"
+    with pytest.raises(ValueError):
+        sampling.fraction_threshold(1.5)
+
+
+# ---------------------------------------------------------------- ivf / ann
+def test_ivf_topk_recall(spark):
+    emb = read_table(spark, SF_DIR, "embeddings").cache()
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, 0, k=10, centroid_stride=10, nprobe=4
+        ).collect()
+    ]
+    # weakly-correlated synthetic vectors: expect decent but not perfect recall
+    assert len(set(exact) & set(approx)) >= 5
+    # every approx hit must carry the exact cosine (reranking is exact)
+    exact_all = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.cosine_topk(emb, 0, k=emb.count()).collect()
+    }
+    got = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.ivf_topk(emb, 0, k=10, centroid_stride=10, nprobe=4).collect()
+    }
+    for vid, sim in got.items():
+        assert sim == exact_all[vid]
+
+
+def test_label_blocked_near_dup_exact(spark):
+    import numpy as np
+
+    emb = read_table(spark, SF_DIR, "embeddings").cache()
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.label_blocked_near_dup(emb, threshold=0.3).collect()
+    }
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    want = {}
+    for vecs in by_label.values():
+        for i, (ia, va) in enumerate(vecs):
+            for ib, vb in vecs[i + 1 :]:
+                cs = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4)
+                if cs >= 0.3:
+                    key = (min(ia, ib), max(ia, ib))
+                    want[key] = cs
+    assert got == want
