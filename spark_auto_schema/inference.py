@@ -237,6 +237,7 @@ def infer_table_schema(
     compat_nested: bool = True,
     sample_fraction: float | None = None,
     max_cols_per_pass: int | None = None,
+    spread_small_scans: bool = True,
 ) -> list[ColumnInference] | None:
     """Infer a Redshift type for every column of ``df`` in one Spark job.
 
@@ -251,12 +252,28 @@ def infer_table_schema(
         max_cols_per_pass: split very wide tables (1000s of columns) into
             multiple aggregation jobs of at most this many columns each to
             bound codegen size.  Each pass is still one full-scan aggregate.
+        spread_small_scans: when the input has far fewer partitions than the
+            cluster has cores (single-row-group parquet files are unsplittable
+            below one task each), repartition to the default parallelism so
+            the probe expressions run on every core.  Only fires when
+            partitions < cores/4, i.e. for small or degenerately-laid-out
+            inputs where the extra shuffle is cheap; a 100 TB table already
+            has orders of magnitude more partitions than cores and is never
+            reshuffled.
 
     Returns None for an empty (0-row) input, matching RAS.py:243-245 where an
     empty file produces no metadata.
     """
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=42)
+
+    if spread_small_scans:
+        try:
+            cores = df.sparkSession.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < max(2, cores // 4):
+                df = df.repartition(cores)
+        except Exception:  # pragma: no cover - non-classic sessions
+            pass
 
     fields = list(df.schema.fields)
     groups: list[list[tuple[int, T.StructField]]] = []

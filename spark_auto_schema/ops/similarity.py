@@ -63,8 +63,14 @@ def cosine_topk(
     Returns (vec_id, cos_sim rounded to 4) for the k best non-query rows,
     ties broken by id.  The query row is a broadcast nested-loop of exactly
     one row — no data-sized shuffle."""
-    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("q"))
-    sim = F.round(cosine(F.col(vec_col), F.col("q")), 4)
+    # query norm is computed once in the broadcast row; each corpus vector's
+    # norm once per row — the per-row work is one dot product + one norm
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q"), norm(F.col(vec_col)).alias("qn")
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col("q")) / (norm(F.col(vec_col)) * F.col("qn")), 4
+    )
     return (
         df.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != query_id)
@@ -123,13 +129,16 @@ def ann_lsh_topk(
     )
     q = sigs.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("q"),
+        norm(F.col(vec_col)).alias("qn"),
         *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(num_tables)],
     )
     collide = None
     for t in range(num_tables):
         c = F.col(f"sig{t}") == F.col(f"qsig{t}")
         collide = c if collide is None else (collide | c)
-    sim = F.round(cosine(F.col(vec_col), F.col("q")), 4)
+    sim = F.round(
+        dot(F.col(vec_col), F.col("q")) / (norm(F.col(vec_col)) * F.col("qn")), 4
+    )
     return (
         sigs.crossJoin(F.broadcast(q))
         .where(collide & (F.col(id_col) != query_id))
@@ -163,14 +172,23 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     cents = df.where(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
     )
-    # assignment: broadcast the (tiny) centroid table, argmin by cosine
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cid"),
-        cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
+    # assignment: broadcast the (tiny) centroid table, argmin by cosine;
+    # vector norms computed once per row before the fan-out to |centroids|
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vn"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            (
+                dot(F.col(vec_col), F.col("cvec")) / (F.col("vn") * F.col("cn"))
+            ).alias("csim"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
     assigned = (
@@ -186,8 +204,12 @@ def ivf_topk(
         .select("cid")
         .collect()
     ]
-    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("q"))
-    sim = F.round(cosine(F.col(vec_col), F.col("q")), 4)
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q"), norm(F.col(vec_col)).alias("qn")
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col("q")) / (norm(F.col(vec_col)) * F.col("qn")), 4
+    )
     return (
         assigned.where(F.col("cid").isin(probe_cids))
         .crossJoin(F.broadcast(q))
@@ -213,15 +235,19 @@ def label_blocked_near_dup(
     n^2 cross join.  This is the exact-answer complement to the LSH path in
     :func:`embedding_near_dup_pairs` for corpora with natural block keys
     (class, source shard, language)."""
+    # norms are computed ONCE per vector before the join (n rows), not once
+    # per pair (n^2/blocks rows) — pair work is a single dot product
     a = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
     )
     b = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
     )
     return (
         a.join(b, on="blk")
@@ -229,7 +255,9 @@ def label_blocked_near_dup(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -253,6 +281,7 @@ def embedding_near_dup_pairs(
     sigs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nm"),
         lsh_signature(F.col(vec_col), planes).alias("sig"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -262,7 +291,9 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nm") * F.col("b.nm")), 4
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .distinct()
