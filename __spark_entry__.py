@@ -934,6 +934,71 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+_STREAM_SEQ = iter(range(1, 1_000_000))
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File-source streams need a *directory*; stage the events file into a
+    temp drop-dir once per sf_dir."""
+    if sf_dir not in _STREAM_DIRS:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", f"{d}/drop1.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def _q_streaming_window_counts(spark, sf_dir):
+    """Structured Streaming windowed aggregation drained with availableNow
+    over the static events file — the result must equal the batch group-by,
+    which is what the DuckDB oracle computes."""
+    from spark_auto_schema.streaming import (
+        read_event_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    name = f"__win_counts_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    run_to_memory(
+        windowed_event_counts(stream, "1 hour", "2 hours"),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
+# 1-hour tumbling windows are epoch-aligned = date_trunc('hour')
+_STREAM_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_streaming_user_stats(spark, sf_dir):
+    from spark_auto_schema.streaming import (
+        read_event_stream,
+        run_to_memory,
+        running_user_stats_stream,
+    )
+
+    name = f"__user_stats_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    run_to_memory(running_user_stats_stream(stream), name, output_mode="update")
+    # final state per user = the max-n_events emission
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+    )
+
+
 # rows-only entries (Spark-side hashing / Arrow UDFs, not DuckDB-reproducible)
 
 
@@ -1027,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_terms"] = _q_top_terms
     q["frame_sample"] = _q_frame_sample
     q["embedding_label_neardup"] = _q_label_neardup
+    q["streaming_window_counts"] = _q_streaming_window_counts
+    q["streaming_user_stats"] = _q_streaming_user_stats
     # rows-only (no oracle): Spark xxhash64 / Arrow-UDF based
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["simhash_signatures"] = _q_simhash_sigs
@@ -1089,4 +1156,9 @@ def oracle_sql() -> dict[str, str]:
     o["top_terms"] = _TOP_TERMS_SQL
     o["frame_sample"] = _FRAME_SAMPLE_SQL
     o["embedding_label_neardup"] = _LABEL_NEARDUP_SQL
+    o["streaming_window_counts"] = _STREAM_WINDOW_SQL
+    o["streaming_user_stats"] = (
+        "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY user_id"
+    )
     return o

@@ -86,6 +86,69 @@ def run_to_memory(
     q.awaitTermination()
 
 
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sv", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def running_user_stats_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count, value
+    sum, and last-seen timestamp, maintained with ``applyInPandasWithState``.
+
+    The dataflow shape Spark's built-in aggregates cannot express when the
+    per-key update logic is imperative (here it is deliberately simple so the
+    result is batch-verifiable): state is one fixed-width tuple per user,
+    updated from Arrow batches, emitted once per key per microbatch
+    (``update`` mode).  State size is O(distinct users); the watermark-less
+    NoTimeout config suits an ever-growing key space of bounded per-key
+    state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, sv, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+            batch_max_us = int(pdf["ts"].max().value // 1_000)
+            last_us = max(last_us, batch_max_us)
+        state.update((n, sv, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [sv],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            RUNNING_STATS_SCHEMA,
+            _RUNNING_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 class SchemaDriftMonitor:
     """Detect schema drift in a stream of file drops via foreachBatch.
 

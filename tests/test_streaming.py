@@ -93,3 +93,37 @@ def test_drift_monitor_silent_when_clean(spark, events_dir):
     q = monitor.attach(read_event_stream(spark, events_dir))
     q.awaitTermination()
     assert seen == []
+
+
+def test_running_user_stats_stateful(spark, events_dir):
+    from spark_auto_schema.streaming import running_user_stats_stream
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(
+        running_user_stats_stream(stream), "user_stats", output_mode="update"
+    )
+    # update mode emits one row per user per microbatch; the final state is
+    # the max n_events row per user
+    rows = spark.table("user_stats").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"], r["last_ts"])
+    batch = read_table(spark, SF_DIR, "events")
+    expect = {
+        r["user_id"]: (r["n"], r["sv"], r["mx"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.max("ts").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for uid, (n, sv, last) in final.items():
+        en, esv, elast = expect[uid]
+        assert n == en
+        assert abs(sv - esv) < 1e-6
+        assert last == elast
