@@ -934,6 +934,91 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def _q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    return e.intersect(o)
+
+
+def _q_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    e = read_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return o.exceptAll(e).distinct()
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    piv = e.groupBy("user_id").pivot("event_type", list(_EVENT_TYPES)).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+def _pivot_oracle_sql() -> str:
+    cols = ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
+def _q_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum("o_totalprice").alias("total")
+    )
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "month", F.round(F.avg("total").over(w), 2).alias("ma3")
+    )
+
+
+_MOVING_AVG_SQL = """
+WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, sum(o_totalprice) AS total
+           FROM orders GROUP BY 1)
+SELECT month, round(avg(total) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+FROM m
+"""
+
+
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode(F.col("embedding").cast("array<double>")))
+    return ex.groupBy(F.col("pos").alias("dim")).agg(
+        F.round(F.avg("col"), 4).alias("avg_x"),
+        F.round(F.min("col"), 4).alias("min_x"),
+        F.round(F.max("col"), 4).alias("max_x"),
+    )
+
+
+_EMBEDDING_DIM_STATS_SQL = """
+SELECT i - 1 AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS avg_x,
+       round(min(CAST(embedding[i] AS DOUBLE)), 4) AS min_x,
+       round(max(CAST(embedding[i] AS DOUBLE)), 4) AS max_x
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1
+"""
+
+
 _STREAM_SEQ = iter(range(1, 1_000_000))
 _STREAM_DIRS: dict[str, str] = {}
 
@@ -1080,6 +1165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hash_sample_docs"] = _q_hash_sample
     q["stratified_sample_orders"] = _q_stratified_sample
     q["train_eval_split"] = _q_train_eval_split
+    q["intersect_users"] = _q_intersect_users
+    q["except_custkeys"] = _q_except_custkeys
+    q["pivot_event_counts"] = _q_pivot_event_counts
+    q["moving_avg_orders"] = _q_moving_avg_orders
+    q["value_percentiles"] = _q_value_percentiles
+    q["embedding_dim_stats"] = _q_embedding_dim_stats
     q["text_stats"] = _q_text_stats
     q["token_count"] = _q_token_count
     q["lang_id"] = _q_lang_id
@@ -1144,6 +1235,16 @@ def oracle_sql() -> dict[str, str]:
     o["hash_sample_docs"] = _hash_sample_oracle_sql()
     o["stratified_sample_orders"] = _stratified_sample_oracle_sql()
     o["train_eval_split"] = _train_eval_oracle_sql()
+    o["intersect_users"] = (
+        "SELECT user_id AS id FROM events INTERSECT SELECT o_custkey FROM orders"
+    )
+    o["except_custkeys"] = (
+        "SELECT o_custkey AS id FROM orders EXCEPT SELECT user_id FROM events"
+    )
+    o["pivot_event_counts"] = _pivot_oracle_sql()
+    o["moving_avg_orders"] = _MOVING_AVG_SQL
+    o["value_percentiles"] = _PERCENTILES_SQL
+    o["embedding_dim_stats"] = _EMBEDDING_DIM_STATS_SQL
     o["text_stats"] = _TEXT_STATS_SQL
     o["token_count"] = _TOKEN_COUNT_SQL
     o["lang_id"] = _lang_id_oracle_sql()

@@ -107,3 +107,47 @@ def test_cosine_topk_is_takeordered(spark):
     # never a full sort of the corpus
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row query side broadcast
+
+
+def test_hash_sample_is_narrow_no_shuffle(spark):
+    df = entry._q_hash_sample(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    # a content-hash sample is a per-row filter inside the scan stage:
+    # no exchange anywhere in the plan
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_shipping_priority_broadcasts_dim_and_pushes_filters(spark):
+    plan = plan_of(entry._q_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # filtered customer dim is broadcast
+    assert "PushedFilters:" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 is not a global sort
+
+
+def test_streaming_uses_stateful_operator(spark):
+    from spark_auto_schema.streaming import (
+        EVENTS_STREAM_SCHEMA,
+        running_user_stats_stream,
+    )
+
+    # logical check on a batch-shaped frame is impossible (the operator is
+    # streaming-only); assert the streaming plan contains the Arrow state op
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet("/root/testdata/sf0.001")  # never started; plan-only
+    )
+    import pyspark.sql.functions as F
+
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = running_user_stats_stream(stream)
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    plan = plan_of(entry._q_grouping_sets(spark, SF_DIR), "simple")
+    # grouping sets must expand, not re-scan per set
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
