@@ -934,6 +934,114 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def _q_catalog_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog point lookups (SURVEY 2A #20-21) pushed through the driver
+    gate: probe existing + missing schema/table/view, emit (probe, result)."""
+    from spark_auto_schema import catalog
+
+    read_table(spark, sf_dir, "region").createOrReplaceTempView("__cat_probe_region")
+    rows = [
+        ("schema_default_exists", catalog.schema_exists(spark, "default")),
+        ("schema_missing", catalog.schema_exists(spark, "no_such_schema_xyz")),
+        ("view_counts_as_table", spark.catalog.tableExists("__cat_probe_region")),
+        ("table_missing", catalog.table_exists(spark, "default", "no_such_tbl_xyz")),
+    ]
+    return spark.createDataFrame(rows, "probe string, result boolean")
+
+
+_CATALOG_CHECKS_SQL = """
+SELECT * FROM (VALUES
+  ('schema_default_exists', TRUE),
+  ('schema_missing', FALSE),
+  ('view_counts_as_table', TRUE),
+  ('table_missing', FALSE)) AS t(probe, result)
+"""
+
+# Fixed input for the DDL-emitter golden check: every emitter feature at once
+# (notype coercion, export field, PK, DISTKEY, SORTKEY, grants, ALTER, Spark
+# dialect).  SURVEY 2A #29-30.
+_DDL_COLUMNS = [
+    ("id", "int8"),
+    ("name", "varchar(256)"),
+    ("price", "float8"),
+    ("extra", "notype"),
+]
+
+
+def _q_ddl_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_auto_schema import ddl
+
+    rows = [
+        ("schema_ddl", ddl.generate_schema_ddl("analytics")),
+        ("schema_grant", ddl.generate_schema_permissions("analytics")),
+        (
+            "table_ddl",
+            ddl.generate_table_ddl(
+                "analytics",
+                "widgets",
+                _DDL_COLUMNS,
+                export_field_name="export_date",
+                export_field_type="date",
+                primary_key="id",
+                dist_key="id",
+                sort_key="id,name",
+            ),
+        ),
+        ("table_grant", ddl.generate_table_permissions("analytics", "widgets")),
+        (
+            "column_ddl",
+            ddl.generate_column_ddl(
+                "analytics", "widgets", [("added_col", "varchar(256)")]
+            ),
+        ),
+        (
+            "spark_ddl",
+            ddl.generate_spark_table_ddl(
+                "analytics", "widgets", _DDL_COLUMNS, partitioned_by=["id"]
+            ),
+        ),
+    ]
+    return spark.createDataFrame(rows, "kind string, ddl string")
+
+
+def _ddl_strings_oracle_sql() -> str:
+    """Golden strings, independently written (mirrors the reference's output
+    shape at RedshiftAutoSchema.py:125-200 minus its to_string whitespace)."""
+    golden = {
+        "schema_ddl": "CREATE SCHEMA IF NOT EXISTS analytics;",
+        "schema_grant": "GRANT USAGE ON SCHEMA analytics TO GROUP dbreader;",
+        "table_ddl": (
+            "CREATE TABLE analytics.widgets (\n"
+            '"id" int8\n'
+            ', "name" varchar(256)\n'
+            ', "price" float8\n'
+            ', "extra" varchar(256)\n'
+            " , export_date date\n"
+            " , PRIMARY KEY (id)\n"
+            ")\n"
+            "DISTKEY (id)\n"
+            "SORTKEY (id,name)\n"
+        ),
+        "table_grant": "GRANT SELECT ON analytics.widgets TO GROUP dbreader;",
+        "column_ddl": "ALTER TABLE analytics.widgets ADD COLUMN added_col varchar(256);",
+        "spark_ddl": (
+            "CREATE TABLE analytics.widgets (\n"
+            "  id BIGINT,\n"
+            "  name STRING,\n"
+            "  price DOUBLE,\n"
+            "  extra STRING\n"
+            ")\n"
+            "USING parquet\n"
+            "PARTITIONED BY (id)"
+        ),
+    }
+    vals = ", ".join(
+        "('{k}', e'{v}')".format(k=k, v=v.replace("\\", "\\\\").replace("\n", "\\n").replace("'", "''"))
+        for k, v in golden.items()
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(kind, ddl)"
+
+
 def _q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
     o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
@@ -1165,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hash_sample_docs"] = _q_hash_sample
     q["stratified_sample_orders"] = _q_stratified_sample
     q["train_eval_split"] = _q_train_eval_split
+    q["catalog_checks"] = _q_catalog_checks
+    q["ddl_strings"] = _q_ddl_strings
     q["intersect_users"] = _q_intersect_users
     q["except_custkeys"] = _q_except_custkeys
     q["pivot_event_counts"] = _q_pivot_event_counts
@@ -1235,6 +1345,8 @@ def oracle_sql() -> dict[str, str]:
     o["hash_sample_docs"] = _hash_sample_oracle_sql()
     o["stratified_sample_orders"] = _stratified_sample_oracle_sql()
     o["train_eval_split"] = _train_eval_oracle_sql()
+    o["catalog_checks"] = _CATALOG_CHECKS_SQL
+    o["ddl_strings"] = _ddl_strings_oracle_sql()
     o["intersect_users"] = (
         "SELECT user_id AS id FROM events INTERSECT SELECT o_custkey FROM orders"
     )
