@@ -934,6 +934,80 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+_CSV_DIRS: dict[str, str] = {}
+
+
+def _region_csv_path(sf_dir: str) -> str:
+    """Materialize the driver's region table as a `|`-delimited CSV once per
+    sf_dir (same data, different encoding — exercises the CSV scan path)."""
+    if sf_dir not in _CSV_DIRS:
+        import csv
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="region_csv_")
+        tbl = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet")
+        path = f"{d}/region.csv"
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f, delimiter="|", quotechar='"')
+            w.writerow(tbl.column_names)
+            for row in zip(*[c.to_pylist() for c in tbl.columns]):
+                w.writerow(row)
+        _CSV_DIRS[sf_dir] = path
+    return _CSV_DIRS[sf_dir]
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan (SURVEY 2A #1): read the `|`-delimited re-encoding of region
+    through the reference-default CSV reader; values must equal the parquet
+    table DuckDB reads."""
+    from spark_auto_schema.io import load_file
+
+    df = load_file(spark, _region_csv_path(sf_dir), fmt="csv")
+    return df.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    )
+
+
+def _q_csv_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference over the CSV encoding must propose the same types as over
+    parquet (CSV schema inference feeds the same decision tree)."""
+    from spark_auto_schema.io import load_file
+
+    df = load_file(spark, _region_csv_path(sf_dir), fmt="csv")
+    return inference_to_df(spark, infer_table_schema(df)).select(
+        "field", "proposed_type"
+    )
+
+
+def _q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (salted) — must equal the plain
+    group-by the oracle computes."""
+    from spark_auto_schema.ops import skew
+
+    e = read_table(spark, sf_dir, "events")
+    out = skew.salted_aggregate(
+        e,
+        key_col="event_type",
+        row_key_col="event_id",
+        aggs={
+            "n_events": ("event_id", "count"),
+            "max_value": ("value", "max"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "event_type", "n_events", F.round("max_value", 4).alias("max_value")
+    )
+
+
+_SALTED_COUNTS_SQL = """
+SELECT event_type, count(event_id) AS n_events, round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 def _q_catalog_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog point lookups (SURVEY 2A #20-21) pushed through the driver
     gate: probe existing + missing schema/table/view, emit (probe, result)."""
@@ -1273,6 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hash_sample_docs"] = _q_hash_sample
     q["stratified_sample_orders"] = _q_stratified_sample
     q["train_eval_split"] = _q_train_eval_split
+    q["csv_roundtrip"] = _q_csv_roundtrip
+    q["csv_inference"] = _q_csv_inference
+    q["salted_event_counts"] = _q_salted_event_counts
     q["catalog_checks"] = _q_catalog_checks
     q["ddl_strings"] = _q_ddl_strings
     q["intersect_users"] = _q_intersect_users
@@ -1345,6 +1422,9 @@ def oracle_sql() -> dict[str, str]:
     o["hash_sample_docs"] = _hash_sample_oracle_sql()
     o["stratified_sample_orders"] = _stratified_sample_oracle_sql()
     o["train_eval_split"] = _train_eval_oracle_sql()
+    o["csv_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
+    o["csv_inference"] = _infer_table_sql("region")
+    o["salted_event_counts"] = _SALTED_COUNTS_SQL
     o["catalog_checks"] = _CATALOG_CHECKS_SQL
     o["ddl_strings"] = _ddl_strings_oracle_sql()
     o["intersect_users"] = (

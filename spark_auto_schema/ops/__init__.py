@@ -7,6 +7,14 @@ built-in Spark SQL expressions (JVM, whole-stage codegen) except the
 explicitly Arrow-batched multimodal UDFs.
 """
 
-from . import dedup, multimodal, relational, sampling, similarity, text
+from . import dedup, multimodal, relational, sampling, similarity, skew, text
 
-__all__ = ["dedup", "multimodal", "relational", "sampling", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "relational",
+    "sampling",
+    "similarity",
+    "skew",
+    "text",
+]

@@ -197,3 +197,57 @@ def test_label_blocked_near_dup_exact(spark):
                     key = (min(ia, ib), max(ia, ib))
                     want[key] = cs
     assert got == want
+
+
+# -------------------------------------------------------------------- skew
+def test_salted_aggregate_matches_plain(spark):
+    e = read_table(spark, SF_DIR, "events")
+    from spark_auto_schema.ops import skew
+
+    salted = {
+        r["event_type"]: (r["n"], r["sv"], r["mn"], r["mx"])
+        for r in skew.salted_aggregate(
+            e,
+            key_col="event_type",
+            row_key_col="event_id",
+            aggs={
+                "n": ("event_id", "count"),
+                "sv": ("value", "sum"),
+                "mn": ("value", "min"),
+                "mx": ("value", "max"),
+            },
+            salt=4,
+        ).collect()
+    }
+    plain = {
+        r["event_type"]: (r["n"], r["sv"], r["mn"], r["mx"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k][0] == plain[k][0]
+        assert abs(salted[k][1] - plain[k][1]) < 1e-6
+        assert salted[k][2:] == plain[k][2:]
+
+
+def test_salted_join_matches_plain(spark):
+    from spark_auto_schema.ops import skew
+
+    c = read_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    plain = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "n_name"
+    )
+    n2 = n.withColumnRenamed("n_nationkey", "c_nationkey")
+    salted = skew.salted_join(
+        c, n2, on="c_nationkey", big_row_key="c_custkey", salt=4
+    ).select("c_custkey", "n_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert salted.count() == plain.count()
