@@ -81,3 +81,29 @@ def test_differential_lineitem(spark, reference_cls):
         for ci in infer_table_schema(load_file(spark, path))
     }
     assert ours == ref_types
+
+
+@pytest.mark.parametrize(
+    "table", ["orders", "customer", "part", "supplier", "nation", "region", "documents"]
+)
+def test_differential_testdata_tables(spark, reference_cls, table):
+    path = f"/root/testdata/sf0.001/{table}.parquet"
+    ref_types = _reference_types(reference_cls, path)
+    ours = {
+        ci.name: ci.proposed_type
+        for ci in infer_table_schema(load_file(spark, path))
+    }
+    assert ours == ref_types
+
+
+def test_differential_events_nanos(spark, reference_cls):
+    """events carries timestamp[ns]; both systems must agree after each
+    handles the representation its own way (pandas reads ns natively; we
+    convert via nanosAsLong + timestamp_micros)."""
+    path = "/root/testdata/sf0.001/events.parquet"
+    ref_types = _reference_types(reference_cls, path)
+    ours = {
+        ci.name: ci.proposed_type
+        for ci in infer_table_schema(load_file(spark, path))
+    }
+    assert ours == ref_types
