@@ -934,6 +934,24 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def _q_infer_embeddings_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type inference in native mode (compat_nested=False): the
+    array<float> column reports its real Spark type instead of the
+    reference's varchar flattening.  Scalar columns are unchanged."""
+    df = read_table(spark, sf_dir, "embeddings")
+    return inference_to_df(
+        spark, infer_table_schema(df, compat_nested=False)
+    ).select("field", "proposed_type")
+
+
+_INFER_NATIVE_SQL = """
+SELECT * FROM (VALUES
+  ('vec_id', 'int4'),
+  ('embedding', 'array<float>'),
+  ('label', 'int4')) AS t(field, proposed_type)
+"""
+
+
 _CSV_DIRS: dict[str, str] = {}
 
 
@@ -1347,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hash_sample_docs"] = _q_hash_sample
     q["stratified_sample_orders"] = _q_stratified_sample
     q["train_eval_split"] = _q_train_eval_split
+    q["infer_embeddings_native"] = _q_infer_embeddings_native
     q["csv_roundtrip"] = _q_csv_roundtrip
     q["csv_inference"] = _q_csv_inference
     q["salted_event_counts"] = _q_salted_event_counts
@@ -1422,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
     o["hash_sample_docs"] = _hash_sample_oracle_sql()
     o["stratified_sample_orders"] = _stratified_sample_oracle_sql()
     o["train_eval_split"] = _train_eval_oracle_sql()
+    o["infer_embeddings_native"] = _INFER_NATIVE_SQL
     o["csv_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
     o["csv_inference"] = _infer_table_sql("region")
     o["salted_event_counts"] = _SALTED_COUNTS_SQL
