@@ -1284,6 +1284,76 @@ def _q_streaming_user_stats(spark, sf_dir):
     )
 
 
+def _q_clean_text(spark, sf_dir):
+    return text.clean_text(read_table(spark, sf_dir, "documents"))
+
+
+def _clean_text_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(text, "
+        f"'{text.URL_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text "
+        "FROM documents"
+    )
+
+
+def _q_redact_pii(spark, sf_dir):
+    return text.redact_pii(read_table(spark, sf_dir, "documents"))
+
+
+def _redact_pii_oracle_sql() -> str:
+    email, phone = text.EMAIL_RE, text.PHONE_RE
+    return (
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'), "
+        f"'{phone}', '<PHONE>', 'g') AS redacted, "
+        f"len(regexp_extract_all(text, '{email}')) AS n_emails, "
+        f"len(regexp_extract_all(text, '{phone}')) AS n_phones "
+        "FROM documents"
+    )
+
+
+def _q_repetition_ratio(spark, sf_dir):
+    return text.repetition_ratio(read_table(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                        i -> array_to_string(w[i:i+2], ' ')) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+SELECT doc_id,
+       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4) AS rep_ratio
+FROM g
+"""
+
+_CONTAMINATION_PROBES = (0, 1, 2)
+
+
+def _q_contamination(spark, sf_dir):
+    return dedup.contamination_check(
+        read_table(spark, sf_dir, "documents"),
+        probe_ids=list(_CONTAMINATION_PROBES),
+        n=3,
+    )
+
+
+def _contamination_oracle_sql() -> str:
+    probes = ", ".join(str(p) for p in _CONTAMINATION_PROBES)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+), probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id IN ({probes}))
+SELECT doc_id, count(*) AS n_shared
+FROM sh JOIN probe USING (shingle)
+WHERE doc_id NOT IN ({probes})
+GROUP BY doc_id
+"""
+
+
 # rows-only entries (Spark-side hashing / Arrow UDFs, not DuckDB-reproducible)
 
 
@@ -1382,6 +1452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = _q_lang_id
     q["quality_score"] = _q_quality
     q["fingerprint_docs"] = _q_fingerprint
+    q["clean_text"] = _q_clean_text
+    q["redact_pii"] = _q_redact_pii
+    q["repetition_ratio"] = _q_repetition_ratio
+    q["contamination_check"] = _q_contamination
     q["dedup_exact"] = _q_hash_dedup
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["multimodal_bytes"] = _q_multimodal_bytes
@@ -1462,6 +1536,10 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id"] = _lang_id_oracle_sql()
     o["quality_score"] = _quality_oracle_sql()
     o["fingerprint_docs"] = _FINGERPRINT_SQL
+    o["clean_text"] = _clean_text_oracle_sql()
+    o["redact_pii"] = _redact_pii_oracle_sql()
+    o["repetition_ratio"] = _REPETITION_SQL
+    o["contamination_check"] = _contamination_oracle_sql()
     o["dedup_exact"] = _HASH_DEDUP_SQL
     o["ngram_jaccard_dups"] = _NGRAM_JACCARD_SQL
     o["multimodal_bytes"] = _MULTIMODAL_BYTES_SQL

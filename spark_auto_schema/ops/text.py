@@ -31,6 +31,12 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 PUNCT_RE = r"[^\w\s]"
 
+# Training-data cleaning patterns.  Deliberately simple and anchored so the
+# DuckDB oracle (same regexes, same order) reproduces them byte-for-byte.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
 
 def _n_words(text: Column) -> Column:
     return F.size(F.split(text, " "))
@@ -127,6 +133,63 @@ def top_terms(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(k)
+    )
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate cleanup for training corpora: strip URLs, collapse runs of
+    whitespace, trim.  Order matters and is mirrored in the oracle.
+
+    A narrow per-row projection (three regexp_replace calls, JVM-side):
+    pipelines inside the scan, no shuffle, linear at any scale."""
+    t = F.col(text_col)
+    no_urls = F.regexp_replace(t, URL_RE, " ")
+    squeezed = F.regexp_replace(no_urls, r"\s+", " ")
+    return df.select(F.col(id_col), F.trim(squeezed).alias("clean_text"))
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction pass: emails -> <EMAIL>, long digit runs shaped like
+    phone numbers -> <PHONE>.  Returns the redacted text plus match counts
+    so a pipeline can route high-PII documents to review.
+
+    Same scale profile as :func:`clean_text` — per-row regexps, no Python,
+    no shuffle."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition quality signal (C4/Gopher-style): fraction of duplicate
+    word 3-grams within the document.  1.0 - distinct/total; 0 for text with
+    no repeated 3-grams, approaching 1 for highly repetitive boilerplate.
+
+    Computed with array higher-order functions on the row — no explode, no
+    shuffle: the per-document gram list never leaves its row."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) - distinct / total, 4).alias("rep_ratio"),
     )
 
 

@@ -188,3 +188,56 @@ def test_frame_sample_stub(spark, docs):
     assert {r["doc_id"] for r in rows} == {0, 1}
     assert all(1 <= len(r["frame_bytes"]) <= 16 for r in rows)
     assert max(r["frame_idx"] for r in rows) <= 3
+
+
+# ------------------------------------------------------- cleaning / safety
+def test_clean_text_strips_urls_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "see https://example.com/a?b=1   for   details")],
+        "doc_id long, text string",
+    )
+    row = text.clean_text(df).collect()[0]
+    assert row["clean_text"] == "see for details"
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or call +1 (555) 123-4567 now")],
+        "doc_id long, text string",
+    )
+    row = text.redact_pii(df).collect()[0]
+    assert "<EMAIL>" in row["redacted"]
+    assert "<PHONE>" in row["redacted"]
+    assert "bob@example.com" not in row["redacted"]
+    assert row["n_emails"] == 1
+    assert row["n_phones"] == 1
+
+
+def test_repetition_ratio_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),  # highly repetitive 3-grams
+            (2, "one two three four five six seven"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep_ratio"] for r in text.repetition_ratio(df).collect()}
+    assert got[2] == 0.0
+    assert got[1] > 0.5
+
+
+def test_contamination_check_finds_probe_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely unrelated content with different words"),
+            (2, "another text containing the quick brown fox too"),
+            (3, "no overlap here at all whatsoever friends"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in
+           dedup.contamination_check(df, probe_ids=[0], n=3).collect()}
+    assert 2 in got and got[2] >= 1  # shares "the quick brown" + "quick brown fox"
+    assert 3 not in got
+    assert 0 not in got  # probes excluded
