@@ -1284,6 +1284,39 @@ def _q_streaming_user_stats(spark, sf_dir):
     )
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (F.session_window, 30 min gap):
+    per-user sessions with event counts and start times.  The oracle rebuilds
+    identical sessions with the lag/cumulative-sum formulation."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOWS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+     l AS (SELECT user_id, us,
+                  lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+           FROM e),
+     n AS (SELECT user_id, us,
+                  CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM l),
+     s AS (SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM n)
+SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def _q_clean_text(spark, sf_dir):
     return text.clean_text(read_table(spark, sf_dir, "documents"))
 
@@ -1313,7 +1346,11 @@ def _redact_pii_oracle_sql() -> str:
 
 
 def _q_repetition_ratio(spark, sf_dir):
-    return text.repetition_ratio(read_table(spark, sf_dir, "documents"))
+    from spark_auto_schema.io import spread_small_scan
+
+    # gram-array construction is the heaviest per-row expression in the
+    # registry; spread the single-row-group testdata file across cores
+    return text.repetition_ratio(spread_small_scan(read_table(spark, sf_dir, "documents")))
 
 
 _REPETITION_SQL = """
@@ -1426,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cube_events"] = _q_cube_events
     q["nation_presence"] = _q_nation_presence
     q["sessionize_events"] = _q_sessionize
+    q["session_windows"] = _q_session_windows
     q["shipping_priority"] = _q_shipping_priority
     q["local_supplier_volume"] = _q_local_supplier_volume
     q["grouping_sets_orders"] = _q_grouping_sets
@@ -1506,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT s_nationkey FROM supplier"
     )
     o["sessionize_events"] = _SESSIONIZE_SQL
+    o["session_windows"] = _SESSION_WINDOWS_SQL
     o["shipping_priority"] = _SHIPPING_PRIORITY_SQL
     o["local_supplier_volume"] = _LOCAL_SUPPLIER_SQL
     o["grouping_sets_orders"] = _GROUPING_SETS_SQL

@@ -268,12 +268,9 @@ def infer_table_schema(
         df = df.sample(fraction=sample_fraction, seed=42)
 
     if spread_small_scans:
-        try:
-            cores = df.sparkSession.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < max(2, cores // 4):
-                df = df.repartition(cores)
-        except Exception:  # pragma: no cover - non-classic sessions
-            pass
+        from .io import spread_small_scan
+
+        df = spread_small_scan(df)
 
     fields = list(df.schema.fields)
     groups: list[list[tuple[int, T.StructField]]] = []

@@ -132,3 +132,20 @@ def load_file(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table: ``{sf_dir}/{name}.parquet``."""
     return read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a degenerately-laid-out input (fewer partitions than
+    cores/4 — e.g. a single-row-group parquet file, unsplittable below one
+    task) to the default parallelism so expensive per-row expressions use
+    every core.  A no-op for well-partitioned inputs: a 100 TB table already
+    has orders of magnitude more partitions than cores and is never
+    reshuffled; the fired case is by definition small, so the shuffle is
+    cheap."""
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, cores // 4):
+            return df.repartition(cores)
+    except Exception:  # pragma: no cover - non-classic sessions
+        pass
+    return df
