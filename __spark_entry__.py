@@ -865,14 +865,18 @@ def _q_fingerprint(spark, sf_dir):
     return text.fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+def _spread_docs(spark, sf_dir):
+    from spark_auto_schema.io import spread_small_scan
+
+    return spread_small_scan(read_table(spark, sf_dir, "documents"))
+
+
 def _q_hash_dedup(spark, sf_dir):
     return dedup.hash_dedup(read_table(spark, sf_dir, "documents"))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.8
-    )
+    return dedup.ngram_jaccard_pairs(_spread_docs(spark, sf_dir), threshold=0.8)
 
 
 def _q_multimodal_bytes(spark, sf_dir):
@@ -1395,9 +1399,7 @@ GROUP BY doc_id
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(
-        read_table(spark, sf_dir, "documents"), verify_threshold=0.8
-    )
+    return dedup.minhash_lsh_pairs(_spread_docs(spark, sf_dir), verify_threshold=0.8)
 
 
 def _q_simhash_sigs(spark, sf_dir):
@@ -1415,6 +1417,8 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_simhash_neardup(spark, sf_dir):
+    # NOTE: spreading hurts here — the chunk self-join re-executes the
+    # repartition shuffle on both sides; the plain lineage is faster
     return dedup.simhash_near_dup_pairs(
         read_table(spark, sf_dir, "documents"), max_hamming=3
     )
