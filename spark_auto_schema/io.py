@@ -134,6 +134,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist a DataFrame as a bucketed (and optionally sorted) table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables bucketed
+    on their join key with the same bucket count join with NO exchange on
+    either side — the core co-location strategy for repeatedly-joined 100 TB
+    fact tables.  (Sorting within buckets additionally removes the join-time
+    sort for sort-merge joins.)"""
+    w = df.write.mode("overwrite").bucketBy(buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Write a parquet dataset partitioned by the given columns.
+
+    Partition pruning then turns predicates on those columns into directory
+    pruning — a reader of one partition never lists or opens the rest, the
+    first-order scan optimization for time-series and category-keyed data at
+    scale."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition a degenerately-laid-out input (fewer partitions than
     cores/4 — e.g. a single-row-group parquet file, unsplittable below one

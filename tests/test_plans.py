@@ -151,3 +151,42 @@ def test_grouping_sets_single_scan(spark):
     # grouping sets must expand, not re-scan per set
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from spark_auto_schema.io import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+        c = read_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+        write_bucketed(o, "b_orders", "o_custkey", buckets=8)
+        write_bucketed(c, "b_customer", "c_custkey", buckets=8)
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders")["o_custkey"]
+            == spark.table("b_customer")["c_custkey"],
+        )
+        plan = plan_of(joined, "simple")
+        # co-located buckets: the join needs NO shuffle on either side
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from spark_auto_schema.io import read_table, write_partitioned
+
+    e = read_table(spark, SF_DIR, "events").select("event_id", "value", "event_type")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(e, path, ["event_type"])
+    df = spark.read.parquet(path).where("event_type = 'error'")
+    plan = plan_of(df)
+    # the predicate must become a partition filter (directory pruning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert df.count() == e.where("event_type = 'error'").count()
