@@ -1288,6 +1288,59 @@ def _q_streaming_user_stats(spark, sf_dir):
     )
 
 
+def _q_approx_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ accuracy contract: per event_type, the approximate distinct
+    user count (rsd=0.05) must land within 5x the rsd of the exact count.
+    The oracle cannot reproduce Spark's sketch, so the *contract* is the
+    checked value: (event_type, within_tolerance=TRUE)."""
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx"),
+    )
+    ok = (
+        F.abs(F.col("approx") - F.col("exact")) <= F.col("exact") * 0.25
+    )
+    return agg.select("event_type", ok.alias("within_tolerance"))
+
+
+def _approx_distinct_oracle_sql() -> str:
+    return (
+        "SELECT event_type, TRUE AS within_tolerance "
+        "FROM events GROUP BY event_type"
+    )
+
+
+def _q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery over one partition spec: rank, dense_rank,
+    lead/lag deltas, and quartile bucket per user's orders."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(
+            F.col("o_totalprice") - F.lead("o_totalprice", 1).over(w), 2
+        ).alias("gap_to_next"),
+    )
+
+
+_WINDOW_FUNCTIONS_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(o_totalprice - lead(o_totalprice, 1) OVER w, 2) AS gap_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native gap-based session windows (F.session_window, 30 min gap):
     per-user sessions with event counts and start times.  The oracle rebuilds
@@ -1468,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nation_presence"] = _q_nation_presence
     q["sessionize_events"] = _q_sessionize
     q["session_windows"] = _q_session_windows
+    q["approx_distinct_ok"] = _q_approx_distinct_ok
+    q["window_functions"] = _q_window_functions
     q["shipping_priority"] = _q_shipping_priority
     q["local_supplier_volume"] = _q_local_supplier_volume
     q["grouping_sets_orders"] = _q_grouping_sets
@@ -1549,6 +1604,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["sessionize_events"] = _SESSIONIZE_SQL
     o["session_windows"] = _SESSION_WINDOWS_SQL
+    o["approx_distinct_ok"] = _approx_distinct_oracle_sql()
+    o["window_functions"] = _WINDOW_FUNCTIONS_SQL
     o["shipping_priority"] = _SHIPPING_PRIORITY_SQL
     o["local_supplier_volume"] = _LOCAL_SUPPLIER_SQL
     o["grouping_sets_orders"] = _GROUPING_SETS_SQL
