@@ -1488,11 +1488,21 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """The Arrow mapInPandas feature extractor, value-checked: for the ASCII
+    testdata payloads, byte-histogram bin 2 (bytes 0x20-0x2F: space + leading
+    punctuation) equals a character-class count DuckDB can compute."""
     payloads = multimodal.attach_binary_payload(
         read_table(spark, sf_dir, "documents")
     )
     feats = multimodal.extract_media_features(payloads, fake=True)
-    return feats.select("doc_id", "n_bytes", F.col("byte_hist")[0].alias("hist_bin0"))
+    return feats.select("doc_id", "n_bytes", F.col("byte_hist")[2].alias("hist_bin2"))
+
+
+_MEDIA_FEATURES_SQL = r"""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       len(regexp_extract_all(text, '[\x20-\x2F]')) AS hist_bin2
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1562,7 +1572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_label_neardup"] = _q_label_neardup
     q["streaming_window_counts"] = _q_streaming_window_counts
     q["streaming_user_stats"] = _q_streaming_user_stats
-    # rows-only (no oracle): Spark xxhash64 / Arrow-UDF based
+    # rows-only (no oracle): Spark xxhash64-based or approximate (recall
+    # verified in pytest instead); media_features above IS oracle-checked
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["simhash_signatures"] = _q_simhash_sigs
     q["simhash_near_dup"] = _q_simhash_neardup
@@ -1647,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
     o["top_terms"] = _TOP_TERMS_SQL
     o["frame_sample"] = _FRAME_SAMPLE_SQL
     o["embedding_label_neardup"] = _LABEL_NEARDUP_SQL
+    o["media_features"] = _MEDIA_FEATURES_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

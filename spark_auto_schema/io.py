@@ -134,6 +134,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files were written under *different*
+    schema versions (columns added over time), merging footers into the
+    union schema; missing columns read as NULL.
+
+    ``mergeSchema`` costs one footer read per file (no data pass) — the
+    standard way to scan a long-lived dataset that gained columns, feeding
+    inference/diff so new columns propose types and show up as MISSING in
+    the deployed-schema diff."""
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    return normalize_columns(df)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, buckets: int = 32, sort: bool = True
 ) -> None:

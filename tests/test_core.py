@@ -135,3 +135,44 @@ def test_read_table_events_nanos(spark):
     df = read_table(spark, SF_DIR, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_schema_evolution_merge_and_infer(spark, tmp_path):
+    """Files written under different schema versions merge to the union
+    schema; inference types the new column and the diff reports it MISSING
+    against the old deployed schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_auto_schema.diff import evaluate_diffs
+    from spark_auto_schema.inference import infer_table_schema, inference_to_df
+    from spark_auto_schema.io import read_parquet_evolving
+
+    d = tmp_path / "evolving"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["a", "b"], pa.string())}),
+        str(d / "v1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "name": pa.array(["c"], pa.string()),
+                  "score": pa.array([1.5], pa.float64())}),
+        str(d / "v2.parquet"),
+    )
+    df = read_parquet_evolving(spark, str(d))
+    assert set(df.columns) == {"id", "name", "score"}
+    assert df.count() == 3
+    inferred = {ci.name: ci.proposed_type for ci in infer_table_schema(df)}
+    assert inferred == {"id": "int4", "name": "varchar(256)", "score": "float8"}
+
+    proposed = inference_to_df(
+        spark, infer_table_schema(df)
+    ).select("field", "proposed_type")
+    deployed = spark.createDataFrame(
+        [("id", "int4"), ("name", "varchar(256)")],
+        "field string, deployed_type string",
+    )
+    diff = {r["field"]: r["reason"] for r in evaluate_diffs(proposed, deployed).collect()}
+    assert diff == {"score": "MISSING"}
