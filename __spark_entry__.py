@@ -1487,6 +1487,14 @@ def _q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ewma_user_values(spark, sf_dir):
+    """Per-user EWMA of event values — recursive semantics no SQL window can
+    express; Arrow applyInPandas with the pandas ewm kernel (rows-only)."""
+    e = read_table(spark, sf_dir, "events")
+    out = relational.ewma(e, "user_id", "ts", "value", alpha=0.3)
+    return out.select("user_id", F.unix_micros("ts").alias("us"), "ewma")
+
+
 def _q_media_features(spark, sf_dir):
     """The Arrow mapInPandas feature extractor, value-checked: for the ASCII
     testdata payloads, byte-histogram bin 2 (bytes 0x20-0x2F: space + leading
@@ -1579,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dup"] = _q_simhash_neardup
     q["ann_lsh_topk"] = _q_ann_lsh
     q["ivf_topk"] = _q_ivf_topk
+    q["ewma_user_values"] = _q_ewma_user_values
     q["media_features"] = _q_media_features
     return q
 

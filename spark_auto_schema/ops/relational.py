@@ -82,6 +82,47 @@ def asof_join(
     return matched.where(F.col("__lrow_marker").isNotNull()).select(*out_cols)
 
 
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of ``value_col`` in
+    ``ts_col`` order: ``y_t = alpha * x_t + (1 - alpha) * y_{t-1}``.
+
+    The recursion makes this inexpressible with Spark window aggregates
+    (no recursive frame semantics), so it is the canonical case for an
+    Arrow-batched ``applyInPandas``: one shuffle on the key, each group
+    processed as a pandas frame with the vectorized ``ewm`` kernel.  State
+    is O(1) per group; group size bounds task memory (salt the key upstream
+    if a single key's history cannot fit one task)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            df.schema[ts_col],
+            df.schema[value_col],
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    def per_group(pdf):
+        pdf = pdf.sort_values(ts_col)
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(per_group, out_schema)
+    )
+
+
 def time_bucket_agg(
     df: DataFrame,
     ts_col: str,

@@ -251,3 +251,27 @@ def test_salted_join_matches_plain(spark):
     ).select("c_custkey", "n_name")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     assert salted.count() == plain.count()
+
+
+# -------------------------------------------------------------------- ewma
+def test_ewma_matches_numpy(spark):
+    e = read_table(spark, SF_DIR, "events").limit(2000)
+    got = relational.ewma(e, "user_id", "ts", "value", alpha=0.3).collect()
+    by_user = {}
+    for r in sorted(e.select("user_id", "ts", "value").collect(),
+                    key=lambda r: (r["user_id"], r["ts"])):
+        by_user.setdefault(r["user_id"], []).append(r["value"])
+    expect = {}
+    for uid, vals in by_user.items():
+        y = None
+        out = []
+        for x in vals:
+            y = x if y is None else 0.3 * x + 0.7 * y
+            out.append(round(y, 6))
+        expect[uid] = out
+    got_by_user = {}
+    for r in sorted(got, key=lambda r: (r["user_id"], r["ts"])):
+        got_by_user.setdefault(r["user_id"], []).append(r["ewma"])
+    assert set(got_by_user) == set(expect)
+    for uid in expect:
+        assert got_by_user[uid] == pytest.approx(expect[uid], abs=1e-6)
