@@ -1487,6 +1487,81 @@ def _q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_minhash_md5(spark, sf_dir):
+    return dedup.minhash_lsh_pairs_md5(
+        _spread_docs(spark, sf_dir), verify_threshold=0.8
+    )
+
+
+# Full MinHash+LSH pipeline in DuckDB: 3-gram shingles -> 16 md5-prefix
+# minhashes -> 4 band buckets -> bucket-colliding candidate pairs -> exact
+# Jaccard >= 0.8.  Mirrors dedup.minhash_lsh_pairs_md5 constant-for-constant.
+_MINHASH_MD5_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+), hs AS (
+  SELECT id, hi, min(substr(md5(hi || ':' || shingle), 1, 16)) AS h
+  FROM sh, UNNEST(generate_series(0, 15)) AS t(hi)
+  GROUP BY id, hi
+), sig AS (
+  SELECT id, list(h ORDER BY hi) AS hl FROM hs GROUP BY id
+), bands AS (
+  SELECT id, bi, md5(array_to_string(hl[bi*4+1 : bi*4+4], '|')) AS bucket
+  FROM sig, UNNEST(generate_series(0, 3)) AS t(bi)
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bucket = y.bucket
+  WHERE x.id < y.id
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS c
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+"""
+
+
+def _q_ann_recall_ok(spark, sf_dir):
+    """Accuracy contract for approximate search: both LSH and IVF top-10
+    must overlap the exact cosine top-10 by >= 5 of 10.  The contract (not
+    the sketchy candidate sets) is the oracle-checked value."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()}
+    lsh = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(
+            emb, 0, k=10, num_planes=3, num_tables=6
+        ).collect()
+    }
+    ivf = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, 0, k=10, centroid_stride=50, nprobe=3
+        ).collect()
+    }
+    rows = [
+        ("lsh", len(exact & lsh) >= 5),
+        ("ivf", len(exact & ivf) >= 5),
+    ]
+    return spark.createDataFrame(rows, "method string, recall_ok boolean")
+
+
+_ANN_RECALL_SQL = """
+SELECT * FROM (VALUES ('lsh', TRUE), ('ivf', TRUE)) AS t(method, recall_ok)
+"""
+
+
 def _q_ewma_user_values(spark, sf_dir):
     """Per-user EWMA of event values — recursive semantics no SQL window can
     express; Arrow applyInPandas with the pandas ewm kernel (rows-only)."""
@@ -1588,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = _q_ann_lsh
     q["ivf_topk"] = _q_ivf_topk
     q["ewma_user_values"] = _q_ewma_user_values
+    q["ann_recall_ok"] = _q_ann_recall_ok
+    q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["media_features"] = _q_media_features
     return q
 
@@ -1668,6 +1745,8 @@ def oracle_sql() -> dict[str, str]:
     o["frame_sample"] = _FRAME_SAMPLE_SQL
     o["embedding_label_neardup"] = _LABEL_NEARDUP_SQL
     o["media_features"] = _MEDIA_FEATURES_SQL
+    o["ann_recall_ok"] = _ANN_RECALL_SQL
+    o["minhash_md5_dup_pairs"] = _MINHASH_MD5_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -241,3 +241,9 @@ def test_contamination_check_finds_probe_overlap(spark):
     assert 2 in got and got[2] >= 1  # shares "the quick brown" + "quick brown fox"
     assert 3 not in got
     assert 0 not in got  # probes excluded
+
+
+def test_minhash_md5_finds_clones(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs_md5(docs_with_dups, verify_threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(3)} <= got
