@@ -1532,6 +1532,50 @@ WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
 """
 
 
+def _q_simhash_md5(spark, sf_dir):
+    """Verification-grade twin runs on a deterministic 10% hash-sample (the
+    sample itself is oracle-reproducible) — the md5 signature's chunk
+    buckets collide more than the xxhash64 default's, so full-corpus pair
+    generation is reserved for the fast variant."""
+    docs = sampling.hash_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", 0.1
+    )
+    return dedup.simhash_md5_near_dup_pairs(docs, max_hamming=3)
+
+
+_SIMHASH_MD5_SQL = """
+WITH sampled AS (
+  SELECT * FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+), tok AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM sampled
+), tok2 AS (SELECT id, tok FROM tok WHERE length(tok) > 0),
+bits AS (
+  SELECT id, i,
+         CASE WHEN sum(CASE WHEN substr(md5(tok), i + 1, 1) IN
+                      ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM tok2, UNNEST(generate_series(0, 31)) AS t(i)
+  GROUP BY id, i
+), sig AS (
+  SELECT id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY id
+), chunks AS (
+  SELECT id, simhash, c, substr(simhash, c * 8 + 1, 8) AS ck
+  FROM sig, UNNEST(generate_series(0, 3)) AS t(c)
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.simhash AS sa, y.simhash AS sb
+  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ck = y.ck
+  WHERE x.id < y.id
+), ham AS (
+  SELECT id_a, id_b,
+         (SELECT count(*) FROM UNNEST(generate_series(1, 32)) AS t(i)
+          WHERE substr(sa, i, 1) != substr(sb, i, 1)) AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
 def _q_ann_recall_ok(spark, sf_dir):
     """Accuracy contract for approximate search: both LSH and IVF top-10
     must overlap the exact cosine top-10 by >= 5 of 10.  The contract (not
@@ -1665,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ewma_user_values"] = _q_ewma_user_values
     q["ann_recall_ok"] = _q_ann_recall_ok
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
+    q["simhash_md5_near_dup"] = _q_simhash_md5
     q["media_features"] = _q_media_features
     return q
 
@@ -1747,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
     o["media_features"] = _MEDIA_FEATURES_SQL
     o["ann_recall_ok"] = _ANN_RECALL_SQL
     o["minhash_md5_dup_pairs"] = _MINHASH_MD5_SQL
+    o["simhash_md5_near_dup"] = _SIMHASH_MD5_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

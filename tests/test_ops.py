@@ -247,3 +247,20 @@ def test_minhash_md5_finds_clones(spark, docs_with_dups):
     pairs = dedup.minhash_lsh_pairs_md5(docs_with_dups, verify_threshold=0.9)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(i, i + 100000) for i in range(3)} <= got
+
+
+def test_simhash_md5_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated words entirely different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash_md5(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 32 and set(sigs[1]) <= {"0", "1"}
+    pairs = dedup.simhash_md5_near_dup_pairs(df, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
