@@ -1003,6 +1003,65 @@ def _q_csv_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FMT_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _region_fmt_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize region in another source format once per (sf_dir, fmt) —
+    same data, different encoding, exercising that reader path."""
+    key = (sf_dir, fmt)
+    if key not in _FMT_DIRS:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"region_{fmt}_")
+        read_table(spark, sf_dir, "region").coalesce(1).write.mode(
+            "overwrite"
+        ).format(fmt).save(d)
+        _FMT_DIRS[key] = d
+    return _FMT_DIRS[key]
+
+
+_VALUE_TIERS = [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)]
+
+
+def _q_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY 2A gap-filler): classify event values into tiers
+    via a broadcast band table, then count per (event_type, tier)."""
+    e = read_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_VALUE_TIERS, "tier string, lo double, hi double")
+    joined = relational.range_join(e, tiers, "value", "lo", "hi")
+    return joined.groupBy("event_type", "tier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _range_join_oracle_sql() -> str:
+    vals = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _VALUE_TIERS)
+    return f"""
+WITH tiers(tier, lo, hi) AS (VALUES {vals})
+SELECT event_type, tier, count(*) AS n
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY event_type, tier
+"""
+
+
+def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan: region re-encoded as JSONL, read back via the
+    generic format path; values must equal the parquet truth."""
+    from spark_auto_schema.io import load_file
+
+    df = load_file(spark, _region_fmt_path(spark, sf_dir, "json"), fmt="json")
+    return df.select(F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan through the same generic format dispatch."""
+    from spark_auto_schema.io import load_file
+
+    df = load_file(spark, _region_fmt_path(spark, sf_dir, "orc"), fmt="orc")
+    return df.select(F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
+
+
 def _q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted) — must equal the plain
     group-by the oracle computes."""
@@ -1671,6 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["train_eval_split"] = _q_train_eval_split
     q["infer_embeddings_native"] = _q_infer_embeddings_native
     q["csv_roundtrip"] = _q_csv_roundtrip
+    q["json_roundtrip"] = _q_json_roundtrip
+    q["range_join_tiers"] = _q_range_join_tiers
+    q["orc_roundtrip"] = _q_orc_roundtrip
     q["csv_inference"] = _q_csv_inference
     q["salted_event_counts"] = _q_salted_event_counts
     q["catalog_checks"] = _q_catalog_checks
@@ -1759,6 +1821,9 @@ def oracle_sql() -> dict[str, str]:
     o["train_eval_split"] = _train_eval_oracle_sql()
     o["infer_embeddings_native"] = _INFER_NATIVE_SQL
     o["csv_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
+    o["json_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
+    o["range_join_tiers"] = _range_join_oracle_sql()
+    o["orc_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
     o["csv_inference"] = _infer_table_sql("region")
     o["salted_event_counts"] = _SALTED_COUNTS_SQL
     o["catalog_checks"] = _CATALOG_CHECKS_SQL

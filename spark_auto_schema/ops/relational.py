@@ -82,6 +82,27 @@ def asof_join(
     return matched.where(F.col("__lrow_marker").isNotNull()).select(*out_cols)
 
 
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Band/range join: match each fact row to the range rows with
+    ``lo <= value < hi``.
+
+    The range table is broadcast (range tables — rate tiers, SLA bands,
+    histogram bins — are small by nature), so the plan is a broadcast
+    nested-loop with the band predicate evaluated stream-side: no shuffle of
+    the fact table, no pair blowup beyond |facts| x |matching bands|.  If
+    the range table were ever large, pre-bucketing both sides on
+    ``floor(value / bucket_width)`` turns this into an equi-join."""
+    cond = (facts[value_col] >= ranges[lo_col]) & (facts[value_col] < ranges[hi_col])
+    return facts.join(F.broadcast(ranges), cond, how)
+
+
 def ewma(
     df: DataFrame,
     key_col: str,

@@ -107,3 +107,18 @@ def test_differential_events_nanos(spark, reference_cls):
         for ci in infer_table_schema(load_file(spark, path))
     }
     assert ours == ref_types
+
+
+def test_differential_csv(spark, reference_cls, infer_probe_csv):
+    """Both systems read the same |-delimited CSV with their native typed
+    readers; proposed types must agree (CSV inference feeds both trees with
+    already-typed columns, so even numeric_string agrees here)."""
+    ref_types = _reference_types(reference_cls, infer_probe_csv)
+    ours = {
+        ci.name: ci.proposed_type
+        for ci in infer_table_schema(load_file(spark, infer_probe_csv))
+    }
+    mismatches = {
+        k: (ref_types.get(k), v) for k, v in ours.items() if ref_types.get(k) != v
+    }
+    assert mismatches == {}

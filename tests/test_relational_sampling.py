@@ -275,3 +275,17 @@ def test_ewma_matches_numpy(spark):
     assert set(got_by_user) == set(expect)
     for uid in expect:
         assert got_by_user[uid] == pytest.approx(expect[uid], abs=1e-6)
+
+
+def test_range_join_matches_manual(spark):
+    e = read_table(spark, SF_DIR, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("high", 100.0, 1e9)], "tier string, lo double, hi double"
+    )
+    got = {r["event_id"]: r["tier"] for r in
+           relational.range_join(e, tiers, "value", "lo", "hi").collect()}
+    for r in e.collect():
+        want = "low" if 0 <= r["value"] < 100 else ("high" if r["value"] >= 100 else None)
+        assert got.get(r["event_id"]) == want
+    plan = relational.range_join(e, tiers, "value", "lo", "hi")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # fact side never shuffles
