@@ -114,11 +114,16 @@ def ewma(
     ``ts_col`` order: ``y_t = alpha * x_t + (1 - alpha) * y_{t-1}``.
 
     The recursion makes this inexpressible with Spark window aggregates
-    (no recursive frame semantics), so it is the canonical case for an
-    Arrow-batched ``applyInPandas``: one shuffle on the key, each group
-    processed as a pandas frame with the vectorized ``ewm`` kernel.  State
-    is O(1) per group; group size bounds task memory (salt the key upstream
-    if a single key's history cannot fit one task)."""
+    (no recursive frame semantics), so it needs an Arrow kernel.  Rather
+    than ``groupBy().applyInPandas`` (one Python call per key — per-group
+    Arrow overhead dominates when keys are many and small, measured ~5 s of
+    pure machinery at 100k rows / 1k keys), the implementation hash-
+    partitions by key, sorts within partitions by (key, ts), and streams
+    Arrow batches through ONE ``mapInPandas`` call per partition.  A carry
+    dict holds the last smoothed value per key so a key whose rows span
+    batch boundaries continues its recurrence exactly (the carry is fed to
+    pandas ``ewm`` by prepending it as a synthetic first sample).  State is
+    O(keys-per-partition) floats; one shuffle total."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -129,19 +134,38 @@ def ewma(
             T.StructField("ewma", T.DoubleType()),
         ]
     )
-
-    def per_group(pdf):
-        pdf = pdf.sort_values(ts_col)
-        pdf["ewma"] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
-        )
-        return pdf
-
-    return (
+    sc = df.sparkSession.sparkContext
+    prepared = (
         df.select(key_col, ts_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(per_group, out_schema)
+        .repartition(sc.defaultParallelism, key_col)
+        .sortWithinPartitions(key_col, ts_col)
     )
+
+    def run(batches):
+        import pandas as pd
+
+        carry: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pieces = []
+            for key, g in pdf.groupby(key_col, sort=False):
+                x = g[value_col].reset_index(drop=True)
+                if key in carry:
+                    seeded = pd.concat(
+                        [pd.Series([carry[key]]), x], ignore_index=True
+                    )
+                    y = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+                    y = y.reset_index(drop=True)
+                else:
+                    y = x.ewm(alpha=alpha, adjust=False).mean()
+                carry[key] = float(y.iloc[-1])
+                g = g.copy()
+                g["ewma"] = y.round(6).values
+                pieces.append(g)
+            yield pd.concat(pieces, ignore_index=True)
+
+    return prepared.mapInPandas(run, out_schema)
 
 
 def time_bucket_agg(
