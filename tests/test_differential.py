@@ -122,3 +122,32 @@ def test_differential_csv(spark, reference_cls, infer_probe_csv):
         k: (ref_types.get(k), v) for k, v in ours.items() if ref_types.get(k) != v
     }
     assert mismatches == {}
+
+
+def test_differential_ddl_strings(spark, reference_cls):
+    """Whitespace-normalized CREATE TABLE parity with the reference: same
+    columns, same proposed types, same PRIMARY KEY / DISTKEY / SORTKEY
+    clauses (the reference's pandas-to_string spacing quirks aside)."""
+    import re
+
+    path = "/root/testdata/sf0.001/nation.parquet"
+    ref = reference_cls(
+        schema="s", table="nation", file=path,
+        dist_key="n_nationkey", sort_key="n_name", primary_key="n_nationkey",
+    )
+    try:
+        ref_ddl = ref.generate_table_ddl()
+    except Exception as ex:  # pragma: no cover
+        pytest.skip(f"reference failed: {ex}")
+
+    from spark_auto_schema import SparkAutoSchema
+
+    ours = SparkAutoSchema(
+        schema="s", table="nation", file=path, spark=spark,
+        dist_key="n_nationkey", sort_key="n_name", primary_key="n_nationkey",
+    ).generate_table_ddl()
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s).strip()
+
+    assert norm(ours) == norm(ref_ddl)
