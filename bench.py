@@ -1,7 +1,15 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+short JSON line on stdout:
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {<family rollups + slowest individuals>: sec}, "sf": ...}
+
+The driver captures only a bounded tail of stdout (BENCH_r02 recorded a
+2000-char tail, which truncated the old 3.4 KB all-81-query line and left
+"parsed": null despite rc 0), so the stdout line stays compact: per-family
+rollups plus the slowest individual queries.  Full per-query timings are
+written to bench_detail.json next to this file.
 """
 
 from __future__ import annotations
@@ -14,6 +22,28 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# family rollup prefixes, checked in order (first match wins)
+_FAMILIES: list[tuple[str, tuple[str, ...]]] = [
+    ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_")),
+    ("similarity", ("embedding_", "ann_", "ivf_")),
+    ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
+              "top_terms", "clean_", "redact_", "repetition_")),
+    ("multimodal", ("multimodal_", "media_", "frame_")),
+    ("streaming", ("streaming_",)),
+    ("inference", ("infer_", "csv_inference", "column_list", "schema_diff",
+                   "column_ddl", "ddl_", "catalog_")),
+    ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_")),
+    ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip")),
+]
+_N_SLOWEST = 8
+
+
+def _family(name: str) -> str:
+    for fam, prefixes in _FAMILIES:
+        if any(name.startswith(p) for p in prefixes):
+            return fam
+    return "relational"
 
 
 def main() -> None:
@@ -65,17 +95,40 @@ def main() -> None:
         print(f"  {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+
+    families: dict[str, float] = {}
+    for name, dt in timings.items():
+        fam = f"family_{_family(name)}"
+        families[fam] = round(families.get(fam, 0.0) + dt, 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:_N_SLOWEST]
     )
+
+    detail = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {**families, **slowest},
+            "sf": sf,
+            "n_queries": len(timings),
+            "detail": "bench_detail.json",
+        }
+    )
+    assert len(line) < 1800, f"summary line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -89,6 +89,17 @@ def main() -> int:
         try:
             rel = con.execute(oracles[name])
             ocols = [d[0] for d in rel.description]
+            risky = [
+                d[0]
+                for d in rel.description
+                if "DECIMAL" in str(d[1]).upper() or "HUGEINT" in str(d[1]).upper()
+            ]
+            if risky:
+                # DuckDB integer sums aggregate to HUGEINT/decimal128; those
+                # hash-diverge from Spark int64 in some driver environments
+                # even when this float-coercing mirror agrees.  CAST AS BIGINT
+                # in the oracle instead.
+                print(f"WARN {name}: oracle emits DECIMAL/HUGEINT cols {risky}")
             orows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
