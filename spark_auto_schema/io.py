@@ -72,9 +72,22 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (RAS.py:228-229), tolerant of timestamp[ns] columns."""
     nanos_cols = _nanos_timestamp_columns(path)
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    # Scope the legacy flag to this read: the schema conversion happens at
+    # analysis time (the .parquet() call), so the prior value is restored
+    # immediately after — later actions on the returned frame don't need it,
+    # and the session's global config is left untouched for other readers.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
     for c in nanos_cols:
         # long nanos -> microsecond timestamp.  Integer `div`, NOT `/`:
         # float division of ~1.7e18 ns epoch values loses sub-microsecond

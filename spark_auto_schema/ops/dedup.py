@@ -8,12 +8,12 @@ Scale design (100 TB):
 * MinHash+LSH — shingle explode -> per-doc signatures (one shuffle on doc id)
   -> band buckets -> candidate pairs only *within* buckets.  Never an
   all-pairs cross join; candidate count scales with collision rate, not n^2.
-* SimHash — 32-bit signatures via one explode + groupBy; near-dup pairs by
-  pigeonhole chunk bucketing (hamming <= 3 guarantees one of 4 equal 8-bit
-  chunks), exact hamming check only inside buckets.
+* SimHash — 64-bit signatures via one explode + groupBy; near-dup pairs by
+  pigeonhole chunk bucketing (hamming <= 3 guarantees one of 4 equal 16-bit
+  chunks -> 65,536 buckets), exact hamming check only inside buckets.
 * n-gram Jaccard — pairs generated only for docs *sharing a shingle*
-  (equi-join on the shingle, skew-prone shingles can be capped), then exact
-  |intersection| / |union|.
+  (equi-join on the shingle; hot shingles capped by document frequency via
+  ``max_df``), then exact |intersection| / |union|.
 
 All hashing is Spark's ``xxhash64`` — deterministic across runs/executors.
 """
@@ -22,6 +22,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# DataFrames persisted by the MinHash verification paths (candidate sets and
+# candidate-doc shingles are each read 2-3 times within one returned query).
+# Spark's CacheManager never garbage-collects persisted plans, so a
+# long-lived session calling these repeatedly would accumulate cached blocks;
+# call :func:`release_caches` between batches to drop them.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by minhash_lsh_pairs[_md5] calls.
+
+    Safe to call any time after the results have been materialized; lazily
+    re-used results will recompute instead of reading cache."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
 
 
 # ------------------------------------------------------------------ exact
@@ -142,8 +167,8 @@ def minhash_lsh_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .persist()  # candidate set is tiny and read three times below
     )
+    cand = _persist(cand)  # candidate set is tiny and read three times below
     if verify_threshold is None:
         return cand
     # Exact-verify ONLY the candidate docs: semi-join the shingle relation
@@ -154,10 +179,9 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
+    sh = _persist(  # candidate-doc shingles: small, used by sizes + both join sides
         shingles(df, text_col, id_col, shingle_n, hashed=True)
         .join(F.broadcast(cand_ids), on="id", how="left_semi")
-        .persist()  # candidate-doc shingles: small, used by sizes + both join sides
     )
     jac = _jaccard_from_shingles(sh)
     return cand.join(jac, on=["id_a", "id_b"], how="inner").where(
@@ -166,8 +190,27 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------ ngram jaccard
-def _jaccard_from_shingles(sh: DataFrame, threshold: float = 0.0) -> DataFrame:
-    """(id_a, id_b, jaccard) for every pair in ``sh`` sharing a shingle."""
+def _jaccard_from_shingles(
+    sh: DataFrame, threshold: float = 0.0, max_df: int | None = None
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for every pair in ``sh`` sharing a shingle.
+
+    ``max_df`` drops shingles occurring in more than that many documents
+    BEFORE the self-join (standard fuzzy-dedup practice): one hot shingle
+    shared by m documents alone generates m^2/2 pairs, so without a cap a
+    single boilerplate phrase goes quadratic at corpus scale.  The dropped
+    shingles are excluded from both the intersection and the set sizes, so
+    the result is the exact Jaccard over the capped shingle space.  The
+    hot-shingle set (shingles with df > max_df) is tiny by construction and
+    is removed with a broadcast anti-join."""
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -199,6 +242,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     hashed: bool = True,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram-Jaccard similarity for every pair of documents sharing at
     least one shingle: (id_a, id_b, jaccard >= threshold), id_a < id_b.
@@ -206,9 +250,12 @@ def ngram_jaccard_pairs(
     The pair space is generated by the shingle equi-join (co-partitioned
     hash join), so cost tracks shingle co-occurrence, not n^2.  ``hashed``
     joins on 8-byte shingle hashes instead of strings (identical Jaccard
-    w.h.p., much smaller shuffle)."""
+    w.h.p., much smaller shuffle).  ``max_df`` (default 10,000) caps the
+    document frequency of join-eligible shingles so a single hot shingle
+    cannot go quadratic — see :func:`_jaccard_from_shingles`; pass ``None``
+    for the uncapped exact semantics."""
     sh = shingles(df, text_col, id_col, n, hashed=hashed)
-    return _jaccard_from_shingles(sh, threshold)
+    return _jaccard_from_shingles(sh, threshold, max_df=max_df)
 
 
 def minhash_lsh_pairs_md5(
@@ -273,13 +320,13 @@ def minhash_lsh_pairs_md5(
     )
     if verify_threshold is None:
         return cand
-    cand = cand.persist()
+    cand = _persist(cand)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_ids), on="id", how="left_semi").persist()
+    sh_c = _persist(sh.join(F.broadcast(cand_ids), on="id", how="left_semi"))
     jac = _jaccard_from_shingles(sh_c)
     return cand.join(jac, on=["id_a", "id_b"], how="inner").where(
         F.col("jaccard") >= verify_threshold
@@ -316,15 +363,22 @@ def contamination_check(
 
 
 # ----------------------------------------------------------------- simhash
-SIMHASH_BITS = 32
+# 64-bit signatures split into 4 chunks of 16 bits for the pigeonhole join:
+# hamming <= 3 still guarantees >= 1 equal chunk, but buckets number 2^16
+# per chunk instead of 2^8 — expected bucket size n/65536, which keeps
+# within-bucket pair generation linear-ish at corpus scale (32-bit/8-bit
+# chunks = 256 buckets means n^2/256 candidate pairs, a 100 TB blowup).
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """32-bit SimHash per document: majority vote of token-hash bits.
+    """64-bit SimHash per document: majority vote of token-hash bits.
 
-    One explode + one groupBy(id); the 32 per-bit tallies are plain
+    One explode + one groupBy(id); the 64 per-bit tallies are plain
     conditional sums (JVM codegen), reassembled into a single long."""
     tokens = df.select(
         F.col(id_col).alias("id"),
@@ -339,18 +393,24 @@ def simhash(
             for i in range(SIMHASH_BITS)
         ]
     )
+    # bit 63 is the sign bit: assemble with shiftleft + bitwise OR (a 2**63
+    # integer literal does not fit in a signed long)
     sig = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return tallies.select("id", sig.cast("long").alias("simhash"))
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return tallies.select("id", sig.alias("simhash"))
 
 
 def simhash_md5(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Verification-grade SimHash twin: 32-bit signature as a '0'/'1' string
-    where bit i = majority vote of (hex digit i of md5(token) >= 8).
+    """Verification-grade SimHash twin: 64-bit signature as a '0'/'1' string
+    where bit i < 32 = majority vote of (hex digit i of md5(token) >= 8) and
+    bit i >= 32 draws from md5('x:' || token) (md5 yields 32 hex digits, so
+    the upper half re-keys the hash).
 
     Same dataflow as :func:`simhash` (one explode + one groupBy(id)); every
     primitive (md5, substr, conditional sum) exists in DuckDB, so the driver
@@ -360,13 +420,20 @@ def simhash_md5(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = F.md5(F.col("tok"))
+    h_lo = F.md5(F.col("tok"))
+    h_hi = F.md5(F.concat(F.lit("x:"), F.col("tok")))
     high = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+    def _digit(i: int):
+        return (
+            F.substring(h_lo, i + 1, 1)
+            if i < 32
+            else F.substring(h_hi, i - 31, 1)
+        )
+
     tallies = tokens.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.substring(h, i + 1, 1).isin(*high), 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(_digit(i).isin(*high), 1).otherwise(-1)).alias(f"b{i}")
             for i in range(SIMHASH_BITS)
         ]
     )
@@ -386,7 +453,8 @@ def simhash_md5_near_dup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs over :func:`simhash_md5` signatures — pigeonhole chunk
-    bucketing then exact string hamming, all oracle-reproducible."""
+    bucketing (4 x 16-bit chunks, 2^16 buckets each) then exact string
+    hamming, all oracle-reproducible."""
     sig = simhash_md5(df, text_col, id_col)
     chunks = sig.select(
         "id",
@@ -396,9 +464,11 @@ def simhash_md5_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.substring("simhash", c * 8 + 1, 8).alias("ck"),
+                        F.substring(
+                            "simhash", c * _CHUNK_BITS + 1, _CHUNK_BITS
+                        ).alias("ck"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("cc"),
@@ -434,9 +504,10 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance <= max_hamming.
 
-    Pigeonhole bucketing: with 4 chunks of 8 bits, any pair within hamming 3
-    agrees on >= 1 chunk; join per-chunk, verify exact hamming via
-    bit_count(xor) only inside buckets."""
+    Pigeonhole bucketing: with 4 chunks of 16 bits, any pair within hamming 3
+    agrees on >= 1 chunk; join per-chunk (2^16 buckets each — expected bucket
+    size n/65536), verify exact hamming via bit_count(xor) only inside
+    buckets."""
     sig = simhash(df, text_col, id_col)
     chunks = sig.select(
         "id",
@@ -446,11 +517,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), c * _CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
                         .alias("ck"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("cc"),

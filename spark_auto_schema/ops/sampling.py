@@ -34,10 +34,18 @@ def _hash_prefix(key: Column) -> Column:
 
 
 def fraction_threshold(fraction: float) -> str:
-    """Hex threshold string t such that P[md5-prefix < t] ~= fraction."""
+    """Hex threshold string t such that P[md5-prefix < t] ~= fraction.
+
+    The comparison is lexicographic on a ``_HEX_DIGITS``-char lowercase hex
+    prefix, so fraction 1.0 must NOT produce the 5-char string "10000":
+    4-char prefixes starting with any digit > '1' sort *above* it, silently
+    keeping only ~6.25% of rows.  "g" sorts after every hex character, so
+    every prefix is below it — fraction >= 1.0 keeps everything."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(min(_SPACE, int(fraction * _SPACE)), f"0{_HEX_DIGITS}x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * _SPACE), f"0{_HEX_DIGITS}x")
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:

@@ -37,7 +37,14 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream of event parquet drops in ``source_dir``."""
+    """File-source stream of event parquet drops in ``source_dir``.
+
+    NOTE: deliberately leaves ``spark.sql.legacy.parquet.nanosAsLong`` set
+    on the session — unlike a batch read (where the conversion is captured
+    at analysis time and :func:`spark_auto_schema.io.read_parquet` restores
+    the flag immediately), a stream re-resolves parquet files at every
+    microbatch for the lifetime of the query, so the flag must stay set
+    while any stream from this source is running."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)

@@ -105,6 +105,38 @@ def test_minhash_lsh_finds_clones(spark, docs_with_dups):
     assert {(i, i + 100000) for i in range(3)} <= got
 
 
+def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
+    # every doc shares the hot 3-gram "the same boilerplate"; only 1-2 are
+    # real near-dups.  Uncapped, the hot shingle alone pairs ALL docs; with
+    # max_df, those coincidental pairs vanish while the true clone survives.
+    rows = [(i, f"the same boilerplate unique{i} tail{i} words{i}") for i in range(20)]
+    rows.append((100, "the same boilerplate unique0 tail0 words0"))  # clone of 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=None)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=5)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 20 * 21 // 2  # hot shingle pairs everything
+    assert n_cap < n_un
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert got.get((0, 100)) == 1.0  # true clone survives at full similarity
+    # no coincidental pair survives: everything else shares only the capped gram
+    assert all(p == (0, 100) for p in got)
+
+
+def test_simhash_is_64_bit_with_16_bit_chunks(spark):
+    assert dedup.SIMHASH_BITS == 64 and dedup.SIMHASH_CHUNKS == 4
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with several distinct words {i*7}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sigs = [r["simhash"] for r in dedup.simhash(df).collect()]
+    # signatures use the full 64-bit space: some bit above 31 is set
+    # (P[all high bits zero] = 2^-32 per doc)
+    assert any(s < 0 or s >> 32 != 0 for s in sigs)
+    md5_sigs = [r["simhash"] for r in dedup.simhash_md5(df).collect()]
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in md5_sigs)
+
+
 def test_simhash_identical_and_near(spark):
     df = spark.createDataFrame(
         [
@@ -260,7 +292,7 @@ def test_simhash_md5_identical_docs_collide(spark):
     )
     sigs = {r["id"]: r["simhash"] for r in dedup.simhash_md5(df).collect()}
     assert sigs[1] == sigs[2]
-    assert len(sigs[1]) == 32 and set(sigs[1]) <= {"0", "1"}
+    assert len(sigs[1]) == dedup.SIMHASH_BITS and set(sigs[1]) <= {"0", "1"}
     pairs = dedup.simhash_md5_near_dup_pairs(df, max_hamming=0)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got and (1, 3) not in got

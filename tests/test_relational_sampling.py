@@ -144,9 +144,19 @@ def test_split_train_eval_partitions(spark):
 
 def test_fraction_threshold_bounds():
     assert sampling.fraction_threshold(0.0) == "0000"
-    assert sampling.fraction_threshold(1.0) == "10000"
+    # fraction 1.0 must sort above every 4-char hex prefix ("10000" would
+    # lexicographically keep only prefixes '0000'..'1000' ~= 6.25%)
+    assert sampling.fraction_threshold(1.0) == "g"
+    assert all("%04x" % v < "g" for v in (0, 0xFFFF))
     with pytest.raises(ValueError):
         sampling.fraction_threshold(1.5)
+
+
+def test_fraction_one_keeps_everything(spark):
+    d = read_table(spark, SF_DIR, "documents")
+    assert sampling.hash_sample(d, "doc_id", 1.0).count() == d.count()
+    train, ev = sampling.split_train_eval(d, "doc_id", eval_fraction=1.0)
+    assert train.count() == 0 and ev.count() == d.count()
 
 
 # ---------------------------------------------------------------- ivf / ann
@@ -155,9 +165,7 @@ def test_ivf_topk_recall(spark):
     exact = [r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()]
     approx = [
         r["vec_id"]
-        for r in similarity.ivf_topk(
-            emb, 0, k=10, centroid_stride=10, nprobe=4
-        ).collect()
+        for r in similarity.ivf_topk(emb, 0, k=10, nlist=16, nprobe=5).collect()
     ]
     # weakly-correlated synthetic vectors: expect decent but not perfect recall
     assert len(set(exact) & set(approx)) >= 5
@@ -168,10 +176,38 @@ def test_ivf_topk_recall(spark):
     }
     got = {
         r["vec_id"]: r["cos_sim"]
-        for r in similarity.ivf_topk(emb, 0, k=10, centroid_stride=10, nprobe=4).collect()
+        for r in similarity.ivf_topk(emb, 0, k=10, nlist=16, nprobe=5).collect()
     }
     for vid, sim in got.items():
         assert sim == exact_all[vid]
+
+
+def test_ivf_centroid_count_fixed_wrt_corpus_size(spark):
+    # the coarse quantizer must NOT grow with the corpus: same nlist on a
+    # corpus twice the size yields the same number of centroids (the premise
+    # of "broadcast the centroid table" at 100 TB)
+    emb = read_table(spark, SF_DIR, "embeddings")
+    bigger = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    from spark_auto_schema.ops.similarity import norm
+
+    def n_cents(df, nlist):
+        return (
+            df.select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cvec"),
+                norm(F.col("embedding")).alias("cn"),
+            )
+            .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+            .limit(nlist)
+            .count()
+        )
+
+    assert n_cents(emb, 32) == 32 == n_cents(bigger, 32)
+    # and the operator still answers correctly on the doubled corpus
+    res = similarity.ivf_topk(bigger, 0, k=5, nlist=32, nprobe=4)
+    assert res.count() == 5
 
 
 def test_label_blocked_near_dup_exact(spark):
