@@ -1677,10 +1677,67 @@ SELECT * FROM (VALUES ('lsh', TRUE), ('ivf', TRUE)) AS t(method, recall_ok)
 
 def _q_ewma_user_values(spark, sf_dir):
     """Per-user EWMA of event values — recursive semantics no SQL window can
-    express; Arrow applyInPandas with the pandas ewm kernel (rows-only)."""
+    express; Arrow applyInPandas with the pandas ewm kernel (rows-only; the
+    value-checked twin is ewma_value_check)."""
     e = read_table(spark, sf_dir, "events")
     out = relational.ewma(e, "user_id", "ts", "value", alpha=0.3)
     return out.select("user_id", F.unix_micros("ts").alias("us"), "ewma")
+
+
+def _q_ewma_value_check(spark, sf_dir):
+    """EWMA value-checked against a DuckDB recursive CTE on a 3-user subset
+    (the full-corpus run stays rows-only: the recursive oracle is O(n) JOIN
+    steps and would dominate gate time corpus-wide).  Both sides compute
+    y_t = 0.3 x_t + 0.7 y_{t-1} in ts order and round to 6 decimals."""
+    e = read_table(spark, sf_dir, "events").where(F.col("user_id") < 3)
+    out = relational.ewma(e, "user_id", "ts", "value", alpha=0.3)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+_EWMA_VALUE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE user_id < 3
+), r AS (
+  SELECT user_id, rn, us, CAST(value AS DOUBLE) AS ewma FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.us, 0.3 * e.value + 0.7 * r.ewma
+  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, us, round(ewma, 6) AS ewma FROM r
+"""
+
+
+def _q_simhash_determinism(spark, sf_dir):
+    """Partitioning-invariance contract for the xxhash64 SimHash (which has
+    no cross-engine oracle): signatures computed on the natural layout and on
+    an adversarial 7-way repartition must agree exactly.  The per-bit tallies
+    are order-independent integer sums, so any disagreement means
+    non-determinism.  Output is oracle-checkable: (n_docs, n_mismatch=0)."""
+    docs = read_table(spark, sf_dir, "documents")
+    s1 = dedup.simhash(docs)
+    s2 = dedup.simhash(docs.repartition(7, "doc_id"))
+    return (
+        s1.alias("a")
+        .join(s2.alias("b"), on="id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("a.simhash") != F.col("b.simhash"), 1).otherwise(0)
+            ).cast("long").alias("n_mismatch"),
+        )
+    )
+
+
+_SIMHASH_DETERMINISM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+"""
 
 
 def _q_media_features(spark, sf_dir):
@@ -1748,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_window_counts"] = _q_streaming_window_counts
     q["streaming_user_stats"] = _q_streaming_user_stats
     q["ewma_user_values"] = _q_ewma_user_values
+    q["ewma_value_check"] = _q_ewma_value_check
+    q["simhash_determinism"] = _q_simhash_determinism
     q["moving_avg_orders"] = _q_moving_avg_orders
     q["value_percentiles"] = _q_value_percentiles
     # --- changed this round: need fresh driver rows ---
@@ -1881,6 +1940,8 @@ def oracle_sql() -> dict[str, str]:
     o["ann_recall_ok"] = _ANN_RECALL_SQL
     o["minhash_md5_dup_pairs"] = _MINHASH_MD5_SQL
     o["simhash_md5_near_dup"] = _SIMHASH_MD5_SQL
+    o["ewma_value_check"] = _EWMA_VALUE_SQL
+    o["simhash_determinism"] = _SIMHASH_DETERMINISM_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -15,10 +15,14 @@ the Redshift type vocabulary via :func:`spark_to_redshift_type` so the
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .types import spark_to_redshift_type
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
 
 
 def schema_exists(spark: SparkSession, schema: str) -> bool:
@@ -55,3 +59,62 @@ def deployed_schema_df(spark: SparkSession, schema: str, table: str) -> DataFram
         ]
     )
     return spark.createDataFrame(rows, schema_t)
+
+
+def deployed_columns_query(schema: str, table: str) -> str:
+    """The reference's deployed-column SQL (RAS.py:215-216), parameter-safe.
+
+    Same projection: ``udt_name || '(character_maximum_length)'`` for sized
+    types, ordered by ordinal position.  Unlike the reference's raw f-string
+    interpolation (SURVEY.md section 1.4 — injection-prone), schema/table
+    must be plain SQL identifiers; anything else is rejected."""
+    for name in (schema, table):
+        if not _IDENT_RE.match(name or ""):
+            raise ValueError(f"not a plain SQL identifier: {name!r}")
+    return (
+        "SELECT column_name AS field, udt_name || "
+        "CASE WHEN character_maximum_length IS NOT NULL "
+        "THEN '(' || CAST(character_maximum_length AS VARCHAR) || ')' "
+        "ELSE '' END AS deployed_type "
+        "FROM information_schema.columns "
+        f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+        "ORDER BY ordinal_position"
+    )
+
+
+def _jdbc_load(
+    spark: SparkSession, url: str, query: str, properties: dict[str, str]
+) -> DataFrame:
+    """One JDBC pushdown query via the public ``jdbc`` source (tests stub
+    this seam; a real run needs the Redshift/postgres driver jar on the
+    classpath)."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def deployed_schema_df_jdbc(
+    spark: SparkSession,
+    url: str,
+    schema: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Deployed columns of a LIVE Redshift/postgres table as
+    (field, deployed_type), via ``spark.read.jdbc`` —  the rebuild's
+    equivalent of the reference's psycopg2 ``information_schema.columns``
+    fetch (RAS.py:215-216), closing the live-catalog path without a psycopg2
+    dependency.
+
+    The query is pushed down to the warehouse (a single-partition read of a
+    catalog-sized result — no parallelism needed); the result feeds
+    :func:`spark_auto_schema.diff.evaluate_diffs` exactly like
+    :func:`deployed_schema_df`.  ``properties`` passes JDBC options through
+    (``user``, ``password``, ``driver``, ...)."""
+    query = deployed_columns_query(schema, table)
+    df = _jdbc_load(spark, url, query, dict(properties or {}))
+    # normalize column case: some JDBC catalogs upper-case unquoted aliases
+    return df.toDF(*[c.lower() for c in df.columns]).select(
+        "field", "deployed_type"
+    )

@@ -183,17 +183,27 @@ class SparkAutoSchema:
 
     # ----------------------------------------------------------------- diff
     def evaluate_table_ddl_diffs(
-        self, deployed_df: DataFrame | None = None
+        self,
+        deployed_df: DataFrame | None = None,
+        jdbc_url: str | None = None,
+        jdbc_properties: dict[str, str] | None = None,
     ) -> DataFrame:
         """RAS.py:202-225 — proposed vs deployed full-outer diff.
 
-        ``deployed_df`` (field, deployed_type) overrides the Spark-catalog
-        fetch, enabling stubbed or JDBC-sourced deployed schemas.
+        Deployed-schema source, in precedence order: an explicit
+        ``deployed_df`` (field, deployed_type); a live warehouse via
+        ``jdbc_url`` (the reference's psycopg2 information_schema fetch,
+        RAS.py:215-216, re-expressed over ``spark.read.jdbc``); else the
+        Spark catalog.
         """
         spark = self._require_spark()
         meta = self._ensure_metadata()
         if meta is None:
             raise ValueError("no metadata (empty input file)")
+        if deployed_df is None and jdbc_url is not None:
+            deployed_df = _catalog.deployed_schema_df_jdbc(
+                spark, jdbc_url, self.schema, self.table, jdbc_properties
+            )
         if deployed_df is None:
             deployed_df = _catalog.deployed_schema_df(spark, self.schema, self.table)
         proposed_df = inference_to_df(spark, meta).select("field", "proposed_type")

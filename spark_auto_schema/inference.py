@@ -57,16 +57,26 @@ VARCHAR_THRESHOLD = 240  # RAS.py:336 — threshold really is 240, not 256
 # and bracketed sections are optional.  "S" fraction patterns accept 1..9
 # digits.  Partial shapes like "2019", "03/2019", "Jan 2020" match nothing.
 COMPLETE_DATE_FORMATS = (
-    "yyyy-M-d[ H:m:s[.SSSSSSSSS]]",
-    "yyyy-M-d'T'H:m:s[.SSSSSSSSS]",
-    "yyyy/M/d[ H:m:s[.SSSSSSSSS]]",
-    "M/d/yyyy[ H:m:s[.SSSSSSSSS]]",
-    "M-d-yyyy[ H:m:s]",
-    "MMM d, yyyy",
+    "yyyy-M-d[ H:m[:s[.SSSSSSSSS]]]",
+    "yyyy-M-d'T'H:m[:s[.SSSSSSSSS]]",
+    "yyyy/M/d[ H:m[:s[.SSSSSSSSS]]]",
+    "M/d/yyyy[ H:m[:s[.SSSSSSSSS]]]",
+    "M-d-yyyy[ H:m[:s]]",
+    "MMM d, yyyy[ H:m[:s]]",
     "MMM d yyyy",
     "d MMM yyyy",
     "MMMM d, yyyy",
 )
+
+# Acceptance gap vs the reference (documented, deliberate): dateutil accepts
+# more *complete* datetime shapes than this whitelist — e.g. timezone-offset
+# strings ("2019-01-02T03:04:05+02:00"), 12-hour clock forms ("Jan 2, 2020
+# 5:00 PM"), and locale-ish orderings.  Those classify varchar here while the
+# reference returns timestamp.  Zoned shapes are excluded on purpose: the
+# reference normalizes them through naive local time, which is
+# session-timezone-dependent — behavior a distributed engine should not
+# replicate.  The whitelist does accept minutes-without-seconds and
+# fractional-second forms, which cover the shapes real data lakes emit.
 
 # Cheap structural superset of every COMPLETE_DATE_FORMATS shape.  Values
 # failing this regex cannot parse under any whitelisted format, so the

@@ -96,3 +96,68 @@ def test_diff_unknown_types_both_class0_no_mismatch(spark):
     proposed = _mk(spark, [("a", "weird1")], "proposed_type")
     deployed = _mk(spark, [("a", "weird2")], "deployed_type")
     assert evaluate_diffs(proposed, deployed).count() == 0
+
+
+# ------------------------------------------------------- JDBC deployed path
+def test_deployed_columns_query_matches_reference_shape():
+    from spark_auto_schema.catalog import deployed_columns_query
+
+    q = deployed_columns_query("analytics", "orders")
+    # same projection as RAS.py:215-216: udt_name || '(len)' for sized types,
+    # filtered to the schema/table, in ordinal order
+    assert "information_schema.columns" in q
+    assert "udt_name" in q and "character_maximum_length" in q
+    assert "table_schema = 'analytics'" in q
+    assert "table_name = 'orders'" in q
+    assert q.rstrip().endswith("ORDER BY ordinal_position")
+
+
+@pytest.mark.parametrize("bad", ["x; drop table y", "a'b", 'a"b', "", "1abc"])
+def test_deployed_columns_query_rejects_non_identifiers(bad):
+    from spark_auto_schema.catalog import deployed_columns_query
+
+    with pytest.raises(ValueError):
+        deployed_columns_query(bad, "t")
+    with pytest.raises(ValueError):
+        deployed_columns_query("s", bad)
+
+
+def test_deployed_schema_df_jdbc_stubbed(spark, monkeypatch):
+    """Stub the JDBC seam (_jdbc_load) and drive the full live-diff flow:
+    jdbc fetch -> evaluate_diffs -> MISSING/TYPE MISMATCH/DEPRECATED."""
+    from spark_auto_schema import catalog
+
+    captured = {}
+
+    def fake_jdbc_load(sp, url, query, properties):
+        captured.update(url=url, query=query, properties=properties)
+        # what a Redshift information_schema fetch of this table would return
+        # (upper-case column names: some JDBC catalogs upcase unquoted aliases)
+        return sp.createDataFrame(
+            [("a", "int4"), ("b", "varchar(256)"), ("d", "date")],
+            "FIELD string, DEPLOYED_TYPE string",
+        )
+
+    monkeypatch.setattr(catalog, "_jdbc_load", fake_jdbc_load)
+    deployed = catalog.deployed_schema_df_jdbc(
+        spark,
+        "jdbc:redshift://example.invalid:5439/db",
+        "analytics",
+        "orders",
+        properties={"user": "u", "driver": "com.amazon.redshift.jdbc42.Driver"},
+    )
+    assert deployed.columns == ["field", "deployed_type"]
+    assert captured["url"].startswith("jdbc:redshift://")
+    assert "table_name = 'orders'" in captured["query"]
+    assert captured["properties"]["user"] == "u"
+
+    proposed = _mk(
+        spark,
+        [("a", "int4"), ("b", "int4"), ("c", "float8")],
+        "proposed_type",
+    )
+    got = {
+        r["field"]: r["reason"]
+        for r in evaluate_diffs(proposed, deployed).collect()
+    }
+    assert got == {"b": "TYPE MISMATCH", "c": "MISSING", "d": "DEPRECATED"}

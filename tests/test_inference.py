@@ -109,6 +109,16 @@ def test_sampling_is_opt_in(spark, infer_probe_parquet):
         ([("03/15/2019",), ("12/31/2020",)], "date"),  # US date shape
         ([("Jan 5, 2020",), ("Mar 7, 2021",)], "date"),  # month-name shape
         ([("2019-13-45",), ("2020-01-01",)], "varchar(256)"),  # invalid date
+        (
+            [("2019-01-02 03:04",), ("2020-05-06 07:08",)],
+            "timestamp",
+        ),  # minutes without seconds are COMPLETE (dateutil agrees)
+        ([("2019",), ("2020",)], "int4"),  # numeric-before-date
+        ([("03/2019",), ("04/2020",)], "varchar(256)"),  # partial date
+        (
+            [("2019-01-02T03:04:05+02:00",), ("2020-01-02T03:04:05+02:00",)],
+            "varchar(256)",
+        ),  # zoned shapes excluded by design (documented divergence)
     ],
 )
 def test_string_probe_cases(spark, values, expected):
