@@ -1307,6 +1307,86 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _STREAM_DIRS[sf_dir]
 
 
+def _events_stream_dir_dup(sf_dir: str) -> str:
+    """Drop-dir with the events file staged TWICE — an at-least-once source
+    that redelivers every record, for exercising streaming dedup."""
+    key = f"{sf_dir}#dup"
+    if key not in _STREAM_DIRS:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="events_stream_dup_")
+        src = f"{sf_dir.rstrip('/')}/events.parquet"
+        shutil.copy(src, f"{d}/drop1.parquet")
+        shutil.copy(src, f"{d}/drop2.parquet")
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup, value-checked: every event is delivered
+    TWICE (two copies of the file in the drop-dir); after
+    dropDuplicatesWithinWatermark on event_id the per-type counts must equal
+    the batch counts over the ORIGINAL (single-copy) table — which is what
+    the oracle computes.  The dedup happens in the stream (stateful,
+    watermark-bounded); the memory sink is then aggregated as a batch."""
+    from spark_auto_schema.streaming import (
+        read_event_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    name = f"__stream_dedup_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _events_stream_dir_dup(sf_dir))
+    run_to_memory(streaming_dedup(stream, ["event_id"]), name)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Pair set -> keep/drop decision: connected components over the n-gram
+    Jaccard near-dup pairs, each doc labeled with its cluster representative
+    (min id).  The oracle rebuilds identical clusters with a recursive CTE
+    over the same pair set."""
+    pairs = dedup.ngram_jaccard_pairs(_spread_docs(spark, sf_dir), threshold=0.8)
+    return dedup.dedup_clusters(pairs)
+
+
+# the _NGRAM_JACCARD_SQL pair set + transitive closure: cc accumulates every
+# label reachable from each node over symmetric edges; min = component min
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jac
+  UNION SELECT id_b, id_a FROM jac
+), cc AS (
+  SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, c.comp FROM cc c JOIN edges e ON e.src = c.id
+)
+SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id
+"""
+
+
 def _q_streaming_window_counts(spark, sf_dir):
     """Structured Streaming windowed aggregation drained with availableNow
     over the static events file — the result must equal the batch group-by,
@@ -1779,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
+    q["dedup_clusters"] = _q_dedup_clusters
     q["contamination_check"] = _q_contamination
     # --- similarity search family ---
     q["embedding_topk"] = _q_embedding_topk
@@ -1804,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- streaming + time-series ---
     q["streaming_window_counts"] = _q_streaming_window_counts
     q["streaming_user_stats"] = _q_streaming_user_stats
+    q["streaming_dedup"] = _q_streaming_dedup
     q["ewma_user_values"] = _q_ewma_user_values
     q["ewma_value_check"] = _q_ewma_value_check
     q["simhash_determinism"] = _q_simhash_determinism
@@ -1942,6 +2024,8 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_md5_near_dup"] = _SIMHASH_MD5_SQL
     o["ewma_value_check"] = _EWMA_VALUE_SQL
     o["simhash_determinism"] = _SIMHASH_DETERMINISM_SQL
+    o["dedup_clusters"] = _DEDUP_CLUSTERS_SQL
+    o["streaming_dedup"] = _STREAMING_DEDUP_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -333,6 +333,71 @@ def minhash_lsh_pairs_md5(
     )
 
 
+# -------------------------------------------------------- dedup clustering
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair set: (id, cluster_id)
+    with ``cluster_id`` = the minimum doc id in the component — the
+    representative a dedup pipeline keeps while dropping the rest.
+
+    Pairwise dedup output (MinHash / SimHash / Jaccard pairs) is not yet a
+    keep/drop decision: near-duplication is transitive in practice (A~B, B~C
+    => one cluster {A,B,C}), so the pipeline step after pair generation is
+    clustering.  Algorithm: iterative minimum-label propagation — every node
+    starts labeled with itself; each round, a node adopts
+    ``min(own label, neighbors' labels)``.  Each round is one equi-join +
+    one groupBy (both hash-partitioned on id — co-partitioned, no broadcast
+    of anything data-sized) and converges in O(component diameter) rounds;
+    near-dup components are shallow (clusters of variants of one document),
+    so the loop exits after 2-4 rounds on real corpora.  Each round's labels
+    are persisted and the previous round released, keeping lineage constant.
+    For adversarial billion-edge graphs with long chains, swap the loop body
+    for the large-star/small-star step (same join-groupBy primitives, fewer
+    rounds); the interface is unchanged.
+
+    Only ids appearing in ``pairs`` are returned — singletons are their own
+    cluster by definition and joining them in would just re-shuffle the
+    corpus."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()  # materialize before the loop
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(neigh["nlabel"], labels["label"])
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    _CACHED.append(labels)  # released via release_caches()
+    return out
+
+
 # ----------------------------------------------------------- contamination
 def contamination_check(
     df: DataFrame,

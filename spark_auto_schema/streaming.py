@@ -79,6 +79,28 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once key dedup on a stream: the first record per key passes,
+    later duplicates (redeliveries, at-least-once source replays, overlapping
+    backfills) are dropped.
+
+    Built on ``dropDuplicatesWithinWatermark``: state holds one entry per
+    key seen within the watermark horizon and is evicted as event time
+    advances — bounded state regardless of stream length, which plain
+    ``dropDuplicates`` (whole-history state) cannot guarantee.  Duplicates
+    arriving later than the watermark slack are NOT caught; size the
+    watermark to the source's redelivery window."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "append"
 ) -> None:

@@ -296,3 +296,24 @@ def test_simhash_md5_identical_docs_collide(spark):
     pairs = dedup.simhash_md5_near_dup_pairs(df, max_hamming=0)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_dedup_clusters_transitive_and_disjoint(spark):
+    # A~B, B~C chain -> {1,2,3} labeled 1; disjoint pair {7,9} labeled 7
+    pairs = spark.createDataFrame(
+        [(2, 3, 0.9), (1, 2, 0.95), (7, 9, 0.85)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    dedup.release_caches()
+
+
+def test_dedup_clusters_recovers_clone_groups(spark, docs_with_dups):
+    # each planted clone pairs with its original -> 2-doc clusters whose
+    # representative is the original (min id)
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.999)
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    for i in range(3):
+        assert got[i + 100000] == got[i] == i
+    dedup.release_caches()

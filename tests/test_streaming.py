@@ -127,3 +127,20 @@ def test_running_user_stats_stateful(spark, events_dir):
         assert n == en
         assert abs(sv - esv) < 1e-6
         assert last == elast
+
+
+def test_streaming_dedup_drops_redelivered_records(spark, tmp_path):
+    from spark_auto_schema.streaming import streaming_dedup
+
+    # an at-least-once source: every record delivered twice
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "drop1.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "drop2.parquet")
+    stream = streaming_dedup(read_event_stream(spark, str(d)), ["event_id"])
+    assert stream.isStreaming
+    run_to_memory(stream, "dedup_stream_out")
+    got = spark.table("dedup_stream_out")
+    n_batch = read_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_batch  # every duplicate dropped
+    assert got.select("event_id").distinct().count() == n_batch
