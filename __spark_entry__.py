@@ -1351,6 +1351,42 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
 """
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Corpus -> training/RAG units: 64-token windows advancing by 48 (16
+    overlap); the oracle re-slices the same whitespace token arrays."""
+    return text.chunk_documents(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+_CHUNK_DOCS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, t.i // 48 AS chunk_id,
+       array_to_string(w[t.i + 1 : t.i + 64], ' ') AS chunk_text,
+       least(len(w) - t.i, 64) AS n_tokens
+FROM w, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 48)) AS t(i)
+WHERE length(array_to_string(w[t.i + 1 : t.i + 64], ' ')) > 0
+"""
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Element-wise mean embedding per label (class prototypes); oracle
+    recomputes via UNNEST WITH ORDINALITY + per-position averages."""
+    return similarity.label_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+_LABEL_CENTROIDS_SQL = """
+SELECT label, list(m ORDER BY pos) AS centroid, max(n) AS n_vectors
+FROM (
+  SELECT label, t.i AS pos, round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS m,
+         count(*) AS n
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, t.i
+)
+GROUP BY label
+"""
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Pair set -> keep/drop decision: connected components over the n-gram
     Jaccard near-dup pairs, each doc labeled with its cluster representative
@@ -1878,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clean_text"] = _q_clean_text
     q["redact_pii"] = _q_redact_pii
     q["repetition_ratio"] = _q_repetition_ratio
+    q["chunk_documents"] = _q_chunk_documents
+    q["label_centroids"] = _q_label_centroids
     # --- multimodal family ---
     q["multimodal_bytes"] = _q_multimodal_bytes
     q["media_features"] = _q_media_features
@@ -2026,6 +2064,8 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_determinism"] = _SIMHASH_DETERMINISM_SQL
     o["dedup_clusters"] = _DEDUP_CLUSTERS_SQL
     o["streaming_dedup"] = _STREAMING_DEDUP_SQL
+    o["chunk_documents"] = _CHUNK_DOCS_SQL
+    o["label_centroids"] = _LABEL_CENTROIDS_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -327,3 +327,39 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Element-wise mean embedding per label: (label, centroid, n_vectors) —
+    the pooling step behind class prototypes, per-source style vectors, and
+    IVF-style coarse quantizer training.
+
+    Dataflow: posexplode to (label, pos, value) — d rows per vector — then
+    ONE partial->final average per (label, pos), then per-label reassembly
+    ordered by position.  Both aggregations are map-side-combining hash
+    aggregates; nothing is collected to the driver and no vector is held
+    whole in agg state, so dimension and corpus size scale independently.
+    Values are rounded to ``decimals`` for cross-engine reproducibility."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    per_pos = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), decimals).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+    )

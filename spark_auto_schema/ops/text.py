@@ -199,3 +199,46 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     fingerprint regardless of case/punctuation noise."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the step that
+    turns a raw corpus into training/RAG units: (doc_id, chunk_id,
+    chunk_text, n_tokens), chunk windows of ``chunk_tokens`` whitespace
+    tokens advancing by ``chunk_tokens - overlap``.
+
+    Built-ins only (split -> sequence of window starts -> slice -> explode):
+    a narrow per-row projection that pipelines inside the scan — no shuffle,
+    no Python, output row count = ceil(tokens/step) per doc.  At 100 TB
+    chunking is embarrassingly parallel and this stays a single map stage."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(starts).alias("start"),
+            words.alias("__w"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("start") / step).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("__w", F.col("start") + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size("__w") - F.col("start"), F.lit(chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+        )
+        .where(F.length("chunk_text") > 0)
+    )

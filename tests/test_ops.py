@@ -317,3 +317,48 @@ def test_dedup_clusters_recovers_clone_groups(spark, docs_with_dups):
     for i in range(3):
         assert got[i + 100000] == got[i] == i
     dedup.release_caches()
+
+
+def test_chunk_documents_windows_and_reassembly(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], "doc_id long, text string")
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in text.chunk_documents(df, chunk_tokens=10, overlap=0).collect()
+    }
+    # zero overlap: chunks partition the token stream exactly
+    doc1 = [chunks[(1, i)][0] for i in range(10)]
+    assert " ".join(doc1) == words
+    assert all(chunks[(1, i)][1] == 10 for i in range(10))
+    assert chunks[(2, 0)] == ("short doc", 2)
+
+    # with overlap, consecutive windows share `overlap` tokens
+    ov = {
+        r["chunk_id"]: r["chunk_text"].split(" ")
+        for r in text.chunk_documents(
+            df.where(F.col("doc_id") == 1), chunk_tokens=10, overlap=4
+        ).collect()
+    }
+    assert ov[0][6:] == ov[1][:4]
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_label_centroids_match_numpy(spark, emb):
+    import numpy as np
+
+    got = {
+        r["label"]: (np.array(r["centroid"]), r["n_vectors"])
+        for r in similarity.label_centroids(emb).collect()
+    }
+    rows = emb.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    for lbl, vecs in by_label.items():
+        cent, n = got[lbl]
+        assert n == len(vecs)
+        expect = np.round(np.mean(np.stack(vecs), axis=0), 6)
+        assert np.allclose(cent, expect, atol=1e-6)

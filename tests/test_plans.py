@@ -190,3 +190,60 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert df.count() == e.where("event_type = 'error'").count()
+
+
+def test_chunk_documents_is_shuffle_free_map_stage(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    df = text.chunk_documents(read_table(spark, SF_DIR, "documents"))
+    plan = plan_of(df, "simple")
+    # chunking must pipeline inside the scan: explode + project, no exchange
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode of window starts
+
+
+def test_ivf_centroids_use_takeordered_not_full_sort(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops.similarity import norm
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            norm(F.col("embedding")).alias("cn"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(16)
+    )
+    plan = plan_of(cents, "simple")
+    # orderBy+limit must compile to TakeOrdered (k-heap per partition),
+    # never a global Sort (full shuffle of the corpus)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_max_df_hot_shingle_filter_is_broadcast_anti_join(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, SF_DIR, "documents"), threshold=0.8, max_df=100
+    )
+    plan = plan_of(pairs, "simple")
+    # the hot-shingle removal must not shuffle the corpus-sized side
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_label_centroids_partial_aggregation(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    df = similarity.label_centroids(read_table(spark, SF_DIR, "embeddings"))
+    plan = plan_of(df, "formatted")
+    # both aggregations must be two-phase hash aggregates (map-side combine
+    # before the exchange), so the d-times-exploded rows partially collapse
+    # before shuffling
+    assert plan.count("HashAggregate") >= 4
