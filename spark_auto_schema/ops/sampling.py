@@ -92,3 +92,35 @@ def split_train_eval(
     t = F.lit(fraction_threshold(eval_fraction))
     pref = _hash_prefix(F.col(key_col))
     return df.where(pref >= t), df.where(pref < t)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows without
+    replacement (Efraimidis-Spirakis A-ES): each row draws a reproducible
+    uniform u from its content hash and ranks by u^(1/weight); the top-k
+    ranks win.  P[row in sample] increases with weight exactly as for true
+    weighted sampling without replacement.
+
+    Content-keyed like :func:`hash_sample` — the same rows win on every run,
+    engine, and partitioning — and the plan is a TakeOrdered (k-heap per
+    partition, k*partitions rows to the driver-side merge), never a full
+    sort: at 100 TB this is one scan plus a k-sized heap.  Rows with
+    non-positive weights are excluded (they can never win)."""
+    u = (_hash_prefix_int(F.col(key_col)) + F.lit(1.0)) / F.lit(float(_SPACE))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
+def _hash_prefix_int(key: Column) -> Column:
+    """The 4-hex-digit md5 prefix as an integer in [0, 65536) — the shared
+    uniform-draw primitive (Spark: conv(hex,16,10); the DuckDB oracle
+    rebuilds it with per-digit strpos arithmetic)."""
+    return F.conv(_hash_prefix(key), 16, 10).cast("long")

@@ -247,3 +247,15 @@ def test_label_centroids_partial_aggregation(spark):
     # before the exchange), so the d-times-exploded rows partially collapse
     # before shuffling
     assert plan.count("HashAggregate") >= 4
+
+
+def test_weighted_sample_is_takeordered(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import sampling
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, SF_DIR, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    plan = plan_of(sampling.weighted_sample(d, "doc_id", "w", 10), "simple")
+    assert "TakeOrderedAndProject" in plan

@@ -325,3 +325,27 @@ def test_range_join_matches_manual(spark):
         assert got.get(r["event_id"]) == want
     plan = relational.range_join(e, tiers, "value", "lo", "hi")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # fact side never shuffles
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    d = read_table(spark, SF_DIR, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    s1 = {r["doc_id"] for r in sampling.weighted_sample(d, "doc_id", "w", 100).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(
+            d.repartition(13), "doc_id", "w", 100
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) == 100  # partitioning-invariant row set
+    # weight-proportional: the sampled docs must be longer on average
+    mean_all = d.agg(F.avg("w")).collect()[0][0]
+    mean_sample = (
+        d.where(F.col("doc_id").isin(list(s1))).agg(F.avg("w")).collect()[0][0]
+    )
+    assert mean_sample > mean_all
+    # zero/negative weights never win
+    d0 = d.withColumn("w", F.when(F.col("doc_id") < 10, -1.0).otherwise(F.col("w")))
+    s3 = {r["doc_id"] for r in sampling.weighted_sample(d0, "doc_id", "w", 100).collect()}
+    assert all(i >= 10 for i in s3)
