@@ -46,6 +46,17 @@ def _family(name: str) -> str:
     return "relational"
 
 
+def _release_op_caches() -> None:
+    """Drop DataFrames the dedup operators persisted for intra-query reuse —
+    measured queries should not accumulate cached blocks across the run."""
+    try:
+        from spark_auto_schema.ops import dedup
+
+        dedup.release_caches()
+    except Exception:
+        pass
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -93,6 +104,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"  {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        _release_op_caches()
 
     spark.stop()
 

@@ -69,6 +69,18 @@ INFER_PROBE_COLUMNS: dict[str, tuple[list, str]] = {
         "string",
     ),
     "partial_date": (["2019", "03/2019", "Jan 2020", "2021", "04/2021"], "string"),
+    # minutes-without-seconds: COMPLETE per dateutil (seconds default to 0
+    # with or without a default date) -> timestamp in both engines
+    "minute_ts": (
+        [
+            "2019-01-01 12:34",
+            "2020-02-02 01:02",
+            None,
+            "2022-04-04 00:01",
+            "2023-05-05 06:07",
+        ],
+        "string",
+    ),
     "short_str": (["hello", "world", "foo", "bar", "baz"], "string"),
     "edge_240_str": (["x" * 240, "a", "b", "c", "d"], "string"),
     "long_str": (["y" * 241, "a", "b", "c", "d"], "string"),
@@ -93,6 +105,7 @@ INFER_PROBE_EXPECTED: dict[str, str] = {
     "midnight_ts": "date",
     "real_ts": "timestamp",
     "partial_date": "varchar(256)",
+    "minute_ts": "timestamp",
     "short_str": "varchar(256)",
     "edge_240_str": "varchar(256)",
     "long_str": "varchar(65535)",

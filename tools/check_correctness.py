@@ -121,6 +121,12 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok {name}: {len(srows)} rows")
+        try:
+            from spark_auto_schema.ops import dedup as _dedup
+
+            _dedup.release_caches()
+        except Exception:
+            pass
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
