@@ -1351,6 +1351,33 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
 """
 
 
+def _q_salted_join_segments(spark, sf_dir):
+    """Exact skew-safe join driven through the gate: events (big, skewed
+    user) salted-joined to customer (mid-size dim) on the user key, then
+    aggregated per market segment — must equal the plain join the oracle
+    computes."""
+    from spark_auto_schema.ops import skew
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("cust"), "event_id", "value"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), "c_mktsegment"
+    )
+    joined = skew.salted_join(e, c, on="cust", big_row_key="event_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Weight-proportional top-k sample (A-ES), weights = document length;
     the oracle replays the identical u^(1/w) race, rebuilding the md5-prefix
@@ -1916,7 +1943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- deduplication family ---
     q["dedup_exact"] = _q_hash_dedup
-    q["minhash_dup_pairs"] = _q_minhash_pairs  # rows-only (xxhash64)
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
     q["simhash_md5_near_dup"] = _q_simhash_md5
@@ -1959,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = _q_sessionize
     q["json_props_agg"] = _q_json_props
     q["except_custkeys"] = _q_except_custkeys
+    q["salted_join_segments"] = _q_salted_join_segments
     # --- inference core (driver-green in r2; re-verified every round) ---
     for t in _TABLE_KINDS:
         q[f"infer_{t}"] = _infer_query(t)
@@ -1975,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ewma_user_values -> ewma_value_check); all stay pytest-covered ----
     q["simhash_signatures"] = _q_simhash_sigs  # rows-only
     q["ewma_user_values"] = _q_ewma_user_values  # rows-only
+    q["minhash_dup_pairs"] = _q_minhash_pairs  # rows-only (md5 twin in window)
     q["pricing_summary"] = _q_pricing_summary
     q["top_customers"] = _q_top_customers
     q["region_customers"] = _q_region_customers
@@ -2098,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_documents"] = _CHUNK_DOCS_SQL
     o["label_centroids"] = _LABEL_CENTROIDS_SQL
     o["weighted_sample_docs"] = _WEIGHTED_SAMPLE_SQL
+    o["salted_join_segments"] = _SALTED_JOIN_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

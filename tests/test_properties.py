@@ -106,3 +106,49 @@ def test_all_null_is_notype(spark):
 def test_varchar_threshold_boundary(spark, n):
     got = _infer_one(spark, "string", ["y" * n, "a"])
     assert got == ("varchar(256)" if n <= 240 else "varchar(65535)")
+
+
+# ---------------------------------------------------- dedup_clusters property
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """Random pair graphs: the distributed label propagation must produce
+    exactly the components a sequential union-find computes."""
+    pairs = [(min(a, b), max(a, b), 1.0) for a, b in edges]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, jaccard double")
+
+    from spark_auto_schema.ops import dedup
+
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(df).collect()}
+    dedup.release_caches()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b, _ in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
