@@ -28,6 +28,7 @@ from spark_auto_schema.io import read_table
 from spark_auto_schema.ops import (
     dedup,
     multimodal,
+    packing,
     relational,
     sampling,
     similarity,
@@ -1441,6 +1442,153 @@ GROUP BY label
 """
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Documents -> fixed-token-budget training packs: BPE-ish token counts,
+    8 hash buckets, budget 256.  The oracle replays the identical bucket
+    assignment (md5-prefix arithmetic), hash ordering, window cumsum, and
+    pack composition."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.regexp_count("text", F.lit(text.BPE_TOKEN_RE)).alias("tokens")
+    )
+    return packing.pack_sequences(
+        toks, id_col="doc_id", token_col="tokens", budget=256, n_buckets=8
+    )
+
+
+_PACK_SEQUENCES_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents
+), b AS (
+  SELECT doc_id, tokens, h,
+         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8 AS bucket
+  FROM d
+), c AS (
+  SELECT doc_id, tokens, h, bucket,
+         CAST(sum(tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM b
+), p AS (
+  SELECT doc_id, tokens, h, bucket, (cum - tokens) // 256 AS pack_local
+  FROM c
+)
+SELECT doc_id, tokens,
+       CAST(bucket * 4294967296 + pack_local AS BIGINT) AS pack_id,
+       CAST(row_number() OVER (PARTITION BY bucket, pack_local
+                               ORDER BY h, doc_id) AS BIGINT) AS pack_pos
+FROM p
+"""
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Domain re-weighting: keep all English, half the German, a quarter of
+    everything else — one CASE-threshold filter, no shuffle."""
+    return packing.mix_by_column(
+        read_table(spark, sf_dir, "documents"),
+        domain_col="lang",
+        key_col="doc_id",
+        fractions={"en": 1.0, "de": 0.5},
+        default_fraction=0.25,
+    ).select("doc_id", "lang", "source")
+
+
+_CORPUS_MIX_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '8000' ELSE '4000' END
+"""
+
+
+# Incremental-dedup split: the first 75% of documents (by id-hash) are the
+# already-deduplicated corpus; the rest arrive as the new batch.
+_INCR_SPLIT = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'c000'"
+
+
+def _incr_split(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    # Same predicate as _INCR_SPLIT, built from column functions (Spark's
+    # SQL parser rejects un-lengthed VARCHAR casts that DuckDB requires).
+    is_batch = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) >= "c000"
+    return docs.where(is_batch), docs.where(~is_batch)
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """Exact dedup of a new batch against an existing corpus: surviving
+    (content_hash, keep_id) rows whose content the corpus lacks."""
+    batch, corpus = _incr_split(spark, sf_dir)
+    return dedup.incremental_exact_dedup(batch, corpus)
+
+
+_INCREMENTAL_DEDUP_SQL = f"""
+WITH batch AS (SELECT doc_id, text FROM documents WHERE {_INCR_SPLIT}),
+corpus AS (SELECT text FROM documents WHERE NOT ({_INCR_SPLIT})),
+b AS (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
+      FROM batch GROUP BY 1)
+SELECT content_hash, keep_id FROM b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = b.content_hash)
+"""
+
+
+def _q_incremental_near_dedup(spark, sf_dir):
+    """Fuzzy incremental dedup, verification-grade: batch doc ids with no
+    md5-MinHash-LSH-verified near-duplicate (jaccard >= 0.5) in the corpus.
+    The oracle replays the full pipeline: shingles, md5 minhash signatures,
+    band buckets, batch x corpus bucket collisions, exact-Jaccard verify."""
+    batch, corpus = _incr_split(spark, sf_dir)
+    return dedup.incremental_near_dedup(
+        batch, corpus, verify_threshold=0.5, md5_grade=True
+    ).select("doc_id")
+
+
+_INCREMENTAL_NEAR_DEDUP_SQL = f"""
+WITH split AS (
+  SELECT doc_id, text, {_INCR_SPLIT} AS is_batch FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM split),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+), hs AS (
+  SELECT id, hi, min(substr(md5(hi || ':' || shingle), 1, 16)) AS h
+  FROM sh, UNNEST(generate_series(0, 15)) AS t(hi)
+  GROUP BY id, hi
+), sig AS (
+  SELECT id, list(h ORDER BY hi) AS hl FROM hs GROUP BY id
+), bands AS (
+  SELECT id, bi, md5(array_to_string(hl[bi*4+1 : bi*4+4], '|')) AS bucket
+  FROM sig, UNNEST(generate_series(0, 3)) AS t(bi)
+), cand AS (
+  SELECT DISTINCT n.id AS id_new, c.id AS id_cor
+  FROM bands n
+  JOIN bands c ON n.bi = c.bi AND n.bucket = c.bucket
+  JOIN split sn ON sn.doc_id = n.id AND sn.is_batch
+  JOIN split sc ON sc.doc_id = c.id AND NOT sc.is_batch
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT cd.id_new, cd.id_cor, count(*) AS c
+  FROM cand cd
+  JOIN sh a ON a.id = cd.id_new
+  JOIN sh b ON b.id = cd.id_cor AND b.shingle = a.shingle
+  GROUP BY cd.id_new, cd.id_cor
+), dup AS (
+  SELECT DISTINCT id_new
+  FROM inter
+  JOIN sizes sa ON sa.id = inter.id_new
+  JOIN sizes sb ON sb.id = inter.id_cor
+  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.5
+)
+SELECT doc_id FROM split
+WHERE is_batch AND doc_id NOT IN (SELECT id_new FROM dup)
+"""
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Pair set -> keep/drop decision: connected components over the n-gram
     Jaccard near-dup pairs, each doc labeled with its cluster representative
@@ -1969,6 +2117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_documents"] = _q_chunk_documents
     q["label_centroids"] = _q_label_centroids
     q["weighted_sample_docs"] = _q_weighted_sample
+    # --- packing / mixing / incremental dedup (new this round) ---
+    q["pack_sequences"] = _q_pack_sequences
+    q["corpus_mix"] = _q_corpus_mix
+    q["incremental_dedup"] = _q_incremental_dedup
+    q["incremental_near_dedup"] = _q_incremental_near_dedup
     # --- multimodal family ---
     q["multimodal_bytes"] = _q_multimodal_bytes
     q["media_features"] = _q_media_features
@@ -2126,6 +2279,10 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_documents"] = _CHUNK_DOCS_SQL
     o["label_centroids"] = _LABEL_CENTROIDS_SQL
     o["weighted_sample_docs"] = _WEIGHTED_SAMPLE_SQL
+    o["pack_sequences"] = _PACK_SEQUENCES_SQL
+    o["corpus_mix"] = _CORPUS_MIX_SQL
+    o["incremental_dedup"] = _INCREMENTAL_DEDUP_SQL
+    o["incremental_near_dedup"] = _INCREMENTAL_NEAR_DEDUP_SQL
     o["salted_join_segments"] = _SALTED_JOIN_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (

@@ -25,7 +25,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # family rollup prefixes, checked in order (first match wins)
 _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
-    ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_")),
+    ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
+               "incremental_")),
     ("similarity", ("embedding_", "ann_", "ivf_")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
               "top_terms", "clean_", "redact_", "repetition_")),
@@ -33,7 +34,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("streaming", ("streaming_",)),
     ("inference", ("infer_", "csv_inference", "column_list", "schema_diff",
                    "column_ddl", "ddl_", "catalog_")),
-    ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_")),
+    ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
+                  "weighted_", "pack_", "corpus_mix")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip")),
 ]
 _N_SLOWEST = 8

@@ -7,11 +7,12 @@ built-in Spark SQL expressions (JVM, whole-stage codegen) except the
 explicitly Arrow-batched multimodal UDFs.
 """
 
-from . import dedup, multimodal, relational, sampling, similarity, skew, text
+from . import dedup, multimodal, packing, relational, sampling, similarity, skew, text
 
 __all__ = [
     "dedup",
     "multimodal",
+    "packing",
     "relational",
     "sampling",
     "similarity",

@@ -108,6 +108,50 @@ def shingles(
 
 
 # ------------------------------------------------------------- minhash+LSH
+def _minhash_sig(sh: DataFrame, num_hashes: int, md5_grade: bool) -> DataFrame:
+    """(id, h0..h{H-1}) minhash signature over a shingle relation.
+
+    Production form: h_i = min over shingles of xxhash64(i, shingle).
+    ``md5_grade``: h_i = min 16-hex-char prefix of md5("i:shingle")
+    (lexicographic min over uniform strings is a valid minhash) — every step
+    reproducible in any engine with md5, so DuckDB oracles can verify it."""
+    if md5_grade:
+        aggs = [
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, md5_grade: bool
+) -> DataFrame:
+    """(id, band, bucket) LSH entries: one bucket hash per signature band."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def _bucket(b: int):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        return F.md5(F.concat_ws("|", *cols)) if md5_grade else F.xxhash64(*cols)
+
+    band_entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_entries).alias("be")).select(
+        "id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -119,12 +163,7 @@ def minhash_signatures(
 
     h_i(doc) = min over shingles of xxhash64(i, shingle).  One explode + one
     groupBy(id) shuffle; signature width is constant."""
-    sh = shingles(df, text_col, id_col, shingle_n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    return _minhash_sig(shingles(df, text_col, id_col, shingle_n), num_hashes, False)
 
 
 def minhash_lsh_pairs(
@@ -143,24 +182,8 @@ def minhash_lsh_pairs(
     bucket iff one band of their signatures matches exactly; candidates are
     generated by an equi-join on (band index, band hash) — bucket-local, not
     all-pairs."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select("id", F.explode(band_entries).alias("be")).select(
-        "id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket")
-    )
+    buckets = _band_buckets(sig, num_hashes, bands, md5_grade=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"])
@@ -279,38 +302,9 @@ def minhash_lsh_pairs_md5(
     groupBy(id), bucket-local candidate join); xxhash64 stays the fast
     default for production, this variant is the verification-grade twin.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sh = shingles(df, text_col, id_col, shingle_n)
-
-    aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
-
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select("id", F.explode(band_entries).alias("be")).select(
-        "id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket")
-    )
+    sig = _minhash_sig(sh, num_hashes, md5_grade=True)
+    buckets = _band_buckets(sig, num_hashes, bands, md5_grade=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"])
@@ -330,6 +324,119 @@ def minhash_lsh_pairs_md5(
     jac = _jaccard_from_shingles(sh_c)
     return cand.join(jac, on=["id_a", "id_b"], how="inner").where(
         F.col("jaccard") >= verify_threshold
+    )
+
+
+# ------------------------------------------------------ incremental dedup
+def _cross_jaccard(sh_new: DataFrame, sh_cor: DataFrame) -> DataFrame:
+    """(id_new, id_cor, jaccard) for every cross-relation pair sharing a
+    shingle.  Two-relation analogue of ``_jaccard_from_shingles``: the
+    equi-join on the shingle key generates only co-occurring pairs."""
+    sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz_new"))
+    sz_cor = sh_cor.groupBy("id").agg(F.count(F.lit(1)).alias("sz_cor"))
+    inter = (
+        sh_new.alias("n")
+        .join(sh_cor.alias("c"), on="shingle")
+        .groupBy(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_cor"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sz_new.withColumnRenamed("id", "id_new"), "id_new")
+        .join(sz_cor.withColumnRenamed("id", "id_cor"), "id_cor")
+        .select(
+            "id_new",
+            "id_cor",
+            F.round(
+                F.col("inter") / (F.col("sz_new") + F.col("sz_cor") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a new batch AGAINST an existing corpus: one surviving
+    (content_hash, keep_id) row per batch content value that does not
+    already exist in the corpus.
+
+    The incremental form a continuously-ingesting pipeline needs — new data
+    arrives, the corpus is already deduplicated, and only novel content
+    should pass.  Batch-internal duplicates collapse to the min id first,
+    then a left-anti join on the 16-byte content hash removes anything the
+    corpus already holds.  Both sides shuffle compact hashes, never texts:
+    at 100 TB the anti-join is a shuffled hash join on md5 keys (store the
+    corpus hash set as a bucketed table on ``content_hash`` and the corpus
+    side needs no shuffle at all)."""
+    h = F.md5(F.col(content_col))
+    batch = (
+        new_df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    corpus = corpus_df.select(h.alias("content_hash")).distinct()
+    return batch.join(corpus, on="content_hash", how="left_anti")
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+    md5_grade: bool = False,
+) -> DataFrame:
+    """Rows of ``new_df`` with no verified near-duplicate in ``corpus_df``.
+
+    The fuzzy analogue of :func:`incremental_exact_dedup` (which it
+    subsumes: an exact clone matches every band and verifies at jaccard
+    1.0).  Candidates come from an equi-join of the batch's LSH band
+    buckets against the corpus's — bucket-local, never batch x corpus — and
+    are exact-Jaccard-verified on the candidate docs only, so cost tracks
+    the collision count, not corpus size.  At 100 TB the corpus band-bucket
+    relation is computed once and persisted (bucketed on (band, bucket));
+    each increment only shingles the new batch.
+
+    ``md5_grade=True`` switches every hash to the md5 construction of
+    :func:`minhash_lsh_pairs_md5` so a DuckDB oracle can replay the whole
+    pipeline; xxhash64 is the production default (8-byte shuffle keys)."""
+    sh_new = shingles(new_df, text_col, id_col, shingle_n)
+    sh_cor = shingles(corpus_df, text_col, id_col, shingle_n)
+    bk_new = _band_buckets(_minhash_sig(sh_new, num_hashes, md5_grade), num_hashes, bands, md5_grade)
+    bk_cor = _band_buckets(_minhash_sig(sh_cor, num_hashes, md5_grade), num_hashes, bands, md5_grade)
+    cand = (
+        bk_new.alias("n")
+        .join(bk_cor.alias("c"), on=["band", "bucket"])
+        .select(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_cor"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        dup_ids = cand.select("id_new").distinct()
+    else:
+        cand = _persist(cand)
+        if md5_grade:
+            vn, vc = sh_new, sh_cor
+        else:  # hashed shingles: 8-byte join keys for the verify stage
+            vn = shingles(new_df, text_col, id_col, shingle_n, hashed=True)
+            vc = shingles(corpus_df, text_col, id_col, shingle_n, hashed=True)
+        vn = vn.join(F.broadcast(cand.select(F.col("id_new").alias("id")).distinct()), "id", "left_semi")
+        vc = vc.join(F.broadcast(cand.select(F.col("id_cor").alias("id")).distinct()), "id", "left_semi")
+        jac = _cross_jaccard(vn, vc)
+        dup_ids = (
+            cand.join(jac, on=["id_new", "id_cor"], how="inner")
+            .where(F.col("jaccard") >= verify_threshold)
+            .select("id_new")
+            .distinct()
+        )
+    return new_df.join(
+        dup_ids.withColumnRenamed("id_new", id_col), on=id_col, how="left_anti"
     )
 
 

@@ -1,0 +1,126 @@
+"""Sequence packing and corpus mixing: the operators that turn a cleaned,
+deduplicated document corpus into training-ready sequences.
+
+``pack_sequences`` groups documents into fixed token-budget packs (the unit
+an LLM trainer consumes); ``mix_by_column`` subsamples domains of a corpus
+to target proportions.  Both are deterministic and content-keyed — the same
+inputs produce the same packs/mix on every run, engine, and partitioning —
+and both are exactly reproducible in ANSI SQL so the driver's DuckDB oracle
+verifies them value-for-value.
+
+Scale notes (100 TB):
+
+* ``pack_sequences`` shuffles once, on a bounded hash-bucket key (default
+  1024 buckets — raise to ~4x the executor-core count of the target
+  cluster), then packs with a window cumsum inside each bucket.  Packing is
+  bucket-local by construction: no global coordination, no driver state, and
+  bucket sizes are balanced because the bucket key is a uniform content
+  hash.  The window sort is the only per-bucket cost.
+* ``mix_by_column`` is a narrow per-row filter (CASE over the domain column
+  against an md5-prefix threshold) — it pipelines inside the scan, no
+  shuffle, no state, exactly like ``ops.sampling.hash_sample``.
+
+Reference parity: the reference engine (mikethoun/redshift-auto-schema) has
+no packing/mixing surface — these extend the §2B LLM-pipeline layer mandated
+by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _hash_prefix, _hash_prefix_int, fraction_threshold
+
+# Bucket-local pack ids are composed as bucket * _PACK_STRIDE + local_seq so
+# a single BIGINT names the pack globally; 2^32 local packs per bucket is
+# unreachable (it would require 2^32 * budget tokens in one bucket).
+_PACK_STRIDE = 1 << 32
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+    budget: int = 512,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training pack.
+
+    Documents are hashed into ``n_buckets`` balanced buckets, ordered within
+    each bucket by content hash (a deterministic global shuffle — exactly
+    the training-order randomization a pipeline wants), and packed
+    greedily by running token count: a document starts a new pack when the
+    budget is exhausted.  ``pack_id`` is globally unique; ``pack_pos`` is
+    the document's position within its pack.
+
+    Boundary semantics: a pack may overflow ``budget`` by at most one
+    document's tokens (the straddling document joins the pack its prefix
+    sum started in).  Bound document size with
+    :func:`spark_auto_schema.ops.text.chunk_documents` first to cap the
+    overflow at the chunk size; trainers that hard-truncate can drop the
+    tail tokens of the straddler.
+
+    One shuffle (the bucket window); everything else is narrow.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    key = F.col(id_col)
+    bucket = (_hash_prefix_int(key) % F.lit(n_buckets)).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(_hash_prefix(key), key)
+    cum = F.sum(token_col).over(w)
+    local = F.floor((cum - F.col(token_col)) / F.lit(budget))
+    return (
+        df.select(key, F.col(token_col), bucket)
+        .withColumn("pack_id", (F.col("bucket") * F.lit(_PACK_STRIDE) + local))
+        .withColumn(
+            "pack_pos",
+            F.row_number().over(
+                Window.partitionBy("bucket", "pack_id").orderBy(_hash_prefix(key), key)
+            ),
+        )
+        .drop("bucket")
+    )
+
+
+def pack_stats(packed: DataFrame, token_col: str = "tokens") -> DataFrame:
+    """Per-pack rollup of :func:`pack_sequences` output: document count,
+    token total, and fill ratio against a budget implied by the caller.
+
+    One hash aggregate on ``pack_id`` (map-side combine; pack ids are
+    already bucket-clustered so the shuffle is near-local)."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("pack_tokens"),
+    )
+
+
+def mix_by_column(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic domain re-weighting: keep a content-hash sample of each
+    domain at its target fraction (domains absent from ``fractions`` keep
+    ``default_fraction``).
+
+    This is the corpus-mixing step of a training pipeline — e.g. downsample
+    web crawl to 30% while keeping code and books at 100% — expressed as a
+    single narrow filter: a CASE over ``domain_col`` picks the threshold,
+    and the row survives iff its md5-prefix (of ``key_col``) is below it.
+    Per-domain membership is nested: a domain's 20% sample is a subset of
+    its 50% sample, so mixtures are monotone and reproducible across runs.
+
+    No shuffle, no per-domain pass — one scan regardless of domain count.
+    """
+    for dom, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {dom!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    thr: Column = F.lit(fraction_threshold(default_fraction))
+    for dom, frac in sorted(fractions.items()):
+        thr = F.when(F.col(domain_col) == F.lit(dom), F.lit(fraction_threshold(frac))).otherwise(thr)
+    return df.where(_hash_prefix(F.col(key_col)) < thr)

@@ -1,0 +1,150 @@
+"""Sequence packing, corpus mixing, and incremental dedup tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_auto_schema.ops import dedup, packing
+
+BUDGET = 10
+
+
+def _packed(spark, n=40, n_buckets=4):
+    rows = [(i, 1 + (i * 7) % 6) for i in range(n)]  # tokens in 1..6 < BUDGET
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    return packing.pack_sequences(
+        df, id_col="doc_id", token_col="tokens", budget=BUDGET, n_buckets=n_buckets
+    )
+
+
+def test_pack_budget_and_positions(spark):
+    out = _packed(spark).collect()
+    packs: dict[int, list] = {}
+    for r in out:
+        packs.setdefault(r.pack_id, []).append(r)
+    for pid, rows in packs.items():
+        total = sum(r.tokens for r in rows)
+        # a pack overflows the budget by at most its last (straddling) doc
+        assert total < BUDGET + max(r.tokens for r in rows)
+        # every pack except a bucket's last is filled past the budget line
+        assert sorted(r.pack_pos for r in rows) == list(range(1, len(rows) + 1))
+    assert len(out) == 40  # every doc assigned exactly once
+
+
+def test_pack_greedy_no_gaps(spark):
+    # within a bucket, pack_local ids are dense starting at 0
+    out = _packed(spark).collect()
+    by_bucket: dict[int, set] = {}
+    for r in out:
+        by_bucket.setdefault(r.pack_id >> 32, set()).add(r.pack_id & 0xFFFFFFFF)
+    for locals_ in by_bucket.values():
+        assert locals_ == set(range(len(locals_)))
+
+
+def test_pack_deterministic_across_partitioning(spark):
+    rows = [(i, 1 + i % 5) for i in range(60)]
+    a = spark.createDataFrame(rows, "doc_id long, tokens long").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, tokens long").repartition(13)
+    pack = lambda df: sorted(
+        (r.doc_id, r.pack_id, r.pack_pos)
+        for r in packing.pack_sequences(df, budget=BUDGET, n_buckets=4).collect()
+    )
+    assert pack(a) == pack(b)
+
+
+def test_pack_oversized_doc_isolated(spark):
+    # a doc bigger than the budget cannot pull later docs over: the next doc
+    # always starts a fresh pack boundary
+    df = spark.createDataFrame(
+        [(1, 3), (2, 50), (3, 3)], "doc_id long, tokens long"
+    )
+    out = packing.pack_sequences(df, budget=BUDGET, n_buckets=1).collect()
+    big = next(r for r in out if r.doc_id == 2)
+    others = [r for r in out if r.doc_id != 2]
+    # nothing shares the oversized doc's pack except docs that preceded it
+    after = [r for r in others if r.pack_id > big.pack_id]
+    for r in after:
+        assert r.pack_id != big.pack_id
+
+
+def test_pack_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, tokens long")
+    with pytest.raises(ValueError):
+        packing.pack_sequences(df, budget=0)
+
+
+def test_mix_fractions_and_nesting(spark):
+    rows = [(i, ["web", "code", "books"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    full = packing.mix_by_column(df, "domain", "doc_id", {"code": 1.0}, 0.3)
+    kept = full.groupBy("domain").count().collect()
+    by_dom = {r.domain: r["count"] for r in kept}
+    assert by_dom["code"] == 100  # fraction 1.0 keeps every row
+    assert 0 < by_dom["web"] < 100 and 0 < by_dom["books"] < 100
+    # nested membership: the 10% web sample is a subset of the 30% one
+    small = packing.mix_by_column(df, "domain", "doc_id", {}, 0.1)
+    small_web = {r.doc_id for r in small.where("domain = 'web'").collect()}
+    big_web = {r.doc_id for r in full.where("domain = 'web'").collect()}
+    assert small_web <= big_web
+
+
+def test_mix_rejects_bad_fraction(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, domain string")
+    with pytest.raises(ValueError):
+        packing.mix_by_column(df, "domain", "doc_id", {"a": 1.5})
+
+
+def test_incremental_exact_dedup(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.keep_id: r.content_hash
+        for r in dedup.incremental_exact_dedup(batch, corpus).collect()
+    }
+    # "alpha" exists in the corpus -> dropped; batch-internal "gamma" pair
+    # collapses to min id; "delta" is novel
+    assert set(out) == {11, 13}
+
+
+@pytest.mark.parametrize("md5_grade", [False, True])
+def test_incremental_near_dedup_drops_corpus_clones(spark, md5_grade):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra"),  # near-dup of corpus doc 1
+            (11, "novel document with entirely unrelated words and content"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors = {
+        r.doc_id
+        for r in dedup.incremental_near_dedup(
+            batch, corpus, verify_threshold=0.5, md5_grade=md5_grade
+        ).collect()
+    }
+    dedup.release_caches()
+    assert survivors == {11}
+
+
+def test_incremental_near_dedup_keeps_batch_internal_dups(spark):
+    # incremental near-dedup only checks the batch AGAINST THE CORPUS;
+    # batch-internal duplicates both survive (cluster them separately)
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = spark.createDataFrame([(1, "unrelated corpus words entirely")],
+                                   "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, text), (11, text)], "doc_id long, text string"
+    )
+    out = dedup.incremental_near_dedup(batch, corpus).collect()
+    dedup.release_caches()
+    assert {r.doc_id for r in out} == {10, 11}

@@ -259,3 +259,32 @@ def test_weighted_sample_is_takeordered(spark):
     )
     plan = plan_of(sampling.weighted_sample(d, "doc_id", "w", 10), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    from spark_auto_schema.ops import packing
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 5) for i in range(100)], "doc_id long, tokens long"
+    )
+    plan = plan_of(packing.pack_sequences(df, budget=10, n_buckets=4), "simple")
+    # one shuffle on the bucket key; the pack_pos window must REUSE that
+    # partitioning (hash(bucket) satisfies clustering by (bucket, pack_id)),
+    # so exactly one Exchange in the whole plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+
+
+def test_mix_by_column_is_narrow_no_shuffle(spark):
+    plan = plan_of(entry._q_corpus_mix(spark, SF_DIR), "simple")
+    # domain re-weighting is a CASE-threshold filter inside the scan stage
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_incremental_exact_dedup_is_anti_join_on_hashes(spark):
+    plan = plan_of(entry._q_incremental_dedup(spark, SF_DIR))
+    # novelty check must be an anti join (never a per-row subquery), keyed
+    # on the md5 hash, after a partial-aggregated batch dedup
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan
