@@ -1442,6 +1442,106 @@ GROUP BY label
 """
 
 
+def _q_gopher_filter(spark, sf_dir):
+    return text.gopher_quality_filter(read_table(spark, sf_dir, "documents"))
+
+
+def _gopher_oracle_sql() -> str:
+    """Generated from the same ops.text.GOPHER_* constants as the Spark op."""
+    stop = f"len(regexp_extract_all(text, '{_stop_pat('en')}'))"
+    nw = "len(string_split(text, ' '))"
+    awl = f"(length(replace(text, ' ', '')) / {nw})"
+    af = (
+        "(len(list_filter(string_split(text, ' '), "
+        f"w -> regexp_matches(w, '[A-Za-z]'))) / {nw})"
+    )
+    wc = f"({nw} >= {text.GOPHER_MIN_WORDS} AND {nw} <= {text.GOPHER_MAX_WORDS})"
+    wl = (
+        f"({awl} >= {text.GOPHER_MIN_AVG_WORD_LEN}::DOUBLE AND "
+        f"{awl} <= {text.GOPHER_MAX_AVG_WORD_LEN}::DOUBLE)"
+    )
+    so = f"({stop} >= {text.GOPHER_MIN_STOPWORD_HITS})"
+    ao = f"({af} >= {text.GOPHER_MIN_ALPHA_FRAC}::DOUBLE)"
+    return (
+        f"SELECT doc_id, {wc} AS wordcount_ok, {wl} AS word_len_ok, "
+        f"{so} AS stop_ok, {ao} AS alpha_ok, "
+        f"({wc} AND {wl} AND {so} AND {ao}) AS keep FROM documents"
+    )
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    return text.unigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.w AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(ws) AS t(w)
+  WHERE length(t.w) > 0
+), model AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM model),
+lp AS (SELECT w, ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) AS lp
+       FROM model, tot)
+SELECT doc_id,
+       CAST(round(CAST(avg(lp) AS DECIMAL(18,10)), 4) AS DOUBLE) AS avg_logprob,
+       count(*) AS n_tokens
+FROM toks JOIN lp USING (w) GROUP BY doc_id
+"""
+
+
+def _q_quantize_embeddings(spark, sf_dir):
+    return similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+
+
+_QUANTIZE_SQL = """
+WITH ex AS (
+  SELECT vec_id, t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), stats AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM ex GROUP BY 1),
+coded AS (
+  SELECT vec_id, pos, v, lo, hi,
+         CASE WHEN hi > lo
+              THEN CAST(floor((v - lo) / (hi - lo) * 255 + 0.5) AS INT)
+              ELSE 0 END AS code
+  FROM ex JOIN stats USING (pos)
+), werr AS (
+  SELECT vec_id, pos, code,
+         abs(v - (CASE WHEN hi > lo
+                       THEN lo + code / 255::DOUBLE * (hi - lo)
+                       ELSE lo END)) AS err
+  FROM coded
+)
+SELECT vec_id, list(code ORDER BY pos) AS codes,
+       CAST(round(CAST(avg(err) AS DECIMAL(18,10)), 6) AS DOUBLE) AS mean_abs_err
+FROM werr GROUP BY vec_id
+"""
+
+
+def _q_kmeans_inertia_ok(spark, sf_dir):
+    """Accuracy contract for distributed Lloyd's k-means: 3 iterations from
+    the deterministic hash-sampled init must not increase inertia, and the
+    assignment must use at most k clusters.  The contract row (not the
+    iterative state) is the oracle-checked value."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents0, _ = similarity.kmeans_lloyd(emb, k=8, iters=0)
+    i0 = similarity.kmeans_inertia(emb, cents0)
+    cents3, assigned = similarity.kmeans_lloyd(emb, k=8, iters=3)
+    i3 = similarity.kmeans_inertia(emb, cents3)
+    n_clusters = assigned.select("cluster").distinct().count()
+    rows = [
+        ("inertia_nonincreasing", bool(i3 <= i0)),
+        ("k_bound", bool(n_clusters <= 8)),
+    ]
+    return spark.createDataFrame(rows, "method string, ok boolean")
+
+
+_KMEANS_INERTIA_SQL = """
+SELECT * FROM (VALUES ('inertia_nonincreasing', TRUE), ('k_bound', TRUE))
+AS t(method, ok)
+"""
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Documents -> fixed-token-budget training packs: BPE-ish token counts,
     8 hash buckets, budget 256.  The oracle replays the identical bucket
@@ -2104,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_topk"] = _q_ivf_topk  # rows-only (recall contract above)
     q["embedding_label_neardup"] = _q_label_neardup
     q["embedding_dim_stats"] = _q_embedding_dim_stats
+    q["embedding_quantize"] = _q_quantize_embeddings
+    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
     # --- text analysis / cleaning family ---
     q["text_stats"] = _q_text_stats
     q["token_count"] = _q_token_count
@@ -2114,6 +2216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clean_text"] = _q_clean_text
     q["redact_pii"] = _q_redact_pii
     q["repetition_ratio"] = _q_repetition_ratio
+    q["gopher_filter"] = _q_gopher_filter
+    q["unigram_logprob"] = _q_unigram_logprob
     q["chunk_documents"] = _q_chunk_documents
     q["label_centroids"] = _q_label_centroids
     q["weighted_sample_docs"] = _q_weighted_sample
@@ -2278,6 +2382,10 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_dedup"] = _STREAMING_DEDUP_SQL
     o["chunk_documents"] = _CHUNK_DOCS_SQL
     o["label_centroids"] = _LABEL_CENTROIDS_SQL
+    o["gopher_filter"] = _gopher_oracle_sql()
+    o["unigram_logprob"] = _UNIGRAM_LOGPROB_SQL
+    o["embedding_quantize"] = _QUANTIZE_SQL
+    o["kmeans_inertia_ok"] = _KMEANS_INERTIA_SQL
     o["weighted_sample_docs"] = _WEIGHTED_SAMPLE_SQL
     o["pack_sequences"] = _PACK_SEQUENCES_SQL
     o["corpus_mix"] = _CORPUS_MIX_SQL

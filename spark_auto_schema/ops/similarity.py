@@ -329,6 +329,172 @@ def embedding_near_dup_pairs(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization to ``levels`` integer codes (the
+    int8 compression step that cuts ANN index memory 4x vs float32):
+    (vec_id, codes array<int>, mean_abs_err).
+
+    Dataflow: posexplode to (id, pos, v); per-dimension min/max is a
+    d-row aggregate — broadcast back onto the exploded rows, so the
+    corpus-sized side never shuffles for the stats; codes are
+    floor((v-min)/(max-min)*(levels-1) + 0.5) (explicit half-up — engines
+    disagree on round()-of-double ties); reassembly is one hash aggregate
+    keyed on id with position-sorted collect_list.  mean_abs_err is the
+    per-vector mean |v - dequantized(v)| snapped through DECIMAL(18,10) and
+    rounded to 6.  At 100 TB: one explode scan, a d-row broadcast, one
+    reassembly shuffle keyed on id — no pairwise anything."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    code = F.when(
+        span > 0,
+        F.floor((F.col("v") - F.col("lo")) / span * (levels - 1) + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("int")
+    deq = F.when(
+        span > 0, F.col("lo") + F.col("code") / (levels - 1) * span
+    ).otherwise(F.col("lo"))
+    coded = (
+        ex.join(F.broadcast(stats), "pos")
+        .withColumn("code", code)
+        .withColumn("err", F.abs(F.col("v") - deq))
+    )
+    return coded.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "code"))),
+            lambda s: s["code"],
+        ).alias("codes"),
+        F.round(F.avg("err").cast("decimal(18,10)"), 6)
+        .cast("double")
+        .alias("mean_abs_err"),
+    )
+
+
+def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """Literal array<struct<cid,int cvec:array<double>>> for row-local argmin."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (squared-L2) centroid from a
+    driver-side centroid list: (id, vector, cluster, sq_dist).
+
+    The centroid set is a LITERAL array baked into the plan — assignment is
+    a row-local transform + array argmin with no join and no shuffle at all;
+    k stays fixed and small (it is a model parameter, not data-sized), which
+    is exactly when literal broadcast beats even a broadcast join."""
+    lit = _centroid_literal(cents)
+    dists = F.transform(
+        lit,
+        lambda s: F.struct(
+            _sq_dist(F.col(vec_col), s["cvec"]).alias("d"), s["cid"].alias("cid")
+        ),
+    )
+    best = F.array_min(dists)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cid"].alias("cluster"),
+        best["d"].alias("sq_dist"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Lloyd's k-means over an embedding column, Spark-first: returns the
+    final centroid list and the assignment DataFrame.
+
+    Initialization is the deterministic fixed-size hash sample used by
+    :func:`ivf_topk` (k smallest md5(id): a TakeOrdered, no full sort).
+    Each iteration = ONE scan with row-local assignment (see
+    :func:`kmeans_assign` — zero shuffle) + one k*d-row mean aggregate
+    (posexplode -> partial/final avg per (cluster, pos), the
+    :func:`label_centroids` dataflow) collected to the driver.  Per-iteration
+    cost at 100 TB: one corpus scan and a k*d-row shuffle — the canonical
+    distributed Lloyd's step; iterations are a small fixed constant.
+    Centroid means are rounded to ``decimals`` so runs reproduce across
+    engines and partitionings."""
+    init = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+    ]
+    for _ in range(iters):
+        assigned = kmeans_assign(df, cents, vec_col, id_col)
+        new_rows = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        # empty clusters keep their previous centroid (standard Lloyd choice)
+        updated = {r["cluster"]: [float(x) for x in r["centroid"]] for r in new_rows}
+        cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
+    return cents, kmeans_assign(df, cents, vec_col, id_col)
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Total within-cluster squared distance for a centroid set — the
+    quantity Lloyd iterations monotonically non-increase."""
+    row = (
+        kmeans_assign(df, cents, vec_col, id_col)
+        .agg(F.sum("sq_dist").alias("inertia"))
+        .collect()[0]
+    )
+    return float(row["inertia"])
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -201,6 +201,96 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+# Gopher-style document-quality gate thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", table A1 idea: reject documents outside word
+# count / word length / stopword / alpha-fraction bounds).  Named constants so
+# the DuckDB oracle is generated from the same numbers.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 5.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style composite quality gate: per-document rule booleans plus
+    the conjunction ``keep``.  Returning the individual rule outcomes (not
+    just the verdict) is what a curation pipeline needs to audit WHY a
+    document was dropped and to tune thresholds per corpus.
+
+    Rules: word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]; mean word
+    length in [GOPHER_MIN_AVG_WORD_LEN, GOPHER_MAX_AVG_WORD_LEN]; at least
+    GOPHER_MIN_STOPWORD_HITS English stopword occurrences; fraction of words
+    containing an alphabetic character >= GOPHER_MIN_ALPHA_FRAC.
+
+    One narrow per-row projection of built-ins — no shuffle, no Python; at
+    100 TB this pipelines inside the scan like every other filter here."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    avg_wl = F.length(F.replace(t, F.lit(" "), F.lit(""))) / n_words
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    )
+    wordcount_ok = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    word_len_ok = (avg_wl >= GOPHER_MIN_AVG_WORD_LEN) & (
+        avg_wl <= GOPHER_MAX_AVG_WORD_LEN
+    )
+    stop_ok = stopword_hits(t, "en") >= GOPHER_MIN_STOPWORD_HITS
+    alpha_ok = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    return df.select(
+        F.col(id_col),
+        wordcount_ok.alias("wordcount_ok"),
+        word_len_ok.alias("word_len_ok"),
+        stop_ok.alias("stop_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (wordcount_ok & word_len_ok & stop_ok & alpha_ok).alias("keep"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy scoring: train an add-one-smoothed unigram LM on the
+    corpus itself, then score each document by its mean token log-probability
+    — the cheap stand-in for KenLM-style quality scoring in data curation
+    (low avg logprob = unusual token distribution = candidate for review).
+
+    Two passes over the corpus, both scale-safe: (1) the classic wordcount
+    (explode -> map-side-combined hash aggregate; the shuffle carries the
+    vocabulary, not the corpus), (2) a score pass where each token joins the
+    vocabulary-sized model — broadcast, so no corpus shuffle; the only wide
+    exchange is the final per-document average keyed on ``id_col``.
+
+    Returns (id, avg_logprob, n_tokens); avg_logprob = mean over tokens of
+    ln((count + 1) / (N + V)), snapped through DECIMAL(18,10) then rounded
+    to 4 digits so the DuckDB oracle agrees bit-for-bit."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.length("w") > 0)
+    model = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    logp = model.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))).alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(logp), "w")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("lp").cast("decimal(18,10)"), 4)
+            .cast("double")
+            .alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

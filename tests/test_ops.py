@@ -362,3 +362,85 @@ def test_label_centroids_match_numpy(spark, emb):
         assert n == len(vecs)
         expect = np.round(np.mean(np.stack(vecs), axis=0), 6)
         assert np.allclose(cent, expect, atol=1e-6)
+
+
+# ------------------------------------------------- gopher quality filter
+def test_gopher_filter_rules(spark):
+    long_doc = " ".join(["the word here fits fine"] * 10)  # 50 words, stopwords
+    short_doc = "too short"
+    no_stop = " ".join(["zxqj klmn pqrs tuvw xyzw"] * 8)  # 40 words, 0 stopwords
+    digits = " ".join(["1234 5678 the 9012 3456"] * 8)  # alpha frac 1/5
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, no_stop), (4, digits)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.gopher_quality_filter(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["wordcount_ok"] and not out[2]["keep"]
+    assert out[3]["wordcount_ok"] and not out[3]["stop_ok"] and not out[3]["keep"]
+    assert not out[4]["alpha_ok"] and not out[4]["keep"]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus: "a a b" + "a c" -> counts a:3 b:1 c:1, N=5 V=3
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    lp = lambda c: math.log((c + 1) / (5 + 3))
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == round((2 * lp(3) + lp(1)) / 3, 4)
+    assert out[2]["avg_logprob"] == round((lp(3) + lp(1)) / 2, 4)
+
+
+# ------------------------------------------------- embedding quantization
+def test_quantize_roundtrip_error_bounded(spark, emb):
+    out = similarity.quantize_embeddings(emb).collect()
+    assert len(out) == emb.count()
+    dim = len(out[0]["codes"])
+    for r in out[:20]:
+        assert len(r["codes"]) == dim
+        assert all(0 <= c <= 255 for c in r["codes"])
+    # max per-dim error is span/(2*255); spans here are O(1), so mean err
+    # must be well under 0.01 for unit-ish embedding values
+    assert max(r["mean_abs_err"] for r in out) < 0.01
+
+
+def test_quantize_constant_dim_is_zero_code(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    # dim 0 is constant -> code 0, zero error contribution
+    assert out[1]["codes"][0] == 0 and out[2]["codes"][0] == 0
+    assert out[1]["codes"][1] == 0 and out[2]["codes"][1] == 255
+
+
+# ------------------------------------------------------------- k-means
+def test_kmeans_separable_clusters(spark):
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (100 + i, [10.0 + i * 0.01, 10.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents, assigned = similarity.kmeans_lloyd(df, k=2, iters=5)
+    groups = {
+        r["cluster"]: set()
+        for r in assigned.select("cluster").distinct().collect()
+    }
+    for r in assigned.collect():
+        groups[r["cluster"]].add(r["vec_id"])
+    assert len(groups) == 2
+    assert {frozenset(range(10)), frozenset(range(100, 110))} == set(
+        frozenset(v) for v in groups.values()
+    )
+
+
+def test_kmeans_inertia_monotone(spark, emb):
+    c0, _ = similarity.kmeans_lloyd(emb, k=4, iters=0)
+    c2, _ = similarity.kmeans_lloyd(emb, k=4, iters=2)
+    i0 = similarity.kmeans_inertia(emb, c0)
+    i2 = similarity.kmeans_inertia(emb, c2)
+    assert i2 <= i0
