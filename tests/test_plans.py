@@ -288,3 +288,48 @@ def test_incremental_exact_dedup_is_anti_join_on_hashes(spark):
     # on the md5 hash, after a partial-aggregated batch dedup
     assert "LeftAnti" in plan
     assert "HashAggregate" in plan
+
+
+def test_gopher_filter_is_narrow_no_shuffle(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.gopher_quality_filter(docs), "simple")
+    assert "Exchange" not in plan  # pure per-row projection
+    assert plan.count("Scan parquet") == 1
+
+
+def test_kmeans_assign_is_row_local(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    plan = plan_of(similarity.kmeans_assign(emb, cents), "simple")
+    # assignment against literal centroids: no join, no exchange, one scan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_quantize_stats_join_is_broadcast(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(similarity.quantize_embeddings(emb))
+    # the d-row per-dimension stats side must broadcast, never shuffle the
+    # exploded corpus for the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_model_join_is_broadcast(spark):
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.unigram_logprob(docs))
+    # vocabulary-sized model joins the token stream via broadcast; the only
+    # wide exchanges are the wordcount and the final per-doc aggregate
+    assert "BroadcastHashJoin" in plan
