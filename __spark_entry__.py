@@ -1518,6 +1518,54 @@ FROM werr GROUP BY vec_id
 """
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    return text.vocab_coverage(read_table(spark, sf_dir, "documents"), vocab_size=10)
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.w AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(ws) AS t(w)
+  WHERE length(t.w) > 0
+), vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY 1
+                 ORDER BY c DESC, w LIMIT 10)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       count(CASE WHEN vocab.w IS NOT NULL THEN 1 END) AS n_covered,
+       round(count(CASE WHEN vocab.w IS NOT NULL THEN 1 END) / count(*), 4)
+           AS coverage
+FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+GROUP BY doc_id
+"""
+
+
+def _q_tfidf_pairs(spark, sf_dir):
+    return text.tfidf_top_pairs(read_table(spark, sf_dir, "documents"))
+
+
+_TFIDF_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+), tf AS (SELECT id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+kept AS (
+  SELECT w, ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS idf
+  FROM dfreq
+  WHERE df <= CAST(floor(0.5 * (SELECT count(*) FROM documents)) AS BIGINT)
+),
+wt AS (SELECT id, w, tf * idf AS wt FROM tf JOIN kept USING (w)),
+norms AS (SELECT id, sqrt(sum(wt * wt)) AS nm FROM wt GROUP BY 1),
+unit AS (SELECT id, w, wt / nm AS u FROM wt JOIN norms USING (id))
+SELECT a.id AS id_a, b.id AS id_b, round(sum(a.u * b.u), 4) AS tfidf_sim
+FROM unit a JOIN unit b USING (w) WHERE a.id < b.id
+GROUP BY 1, 2 HAVING round(sum(a.u * b.u), 4) >= 0.2
+"""
+
+
 def _q_kmeans_inertia_ok(spark, sf_dir):
     """Accuracy contract for distributed Lloyd's k-means: 3 iterations from
     the deterministic hash-sampled init must not increase inertia, and the
@@ -2218,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_ratio"] = _q_repetition_ratio
     q["gopher_filter"] = _q_gopher_filter
     q["unigram_logprob"] = _q_unigram_logprob
+    q["vocab_coverage"] = _q_vocab_coverage
+    q["tfidf_pairs"] = _q_tfidf_pairs
     q["chunk_documents"] = _q_chunk_documents
     q["label_centroids"] = _q_label_centroids
     q["weighted_sample_docs"] = _q_weighted_sample
@@ -2384,6 +2434,8 @@ def oracle_sql() -> dict[str, str]:
     o["label_centroids"] = _LABEL_CENTROIDS_SQL
     o["gopher_filter"] = _gopher_oracle_sql()
     o["unigram_logprob"] = _UNIGRAM_LOGPROB_SQL
+    o["vocab_coverage"] = _VOCAB_COVERAGE_SQL
+    o["tfidf_pairs"] = _TFIDF_PAIRS_SQL
     o["embedding_quantize"] = _QUANTIZE_SQL
     o["kmeans_inertia_ok"] = _KMEANS_INERTIA_SQL
     o["weighted_sample_docs"] = _WEIGHTED_SAMPLE_SQL

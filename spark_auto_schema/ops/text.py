@@ -291,6 +291,99 @@ def unigram_logprob(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-planning metric: per-document fraction of tokens covered by
+    the corpus top-``vocab_size`` vocabulary (and the OOV remainder).
+
+    Stage 1 builds the vocabulary with the map-side-combined wordcount and a
+    TakeOrdered top-k (count desc, term asc tie-break — deterministic across
+    engines).  Stage 2 left-semi-flags each token against the
+    vocabulary-sized table — broadcast, so the corpus-sized token stream
+    never shuffles for the membership test; the only wide exchange is the
+    final per-document aggregate.  Returns (id, n_tokens, n_covered,
+    coverage rounded to 4)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.length("w") > 0)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("__in_vocab").alias("n_covered"),
+            F.round(F.count("__in_vocab") / F.count(F.lit(1)), 4).alias("coverage"),
+        )
+    )
+
+
+def tfidf_top_pairs(
+    df: DataFrame,
+    threshold: float = 0.2,
+    max_df_frac: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate / related-document pairs by cosine similarity of
+    L2-normalized tf-idf vectors over word ``n``-gram terms:
+    (id_a, id_b, tfidf_sim >= threshold), id_a < id_b.
+
+    The scale contract is the same as the shingle-join dedups: pairs are
+    generated ONLY for documents sharing a term (equi-join keyed on the
+    term), and terms appearing in more than ``max_df_frac`` of documents are
+    dropped BEFORE the join — a hot term would otherwise generate ~n^2 pairs
+    on its own while contributing almost nothing to tf-idf weight (its idf
+    is near zero).  With the cap, join fan-out tracks the document-frequency
+    distribution tail, not n^2.  Terms default to trigrams because unigram
+    vocabularies are hot by construction; n=1 gives classic word tf-idf.
+
+    Weights: tf = in-doc count, idf = ln(N / df_t), w = tf * idf, vectors
+    L2-normalized per document so the pair dot product IS the cosine.
+    Similarity is rounded to 4 decimals before thresholding (both engines
+    agree on the rounded value; raw doubles can differ in the last ulp)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("w")
+    ).where(F.length("w") > 0)
+    n_docs = df.count()
+    tf = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.where(F.col("df") <= int(max_df_frac * n_docs)).select(
+        "w", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+    )
+    # the term->idf table is vocabulary-sized: broadcast it, never shuffle
+    # the corpus-sized tf relation for the idf lookup
+    w = tf.join(F.broadcast(kept), "w").select(
+        "id", "w", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
+    unit = w.join(norms, "id").select("id", "w", (F.col("wt") / F.col("nm")).alias("u"))
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(b, "w")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.round(F.sum(F.col("a.u") * F.col("b.u")), 4).alias("tfidf_sim"))
+        .where(F.col("tfidf_sim") >= threshold)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

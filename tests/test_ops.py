@@ -444,3 +444,41 @@ def test_kmeans_inertia_monotone(spark, emb):
     i0 = similarity.kmeans_inertia(emb, c0)
     i2 = similarity.kmeans_inertia(emb, c2)
     assert i2 <= i0
+
+
+# ------------------------------------------------- vocab coverage / tf-idf
+def test_vocab_coverage_fractions(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "z z z z")], "doc_id long, text string"
+    )
+    # corpus counts: a:2 b:2 z:4 c:1 -> top-2 vocab (count desc, term asc) = a? no:
+    # z:4, then a:2/b:2 tie -> 'a' wins alphabetically; vocab = {z, a}
+    out = {r["doc_id"]: r for r in text.vocab_coverage(df, vocab_size=2).collect()}
+    assert out[1]["n_covered"] == 2 and out[1]["coverage"] == round(2 / 3, 4)
+    assert out[2]["n_covered"] == 0
+    assert out[3]["coverage"] == 1.0
+
+
+def test_tfidf_pairs_find_clones(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    # 3 docs: max_df_frac must admit df=2 terms or the clones' shared
+    # trigrams are capped away (the cap is corpus-fraction-relative)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["tfidf_sim"]
+        for r in text.tfidf_top_pairs(df, threshold=0.2, max_df_frac=0.7).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # identical docs -> cosine exactly 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_tfidf_hot_term_cap_drops_ubiquitous_terms(spark):
+    # every doc shares the same trigram; with max_df_frac=0.5 the term is
+    # dropped and no pairs survive
+    df = spark.createDataFrame(
+        [(i, "same three words") for i in range(4)], "doc_id long, text string"
+    )
+    assert text.tfidf_top_pairs(df, threshold=0.0).count() == 0
