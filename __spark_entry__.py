@@ -2113,6 +2113,75 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 """
 
 
+def _dot_sql(vec_expr: str, values: list[float]) -> str:
+    lst = "[" + ", ".join(repr(float(x)) for x in values) + "]"
+    return (
+        f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), CAST({lst} AS DOUBLE[]))"
+    )
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Full DuckDB replay of ann_lsh_topk(query_id=0, k=10, num_planes=3,
+    num_tables=6): the hyperplanes are deterministic (seeded PCG64) driver
+    constants, so the oracle embeds the SAME plane literals and recomputes
+    every signature.  repr() round-trips doubles exactly and both engines
+    sum dot products sequentially, so the sign tests agree bit-for-bit."""
+    from spark_auto_schema.ops.similarity import _hyperplanes
+
+    tables = [_hyperplanes(64, 3, 42 + 1000 * t) for t in range(6)]
+    sig_cols = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql('embedding', p)} > 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        sig_cols.append(f"({bits}) AS sig{t}")
+    collide = " OR ".join(f"s.sig{t} = q.sig{t}" for t in range(6))
+    ldp = "list_dot_product"
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {', '.join(sig_cols)} FROM embeddings
+), q AS (SELECT * FROM sigs WHERE vec_id = 0)
+SELECT s.vec_id,
+       round({ldp}(CAST(s.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             / (sqrt({ldp}(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])))
+                * sqrt({ldp}(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))),
+             4) AS cos_sim
+FROM sigs s, q
+WHERE s.vec_id != 0 AND ({collide})
+ORDER BY cos_sim DESC, s.vec_id LIMIT 10
+"""
+
+
+_IVF_TOPK_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS csim
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), probe AS (
+  SELECT cid FROM scored WHERE vec_id = 0 ORDER BY csim DESC, cid LIMIT 5
+), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))),
+             4) AS cos_sim
+FROM assigned a, q
+WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id != 0
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+
 def _q_ann_recall_ok(spark, sf_dir):
     """Accuracy contract for approximate search: both LSH and IVF top-10
     must overlap the exact cosine top-10 by >= 5 of 10.  The contract (not
@@ -2247,9 +2316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["contamination_check"] = _q_contamination
     # --- similarity search family ---
     q["embedding_topk"] = _q_embedding_topk
-    q["ann_lsh_topk"] = _q_ann_lsh  # rows-only (recall contract below)
+    q["ann_lsh_topk"] = _q_ann_lsh  # full oracle: planes replayed in SQL
     q["ann_recall_ok"] = _q_ann_recall_ok
-    q["ivf_topk"] = _q_ivf_topk  # rows-only (recall contract above)
+    q["ivf_topk"] = _q_ivf_topk  # full oracle: centroid pipeline in SQL
     q["embedding_label_neardup"] = _q_label_neardup
     q["embedding_dim_stats"] = _q_embedding_dim_stats
     q["embedding_quantize"] = _q_quantize_embeddings
@@ -2424,6 +2493,8 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_label_neardup"] = _LABEL_NEARDUP_SQL
     o["media_features"] = _MEDIA_FEATURES_SQL
     o["ann_recall_ok"] = _ANN_RECALL_SQL
+    o["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+    o["ivf_topk"] = _IVF_TOPK_SQL
     o["minhash_md5_dup_pairs"] = _MINHASH_MD5_SQL
     o["simhash_md5_near_dup"] = _SIMHASH_MD5_SQL
     o["ewma_value_check"] = _EWMA_VALUE_SQL
