@@ -1572,9 +1572,8 @@ def _q_kmeans_inertia_ok(spark, sf_dir):
     assignment must use at most k clusters.  The contract row (not the
     iterative state) is the oracle-checked value."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cents0, _ = similarity.kmeans_lloyd(emb, k=8, iters=0)
-    i0 = similarity.kmeans_inertia(emb, cents0)
-    cents3, assigned = similarity.kmeans_lloyd(emb, k=8, iters=3)
+    cents3, assigned, history = similarity.kmeans_lloyd(emb, k=8, iters=3)
+    i0 = history[0]  # inertia under the init centroids, free with iter 1
     i3 = similarity.kmeans_inertia(emb, cents3)
     n_clusters = assigned.select("cluster").distinct().count()
     rows = [

@@ -435,20 +435,23 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     decimals: int = 6,
-) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+) -> tuple[list[tuple[int, list[float]]], DataFrame, list[float]]:
     """Lloyd's k-means over an embedding column, Spark-first: returns the
-    final centroid list and the assignment DataFrame.
+    final centroid list, the assignment DataFrame, and the per-iteration
+    inertia history (inertia under the centroids each iteration STARTED
+    from — history[0] is the init inertia).
 
     Initialization is the deterministic fixed-size hash sample used by
     :func:`ivf_topk` (k smallest md5(id): a TakeOrdered, no full sort).
     Each iteration = ONE scan with row-local assignment (see
     :func:`kmeans_assign` — zero shuffle) + one k*d-row mean aggregate
     (posexplode -> partial/final avg per (cluster, pos), the
-    :func:`label_centroids` dataflow) collected to the driver.  Per-iteration
-    cost at 100 TB: one corpus scan and a k*d-row shuffle — the canonical
-    distributed Lloyd's step; iterations are a small fixed constant.
-    Centroid means are rounded to ``decimals`` so runs reproduce across
-    engines and partitionings."""
+    :func:`label_centroids` dataflow) collected to the driver.  Inertia
+    rides the SAME aggregate (summed once per vector at pos 0), so tracking
+    it adds no extra job.  Per-iteration cost at 100 TB: one corpus scan
+    and a k*d-row shuffle — the canonical distributed Lloyd's step;
+    iterations are a small fixed constant.  Centroid means are rounded to
+    ``decimals`` so runs reproduce across engines and partitionings."""
     init = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -458,25 +461,39 @@ def kmeans_lloyd(
     cents = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]
+    history: list[float] = []
     for _ in range(iters):
         assigned = kmeans_assign(df, cents, vec_col, id_col)
-        new_rows = (
-            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        per_cluster = (
+            assigned.select(
+                "cluster",
+                F.col("sq_dist"),
+                F.posexplode(F.col(vec_col)).alias("pos", "v"),
+            )
             .groupBy("cluster", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("m"))
+            .agg(
+                F.round(F.avg(F.col("v").cast("double")), decimals).alias("m"),
+                # sq_dist is per-vector, replicated d times by the explode:
+                # summing it at pos 0 only counts each vector exactly once
+                F.sum(F.when(F.col("pos") == 0, F.col("sq_dist"))).alias("i0"),
+            )
             .groupBy("cluster")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s["m"],
-                ).alias("centroid")
+                ).alias("centroid"),
+                F.sum("i0").alias("inertia"),
             )
             .collect()
         )
+        history.append(sum(float(r["inertia"]) for r in per_cluster))
         # empty clusters keep their previous centroid (standard Lloyd choice)
-        updated = {r["cluster"]: [float(x) for x in r["centroid"]] for r in new_rows}
+        updated = {
+            r["cluster"]: [float(x) for x in r["centroid"]] for r in per_cluster
+        }
         cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
-    return cents, kmeans_assign(df, cents, vec_col, id_col)
+    return cents, kmeans_assign(df, cents, vec_col, id_col), history
 
 
 def kmeans_inertia(

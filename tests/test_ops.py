@@ -425,7 +425,7 @@ def test_kmeans_separable_clusters(spark):
         (100 + i, [10.0 + i * 0.01, 10.0]) for i in range(10)
     ]
     df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
-    cents, assigned = similarity.kmeans_lloyd(df, k=2, iters=5)
+    cents, assigned, _ = similarity.kmeans_lloyd(df, k=2, iters=5)
     groups = {
         r["cluster"]: set()
         for r in assigned.select("cluster").distinct().collect()
@@ -439,11 +439,10 @@ def test_kmeans_separable_clusters(spark):
 
 
 def test_kmeans_inertia_monotone(spark, emb):
-    c0, _ = similarity.kmeans_lloyd(emb, k=4, iters=0)
-    c2, _ = similarity.kmeans_lloyd(emb, k=4, iters=2)
-    i0 = similarity.kmeans_inertia(emb, c0)
+    c2, _, hist = similarity.kmeans_lloyd(emb, k=4, iters=2)
+    assert hist == sorted(hist, reverse=True)  # Lloyd never increases inertia
     i2 = similarity.kmeans_inertia(emb, c2)
-    assert i2 <= i0
+    assert i2 <= hist[0]
 
 
 # ------------------------------------------------- vocab coverage / tf-idf
