@@ -1518,6 +1518,25 @@ FROM werr GROUP BY vec_id
 """
 
 
+def _q_repeated_ngram_coverage(spark, sf_dir):
+    return dedup.repeated_ngram_coverage(_spread_docs(spark, sf_dir))
+
+
+_REPEATED_NGRAM_SQL = """
+WITH pos AS (
+  SELECT doc_id AS id, md5(substr(text, t.i, 40)) AS g
+  FROM documents,
+       UNNEST(generate_series(1, greatest(length(text) - 39, 1))) AS t(i)
+), rep AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT id) >= 2)
+SELECT id AS doc_id, count(*) AS n_grams,
+       count(CASE WHEN rep.g IS NOT NULL THEN 1 END) AS n_dup_grams,
+       round(count(CASE WHEN rep.g IS NOT NULL THEN 1 END) / count(*), 4)
+           AS dup_frac
+FROM pos LEFT JOIN rep ON pos.g = rep.g
+GROUP BY id
+"""
+
+
 def _q_vocab_coverage(spark, sf_dir):
     return text.vocab_coverage(read_table(spark, sf_dir, "documents"), vocab_size=10)
 
@@ -2312,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["dedup_clusters"] = _q_dedup_clusters
+    q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
     q["contamination_check"] = _q_contamination
     # --- similarity search family ---
     q["embedding_topk"] = _q_embedding_topk
@@ -2504,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
     o["label_centroids"] = _LABEL_CENTROIDS_SQL
     o["gopher_filter"] = _gopher_oracle_sql()
     o["unigram_logprob"] = _UNIGRAM_LOGPROB_SQL
+    o["repeated_ngram_coverage"] = _REPEATED_NGRAM_SQL
     o["vocab_coverage"] = _VOCAB_COVERAGE_SQL
     o["tfidf_pairs"] = _TFIDF_PAIRS_SQL
     o["embedding_quantize"] = _QUANTIZE_SQL

@@ -440,6 +440,64 @@ def incremental_near_dedup(
     )
 
 
+def repeated_ngram_coverage(
+    df: DataFrame,
+    gram_chars: int = 40,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level repeated-substring signal — the shuffle-join
+    approximation of exact substring dedup (suffix-array dedup a la "
+    Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, github.com/google-research/deduplicate-text-datasets): for every
+    overlapping ``gram_chars``-character gram, find grams occurring in >=
+    ``min_docs`` distinct documents, and report per document the fraction
+    of gram start positions covered by such cross-document repeats:
+    (doc_id, n_grams, n_dup_grams, dup_frac).
+
+    A true suffix array is sequential; the distributed formulation is two
+    hash aggregates keyed on the gram fingerprint: (1) md5(gram) ->
+    distinct-doc count, filtered to repeats; (2) a semi-join flagging each
+    position whose gram repeats, then a per-document rollup.  Both shuffles
+    move 16-byte fingerprints (never the gram text), so the exchange volume
+    is ~16 bytes per character position — linear in corpus size, no pair
+    generation anywhere.  Documents shorter than ``gram_chars`` contribute
+    one whole-text gram (substr clamps identically in Spark and the DuckDB
+    oracle)."""
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (gram_chars - 1), F.lit(1))
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"), F.explode(starts).alias("i"), t.alias("__t")
+    ).select(
+        "id",
+        F.md5(F.substring(F.col("__t"), F.col("i"), F.lit(gram_chars))).alias("g"),
+    )
+    rep = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    flagged = pos.join(rep, "g", "left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    totals = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(flagged, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # -------------------------------------------------------- dedup clustering
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair set: (id, cluster_id)

@@ -481,3 +481,20 @@ def test_tfidf_hot_term_cap_drops_ubiquitous_terms(spark):
         [(i, "same three words") for i in range(4)], "doc_id long, text string"
     )
     assert text.tfidf_top_pairs(df, threshold=0.0).count() == 0
+
+
+def test_repeated_ngram_coverage_flags_shared_spans(spark):
+    shared = "0123456789" * 5  # 50 chars, repeated across docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one for doc"),
+            (2, "other prefix here " + shared),
+            (3, "entirely different text with no long repeats at all anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.repeated_ngram_coverage(df, gram_chars=40).collect()}
+    assert out[1]["n_dup_grams"] > 0 and out[2]["n_dup_grams"] > 0
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+    for r in out.values():
+        assert r["n_grams"] >= 1
