@@ -26,10 +26,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # family rollup prefixes, checked in order (first match wins)
 _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
-               "incremental_")),
-    ("similarity", ("embedding_", "ann_", "ivf_")),
+               "incremental_", "repeated_")),
+    ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
-              "top_terms", "clean_", "redact_", "repetition_")),
+              "top_terms", "clean_", "redact_", "repetition_", "gopher_",
+              "unigram_", "vocab_", "tfidf_")),
     ("multimodal", ("multimodal_", "media_", "frame_")),
     ("streaming", ("streaming_",)),
     ("inference", ("infer_", "csv_inference", "column_list", "schema_diff",
