@@ -530,11 +530,17 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
     )
+    # localCheckpoint (not persist) between rounds: persisting caches the
+    # DATA but each round's logical plan still nests every previous round's
+    # joins — on long chains (high diameter -> many rounds) the doubling
+    # plan tree OOMs the analyzer long before the data is large.
+    # Checkpointing truncates the lineage so every round plans against a
+    # constant-size tree; eager=True also caches the (id,label)-sized blocks.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # convergence via the label-sum invariant: propagation only ever LOWERS
     # labels, so sum(label) strictly decreases until the fixpoint — equal
@@ -555,10 +561,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     labels["label"], F.coalesce(neigh["nlabel"], labels["label"])
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
