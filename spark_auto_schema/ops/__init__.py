@@ -7,14 +7,27 @@ built-in Spark SQL expressions (JVM, whole-stage codegen) except the
 explicitly Arrow-batched multimodal UDFs.
 """
 
-from . import dedup, multimodal, packing, relational, sampling, similarity, skew, text
+from . import (
+    corpus,
+    dedup,
+    multimodal,
+    packing,
+    relational,
+    sampling,
+    scoring,
+    similarity,
+    skew,
+    text,
+)
 
 __all__ = [
+    "corpus",
     "dedup",
     "multimodal",
     "packing",
     "relational",
     "sampling",
+    "scoring",
     "similarity",
     "skew",
     "text",

@@ -1,0 +1,192 @@
+"""Corpus-level operators: data profiling, snapshot diff, epoch sharding,
+and domain mix weights — the bookkeeping layer of a training-data pipeline.
+
+A 100 TB corpus is not a static file; it is versioned (crawl refreshes,
+filter re-runs), audited (per-column quality profiles), re-weighted
+(domain temperature mixing), and re-ordered (per-epoch shuffles) between
+training runs.  These operators cover that lifecycle with the same
+determinism contract as the rest of the package: every output is a pure
+function of the input data, reproducible across runs, engines, and
+partitionings, and each driver query is verified value-for-value against
+a DuckDB oracle.
+
+Scale notes (100 TB):
+
+* :func:`profile_table` is one full scan producing ONE row (a partial→final
+  hash aggregate, the same shape as the schema-inference flagship), then a
+  constant-size ``stack`` unpivot of that row.  No wide shuffle, no second
+  scan, cost independent of column count beyond the agg expressions.
+* :func:`corpus_diff` is a single co-partitioned full-outer equi-join on
+  the id — both sides shuffle once on the same key, nothing is broadcast,
+  and the md5 fingerprints reduce row width to 32 bytes before the join.
+* :func:`epoch_shuffle` deliberately does NOT build a global row_number
+  (a single-partition window is a driver-sized bottleneck at any scale).
+  It hashes rows into ``num_shards`` balanced shards and numbers rows
+  *within* each shard — the window sort is shard-local, so parallelism is
+  ``num_shards`` and no task ever sees more than ``n / num_shards`` rows.
+  (shard, pos_in_shard) is exactly the addressing a sharded training
+  loader consumes.
+* :func:`mix_weights` aggregates to one row per domain (thousands at
+  most), then broadcasts the 1-row normalizer — no data-sized shuffle
+  beyond the count aggregate.
+
+Reference parity: the reference engine (mikethoun/redshift-auto-schema)
+has no corpus-versioning surface — these extend the §2B LLM-pipeline
+layer mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ASCII unit separator: joins fingerprint columns without colliding with
+# text content (documents are word-soup; real corpora could contain any
+# printable delimiter).
+_FS = "\x1f"
+
+
+# ---------------------------------------------------------------- profiling
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value), one output row per column.
+
+    The profile is computed in ONE pass: a single aggregate row holding
+    every column's stats (partial aggregation map-side, one 1-row
+    exchange — machine-asserted for the same plan shape in
+    ``tests/test_plans.py`` for inference), then a ``stack`` unpivot into
+    the long format.  min/max are computed in the column's native type
+    (numeric min, not lexicographic) and cast to string afterwards so one
+    schema fits every column.  ``n_distinct`` is exact and ignores nulls
+    (``count(DISTINCT c)`` semantics, identical in ANSI SQL).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__distinct_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__nulls_{c}`, `__distinct_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return row.selectExpr(
+        "__n_rows AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+# ------------------------------------------------------------ snapshot diff
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: (id, status, old_fp,
+    new_fp) with status ADDED / REMOVED / CHANGED (and UNCHANGED when
+    ``include_unchanged``).
+
+    The data-level sibling of the schema-level
+    ``SparkAutoSchema.evaluate_table_ddl_diffs`` (SURVEY §2A rows 23-26):
+    the same full-outer-join + CASE dataflow, applied to content
+    fingerprints instead of column types.  Each side is reduced to
+    (id, md5(fingerprint columns)) before the join, so the shuffle moves
+    32-byte digests, not documents.
+    """
+    fcols = (
+        list(fingerprint_cols)
+        if fingerprint_cols is not None
+        else [c for c in old_df.columns if c != id_col]
+    )
+
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        digest = F.md5(
+            F.concat_ws(_FS, *[F.col(c).cast("string") for c in fcols])
+        )
+        return df.select(F.col(id_col).alias("id"), digest.alias(out))
+
+    o, n = fp(old_df, "old_fp"), fp(new_df, "new_fp")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("ADDED"))
+        .when(F.col("new_fp").isNull(), F.lit("REMOVED"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("CHANGED"))
+        .otherwise(F.lit("UNCHANGED"))
+    )
+    out = o.join(n, "id", "full_outer").select(
+        F.col("id").alias(id_col), status.alias("status"), "old_fp", "new_fp"
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "UNCHANGED")
+    return out
+
+
+# ------------------------------------------------------------ epoch shuffle
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Deterministic per-epoch shuffle as sharded addressing: (id, shard,
+    pos_in_shard), a pure function of (id, seed).
+
+    Training loaders consume data as "shard file k, position p", and every
+    epoch wants a different — but exactly reproducible — permutation.
+    Hash (seed, id) once: the top bits pick the shard (uniform, balanced),
+    the full digest orders rows within the shard.  The row_number window is
+    partitioned BY SHARD, never global — a global ordering would serialize
+    the corpus through one task, while this plan's parallelism equals
+    ``num_shards`` (size it at ~4x the target cluster's core count).
+    """
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % F.lit(num_shards)
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.select(F.col(id_col), shard, h.alias("__h"))
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select(id_col, "shard", "pos_in_shard")
+    )
+
+
+# --------------------------------------------------------------- mix weights
+def mix_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.7,
+    budget: int = 100_000,
+) -> DataFrame:
+    """Temperature-based domain mixing weights: (domain, n_docs, weight,
+    target_docs) with ``weight ∝ n_docs ** alpha`` normalized to 1.
+
+    The standard multilingual/multi-domain re-balancing rule (alpha=1
+    keeps natural proportions, alpha=0 is uniform, 0<alpha<1 up-weights
+    the tail — alpha≈0.7 is the conventional default).  ``target_docs``
+    is the per-domain document budget a sampler (``ops.sampling``) then
+    enforces.  Cost: one count aggregate to domain granularity, then a
+    broadcast of the single normalizer row.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powed = counts.withColumn(
+        "__p", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    z = powed.agg(F.sum("__p").alias("__z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "domain",
+            "n_docs",
+            F.round(F.col("__p") / F.col("__z"), 4).alias("weight"),
+            F.floor(F.lit(float(budget)) * F.col("__p") / F.col("__z"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+    )

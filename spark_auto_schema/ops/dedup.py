@@ -20,7 +20,7 @@ All hashing is Spark's ``xxhash64`` — deterministic across runs/executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # DataFrames persisted by the MinHash verification paths (candidate sets and
@@ -494,6 +494,113 @@ def repeated_ngram_coverage(
             F.round(
                 F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 4
             ).alias("dup_frac"),
+        )
+    )
+
+
+# ------------------------------------------------- segment-level dedup
+def segment_dedup(
+    df: DataFrame,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: split every document
+    into fixed ``seg_words``-word segments, drop each segment that already
+    occurred earlier in the corpus (first occurrence wins, ordered by
+    (doc_id, segment index)), and reassemble the surviving text:
+    (doc_id, n_segments, n_kept, clean_text).
+
+    Pretraining pipelines dedup below document granularity — boilerplate
+    paragraphs (headers, license blocks, navigation) repeat across
+    distinct pages that are NOT document-level duplicates.  On real
+    corpora the segment boundary is the paragraph split; this corpus is
+    newline-free word-soup, so the operator uses fixed word windows — the
+    dataflow (explode positioned segments -> global first-occurrence ->
+    ordered reassembly) is identical.
+
+    Scale: one explode (narrow), ONE shuffle — the first-occurrence window
+    partitions by the segment's md5 fingerprint, so the exchange moves
+    16-byte digests with uniform keys — then a per-document rollup that
+    re-shuffles only (doc_id, kept flag, digest-sized rows).  No joins, no
+    pair generation; cost is linear in corpus word count.
+    """
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil(F.size(words) / F.lit(seg_words)).cast("int") - 1, F.lit(0)
+        ),
+    )
+    segs = df.select(
+        F.col(id_col).alias("id"), F.explode(starts).alias("seg_idx"), words.alias("__w")
+    ).select(
+        "id",
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), F.col("seg_idx") * seg_words + 1, seg_words)
+        ).alias("seg"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy(F.md5(F.col("seg"))).orderBy("id", "seg_idx")
+    )
+    kept = segs.withColumn("keep", first == 1)
+    return (
+        kept.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+# ------------------------------------------------------- n-gram novelty
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Incremental-novelty score: per document, the fraction of its
+    distinct word n-grams whose corpus-wide first occurrence (minimum
+    doc_id) is this document: (doc_id, n_shingles, n_novel, novelty).
+
+    The curation-side complement of :func:`repeated_ngram_coverage`: where
+    that flags repeated content, this measures how much genuinely NEW
+    content each document adds given everything ingested before it —
+    the signal a data-selection loop uses to rank candidate crawl batches.
+
+    Scale: shingle explode, one groupBy(shingle) computing min(doc_id),
+    one co-partitioned join back on shingle, one per-doc rollup.  With
+    ``hashed=True`` both shingle shuffles move 8-byte xxhash64 keys — the
+    100 TB configuration (collision-free w.h.p., same as MinHash's).
+    """
+    sh = shingles(df, text_col, id_col, n, hashed=hashed)
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("id")).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 4)
         )
     )
 

@@ -1,0 +1,200 @@
+"""Corpus-lifecycle (profile/diff/shuffle/mix) and batch-inference tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_auto_schema.io import read_table
+from spark_auto_schema.ops import corpus, dedup, scoring
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_DIR, "documents").cache()
+
+
+# --------------------------------------------------------------- profiling
+def test_profile_table_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 7.0), (4, None, 5.0)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in corpus.profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    # native-type min, not lexicographic on the string form
+    df2 = spark.createDataFrame([(9,), (10,)], "n long")
+    p2 = corpus.profile_table(df2).collect()[0]
+    assert p2["min_value"] == "9" and p2["max_value"] == "10"
+
+
+def test_profile_is_single_scan(spark, docs):
+    plan = corpus.profile_table(
+        docs, ["doc_id", "lang", "source"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1  # one pass regardless of column count
+
+
+# ------------------------------------------------------------ snapshot diff
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "BETA-CHANGED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    d = {r["doc_id"]: r["status"] for r in corpus.corpus_diff(old, new).collect()}
+    assert d == {2: "CHANGED", 3: "REMOVED", 4: "ADDED"}
+    full = corpus.corpus_diff(old, new, include_unchanged=True).collect()
+    assert {r["doc_id"]: r["status"] for r in full}[1] == "UNCHANGED"
+
+
+def test_corpus_diff_multi_column_fingerprint(spark):
+    old = spark.createDataFrame([(1, "x", "en")], "doc_id long, text string, lang string")
+    new = spark.createDataFrame([(1, "x", "fr")], "doc_id long, text string, lang string")
+    out = corpus.corpus_diff(old, new, fingerprint_cols=["text", "lang"]).collect()
+    assert [(r["doc_id"], r["status"]) for r in out] == [(1, "CHANGED")]
+    # restricting the fingerprint to text hides the lang change
+    assert corpus.corpus_diff(old, new, fingerprint_cols=["text"]).count() == 0
+
+
+# ------------------------------------------------------------ epoch shuffle
+def test_epoch_shuffle_is_deterministic_permutation(spark, docs):
+    a = corpus.epoch_shuffle(docs, seed=7, num_shards=8).collect()
+    b = corpus.epoch_shuffle(docs, seed=7, num_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == docs.count()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in docs.collect()}
+    # every shard's positions are contiguous 1..n_shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_epoch_shuffle_seed_changes_order(spark, docs):
+    a = {(r["doc_id"], r["shard"], r["pos_in_shard"])
+         for r in corpus.epoch_shuffle(docs, seed=1, num_shards=8).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos_in_shard"])
+         for r in corpus.epoch_shuffle(docs, seed=2, num_shards=8).collect()}
+    assert a != b  # different epoch => different permutation
+
+
+def test_epoch_shuffle_window_is_shard_partitioned(spark, docs):
+    plan = corpus.epoch_shuffle(
+        docs, num_shards=8
+    )._jdf.queryExecution().executedPlan().toString()
+    # the sort must be shard-local: no SinglePartition exchange anywhere
+    assert "SinglePartition" not in plan
+
+
+# -------------------------------------------------------------- mix weights
+def test_mix_weights_alpha_extremes(spark):
+    rows = [(f"d{i}", j) for i, n in enumerate([10, 40]) for j in range(n)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    prop = {r["domain"]: r for r in corpus.mix_weights(df, alpha=1.0, budget=100).collect()}
+    assert prop["d0"]["weight"] == pytest.approx(0.2)
+    assert prop["d1"]["weight"] == pytest.approx(0.8)
+    assert prop["d1"]["target_docs"] == 80
+    unif = {r["domain"]: r["weight"] for r in corpus.mix_weights(df, alpha=0.0).collect()}
+    assert unif["d0"] == unif["d1"] == pytest.approx(0.5)
+    # 0 < alpha < 1 up-weights the tail vs natural proportions
+    temp = {r["domain"]: r["weight"] for r in corpus.mix_weights(df, alpha=0.5).collect()}
+    assert 0.2 < temp["d0"] < 0.5
+
+
+# ------------------------------------------------------------ segment dedup
+def test_segment_dedup_drops_repeated_segments(spark):
+    seg_a = "w1 w2 w3 w4"  # 4-word segments
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg_a} u1 u2 u3 u4"),
+            (2, f"{seg_a} v1 v2 v3 v4"),  # first segment repeats doc 1's
+            (3, "x1 x2 x3 x4 y1 y2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(df, seg_words=4).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "v1 v2 v3 v4"
+    assert out[3]["n_kept"] == 2 and out[3]["clean_text"] == "x1 x2 x3 x4 y1 y2"
+
+
+def test_segment_dedup_all_dropped_doc_still_present(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(df, seg_words=4).collect()}
+    assert out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+
+
+# ------------------------------------------------------------ ngram novelty
+def test_ngram_novelty_first_doc_fully_novel(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0  # every shingle first seen in doc 1
+    assert out[3]["novelty"] == 1.0
+    assert out[1]["n_shingles"] == 3  # "a b c","b c d","c d e"
+
+
+def test_ngram_novelty_hashed_matches_plain(spark, docs):
+    plain = {(r["doc_id"], r["novelty"])
+             for r in dedup.ngram_novelty(docs, n=3).collect()}
+    hashed = {(r["doc_id"], r["novelty"])
+              for r in dedup.ngram_novelty(docs, n=3, hashed=True).collect()}
+    assert plain == hashed
+
+
+# ---------------------------------------------------------- batch inference
+def test_featurize_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    f = scoring.featurize(df).collect()[0]
+    assert f["log_tokens"] == pytest.approx(math.log(4.0))
+    assert f["stopword_ratio"] == pytest.approx(1 / 3)
+    # 11 chars total, 2 separators -> 9 word chars over 3 tokens
+    assert f["mean_word_len"] == pytest.approx(3.0)
+    assert f["alpha_ratio"] == pytest.approx(9 / 11)
+
+
+def test_classifier_score_matches_formula(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zz9 qq8 kk7 jj6 hh5")],
+        "doc_id long, text string",
+    )
+    feats = {r["doc_id"]: r for r in scoring.featurize(df).collect()}
+    scores = {r["doc_id"]: r["score"] for r in scoring.classifier_score(df).collect()}
+    w = scoring._WEIGHTS
+    for i, fr in feats.items():
+        z = (
+            w["bias"]
+            + w["log_tokens"] * fr["log_tokens"]
+            + w["mean_word_len"] * fr["mean_word_len"]
+            + w["stopword_ratio"] * fr["stopword_ratio"]
+            + w["alpha_ratio"] * fr["alpha_ratio"]
+        )
+        assert scores[i] == pytest.approx(round(1 / (1 + math.exp(-z)), 4))
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+
+
+def test_classifier_score_is_single_map_stage(spark, docs):
+    plan = scoring.classifier_score(
+        docs
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scoring never shuffles
