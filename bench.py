@@ -26,7 +26,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # family rollup prefixes, checked in order (first match wins)
 _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
-               "incremental_", "repeated_")),
+               "incremental_", "repeated_", "segment_dedup")),
+    ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
+                "classifier_")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
               "top_terms", "clean_", "redact_", "repetition_", "gopher_",

@@ -185,7 +185,10 @@ def mix_weights(
             "domain",
             "n_docs",
             F.round(F.col("__p") / F.col("__z"), 4).alias("weight"),
-            F.floor(F.lit(float(budget)) * F.col("__p") / F.col("__z"))
+            # floor() over a 6-decimal pre-round: pow() may differ by 1 ulp
+            # between engines, and a bare floor flips on exact-integer
+            # boundaries (uniform domain counts put budget*w exactly there)
+            F.floor(F.round(F.lit(float(budget)) * F.col("__p") / F.col("__z"), 6))
             .cast("long")
             .alias("target_docs"),
         )
