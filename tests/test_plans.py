@@ -333,3 +333,52 @@ def test_unigram_model_join_is_broadcast(spark):
     # vocabulary-sized model joins the token stream via broadcast; the only
     # wide exchanges are the wordcount and the final per-doc aggregate
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_part_joins_are_broadcast(spark):
+    # Q14/Q19 shapes: the part dimension must broadcast onto the lineitem
+    # scan, and the brand/size disjunction must still prune the part scan.
+    for q in (entry._q_promo_revenue, entry._q_discount_band_revenue):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, q.__name__
+    plan = plan_of(entry._q_discount_band_revenue(spark, SF_DIR))
+    # Catalyst derives a per-side residual of the OR-of-ANDs and pushes it
+    # into BOTH scans: brand/size disjunction to part, quantity bands to
+    # lineitem
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    # Q4 shape: the correlated EXISTS must compile to ONE semi join on the
+    # order key, never a per-order subquery or an inner join + distinct.
+    plan = plan_of(entry._q_order_priority_check(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+    assert plan.count("Join") == 1
+
+
+def test_top_supplier_scalar_max_is_broadcast(spark):
+    # Q15 shape: the max-revenue scalar joins back via a broadcast of the
+    # 1-row aggregate — no global sort of the supplier-revenue relation.
+    plan = plan_of(entry._q_top_supplier(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Sort [total_revenue" not in plan
+
+
+def test_large_volume_having_runs_before_joins(spark):
+    # Q18 shape: the sum_qty>300 filter must apply to the orderkey aggregate
+    # BEFORE the orders/customer joins (aggregate appears under the joins).
+    plan = plan_of(entry._q_large_volume_orders(spark, SF_DIR), "simple")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # in simple-mode tree text, deeper nodes print LATER; the aggregate that
+    # feeds the join must be deeper than (printed after) the first join
+    assert agg_pos > join_pos
+
+
+def test_sales_opportunity_anti_join(spark):
+    # Q22 shape: NOT EXISTS = left-anti join; scalar avg = broadcast.
+    plan = plan_of(entry._q_sales_opportunity(spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
