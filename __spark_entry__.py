@@ -2930,6 +2930,95 @@ FROM p, z
 """
 
 
+def _q_materialize_mix(spark, sf_dir):
+    """mix_weights -> physical corpus: every domain emitted exactly
+    target_docs times (full copies + md5-hash-ranked remainder).  The
+    oracle replays the temperature weights, the per-domain hash rank, and
+    the generate_series explode."""
+    docs = read_table(spark, sf_dir, "documents")
+    targets = corpus.mix_weights(docs, "source", alpha=0.7, budget=10000)
+    return corpus.materialize_mix(docs, targets, domain_col="source")
+
+
+_MATERIALIZE_MIX_SQL = """
+WITH c AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT domain, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS pw FROM c
+), z AS (SELECT sum(pw) AS z FROM p),
+t AS (
+  SELECT domain, CAST(floor(round(10000.0 * pw / z, 6)) AS BIGINT) AS tgt
+  FROM p, z
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), j AS (
+  SELECT doc_id, source, (tgt // n) + CASE WHEN rk <= tgt % n THEN 1 ELSE 0 END
+           AS copies
+  FROM r JOIN t ON source = domain
+)
+SELECT doc_id, source, copy_idx
+FROM j, UNNEST(generate_series(0, copies - 1)) AS u(copy_idx)
+WHERE copies > 0
+"""
+
+
+def _q_select_token_budget(spark, sf_dir):
+    """Greedy highest-score-first selection under a token budget WITHOUT a
+    global sort: integer score buckets, a bucket-table running sum, whole
+    buckets kept via semi-join, and a bucket-local cumsum only inside the
+    one boundary bucket.  Score = alpha ratio, tokens = whitespace count;
+    the oracle replays buckets, the bucket cumsum, and the boundary fill."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("score"),
+    )
+    return corpus.select_token_budget(scored, budget_tokens=8000)
+
+
+_SELECT_TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                    / greatest(length(text), 1) * 1000.0 + 0.5) AS BIGINT)
+           AS bucket
+  FROM documents
+), t AS (
+  SELECT bucket, sum(n_tokens) AS bt FROM d GROUP BY 1
+), c AS (
+  SELECT bucket, bt,
+         sum(bt) OVER (ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+), fullb AS (SELECT bucket FROM c WHERE cum <= 8000),
+bnd AS (
+  SELECT bucket, 8000 - (cum - bt) AS rem FROM c
+  WHERE cum - bt < 8000 AND cum > 8000
+), kb AS (
+  SELECT d.doc_id, d.bucket, d.n_tokens, rem,
+         sum(d.n_tokens) OVER (
+           PARTITION BY d.bucket
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d JOIN bnd USING (bucket)
+)
+SELECT doc_id, bucket, n_tokens FROM d WHERE bucket IN (SELECT bucket FROM fullb)
+UNION ALL
+SELECT doc_id, bucket, n_tokens FROM kb WHERE run <= rem
+"""
+
+
 def _q_segment_dedup(spark, sf_dir):
     """Sub-document segment dedup: 8-word segments, global first-occurrence
     wins, surviving text reassembled in order.  The oracle replays segment
@@ -3152,6 +3241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_diff_docs"] = _q_corpus_diff
     q["epoch_shuffle_docs"] = _q_epoch_shuffle
     q["mix_weights_sources"] = _q_mix_weights
+    q["materialize_mix_docs"] = _q_materialize_mix
+    q["select_token_budget_docs"] = _q_select_token_budget
     q["segment_dedup_docs"] = _q_segment_dedup
     q["ngram_novelty_docs"] = _q_ngram_novelty
     q["classifier_scores"] = _q_classifier_scores
@@ -3282,6 +3373,8 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_diff_docs"] = _CORPUS_DIFF_SQL
     o["epoch_shuffle_docs"] = _EPOCH_SHUFFLE_SQL
     o["mix_weights_sources"] = _MIX_WEIGHTS_SQL
+    o["materialize_mix_docs"] = _MATERIALIZE_MIX_SQL
+    o["select_token_budget_docs"] = _SELECT_TOKEN_BUDGET_SQL
     o["segment_dedup_docs"] = _SEGMENT_DEDUP_SQL
     o["ngram_novelty_docs"] = _NGRAM_NOVELTY_SQL
     o["classifier_scores"] = _CLASSIFIER_SCORES_SQL

@@ -193,3 +193,124 @@ def mix_weights(
             .alias("target_docs"),
         )
     )
+
+
+# ----------------------------------------------------------- materialize mix
+def materialize_mix(
+    df: DataFrame,
+    targets: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Physically realize a domain mix: emit each document ``copies`` times
+    so every domain hits its ``target_docs`` budget exactly — the step that
+    turns :func:`mix_weights` output into an actual training corpus.
+
+    ``targets`` is (domain, target_docs) — typically the
+    :func:`mix_weights` result.  Per domain with n documents and target t:
+    every document gets ``t // n`` full copies, and the ``t % n`` documents
+    ranked first by ``md5(domain:id)`` get one extra — so the output has
+    EXACTLY t rows per domain, the same multiset on every engine and every
+    partitioning (the hash rank is content-addressed, not partition-order).
+    Upsampling (t > n, epochs over a small domain) and downsampling (t < n,
+    ``t // n = 0`` and only the hash-ranked prefix survives) are the same
+    formula.
+
+    Output: (id, domain, copy_idx) with copy_idx in [0, copies) — the
+    loader-facing addressing; join back to content by id downstream.
+
+    Scale: one domain-partitioned row_number window (the same shape as
+    stratified sampling — parallelism = domain count, no task sees more
+    than one domain's rows; salt upstream if one domain dominates) plus a
+    broadcast of the domain-sized target table; the explode is row-local.
+    Never a global sort, never a driver-side loop over domains.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.col(domain_col).cast("string"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(domain_col).orderBy("__h", id_col)
+    t = targets.select(
+        F.col("domain").alias("__dom"), F.col("target_docs").alias("__t")
+    )
+    ranked = (
+        df.select(F.col(id_col), F.col(domain_col), h.alias("__h"))
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(domain_col)))
+        .join(F.broadcast(t), F.col(domain_col) == F.col("__dom"))
+    )
+    copies = (F.col("__t") / F.col("__n")).cast("long") + F.when(
+        F.col("__rk") <= F.col("__t") % F.col("__n"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ranked.withColumn("__c", copies)
+        .where(F.col("__c") > 0)
+        .select(
+            id_col,
+            domain_col,
+            F.explode(F.sequence(F.lit(0), F.col("__c") - 1)).alias("copy_idx"),
+        )
+    )
+
+
+# ------------------------------------------------------- token-budget select
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_decimals: int = 3,
+) -> DataFrame:
+    """Select the highest-scoring documents whose token counts fit a budget:
+    greedy by score, deterministic, WITHOUT a global sort of the corpus.
+
+    The naive plan — sort by score desc, running-sum window, cut at the
+    budget — funnels the whole corpus through one task (a global window has
+    a single partition).  Instead the score is quantized into fixed integer
+    buckets (``floor(score * 10^bucket_decimals + 0.5)`` — floor-plus-half
+    rather than round(): engines disagree on round-half doubles, while this
+    is identical IEEE arithmetic everywhere): per-bucket token totals are a
+    small aggregate, the running sum OVER BUCKETS is a window on that
+    bucket-sized table (thousands of rows, not billions), whole buckets
+    above the boundary are kept via a broadcast semi-join, and only the ONE
+    boundary bucket — ~1/10^bucket_decimals of the corpus — pays a
+    bucket-local rank-and-cumsum to fill the remaining budget.  Ties inside
+    the boundary bucket break by ``md5(id)`` then id: content-addressed,
+    so the selected SET is identical on every engine and partitioning.
+
+    Output: (id, score bucket, n_tokens) for every selected document.
+    """
+    b = (
+        F.floor(
+            F.col(score_col) * F.lit(float(10**bucket_decimals)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    docs = df.select(F.col(id_col), b, F.col(tokens_col))
+    tot = docs.groupBy("bucket").agg(F.sum(tokens_col).alias("__bt"))
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tot.withColumn("__cum", F.sum("__bt").over(wb)).withColumn(
+        "__before", F.col("__cum") - F.col("__bt")
+    )
+    full = cum.where(F.col("__cum") <= budget_tokens).select("bucket")
+    boundary = cum.where(
+        (F.col("__before") < budget_tokens) & (F.col("__cum") > budget_tokens)
+    ).select("bucket", (F.lit(budget_tokens) - F.col("__before")).alias("__rem"))
+    kept_full = docs.join(F.broadcast(full), "bucket", "left_semi")
+    h = F.md5(F.col(id_col).cast("string"))
+    wd = Window.partitionBy("bucket").orderBy("__h", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_boundary = (
+        docs.join(F.broadcast(boundary), "bucket")
+        .withColumn("__h", h)
+        .withColumn("__run", F.sum(tokens_col).over(wd))
+        .where(F.col("__run") <= F.col("__rem"))
+        .select("bucket", id_col, tokens_col)
+    )
+    return kept_full.select("bucket", id_col, tokens_col).unionByName(
+        kept_boundary
+    ).select(id_col, "bucket", tokens_col)

