@@ -1841,6 +1841,33 @@ def _q_streaming_user_stats(spark, sf_dir):
     )
 
 
+def _q_streaming_enriched_counts(spark, sf_dir):
+    """Stream-static join: the event stream enriched with the (batch)
+    customer dimension per microbatch, aggregated by market segment.  The
+    drained result must equal the batch join + group-by the oracle runs."""
+    from spark_auto_schema.streaming import (
+        enriched_counts_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    name = f"__enriched_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    dim = read_table(spark, sf_dir, "customer")
+    run_to_memory(
+        enriched_counts_stream(stream, dim), name, output_mode="complete"
+    )
+    return spark.table(name)
+
+
+_STREAM_ENRICHED_SQL = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def _q_approx_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ accuracy contract: per event_type, the approximate distinct
     user count (rsd=0.05) must land within 5x the rsd of the exact count.
@@ -3164,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_window_counts"] = _q_streaming_window_counts
     q["streaming_user_stats"] = _q_streaming_user_stats
     q["streaming_dedup"] = _q_streaming_dedup
+    q["streaming_enriched_counts"] = _q_streaming_enriched_counts
     q["ewma_value_check"] = _q_ewma_value_check
     q["simhash_determinism"] = _q_simhash_determinism
     q["moving_avg_orders"] = _q_moving_avg_orders
@@ -3337,6 +3365,7 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_determinism"] = _SIMHASH_DETERMINISM_SQL
     o["dedup_clusters"] = _DEDUP_CLUSTERS_SQL
     o["streaming_dedup"] = _STREAMING_DEDUP_SQL
+    o["streaming_enriched_counts"] = _STREAM_ENRICHED_SQL
     o["chunk_documents"] = _CHUNK_DOCS_SQL
     o["label_centroids"] = _LABEL_CENTROIDS_SQL
     o["gopher_filter"] = _gopher_oracle_sql()

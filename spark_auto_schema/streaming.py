@@ -101,6 +101,35 @@ def streaming_dedup(
     )
 
 
+def enriched_counts_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    group_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static enrichment: join each microbatch of the event stream
+    against a broadcast batch dimension, then aggregate per dimension
+    attribute — the canonical "enrich the firehose with reference data"
+    pattern (Structured Streaming's stream-static join).
+
+    The static side is planned once and broadcast to every microbatch; no
+    streaming state is held for the join itself (stream-static inner joins
+    are stateless — only the downstream aggregate keeps state, one row per
+    group).  At scale the dimension must fit the broadcast threshold;
+    bigger dimensions call for a stream-stream join with watermarks or a
+    key-bucketed static table co-partitioned with the stream shuffle."""
+    d = dim.select(F.col(dim_key).alias("__k"), F.col(group_col))
+    return (
+        events.join(F.broadcast(d), events[stream_key] == F.col("__k"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "append"
 ) -> None:

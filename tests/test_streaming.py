@@ -144,3 +144,26 @@ def test_streaming_dedup_drops_redelivered_records(spark, tmp_path):
     n_batch = read_table(spark, SF_DIR, "events").count()
     assert got.count() == n_batch  # every duplicate dropped
     assert got.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, events_dir):
+    from spark_auto_schema.streaming import enriched_counts_stream
+
+    stream = read_event_stream(spark, events_dir)
+    dim = read_table(spark, SF_DIR, "customer")
+    run_to_memory(
+        enriched_counts_stream(stream, dim), "enriched", output_mode="complete"
+    )
+    got = {
+        r["c_mktsegment"]: (r["n_events"], r["total_value"])
+        for r in spark.table("enriched").collect()
+    }
+    ev = read_table(spark, SF_DIR, "events")
+    expect = {
+        r["c_mktsegment"]: (r["n"], r["tv"])
+        for r in ev.join(dim, ev["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
