@@ -152,3 +152,65 @@ def test_dedup_clusters_matches_union_find(spark, edges):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+# --------------------------------------------------------- corpus-op laws
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_docs=st.integers(1, 30),
+    target=st.integers(0, 90),
+)
+def test_materialize_mix_total_law(spark, n_docs, target):
+    # output cardinality == target, exactly, for any (n, t) combination
+    from spark_auto_schema.ops import corpus
+
+    df = spark.createDataFrame(
+        [(i, "d") for i in range(n_docs)], "doc_id long, source string"
+    )
+    t = spark.createDataFrame(
+        [("d", target)], "domain string, target_docs long"
+    )
+    out = corpus.materialize_mix(df, t).collect()
+    assert len(out) == target
+    # every copy_idx per doc is dense 0..c-1
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for ids in by_doc.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+    budget=st.integers(0, 600),
+)
+def test_select_token_budget_laws(spark, tokens, budget):
+    # never exceeds the budget; greedy by score bucket: any selected doc's
+    # bucket >= any rejected doc's bucket unless the rejected doc is in the
+    # boundary bucket (where the hash-ranked prefix fills the remainder)
+    from spark_auto_schema.ops import corpus
+
+    rows = [
+        (i, t, float((i * 7) % 10) / 10.0) for i, t in enumerate(tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+    got = corpus.select_token_budget(df, budget_tokens=budget).collect()
+    assert sum(r["n_tokens"] for r in got) <= budget
+    sel = {r["doc_id"] for r in got}
+    buckets = {r[0]: round(r[2] * 1000) for r in rows}
+    if sel:
+        min_sel = min(buckets[i] for i in sel)
+        for i, t, s in rows:
+            if i not in sel and buckets[i] > min_sel:
+                # rejected doc in a strictly higher bucket than a selected
+                # one can only happen inside the boundary bucket
+                assert buckets[i] in {buckets[j] for j in sel} or t > budget
