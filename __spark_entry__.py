@@ -1341,7 +1341,9 @@ def _q_streaming_dedup(spark, sf_dir):
 
     name = f"__stream_dedup_{next(_STREAM_SEQ)}"
     stream = read_event_stream(spark, _events_stream_dir_dup(sf_dir))
-    run_to_memory(streaming_dedup(stream, ["event_id"]), name)
+    run_to_memory(
+        streaming_dedup(stream, ["event_id"]), name, state_partitions=8
+    )
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -1809,6 +1811,7 @@ def _q_streaming_window_counts(spark, sf_dir):
         windowed_event_counts(stream, "1 hour", "2 hours"),
         name,
         output_mode="complete",
+        state_partitions=8,
     )
     return spark.table(name)
 
@@ -1830,7 +1833,14 @@ def _q_streaming_user_stats(spark, sf_dir):
 
     name = f"__user_stats_{next(_STREAM_SEQ)}"
     stream = read_event_stream(spark, _events_stream_dir(sf_dir))
-    run_to_memory(running_user_stats_stream(stream), name, output_mode="update")
+    # state partitions sized to key cardinality (1.5k users), not the batch
+    # shuffle default — see run_to_memory's docstring
+    run_to_memory(
+        running_user_stats_stream(stream),
+        name,
+        output_mode="update",
+        state_partitions=8,
+    )
     # final state per user = the max-n_events emission
     t = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -1855,7 +1865,10 @@ def _q_streaming_enriched_counts(spark, sf_dir):
     stream = read_event_stream(spark, _events_stream_dir(sf_dir))
     dim = read_table(spark, sf_dir, "customer")
     run_to_memory(
-        enriched_counts_stream(stream, dim), name, output_mode="complete"
+        enriched_counts_stream(stream, dim),
+        name,
+        output_mode="complete",
+        state_partitions=8,
     )
     return spark.table(name)
 
