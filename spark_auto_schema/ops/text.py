@@ -14,7 +14,7 @@ with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword profiles for the n-gram/stopword-hit language heuristic.
@@ -373,18 +373,26 @@ def tfidf_top_pairs(
         .select("id", F.xxhash64("__g").alias("w"))
     )
     n_docs = df.count()
+    # Window formulations for df and the norm: the aggregate-then-join-back
+    # alternative evaluates its input twice per stage (partial aggregation
+    # specializes the aggregate's exchange, so it can't be reused by the
+    # join side).  Each window below adds exactly one shuffle and consumes
+    # its input once: (id, w) for tf, w for document frequency, id for the
+    # L2 norm — then the pair self-join re-shuffles by w (its two sides ARE
+    # identical subplans, which Catalyst reuses).
     tf = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    kept = dfreq.where(F.col("df") <= int(max_df_frac * n_docs)).select(
-        "w", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+    with_df = tf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+    ).where(F.col("__df") <= int(max_df_frac * n_docs))
+    wtd = with_df.select(
+        "id",
+        "w",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))).alias("wt"),
     )
-    # the term->idf table is vocabulary-sized: broadcast it, never shuffle
-    # the corpus-sized tf relation for the idf lookup
-    w = tf.join(F.broadcast(kept), "w").select(
-        "id", "w", (F.col("tf") * F.col("idf")).alias("wt")
-    )
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm"))
-    unit = w.join(norms, "id").select("id", "w", (F.col("wt") / F.col("nm")).alias("u"))
+    unit = wtd.withColumn(
+        "__nm",
+        F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(Window.partitionBy("id"))),
+    ).select("id", "w", (F.col("wt") / F.col("__nm")).alias("u"))
     a, b = unit.alias("a"), unit.alias("b")
     return (
         a.join(b, "w")
