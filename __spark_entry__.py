@@ -1430,19 +1430,23 @@ WHERE length(array_to_string(w[t.i + 1 : t.i + 64], ' ')) > 0
 
 def _q_label_centroids(spark, sf_dir):
     """Element-wise mean embedding per label (class prototypes); oracle
-    recomputes via UNNEST WITH ORDINALITY + per-position averages."""
-    return similarity.label_centroids(read_table(spark, sf_dir, "embeddings"))
+    recomputes via UNNEST + per-position averages.  The gate output is the
+    EXPLODED (label, pos, m) form — scalar columns only, because the
+    harness's canonicalizer sorts on every column and array cells are
+    unsortable; the library op still returns the assembled centroid
+    array."""
+    out = similarity.label_centroids(read_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("pos", "m")
+    ).select("label", "pos", "m", "n_vectors")
 
 
 _LABEL_CENTROIDS_SQL = """
-SELECT label, list(m ORDER BY pos) AS centroid, max(n) AS n_vectors
-FROM (
-  SELECT label, t.i AS pos, round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS m,
-         count(*) AS n
-  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
-  GROUP BY label, t.i
-)
-GROUP BY label
+SELECT label, t.i - 1 AS pos,
+       round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS m,
+       count(*) AS n_vectors
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, t.i
 """
 
 
@@ -1495,7 +1499,14 @@ FROM toks JOIN lp USING (w) GROUP BY doc_id
 
 
 def _q_quantize_embeddings(spark, sf_dir):
-    return similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    """Scalar-quantization gate query.  The gate output is the EXPLODED
+    (vec_id, pos, code, mean_abs_err) form — scalar columns only, because
+    the harness's canonicalizer sorts on every column and array cells are
+    unsortable; the library op still returns the packed codes array."""
+    out = similarity.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", "mean_abs_err", F.posexplode("codes").alias("pos", "code")
+    ).select("vec_id", "pos", "code", "mean_abs_err")
 
 
 _QUANTIZE_SQL = """
@@ -1516,9 +1527,10 @@ coded AS (
                        ELSE lo END)) AS err
   FROM coded
 )
-SELECT vec_id, list(code ORDER BY pos) AS codes,
-       CAST(round(CAST(avg(err) AS DECIMAL(18,10)), 6) AS DOUBLE) AS mean_abs_err
-FROM werr GROUP BY vec_id
+SELECT vec_id, pos, code,
+       CAST(round(CAST(avg(err) OVER (PARTITION BY vec_id) AS DECIMAL(18,10)), 6)
+            AS DOUBLE) AS mean_abs_err
+FROM werr
 """
 
 
@@ -3150,13 +3162,69 @@ FROM f
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS gate records the
-    first 50 entries only (round-2 artifact stopped at entry 50).  The
-    LLM-pipeline extensions (dedup / similarity / text / multimodal /
-    streaming) and the queries changed this round register FIRST so they all
-    receive driver correctness rows; queries already driver-verified green in
-    CORRECTNESS_r02.json fill positions past the window."""
+    first 50 entries only.  Round-4 window: (a) the five queries fixed this
+    round after the driver regenerated testdata with timestamp[us]/NTZ
+    columns (sessionize/ewma/streaming-window crashes, array-column
+    canonicalization), (b) every query that has never had a driver
+    correctness row in any round (TPC-H breadth + corpus ops added in r3),
+    (c) the four timestamp-consuming queries whose r2-green rows predate the
+    data regeneration, and (d) the inference flagship + schema core,
+    re-anchored on the regenerated data.  Everything past the window is
+    driver-green in CORRECTNESS_r02/r03 and stays covered by the local
+    mirror (tools/check_correctness.py) and pytest."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- deduplication family ---
+    # --- (a) fixed this round: need fresh driver rows ---
+    q["sessionize_events"] = _q_sessionize
+    q["ewma_value_check"] = _q_ewma_value_check
+    q["streaming_window_counts"] = _q_streaming_window_counts
+    q["embedding_quantize"] = _q_quantize_embeddings
+    q["label_centroids"] = _q_label_centroids
+    # --- (b) first driver rows: TPC-H decision-support breadth (r3) ---
+    q["order_priority_check"] = _q_order_priority_check
+    q["volume_shipping"] = _q_volume_shipping
+    q["product_profit"] = _q_product_profit
+    q["returned_items"] = _q_returned_items
+    q["promo_revenue"] = _q_promo_revenue
+    q["top_supplier"] = _q_top_supplier
+    q["parts_supplier_count"] = _q_parts_supplier_count
+    q["small_qty_revenue"] = _q_small_qty_revenue
+    q["large_volume_orders"] = _q_large_volume_orders
+    q["discount_band_revenue"] = _q_discount_band_revenue
+    q["sales_opportunity"] = _q_sales_opportunity
+    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
+    # --- (b) first driver rows: corpus / training-pipeline ops (r3) ---
+    q["profile_docs"] = _q_profile_docs
+    q["corpus_diff_docs"] = _q_corpus_diff
+    q["epoch_shuffle_docs"] = _q_epoch_shuffle
+    q["mix_weights_sources"] = _q_mix_weights
+    q["materialize_mix_docs"] = _q_materialize_mix
+    q["select_token_budget_docs"] = _q_select_token_budget
+    q["segment_dedup_docs"] = _q_segment_dedup
+    q["ngram_novelty_docs"] = _q_ngram_novelty
+    q["classifier_scores"] = _q_classifier_scores
+    # --- (b) first driver rows: skew join + rows-only production twins ---
+    q["salted_join_segments"] = _q_salted_join_segments  # --- inference core (driver-green in r2; re-verified every round) ---
+    q["simhash_signatures"] = _q_simhash_sigs  # rows-only
+    q["ewma_user_values"] = _q_ewma_user_values  # rows-only
+    q["minhash_dup_pairs"] = _q_minhash_pairs  # rows-only (md5 twin in window)
+    # --- (c) timestamp consumers whose r2 rows predate the data regen ---
+    q["error_events"] = _q_error_events
+    q["session_windows"] = _q_session_windows
+    q["asof_prior_click"] = _q_asof_prior_click
+    q["time_bucket_events"] = _q_time_bucket
+    # --- (d) inference flagship + schema core on the regenerated data ---
+    for t in _TABLE_KINDS:
+        q[f"infer_{t}"] = _infer_query(t)
+    q["infer_embeddings_native"] = _q_infer_embeddings_native
+    q["schema_diff"] = _q_schema_diff
+    q["column_ddl"] = _q_column_ddl
+    q["ddl_strings"] = _q_ddl_strings
+    q["catalog_checks"] = _q_catalog_checks
+    q["column_list_lineitem"] = _q_column_list  # ---- entries below are past the driver's 50-entry window: either
+    # ---- entries below are past the driver's 50-entry window: all are
+    # driver-green in CORRECTNESS_r02.json or CORRECTNESS_r03.json with
+    # unchanged code (r3 ran against the regenerated data), and remain
+    # oracle-checked by the local mirror + pytest every round ----
     q["dedup_exact"] = _q_hash_dedup
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
@@ -3164,17 +3232,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["dedup_clusters"] = _q_dedup_clusters
     q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
-    q["contamination_check"] = _q_contamination
-    # --- similarity search family ---
+    q["contamination_check"] = _q_contamination  # --- similarity search family ---
     q["embedding_topk"] = _q_embedding_topk
     q["ann_lsh_topk"] = _q_ann_lsh  # full oracle: planes replayed in SQL
     q["ann_recall_ok"] = _q_ann_recall_ok
     q["ivf_topk"] = _q_ivf_topk  # full oracle: centroid pipeline in SQL
     q["embedding_label_neardup"] = _q_label_neardup
     q["embedding_dim_stats"] = _q_embedding_dim_stats
-    q["embedding_quantize"] = _q_quantize_embeddings
-    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
-    # --- text analysis / cleaning family ---
+    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok  # --- text analysis / cleaning family ---
     q["text_stats"] = _q_text_stats
     q["token_count"] = _q_token_count
     q["lang_id"] = _q_lang_id
@@ -3189,52 +3254,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["vocab_coverage"] = _q_vocab_coverage
     q["tfidf_pairs"] = _q_tfidf_pairs
     q["chunk_documents"] = _q_chunk_documents
-    q["label_centroids"] = _q_label_centroids
-    q["weighted_sample_docs"] = _q_weighted_sample
-    # --- packing / mixing / incremental dedup (new this round) ---
+    q["weighted_sample_docs"] = _q_weighted_sample  # --- packing / mixing / incremental dedup (new this round) ---
     q["pack_sequences"] = _q_pack_sequences
     q["corpus_mix"] = _q_corpus_mix
     q["incremental_dedup"] = _q_incremental_dedup
-    q["incremental_near_dedup"] = _q_incremental_near_dedup
-    # --- multimodal family ---
+    q["incremental_near_dedup"] = _q_incremental_near_dedup  # --- multimodal family ---
     q["multimodal_bytes"] = _q_multimodal_bytes
     q["media_features"] = _q_media_features
-    q["frame_sample"] = _q_frame_sample
-    # --- streaming + time-series ---
-    q["streaming_window_counts"] = _q_streaming_window_counts
+    q["frame_sample"] = _q_frame_sample  # --- streaming + time-series ---
     q["streaming_user_stats"] = _q_streaming_user_stats
     q["streaming_dedup"] = _q_streaming_dedup
     q["streaming_enriched_counts"] = _q_streaming_enriched_counts
-    q["ewma_value_check"] = _q_ewma_value_check
     q["simhash_determinism"] = _q_simhash_determinism
     q["moving_avg_orders"] = _q_moving_avg_orders
-    q["value_percentiles"] = _q_value_percentiles
-    # --- changed this round: need fresh driver rows ---
-    q["sessionize_events"] = _q_sessionize
+    q["value_percentiles"] = _q_value_percentiles  # --- changed this round: need fresh driver rows ---
     q["json_props_agg"] = _q_json_props
     q["except_custkeys"] = _q_except_custkeys
-    q["salted_join_segments"] = _q_salted_join_segments
-    # --- inference core (driver-green in r2; re-verified every round) ---
-    for t in _TABLE_KINDS:
-        q[f"infer_{t}"] = _infer_query(t)
-    q["infer_embeddings_native"] = _q_infer_embeddings_native
-    q["schema_diff"] = _q_schema_diff
-    q["column_ddl"] = _q_column_ddl
-    q["ddl_strings"] = _q_ddl_strings
-    q["catalog_checks"] = _q_catalog_checks
-    q["column_list_lineitem"] = _q_column_list
-    # ---- entries below are past the driver's 50-entry window: either
-    # driver-verified green in CORRECTNESS_r02.json with unchanged code, or
-    # rows-only entries whose correctness evidence lives in an oracle-checked
-    # twin inside the window (simhash_signatures -> simhash_determinism,
-    # ewma_user_values -> ewma_value_check); all stay pytest-covered ----
-    q["simhash_signatures"] = _q_simhash_sigs  # rows-only
-    q["ewma_user_values"] = _q_ewma_user_values  # rows-only
-    q["minhash_dup_pairs"] = _q_minhash_pairs  # rows-only (md5 twin in window)
     q["pricing_summary"] = _q_pricing_summary
     q["top_customers"] = _q_top_customers
     q["region_customers"] = _q_region_customers
-    q["error_events"] = _q_error_events
     q["top_events_per_user"] = _q_top_events_per_user
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
@@ -3243,14 +3281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_orders"] = _q_rollup_orders
     q["cube_events"] = _q_cube_events
     q["nation_presence"] = _q_nation_presence
-    q["session_windows"] = _q_session_windows
     q["approx_distinct_ok"] = _q_approx_distinct_ok
     q["window_functions"] = _q_window_functions
     q["shipping_priority"] = _q_shipping_priority
     q["local_supplier_volume"] = _q_local_supplier_volume
     q["grouping_sets_orders"] = _q_grouping_sets
-    q["asof_prior_click"] = _q_asof_prior_click
-    q["time_bucket_events"] = _q_time_bucket
     q["hash_sample_docs"] = _q_hash_sample
     q["stratified_sample_orders"] = _q_stratified_sample
     q["train_eval_split"] = _q_train_eval_split
@@ -3261,32 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_inference"] = _q_csv_inference
     q["salted_event_counts"] = _q_salted_event_counts
     q["intersect_users"] = _q_intersect_users
-    q["pivot_event_counts"] = _q_pivot_event_counts
-    # ---- round-3 additions (registered past the window deliberately: the
-    # 50 in-window slots are reserved for the extension layer awaiting its
-    # first driver rows; these seven are oracle-checked by the local mirror
-    # and rotate into the window next round) ----
-    q["order_priority_check"] = _q_order_priority_check
-    q["volume_shipping"] = _q_volume_shipping
-    q["product_profit"] = _q_product_profit
-    q["returned_items"] = _q_returned_items
-    q["promo_revenue"] = _q_promo_revenue
-    q["top_supplier"] = _q_top_supplier
-    q["parts_supplier_count"] = _q_parts_supplier_count
-    q["small_qty_revenue"] = _q_small_qty_revenue
-    q["large_volume_orders"] = _q_large_volume_orders
-    q["discount_band_revenue"] = _q_discount_band_revenue
-    q["sales_opportunity"] = _q_sales_opportunity
-    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
-    q["profile_docs"] = _q_profile_docs
-    q["corpus_diff_docs"] = _q_corpus_diff
-    q["epoch_shuffle_docs"] = _q_epoch_shuffle
-    q["mix_weights_sources"] = _q_mix_weights
-    q["materialize_mix_docs"] = _q_materialize_mix
-    q["select_token_budget_docs"] = _q_select_token_budget
-    q["segment_dedup_docs"] = _q_segment_dedup
-    q["ngram_novelty_docs"] = _q_ngram_novelty
-    q["classifier_scores"] = _q_classifier_scores
+    q["pivot_event_counts"] = _q_pivot_event_counts  # ---- round-3 additions (registered past the window deliberately: the
     return q
 
 

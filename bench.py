@@ -92,8 +92,10 @@ def main() -> None:
         for name, fn in entrymod.queries().items():
             try:
                 fn(spark, warm_dir).collect()
-            except Exception:
-                pass
+            except Exception as exc:
+                # A warmup failure means the timed pass runs cold AND usually
+                # signals a fixture/data divergence — surface it, don't hide it.
+                print(f"WARN warmup failed for {name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0

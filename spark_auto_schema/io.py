@@ -19,6 +19,13 @@ Spark-native differences:
   refuses to read natively) are transparently read with
   ``spark.sql.legacy.parquet.nanosAsLong`` and converted back to
   microsecond timestamps — a footer-only metadata read, no data pass.
+* Parquet timestamps written with ``isAdjustedToUTC=false`` surface as
+  ``TIMESTAMP_NTZ`` under Spark's default ``inferTimestampNTZ``; those
+  columns are normalized to instant (``TIMESTAMP``) semantics treating the
+  wall-clock as UTC, via an epoch arithmetic expression that is independent
+  of the session timezone (``timestampdiff`` between two NTZ values →
+  ``timestamp_micros``).  This gives every reader one uniform timestamp
+  type regardless of how the producing writer flagged the column.
 """
 
 from __future__ import annotations
@@ -69,11 +76,39 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     return out
 
 
+def normalize_ntz_columns(df: DataFrame) -> DataFrame:
+    """Convert every ``TIMESTAMP_NTZ`` column to an instant (``TIMESTAMP``)
+    treating the wall-clock value as UTC.
+
+    The conversion is session-timezone-independent: ``timestampdiff`` over
+    two NTZ operands yields the wall-clock's epoch microseconds directly,
+    and ``timestamp_micros`` turns that integer into an instant — no
+    wall↔instant reinterpretation through the session zone ever happens.
+    This matches how a naive-timestamp engine (e.g. DuckDB's ``epoch_us``)
+    reads the same parquet value, so downstream ``unix_micros``/windowing
+    agree across engines.  A pure projection: pushdown/pruning on other
+    columns is unaffected."""
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)"
+                )
+            ),
+        )
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan (RAS.py:228-229), tolerant of timestamp[ns] columns."""
+    """Parquet scan (RAS.py:228-229), tolerant of timestamp[ns] columns and
+    of ``isAdjustedToUTC=false`` (NTZ) timestamp columns."""
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
-        return spark.read.parquet(path)
+        return normalize_ntz_columns(spark.read.parquet(path))
     # Scope the legacy flag to this read: the schema conversion happens at
     # analysis time (the .parquet() call), so the prior value is restored
     # immediately after — later actions on the returned frame don't need it,
@@ -93,7 +128,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # float division of ~1.7e18 ns epoch values loses sub-microsecond
         # precision (double ulp at that magnitude is 256 ns).
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_ntz_columns(df)
 
 
 def read_csv(
@@ -143,7 +178,14 @@ def load_file(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table: ``{sf_dir}/{name}.parquet``."""
+    """Read one driver testdata table: ``{sf_dir}/{name}.parquet``.
+
+    Pins the session timezone to UTC (runtime-settable, idempotent) so
+    instant-typed results collected by a comparison harness render with the
+    same wall-clock a naive-timestamp oracle prints.  All epoch arithmetic
+    in this package is already timezone-independent; this only stabilizes
+    the *display* of TIMESTAMP values on collect."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 

@@ -22,36 +22,76 @@ from pyspark.sql import types as T
 
 from .inference import ColumnInference, infer_table_schema
 
-# events.parquet carries timestamp[ns]; file streams require an explicit
-# schema, so declare ts as long (nanosAsLong) and convert in the stream.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_unit(source_dir: str) -> str:
+    """Physical encoding of the ``ts`` column per the parquet footer of the
+    first file in the drop-dir: ``'ns'`` (int64 nanos needing the legacy
+    nanosAsLong read) or ``'us'`` (regular microsecond timestamp).
+    Metadata-only read; defaults to ``'us'`` when undeterminable."""
+    try:
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{source_dir.rstrip('/')}/*.parquet"))
+        if files:
+            t = pq.read_schema(files[0]).field("ts").type
+            if pa.types.is_timestamp(t) and t.unit == "ns":
+                return "ns"
+    except Exception:  # pragma: no cover - footer unreadable
+        pass
+    return "us"
 
 
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream of event parquet drops in ``source_dir``.
 
-    NOTE: deliberately leaves ``spark.sql.legacy.parquet.nanosAsLong`` set
-    on the session — unlike a batch read (where the conversion is captured
-    at analysis time and :func:`spark_auto_schema.io.read_parquet` restores
-    the flag immediately), a stream re-resolves parquet files at every
-    microbatch for the lifetime of the query, so the flag must stay set
-    while any stream from this source is running."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    File streams require an explicit schema, and the producing writer may
+    have encoded ``ts`` either as timestamp[ns] (readable only as int64 via
+    the legacy ``nanosAsLong`` flag) or as a plain microsecond timestamp
+    with ``isAdjustedToUTC=false`` (surfacing as NTZ).  Both are detected
+    from the footer and normalized to an instant (``TIMESTAMP``) column
+    whose epoch equals the wall-clock-as-UTC — the same session-timezone-
+    independent arithmetic as :func:`spark_auto_schema.io.read_parquet`.
+
+    NOTE: the ns path deliberately leaves ``spark.sql.legacy.parquet.
+    nanosAsLong`` set on the session — unlike a batch read (where the
+    conversion is captured at analysis time and the flag restored), a
+    stream re-resolves parquet files at every microbatch for the query's
+    lifetime, so the flag must stay set while the stream runs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if _ts_unit(source_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_stream_schema(T.LongType()))
+            .option("maxFilesPerTrigger", 8)
+            .parquet(source_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(T.TimestampNTZType()))
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        ),
+    )
 
 
 def windowed_event_counts(

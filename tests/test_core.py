@@ -176,3 +176,72 @@ def test_schema_evolution_merge_and_infer(spark, tmp_path):
     )
     diff = {r["field"]: r["reason"] for r in evaluate_diffs(proposed, deployed).collect()}
     assert diff == {"score": "MISSING"}
+
+
+def test_ntz_normalization_is_timezone_independent(spark, tmp_path):
+    """A parquet timestamp written with isAdjustedToUTC=false (surfacing as
+    TIMESTAMP_NTZ under Spark's default inferTimestampNTZ) must normalize to
+    an instant whose epoch equals the wall-clock-as-UTC — regardless of the
+    session timezone at read or collect time.  This is what keeps
+    unix_micros-based queries in agreement with a naive-timestamp oracle
+    (DuckDB epoch_us) after the driver regenerated testdata from
+    timestamp[ns] to timestamp[us]/NTZ."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_parquet
+
+    wall = datetime.datetime(2024, 3, 1, 12, 34, 56, 789000)
+    path = str(tmp_path / "ntz.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([wall], pa.timestamp("us"))}), path
+    )
+    assert pq.read_schema(path).field("ts").type == pa.timestamp("us")  # no tz
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = read_parquet(spark, path)
+            assert dict(df.dtypes)["ts"] == "timestamp"
+            [row] = df.select(F.unix_micros("ts").alias("us")).collect()
+            expected = int(
+                wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+            )
+            assert row["us"] == expected, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_event_stream_ts_unit_detection(spark, tmp_path):
+    """read_event_stream detects the physical ts encoding from the parquet
+    footer: int64-nanos files go through the legacy nanosAsLong path,
+    microsecond/NTZ files through the TIMESTAMP_NTZ path — both yielding
+    identical instant (TIMESTAMP) values."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_auto_schema.streaming import _ts_unit
+
+    wall = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    us_dir = tmp_path / "us_drop"
+    ns_dir = tmp_path / "ns_drop"
+    us_dir.mkdir()
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([wall], pa.timestamp("us"))}),
+        str(us_dir / "f.parquet"),
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array([wall], pa.timestamp("ns"))}),
+        str(ns_dir / "f.parquet"),
+    )
+    assert _ts_unit(str(us_dir)) == "us"
+    assert _ts_unit(str(ns_dir)) == "ns"
+    shutil.rmtree(str(us_dir))

@@ -126,15 +126,17 @@ def test_shipping_priority_broadcasts_dim_and_pushes_filters(spark):
 
 
 def test_streaming_uses_stateful_operator(spark):
+    from pyspark.sql import types as T
+
     from spark_auto_schema.streaming import (
-        EVENTS_STREAM_SCHEMA,
+        _events_stream_schema,
         running_user_stats_stream,
     )
 
     # logical check on a batch-shaped frame is impossible (the operator is
     # streaming-only); assert the streaming plan contains the Arrow state op
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(T.LongType()))
         .parquet("/root/testdata/sf0.001")  # never started; plan-only
     )
     import pyspark.sql.functions as F
