@@ -24,9 +24,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # Width of the hex prefix compared against the threshold: 4 hex chars = a
-# uniform draw from [0, 65536) per key.
+# uniform draw from [0, 65536) per key.  Threshold comparisons (hash_sample,
+# mix_by_column, split ordering) keep 4 digits — fraction resolution of
+# 1/65536 is ample and the short prefix keeps oracle SQL simple.
 _HEX_DIGITS = 4
 _SPACE = 16**_HEX_DIGITS
+
+# The *integer* uniform draw is wider: 8 hex chars = [0, 2^32).  At 4 digits
+# only 65,536 distinct u values exist, so at billions of rows ties dominate
+# within equal-weight classes and weighted_sample's key_col tie-break skews
+# toward low keys; 2^32 values make equal-u ties vanishingly rare.
+_UNIFORM_HEX_DIGITS = 8
+_UNIFORM_SPACE = 16**_UNIFORM_HEX_DIGITS
 
 
 def _hash_prefix(key: Column) -> Column:
@@ -108,7 +117,7 @@ def weighted_sample(
     partition, k*partitions rows to the driver-side merge), never a full
     sort: at 100 TB this is one scan plus a k-sized heap.  Rows with
     non-positive weights are excluded (they can never win)."""
-    u = (_hash_prefix_int(F.col(key_col)) + F.lit(1.0)) / F.lit(float(_SPACE))
+    u = (_hash_prefix_int(F.col(key_col)) + F.lit(1.0)) / F.lit(float(_UNIFORM_SPACE))
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
         df.where(F.col(weight_col) > 0)
@@ -120,7 +129,9 @@ def weighted_sample(
 
 
 def _hash_prefix_int(key: Column) -> Column:
-    """The 4-hex-digit md5 prefix as an integer in [0, 65536) — the shared
+    """The 8-hex-digit md5 prefix as an integer in [0, 2^32) — the shared
     uniform-draw primitive (Spark: conv(hex,16,10); the DuckDB oracle
-    rebuilds it with per-digit strpos arithmetic)."""
-    return F.conv(_hash_prefix(key), 16, 10).cast("long")
+    rebuilds it as CAST('0x' || prefix AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, _UNIFORM_HEX_DIGITS), 16, 10
+    ).cast("long")

@@ -349,3 +349,17 @@ def test_weighted_sample_deterministic_and_biased(spark):
     d0 = d.withColumn("w", F.when(F.col("doc_id") < 10, -1.0).otherwise(F.col("w")))
     s3 = {r["doc_id"] for r in sampling.weighted_sample(d0, "doc_id", "w", 100).collect()}
     assert all(i >= 10 for i in s3)
+
+
+def test_weighted_sample_uniform_draw_rarely_ties(spark):
+    """The A-ES uniform u must be wide enough that equal-weight rows
+    virtually never share a rank key — at the old 4-hex-digit width (65,536
+    values) a 10k-row equal-weight frame collides ~53% of the time per pair
+    (birthday bound ~ n^2 / 2*65536 >> 1), biasing the key_col tie-break
+    toward low keys.  With the 8-hex-digit draw the expected number of
+    colliding pairs at n=10k is n^2 / 2^33 ~= 0.01, so we assert zero
+    duplicate u values among 10k equal-weight keys."""
+    d = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    u = sampling._hash_prefix_int(F.col("doc_id"))
+    n_distinct = d.select(u.alias("u")).distinct().count()
+    assert n_distinct == 10_000
