@@ -2052,7 +2052,58 @@ GROUP BY doc_id
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_spread_docs(spark, sf_dir), verify_threshold=0.8)
+    """Oracle-checked contract for the production xxhash64 MinHash+LSH twin.
+
+    xxhash64 has no DuckDB equivalent, so the pair set itself cannot be
+    replayed cross-engine (the md5-grade twin minhash_md5_dup_pairs is the
+    full-pipeline value oracle).  What CAN be checked about the production
+    twin:
+
+    * precision_exact — every emitted pair appears in the exact-Jaccard
+      truth set (all co-shingled pairs with jaccard >= 0.8, computed with
+      NO LSH by the uncapped shingle join) with the identical rounded
+      jaccard.  The verify stage guarantees this, so any violation is a
+      bug in banding/verification.
+    * recall_floor_090 — banded LSH (16 hashes, 4 bands of 4) recovers at
+      least 90% of the truth pairs.  P[miss | j] = (1 - j^4)^4 is <= 1.4%
+      at j = 0.9, the minimum truth jaccard in the testdata, so expected
+      recall is ~0.99; the 0.9 floor tolerates per-pair hash luck while
+      catching any structural recall regression (wrong banding, dropped
+      shingles, broken signature hash).
+
+    The truth set is computed by ngram_jaccard_pairs, which is itself
+    independently DuckDB-value-checked as ngram_jaccard_dups."""
+    docs = _spread_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.8)
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None)
+    joined = pairs.alias("p").join(
+        truth.alias("t"), on=["id_a", "id_b"], how="left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.col("t.jaccard").isNull()
+                | (F.col("p.jaccard") != F.col("t.jaccard")),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad"),
+    ).collect()[0]
+    n_truth = truth.count()
+    n_found = n_truth - truth.join(
+        pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
+    ).count()
+    rows = [
+        ("precision_exact", bool(agg["n_bad"] == 0 and agg["n_pairs"] > 0)),
+        ("recall_floor_090", bool(n_found >= 0.9 * n_truth)),
+    ]
+    return spark.createDataFrame(rows, "method string, ok boolean")
+
+
+_MINHASH_CONTRACT_SQL = """
+SELECT * FROM (VALUES ('precision_exact', TRUE), ('recall_floor_090', TRUE))
+AS t(method, ok)
+"""
 
 
 def _q_simhash_sigs(spark, sf_dir):
@@ -2278,12 +2329,44 @@ SELECT * FROM (VALUES ('lsh', TRUE), ('ivf', TRUE)) AS t(method, recall_ok)
 
 
 def _q_ewma_user_values(spark, sf_dir):
-    """Per-user EWMA of event values — recursive semantics no SQL window can
-    express; Arrow applyInPandas with the pandas ewm kernel (rows-only; the
-    value-checked twin is ewma_value_check)."""
+    """Terminal EWMA value per user over the FULL corpus, value-checked
+    against a DuckDB recursive CTE.  ewma_value_check verifies the whole
+    per-row series on a 3-user subset; this query runs the production Arrow
+    kernel over every event and checks each user's final smoothed value —
+    the deepest point of the recurrence, which in particular exercises the
+    cross-batch carry logic (a wrong or dropped carry corrupts exactly the
+    tail of each user's series).  Both engines accumulate
+    y_t = 0.3 x_t + 0.7 y_{t-1} sequentially in ts order (no (user_id, ts)
+    duplicates exist in the testdata, so the order is total) and round to
+    6 decimals."""
     e = read_table(spark, sf_dir, "events")
     out = relational.ewma(e, "user_id", "ts", "value", alpha=0.3)
-    return out.select("user_id", F.unix_micros("ts").alias("us"), "ewma")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.round("ewma", 6).alias("ewma"),
+        )
+    )
+
+
+_EWMA_FINAL_SQL = """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), r AS (
+  SELECT user_id, rn, n, us, CAST(value AS DOUBLE) AS ewma FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.n, e.us, 0.3 * e.value + 0.7 * r.ewma
+  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, us, round(ewma, 6) AS ewma FROM r WHERE rn = n
+"""
 
 
 def _q_ewma_value_check(spark, sf_dir):
@@ -3414,6 +3497,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY user_id"
     )
+    o["minhash_dup_pairs"] = _MINHASH_CONTRACT_SQL
+    o["ewma_user_values"] = _EWMA_FINAL_SQL
     o["order_priority_check"] = _ORDER_PRIORITY_SQL
     o["volume_shipping"] = _VOLUME_SHIPPING_SQL
     o["product_profit"] = _PRODUCT_PROFIT_SQL
