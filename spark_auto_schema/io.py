@@ -92,11 +92,12 @@ def normalize_ntz_columns(df: DataFrame) -> DataFrame:
 
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
+        quoted = "`" + c.replace("`", "``") + "`"
         df = df.withColumn(
             c,
             F.timestamp_micros(
                 F.expr(
-                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)"
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {quoted})"
                 )
             ),
         )
@@ -177,15 +178,28 @@ def load_file(
     return override_columns(df, columns)
 
 
+def pin_utc_session(spark: SparkSession) -> None:
+    """Set ``spark.sql.session.timeZone=UTC`` for the session (idempotent).
+
+    SESSION-WIDE SIDE EFFECT, called by :func:`read_table` and
+    ``streaming.read_event_stream``: instant-typed results collected by a
+    comparison harness must render with the same wall-clock a
+    naive-timestamp oracle prints, and that rendering depends on the
+    session zone.  All epoch arithmetic in this package is already
+    timezone-independent; the pin only stabilizes *display* of TIMESTAMP
+    values on collect.  Callers that need a different session zone for
+    their own display should set it back after reading — or read via
+    :func:`read_parquet`/:func:`load_file`, which never touch it."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table: ``{sf_dir}/{name}.parquet``.
 
-    Pins the session timezone to UTC (runtime-settable, idempotent) so
-    instant-typed results collected by a comparison harness render with the
-    same wall-clock a naive-timestamp oracle prints.  All epoch arithmetic
-    in this package is already timezone-independent; this only stabilizes
-    the *display* of TIMESTAMP values on collect."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    Pins the session timezone to UTC via :func:`pin_utc_session` (a
+    documented session-wide side effect; use :func:`read_parquet` directly
+    for a side-effect-free read)."""
+    pin_utc_session(spark)
     return read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 

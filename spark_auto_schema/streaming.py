@@ -38,22 +38,34 @@ def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
 def _ts_unit(source_dir: str) -> str:
     """Physical encoding of the ``ts`` column per the parquet footer of the
     first file in the drop-dir: ``'ns'`` (int64 nanos needing the legacy
-    nanosAsLong read) or ``'us'`` (regular microsecond timestamp).
-    Metadata-only read; defaults to ``'us'`` when undeterminable."""
-    try:
-        import glob
+    nanosAsLong read), ``'ntz'`` (microsecond wall-clock,
+    isAdjustedToUTC=false), or ``'utc'`` (microsecond instant,
+    isAdjustedToUTC=true).  Metadata-only read.
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    A file stream locks its schema at setup, so the drop-dir must already
+    hold at least one file, and every later drop must use the SAME encoding
+    — a stream whose schema was fixed from one encoding fails every
+    microbatch that delivers another.  Raises instead of guessing when the
+    dir is empty or the footer is unreadable (a silent 'us' default here
+    would lock in a schema that breaks the first ns drop)."""
+    import glob
 
-        files = sorted(glob.glob(f"{source_dir.rstrip('/')}/*.parquet"))
-        if files:
-            t = pq.read_schema(files[0]).field("ts").type
-            if pa.types.is_timestamp(t) and t.unit == "ns":
-                return "ns"
-    except Exception:  # pragma: no cover - footer unreadable
-        pass
-    return "us"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{source_dir.rstrip('/')}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet files in {source_dir!r}: a file stream locks its "
+            "schema at setup, so the ts encoding must be probed from an "
+            "existing drop — write the first file before starting the stream"
+        )
+    t = pq.read_schema(files[0]).field("ts").type
+    if not pa.types.is_timestamp(t):
+        raise TypeError(f"ts column in {files[0]!r} is {t}, expected timestamp")
+    if t.unit == "ns":
+        return "ns"
+    return "utc" if t.tz is not None else "ntz"
 
 
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -71,9 +83,19 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     nanosAsLong`` set on the session — unlike a batch read (where the
     conversion is captured at analysis time and the flag restored), a
     stream re-resolves parquet files at every microbatch for the query's
-    lifetime, so the flag must stay set while the stream runs."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if _ts_unit(source_dir) == "ns":
+    lifetime, so the flag must stay set while the stream runs.
+
+    Preconditions (enforced by :func:`_ts_unit`): the drop-dir holds at
+    least one file before the stream starts, and every drop for the
+    stream's lifetime uses the same ``ts`` encoding — the schema is locked
+    at setup, so a mixed-encoding dir fails at its first divergent
+    microbatch.  Also pins the session timezone to UTC (see
+    :func:`spark_auto_schema.io.pin_utc_session`)."""
+    from .io import pin_utc_session
+
+    pin_utc_session(spark)
+    unit = _ts_unit(source_dir)
+    if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(_events_stream_schema(T.LongType()))
@@ -81,6 +103,13 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
             .parquet(source_dir)
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "utc":
+        # isAdjustedToUTC=true microseconds: already an instant, no rebase.
+        return (
+            spark.readStream.schema(_events_stream_schema(T.TimestampType()))
+            .option("maxFilesPerTrigger", 8)
+            .parquet(source_dir)
+        )
     raw = (
         spark.readStream.schema(_events_stream_schema(T.TimestampNTZType()))
         .option("maxFilesPerTrigger", 8)

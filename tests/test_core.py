@@ -242,6 +242,19 @@ def test_event_stream_ts_unit_detection(spark, tmp_path):
         pa.table({"ts": pa.array([wall], pa.timestamp("ns"))}),
         str(ns_dir / "f.parquet"),
     )
-    assert _ts_unit(str(us_dir)) == "us"
+    assert _ts_unit(str(us_dir)) == "ntz"
     assert _ts_unit(str(ns_dir)) == "ns"
+    # isAdjustedToUTC=true microseconds -> already-instant 'utc' path
+    utc_dir = tmp_path / "utc_drop"
+    utc_dir.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([wall], pa.timestamp("us", tz="UTC"))}),
+        str(utc_dir / "f.parquet"),
+    )
+    assert _ts_unit(str(utc_dir)) == "utc"
+    # an empty drop-dir must raise, not silently lock in a default schema
+    empty_dir = tmp_path / "empty_drop"
+    empty_dir.mkdir()
+    with pytest.raises(FileNotFoundError):
+        _ts_unit(str(empty_dir))
     shutil.rmtree(str(us_dir))
