@@ -75,18 +75,29 @@ def _extract_batch(pdf, fake: bool):
 
 
 def extract_media_features(
-    df: DataFrame, fake: bool = False, batch_hint: int | None = None
+    df: DataFrame,
+    fake: bool = False,
+    batch_hint: int | None = None,
+    extractor=None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload) rows.
 
     ``mapInPandas`` keeps the pipeline partition-parallel: each task streams
-    Arrow record batches through ``_extract_batch`` — the shape real image /
+    Arrow record batches through the extractor — the shape real image /
     audio decoding would use (payload bytes in, fixed-width features out).
-    """
+
+    ``extractor`` is the codec seam: a callable ``(pandas_batch, fake) ->
+    pandas_batch`` conforming to ``MEDIA_FEATURE_SCHEMA`` that replaces the
+    built-in stub — inject a PIL/ffmpeg-backed implementation here without
+    touching any Spark plumbing.  The callable is captured by value into
+    the task closure (monkeypatching the module attribute would NOT work:
+    executors re-import this module and would see the original), so a
+    swapped codec ships with the job like any other closure."""
+    extract = extractor if extractor is not None else _extract_batch
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
-            yield _extract_batch(pdf, fake)
+            yield extract(pdf, fake)
 
     return df.select("doc_id", "payload").mapInPandas(run, MEDIA_FEATURE_SCHEMA)
 

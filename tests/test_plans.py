@@ -384,3 +384,53 @@ def test_sales_opportunity_anti_join(spark):
     plan = plan_of(entry._q_sales_opportunity(spark, SF_DIR), "simple")
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join complement to the manual salting in ops/skew.py: a
+    synthetically skewed sort-merge join must be split at runtime into
+    multiple tasks per skewed partition, visible as SortMergeJoin(skew=true)
+    over an 'AQEShuffleRead skewed' reader in the final adaptive plan.  The
+    skew thresholds are lowered so local-mode data sizes trigger the
+    optimizer; at production defaults (256 MB / factor 5) the same rewrite
+    fires on genuinely hot keys — this is the zero-code path that obviates
+    hand salting when exact per-key aggregation isn't required."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of 400k rows land on key 0; the rest spread over ~1000 keys
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+        )
+        j = big.join(dim, on="k")
+        # collect() drives j's OWN QueryExecution to the final adaptive plan
+        # (a .write wraps the plan in a separate command execution, whose
+        # finalization is invisible from j)
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
