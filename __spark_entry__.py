@@ -2074,28 +2074,28 @@ def _q_minhash_pairs(spark, sf_dir):
     The truth set is computed by ngram_jaccard_pairs, which is itself
     independently DuckDB-value-checked as ngram_jaccard_dups."""
     docs = _spread_docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.8)
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None)
-    joined = pairs.alias("p").join(
-        truth.alias("t"), on=["id_a", "id_b"], how="left"
+    pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.8).select(
+        "id_a", "id_b", F.col("jaccard").alias("pj")
     )
-    agg = joined.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            F.when(
-                F.col("t.jaccard").isNull()
-                | (F.col("p.jaccard") != F.col("t.jaccard")),
-                1,
-            ).otherwise(0)
-        ).alias("n_bad"),
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).select(
+        "id_a", "id_b", F.col("jaccard").alias("tj")
+    )
+    # One full-outer join + one aggregate = a single action; each pipeline
+    # (LSH and truth) executes exactly once.
+    m = pairs.join(truth, on=["id_a", "id_b"], how="full_outer")
+    got = F.col("pj").isNotNull()
+    real = F.col("tj").isNotNull()
+    agg = m.agg(
+        F.sum(got.cast("int")).alias("n_pairs"),
+        F.sum((got & (~real | (F.col("pj") != F.col("tj")))).cast("int")).alias(
+            "n_bad"
+        ),
+        F.sum(real.cast("int")).alias("n_truth"),
+        F.sum((got & real).cast("int")).alias("n_found"),
     ).collect()[0]
-    n_truth = truth.count()
-    n_found = n_truth - truth.join(
-        pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
-    ).count()
     rows = [
         ("precision_exact", bool(agg["n_bad"] == 0 and agg["n_pairs"] > 0)),
-        ("recall_floor_090", bool(n_found >= 0.9 * n_truth)),
+        ("recall_floor_090", bool(agg["n_found"] >= 0.9 * agg["n_truth"])),
     ]
     return spark.createDataFrame(rows, "method string, ok boolean")
 
