@@ -2336,12 +2336,14 @@ def _q_ewma_user_values(spark, sf_dir):
     the deepest point of the recurrence, which in particular exercises the
     cross-batch carry logic (a wrong or dropped carry corrupts exactly the
     tail of each user's series).  Both engines accumulate
-    y_t = 0.3 x_t + 0.7 y_{t-1} sequentially in ts order (no (user_id, ts)
-    duplicates exist in the testdata, so the order is total) and round to
-    6 decimals."""
+    y_t = 0.3 x_t + 0.7 y_{t-1} sequentially in (ts, value) order — the
+    value tie-break makes the order total even if a regenerated testdata
+    introduced duplicate timestamps — and round to 6 decimals."""
     e = read_table(spark, sf_dir, "events")
     out = relational.ewma(e, "user_id", "ts", "value", alpha=0.3)
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
     return (
         out.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -2356,7 +2358,7 @@ def _q_ewma_user_values(spark, sf_dir):
 _EWMA_FINAL_SQL = """
 WITH RECURSIVE e AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn,
          count(*) OVER (PARTITION BY user_id) AS n
   FROM events
 ), r AS (
@@ -2386,7 +2388,7 @@ def _q_ewma_value_check(spark, sf_dir):
 _EWMA_VALUE_SQL = """
 WITH RECURSIVE e AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
   FROM events WHERE user_id < 3
 ), r AS (
   SELECT user_id, rn, us, CAST(value AS DOUBLE) AS ewma FROM e WHERE rn = 1

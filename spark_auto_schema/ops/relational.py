@@ -135,10 +135,13 @@ def ewma(
         ]
     )
     sc = df.sparkSession.sparkContext
+    # value_col as the final sort key makes the order total even when a key
+    # has duplicate timestamps (equal-ts-equal-value ties are order-neutral
+    # for the recurrence), so results stay engine-reproducible on any data.
     prepared = (
         df.select(key_col, ts_col, value_col)
         .repartition(sc.defaultParallelism, key_col)
-        .sortWithinPartitions(key_col, ts_col)
+        .sortWithinPartitions(key_col, ts_col, value_col)
     )
 
     def run(batches):
