@@ -2128,6 +2128,69 @@ def _q_simhash_neardup(spark, sf_dir):
     )
 
 
+def _q_simhash_pigeonhole_check(spark, sf_dir):
+    """Losslessness contract for the production xxhash64 SimHash pigeonhole
+    (the rows-only simhash_near_dup's companion check).  With 64-bit
+    signatures in 4 chunks of 16 bits, any pair at hamming <= 3 shares at
+    least one exact chunk, so bucketed candidate generation is LOSSLESS —
+    unlike MinHash LSH, recall here is combinatorial, not probabilistic.
+    The contract compares the bucketed pair set against the brute-force
+    all-pairs truth over the same signature function:
+
+    * pairs_equal_truth — identical (id_a, id_b) sets with identical
+      hamming values; any divergence is a chunking/bucketing bug.
+    * nonempty — the testdata contains near-dup pairs, so the equality
+      cannot pass vacuously.
+
+    The all-pairs side is the contract's own cost (n^2/2 8-byte signature
+    comparisons — exactly what the pigeonhole exists to avoid in
+    production), so the check runs on a deterministic 50% hash-sample: the
+    losslessness being verified is combinatorial, not data-dependent, and
+    the sample (like simhash_md5_near_dup's 30%) keeps real near-dup pairs
+    so the nonempty guard holds."""
+    docs = sampling.hash_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", 0.5
+    )
+    sig = dedup._persist(dedup.simhash(docs))  # one signature job, both sides
+    bucketed = dedup.simhash_near_dup_pairs(docs, max_hamming=3, sig=sig).select(
+        "id_a", "id_b", F.col("hamming").alias("bh")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    truth = (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("th"),
+        )
+        .where(F.col("th") <= 3)
+    )
+    m = bucketed.join(truth, on=["id_a", "id_b"], how="full_outer")
+    agg = m.agg(
+        F.sum(
+            (
+                F.col("bh").isNull()
+                | F.col("th").isNull()
+                | (F.col("bh") != F.col("th"))
+            ).cast("int")
+        ).alias("n_mismatch"),
+        F.sum(F.col("th").isNotNull().cast("int")).alias("n_truth"),
+    ).collect()[0]
+    rows = [
+        ("pairs_equal_truth", bool(agg["n_mismatch"] == 0)),
+        ("nonempty", bool(agg["n_truth"] > 0)),
+    ]
+    return spark.createDataFrame(rows, "method string, ok boolean")
+
+
+_SIMHASH_PIGEONHOLE_SQL = """
+SELECT * FROM (VALUES ('pairs_equal_truth', TRUE), ('nonempty', TRUE))
+AS t(method, ok)
+"""
+
+
 def _q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(
         read_table(spark, sf_dir, "embeddings"),
@@ -3303,12 +3366,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["column_list_lineitem"] = _q_column_list
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_md5_near_dup"] = _q_simhash_md5
-    q["dedup_exact"] = _q_hash_dedup
+    q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
     # ---- entries below are past the driver's 50-entry window: all are
     # driver-green on post-regeneration data (CORRECTNESS_r03 or r04) with
     # unchanged code, and remain oracle-checked by the local mirror +
     # pytest every round ----
     # --- dedup family ---
+    q["dedup_exact"] = _q_hash_dedup
     q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
     q["simhash_signatures"] = _q_simhash_sigs  # rows-only
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
@@ -3501,6 +3565,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["minhash_dup_pairs"] = _MINHASH_CONTRACT_SQL
     o["ewma_user_values"] = _EWMA_FINAL_SQL
+    o["simhash_pigeonhole_check"] = _SIMHASH_PIGEONHOLE_SQL
     o["order_priority_check"] = _ORDER_PRIORITY_SQL
     o["volume_shipping"] = _VOLUME_SHIPPING_SQL
     o["product_profit"] = _PRODUCT_PROFIT_SQL

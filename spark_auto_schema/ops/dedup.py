@@ -881,14 +881,21 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance <= max_hamming.
 
     Pigeonhole bucketing: with 4 chunks of 16 bits, any pair within hamming 3
     agrees on >= 1 chunk; join per-chunk (2^16 buckets each — expected bucket
     size n/65536), verify exact hamming via bit_count(xor) only inside
-    buckets."""
-    sig = simhash(df, text_col, id_col)
+    buckets.
+
+    ``sig`` optionally supplies a precomputed ``(id, simhash)`` frame (e.g.
+    a persisted signature table) so pair generation skips the signature
+    job — the shape a production pipeline uses: signatures are computed
+    once per ingest and re-bucketed cheaply thereafter."""
+    if sig is None:
+        sig = simhash(df, text_col, id_col)
     chunks = sig.select(
         "id",
         "simhash",
