@@ -3311,10 +3311,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     since, but never re-anchored by the driver on the regenerated data),
     (b) the queries whose code changed this round (weighted_sample's
     uniform draw widened to 8 hex digits, which also feeds pack_sequences),
-    (c) the two former rows-only queries promoted to oracle-checked
-    contracts this round (minhash_dup_pairs containment contract,
-    ewma_user_values spot-check contract), and (d) the inference flagship +
-    schema core re-anchors.  With this window, every oracle-checked query
+    (c) the former rows-only queries promoted to oracle-checked contracts
+    this round (minhash_dup_pairs precision/recall contract,
+    ewma_user_values terminal-value check, plus the new
+    simhash_pigeonhole_check losslessness contract), and (d) the inference
+    flagship + schema core re-anchors.  With this window, every
+    oracle-checked query
     in the registry has a post-regeneration driver-green row in
     CORRECTNESS_r03 ∪ r04 ∪ r05.  Everything past the window is
     driver-green in r03/r04 with unchanged code and stays covered by the

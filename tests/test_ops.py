@@ -152,6 +152,9 @@ def test_simhash_identical_and_near(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert (1, 3) not in got
+    # precomputed-signature reuse path yields the identical pair set
+    reused = dedup.simhash_near_dup_pairs(df, max_hamming=0, sig=dedup.simhash(df))
+    assert {(r["id_a"], r["id_b"]) for r in reused.collect()} == got
 
 
 # -------------------------------------------------------------- similarity
