@@ -2168,16 +2168,22 @@ def _q_simhash_pigeonhole_check(spark, sf_dir):
         .where(F.col("th") <= 3)
     )
     m = bucketed.join(truth, on=["id_a", "id_b"], how="full_outer")
-    agg = m.agg(
-        F.sum(
-            (
-                F.col("bh").isNull()
-                | F.col("th").isNull()
-                | (F.col("bh") != F.col("th"))
-            ).cast("int")
-        ).alias("n_mismatch"),
-        F.sum(F.col("th").isNotNull().cast("int")).alias("n_truth"),
-    ).collect()[0]
+    try:
+        agg = m.agg(
+            F.sum(
+                (
+                    F.col("bh").isNull()
+                    | F.col("th").isNull()
+                    | (F.col("bh") != F.col("th"))
+                ).cast("int")
+            ).alias("n_mismatch"),
+            F.sum(F.col("th").isNotNull().cast("int")).alias("n_truth"),
+        ).collect()[0]
+    finally:
+        # The signature frame is only needed within this contract; without
+        # the unpersist, callers outside bench (which releases op caches
+        # per query) would accumulate cached frames (round-5 ADVICE).
+        sig.unpersist()
     rows = [
         ("pairs_equal_truth", bool(agg["n_mismatch"] == 0)),
         ("nonempty", bool(agg["n_truth"] > 0)),

@@ -107,7 +107,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     total = 0.0
-    for name, fn in entrymod.queries().items():
+    failed: list[str] = []
+    registry = entrymod.queries()
+    for name, fn in registry.items():
         samples: list[float] = []
         n = -1
         for _ in range(reps):
@@ -119,8 +121,19 @@ def main() -> None:
                 print(f"bench query {name} failed: {ex}", file=sys.stderr)
                 n = -1
                 break
+            finally:
+                # Always drop operator-persisted frames — even when a rep
+                # fails mid-query — so a failed query's cached blocks can't
+                # leak into the next query's timing (round-5 ADVICE).
+                _release_op_caches()
             samples.append(time.perf_counter() - t0)
-            _release_op_caches()
+        if n < 0:
+            # Failed queries contribute 0 to the total rather than a median
+            # over the partial pre-failure samples (round-5 ADVICE).
+            failed.append(name)
+            timings[name] = 0.0
+            rep_times[name] = [round(s, 3) for s in samples]
+            continue
         dt = sorted(samples)[len(samples) // 2] if samples else 0.0
         timings[name] = round(dt, 3)
         rep_times[name] = [round(s, 3) for s in samples]
@@ -141,11 +154,23 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:_N_SLOWEST]
     )
 
+    # Registry freshness guard: every queries() entry must have produced a
+    # timing row (failed ones carry 0.0 and are listed in "failed").  A
+    # future registry edit that silently shrinks coverage must not produce
+    # a plausible-looking summary.
+    missing = sorted(set(registry) - set(timings))
+    assert not missing, f"bench skipped registered queries: {missing}"
+    assert len(timings) == len(registry), (
+        f"bench timed {len(timings)} queries but registry has {len(registry)}"
+    )
+
     detail = {
         "metric": "total_query_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(timings),
+        "n_failed": len(failed),
+        "failed": failed,
         "reps": reps,
         "queries": timings,
         "rep_times": rep_times,
@@ -163,6 +188,7 @@ def main() -> None:
             "queries": {**families, **slowest},
             "sf": sf,
             "n_queries": len(timings),
+            "n_failed": len(failed),
             "reps": reps,
             "detail": "bench_detail.json",
         }

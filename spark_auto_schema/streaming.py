@@ -68,8 +68,16 @@ def _ts_unit(source_dir: str) -> str:
     return "utc" if t.tz is not None else "ntz"
 
 
-def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, source_dir: str, ts_unit: str | None = None
+) -> DataFrame:
     """File-source stream of event parquet drops in ``source_dir``.
+
+    ``ts_unit`` (``'ns'`` | ``'ntz'`` | ``'utc'``) pins the ``ts`` encoding
+    explicitly, skipping the footer probe — the escape hatch for starting a
+    stream against a drop-dir that is still empty (the probe otherwise
+    raises ``FileNotFoundError`` rather than guessing).  The caller then
+    owns the contract that every future drop uses that encoding.
 
     File streams require an explicit schema, and the producing writer may
     have encoded ``ts`` either as timestamp[ns] (readable only as int64 via
@@ -94,7 +102,9 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     from .io import pin_utc_session
 
     pin_utc_session(spark)
-    unit = _ts_unit(source_dir)
+    if ts_unit is not None and ts_unit not in ("ns", "ntz", "utc"):
+        raise ValueError(f"ts_unit must be 'ns', 'ntz' or 'utc', got {ts_unit!r}")
+    unit = ts_unit if ts_unit is not None else _ts_unit(source_dir)
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (

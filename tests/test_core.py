@@ -257,4 +257,13 @@ def test_event_stream_ts_unit_detection(spark, tmp_path):
     empty_dir.mkdir()
     with pytest.raises(FileNotFoundError):
         _ts_unit(str(empty_dir))
+    # ...unless the caller pins ts_unit explicitly — the escape hatch for
+    # starting a stream before the first drop lands (skips the probe)
+    from spark_auto_schema.streaming import read_event_stream
+
+    stream = read_event_stream(spark, str(empty_dir), ts_unit="utc")
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    with pytest.raises(ValueError):
+        read_event_stream(spark, str(empty_dir), ts_unit="ms")
     shutil.rmtree(str(us_dir))

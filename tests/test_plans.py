@@ -438,14 +438,30 @@ def test_aqe_splits_skewed_join(spark):
 
 def test_aqe_coalesces_small_shuffle_partitions(spark):
     """The partition-right-sizing half of the AQE reliance (the skew test
-    covers the splitting half): with spark.sql.shuffle.partitions=32 but a
-    tiny aggregate, AQE must coalesce the post-shuffle read instead of
-    running 32 near-empty tasks.  At 100 TB the same mechanism sizes every
-    post-shuffle stage to advisoryPartitionSizeInBytes, which is why the
-    operators here never hand-tune numPartitions per query."""
+    covers the splitting half): with spark.sql.shuffle.partitions=8 (the
+    conftest session default) but a tiny aggregate, AQE must coalesce the
+    post-shuffle read instead of running 8 near-empty tasks.  At 100 TB the
+    same mechanism sizes every post-shuffle stage to
+    advisoryPartitionSizeInBytes, which is why the operators here never
+    hand-tune numPartitions per query.  The adaptive confs are pinned (and
+    restored) so a prior test toggling them cannot flake this one."""
     from pyspark.sql import functions as F
 
-    df = spark.range(10_000).groupBy((F.col("id") % 100).alias("k")).count()
-    assert len(df.collect()) == 100
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "AQEShuffleRead coalesced" in plan
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.range(10_000).groupBy((F.col("id") % 100).alias("k")).count()
+        assert len(df.collect()) == 100
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
