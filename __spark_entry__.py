@@ -1070,6 +1070,124 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
 
 
+def _q_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path read-back for ``io.write_bucketed``: lineitem written as
+    an 8-bucket external table bucketed+sorted on l_orderkey, read back
+    through the catalog, and aggregated — the aggregate must equal the same
+    aggregate DuckDB computes over the SOURCE parquet, proving the bucketed
+    write neither drops, duplicates, nor mutates rows.  (The no-Exchange
+    join property of the bucketed layout is plan-asserted separately in
+    tests/test_plans.py.)  The tiny aggregate is collected BEFORE the table
+    is dropped — cleanup must not race the lazy scan — so the returned
+    frame is a local literal."""
+    import shutil
+    import tempfile
+
+    from spark_auto_schema.io import write_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice",
+    )
+    d = tempfile.mkdtemp(prefix="bucketed_rt_")
+    tbl = "bucketed_rt_lineitem"
+    try:
+        write_bucketed(li, tbl, "l_orderkey", buckets=8, path=f"{d}/{tbl}")
+        rows = (
+            spark.table(tbl)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["l_returnflag"],
+                r["l_linestatus"],
+                float(r["sum_qty"]),
+                float(r["sum_base_price"]),
+                r["n"],
+            )
+            for r in rows
+        ],
+        "l_returnflag string, l_linestatus string, sum_qty double, "
+        "sum_base_price double, n bigint",
+    )
+
+
+_BUCKETED_ROUNDTRIP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path read-back for ``io.write_partitioned``: lineitem written
+    partitioned by l_returnflag, read back with a partition-pruning filter
+    (only the ``l_returnflag=R`` directory is scanned — pruning itself is
+    plan-asserted in tests/test_plans.py), and aggregated; must equal the
+    filtered aggregate over the source parquet in DuckDB.  Collected before
+    cleanup for the same lazy-scan reason as the bucketed twin."""
+    import shutil
+    import tempfile
+
+    from spark_auto_schema.io import write_partitioned
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    d = tempfile.mkdtemp(prefix="partitioned_rt_")
+    try:
+        write_partitioned(li, d, ["l_returnflag"])
+        rows = (
+            spark.read.parquet(d)
+            .where(F.col("l_returnflag") == "R")
+            .groupBy("l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["l_linestatus"],
+                float(r["sum_qty"]),
+                float(r["sum_base_price"]),
+                r["n"],
+            )
+            for r in rows
+        ],
+        "l_linestatus string, sum_qty double, sum_base_price double, n bigint",
+    )
+
+
+_PARTITIONED_ROUNDTRIP_SQL = """
+SELECT l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       count(*) AS n
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
 def _q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted) — must equal the plain
     group-by the oracle computes."""
@@ -3311,24 +3429,83 @@ FROM f
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS gate records the
-    first 50 entries only.  Round-5 window: (a) the 27 oracle-checked
-    queries whose only driver-green rows predate the round-3 data
-    regeneration (green in CORRECTNESS_r02 and in every local mirror run
-    since, but never re-anchored by the driver on the regenerated data),
-    (b) the queries whose code changed this round (weighted_sample's
-    uniform draw widened to 8 hex digits, which also feeds pack_sequences),
-    (c) the former rows-only queries promoted to oracle-checked contracts
-    this round (minhash_dup_pairs precision/recall contract,
-    ewma_user_values terminal-value check, plus the new
-    simhash_pigeonhole_check losslessness contract), and (d) the inference
-    flagship + schema core re-anchors.  With this window, every
-    oracle-checked query
-    in the registry has a post-regeneration driver-green row in
-    CORRECTNESS_r03 ∪ r04 ∪ r05.  Everything past the window is
-    driver-green in r03/r04 with unchanged code and stays covered by the
-    local mirror (tools/check_correctness.py) and pytest."""
+    first 50 entries only.  Rotation policy: every round, the window holds
+    (a) the queries whose newest driver-green row is OLDEST, (b) any query
+    whose code changed this round, and (c) queries added this round — so
+    no query's driver anchor ever ages past ~2 rounds and silent
+    environment drift (which the local mirror might share) is caught.
+
+    Round-6 window: (a) the 41 queries whose newest driver anchor is
+    CORRECTNESS_r03 (dedup/similarity/text/multimodal/streaming cohorts),
+    (b) the two write-path read-back queries added this round
+    (bucketed_roundtrip / partitioned_roundtrip — the io write helpers'
+    first driver entries), and (c) 7 r04-anchored queries to fill the
+    window.  Everything past the window is driver-green in r04/r05 with
+    unchanged code and stays covered by the local mirror
+    (tools/check_correctness.py) and pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- (a) stale-r2 rotation: TPC-H / relational breadth ---
+    # --- (a) r03-cohort rotation: dedup family ---
+    q["dedup_exact"] = _q_hash_dedup
+    q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
+    q["ngram_jaccard_dups"] = _q_ngram_jaccard
+    q["dedup_clusters"] = _q_dedup_clusters
+    q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
+    q["contamination_check"] = _q_contamination
+    q["incremental_dedup"] = _q_incremental_dedup
+    q["incremental_near_dedup"] = _q_incremental_near_dedup
+    q["simhash_determinism"] = _q_simhash_determinism
+    # --- (a) r03-cohort rotation: similarity family ---
+    q["embedding_topk"] = _q_embedding_topk
+    q["ann_lsh_topk"] = _q_ann_lsh  # full oracle: planes replayed in SQL
+    q["ann_recall_ok"] = _q_ann_recall_ok
+    q["ivf_topk"] = _q_ivf_topk  # full oracle: centroid pipeline in SQL
+    q["embedding_label_neardup"] = _q_label_neardup
+    q["embedding_dim_stats"] = _q_embedding_dim_stats
+    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
+    # --- (a) r03-cohort rotation: text analysis family ---
+    q["text_stats"] = _q_text_stats
+    q["token_count"] = _q_token_count
+    q["lang_id"] = _q_lang_id
+    q["quality_score"] = _q_quality
+    q["fingerprint_docs"] = _q_fingerprint
+    q["top_terms"] = _q_top_terms
+    q["clean_text"] = _q_clean_text
+    q["redact_pii"] = _q_redact_pii
+    q["repetition_ratio"] = _q_repetition_ratio
+    q["gopher_filter"] = _q_gopher_filter
+    q["unigram_logprob"] = _q_unigram_logprob
+    q["vocab_coverage"] = _q_vocab_coverage
+    q["tfidf_pairs"] = _q_tfidf_pairs
+    q["chunk_documents"] = _q_chunk_documents
+    # --- (a) r03-cohort rotation: corpus / multimodal ---
+    q["corpus_mix"] = _q_corpus_mix
+    q["multimodal_bytes"] = _q_multimodal_bytes
+    q["media_features"] = _q_media_features
+    q["frame_sample"] = _q_frame_sample
+    # --- (a) r03-cohort rotation: streaming + time-series ---
+    q["streaming_user_stats"] = _q_streaming_user_stats
+    q["streaming_dedup"] = _q_streaming_dedup
+    q["streaming_enriched_counts"] = _q_streaming_enriched_counts
+    q["moving_avg_orders"] = _q_moving_avg_orders
+    q["value_percentiles"] = _q_value_percentiles
+    q["json_props_agg"] = _q_json_props
+    q["except_custkeys"] = _q_except_custkeys
+    # --- (b) added this round: write-path read-back (io write helpers) ---
+    q["bucketed_roundtrip"] = _q_bucketed_roundtrip
+    q["partitioned_roundtrip"] = _q_partitioned_roundtrip
+    # --- (c) r04-anchored fill to 50 ---
+    q["sessionize_events"] = _q_sessionize
+    q["ewma_value_check"] = _q_ewma_value_check
+    q["streaming_window_counts"] = _q_streaming_window_counts
+    q["embedding_quantize"] = _q_quantize_embeddings
+    q["label_centroids"] = _q_label_centroids
+    q["order_priority_check"] = _q_order_priority_check
+    q["volume_shipping"] = _q_volume_shipping
+    # ---- entries below are past the driver's 50-entry window: all are
+    # driver-green on post-regeneration data (CORRECTNESS_r04 or r05) with
+    # unchanged code, and remain oracle-checked by the local mirror +
+    # pytest every round ----
+    # --- relational / TPC-H breadth (r5 cohort) ---
     q["pricing_summary"] = _q_pricing_summary
     q["shipping_priority"] = _q_shipping_priority
     q["local_supplier_volume"] = _q_local_supplier_volume
@@ -3347,7 +3524,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
     q["approx_distinct_ok"] = _q_approx_distinct_ok
-    # --- (a) stale-r2 rotation: sampling / io / misc ---
+    # --- TPC-H decision-support breadth (r4 cohort) ---
+    q["product_profit"] = _q_product_profit
+    q["returned_items"] = _q_returned_items
+    q["promo_revenue"] = _q_promo_revenue
+    q["top_supplier"] = _q_top_supplier
+    q["parts_supplier_count"] = _q_parts_supplier_count
+    q["small_qty_revenue"] = _q_small_qty_revenue
+    q["large_volume_orders"] = _q_large_volume_orders
+    q["discount_band_revenue"] = _q_discount_band_revenue
+    q["sales_opportunity"] = _q_sales_opportunity
+    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
+    # --- sampling / io / misc (r5 cohort) ---
     q["hash_sample_docs"] = _q_hash_sample
     q["stratified_sample_orders"] = _q_stratified_sample
     q["train_eval_split"] = _q_train_eval_split
@@ -3357,13 +3545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_inference"] = _q_csv_inference
     q["range_join_tiers"] = _q_range_join_tiers
     q["salted_event_counts"] = _q_salted_event_counts
-    # --- (b) code changed this round (8-hex uniform draw) ---
     q["weighted_sample_docs"] = _q_weighted_sample
     q["pack_sequences"] = _q_pack_sequences
-    # --- (c) promoted from rows-only to oracle-checked contracts ---
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["ewma_user_values"] = _q_ewma_user_values
-    # --- (d) inference flagship + schema core re-anchors ---
+    # --- inference flagship + schema core (r5 cohort) ---
     for t in _TABLE_KINDS:
         q[f"infer_{t}"] = _infer_query(t)
     q["infer_embeddings_native"] = _q_infer_embeddings_native
@@ -3375,89 +3561,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
-    # ---- entries below are past the driver's 50-entry window: all are
-    # driver-green on post-regeneration data (CORRECTNESS_r03 or r04) with
-    # unchanged code, and remain oracle-checked by the local mirror +
-    # pytest every round ----
-    # --- dedup family ---
-    q["dedup_exact"] = _q_hash_dedup
-    q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
+    # --- dedup / corpus / streaming remainder (r4 cohort) ---
     q["simhash_signatures"] = _q_simhash_sigs  # rows-only
-    q["ngram_jaccard_dups"] = _q_ngram_jaccard
-    q["dedup_clusters"] = _q_dedup_clusters
-    q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
     q["segment_dedup_docs"] = _q_segment_dedup
     q["ngram_novelty_docs"] = _q_ngram_novelty
-    q["contamination_check"] = _q_contamination
-    q["incremental_dedup"] = _q_incremental_dedup
-    q["incremental_near_dedup"] = _q_incremental_near_dedup
-    # --- similarity search family ---
-    q["embedding_topk"] = _q_embedding_topk
-    q["ann_lsh_topk"] = _q_ann_lsh  # full oracle: planes replayed in SQL
-    q["ann_recall_ok"] = _q_ann_recall_ok
-    q["ivf_topk"] = _q_ivf_topk  # full oracle: centroid pipeline in SQL
-    q["embedding_label_neardup"] = _q_label_neardup
-    q["embedding_dim_stats"] = _q_embedding_dim_stats
-    q["embedding_quantize"] = _q_quantize_embeddings
-    q["label_centroids"] = _q_label_centroids
-    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
-    # --- text analysis / cleaning family ---
-    q["text_stats"] = _q_text_stats
-    q["token_count"] = _q_token_count
-    q["lang_id"] = _q_lang_id
-    q["quality_score"] = _q_quality
-    q["fingerprint_docs"] = _q_fingerprint
-    q["top_terms"] = _q_top_terms
-    q["clean_text"] = _q_clean_text
-    q["redact_pii"] = _q_redact_pii
-    q["repetition_ratio"] = _q_repetition_ratio
-    q["gopher_filter"] = _q_gopher_filter
-    q["unigram_logprob"] = _q_unigram_logprob
-    q["vocab_coverage"] = _q_vocab_coverage
-    q["tfidf_pairs"] = _q_tfidf_pairs
-    q["chunk_documents"] = _q_chunk_documents
     q["classifier_scores"] = _q_classifier_scores
-    # --- corpus management family ---
     q["profile_docs"] = _q_profile_docs
     q["corpus_diff_docs"] = _q_corpus_diff
     q["epoch_shuffle_docs"] = _q_epoch_shuffle
     q["mix_weights_sources"] = _q_mix_weights
     q["materialize_mix_docs"] = _q_materialize_mix
     q["select_token_budget_docs"] = _q_select_token_budget
-    q["corpus_mix"] = _q_corpus_mix
-    # --- multimodal family ---
-    q["multimodal_bytes"] = _q_multimodal_bytes
-    q["media_features"] = _q_media_features
-    q["frame_sample"] = _q_frame_sample
-    # --- streaming + time-series ---
-    q["streaming_window_counts"] = _q_streaming_window_counts
-    q["streaming_user_stats"] = _q_streaming_user_stats
-    q["streaming_dedup"] = _q_streaming_dedup
-    q["streaming_enriched_counts"] = _q_streaming_enriched_counts
-    q["sessionize_events"] = _q_sessionize
     q["session_windows"] = _q_session_windows
     q["error_events"] = _q_error_events
     q["asof_prior_click"] = _q_asof_prior_click
     q["time_bucket_events"] = _q_time_bucket
-    q["ewma_value_check"] = _q_ewma_value_check
-    q["moving_avg_orders"] = _q_moving_avg_orders
-    q["value_percentiles"] = _q_value_percentiles
-    q["json_props_agg"] = _q_json_props
-    q["simhash_determinism"] = _q_simhash_determinism
-    # --- TPC-H decision-support breadth (r3 additions) ---
-    q["order_priority_check"] = _q_order_priority_check
-    q["volume_shipping"] = _q_volume_shipping
-    q["product_profit"] = _q_product_profit
-    q["returned_items"] = _q_returned_items
-    q["promo_revenue"] = _q_promo_revenue
-    q["top_supplier"] = _q_top_supplier
-    q["parts_supplier_count"] = _q_parts_supplier_count
-    q["small_qty_revenue"] = _q_small_qty_revenue
-    q["large_volume_orders"] = _q_large_volume_orders
-    q["discount_band_revenue"] = _q_discount_band_revenue
-    q["sales_opportunity"] = _q_sales_opportunity
-    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
-    q["except_custkeys"] = _q_except_custkeys
     q["salted_join_segments"] = _q_salted_join_segments
     return q
 
@@ -3508,6 +3626,8 @@ def oracle_sql() -> dict[str, str]:
     o["infer_embeddings_native"] = _INFER_NATIVE_SQL
     o["csv_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
     o["json_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
+    o["bucketed_roundtrip"] = _BUCKETED_ROUNDTRIP_SQL
+    o["partitioned_roundtrip"] = _PARTITIONED_ROUNDTRIP_SQL
     o["range_join_tiers"] = _range_join_oracle_sql()
     o["orc_roundtrip"] = "SELECT r_regionkey, r_name FROM region"
     o["csv_inference"] = _infer_table_sql("region")

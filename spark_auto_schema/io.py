@@ -217,7 +217,12 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_col: str, buckets: int = 32, sort: bool = True
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist a DataFrame as a bucketed (and optionally sorted) table.
 
@@ -225,10 +230,16 @@ def write_bucketed(
     on their join key with the same bucket count join with NO exchange on
     either side — the core co-location strategy for repeatedly-joined 100 TB
     fact tables.  (Sorting within buckets additionally removes the join-time
-    sort for sort-merge joins.)"""
+    sort for sort-merge joins.)
+
+    ``path`` makes the table EXTERNAL at that location (data outlives a
+    DROP TABLE and lives outside the session warehouse dir); omitted, the
+    table is managed under ``spark.sql.warehouse.dir``."""
     w = df.write.mode("overwrite").bucketBy(buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 
