@@ -61,20 +61,36 @@ def deployed_schema_df(spark: SparkSession, schema: str, table: str) -> DataFram
     return spark.createDataFrame(rows, schema_t)
 
 
-def deployed_columns_query(schema: str, table: str) -> str:
+def deployed_columns_query(
+    schema: str, table: str, dialect: str = "redshift"
+) -> str:
     """The reference's deployed-column SQL (RAS.py:215-216), parameter-safe.
 
     Same projection: ``udt_name || '(character_maximum_length)'`` for sized
     types, ordered by ordinal position.  Unlike the reference's raw f-string
     interpolation (SURVEY.md section 1.4 — injection-prone), schema/table
-    must be plain SQL identifiers; anything else is rejected."""
+    must be plain SQL identifiers; anything else is rejected.
+
+    ``dialect='redshift'`` (default) is reference-exact, including the
+    unlengthed ``CAST(... AS VARCHAR)`` Redshift/postgres accept.
+    ``dialect='ansi'`` renders the length via ``TRIM(CAST(... AS
+    CHAR(10)))`` — equivalent output, accepted by engines that require a
+    length on every character cast (Derby, DB2), which is what the embedded
+    Derby integration test exercises through the real ``spark.read.jdbc``
+    path."""
     for name in (schema, table):
         if not _IDENT_RE.match(name or ""):
             raise ValueError(f"not a plain SQL identifier: {name!r}")
+    if dialect == "redshift":
+        len_expr = "CAST(character_maximum_length AS VARCHAR)"
+    elif dialect == "ansi":
+        len_expr = "TRIM(CAST(character_maximum_length AS CHAR(10)))"
+    else:
+        raise ValueError(f"unknown dialect: {dialect!r}")
     return (
         "SELECT column_name AS field, udt_name || "
         "CASE WHEN character_maximum_length IS NOT NULL "
-        "THEN '(' || CAST(character_maximum_length AS VARCHAR) || ')' "
+        f"THEN '(' || {len_expr} || ')' "
         "ELSE '' END AS deployed_type "
         "FROM information_schema.columns "
         f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
@@ -100,6 +116,7 @@ def deployed_schema_df_jdbc(
     schema: str,
     table: str,
     properties: dict[str, str] | None = None,
+    dialect: str = "redshift",
 ) -> DataFrame:
     """Deployed columns of a LIVE Redshift/postgres table as
     (field, deployed_type), via ``spark.read.jdbc`` —  the rebuild's
@@ -112,7 +129,7 @@ def deployed_schema_df_jdbc(
     :func:`spark_auto_schema.diff.evaluate_diffs` exactly like
     :func:`deployed_schema_df`.  ``properties`` passes JDBC options through
     (``user``, ``password``, ``driver``, ...)."""
-    query = deployed_columns_query(schema, table)
+    query = deployed_columns_query(schema, table, dialect=dialect)
     df = _jdbc_load(spark, url, query, dict(properties or {}))
     # normalize column case: some JDBC catalogs upper-case unquoted aliases
     return df.toDF(*[c.lower() for c in df.columns]).select(
