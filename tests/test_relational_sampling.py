@@ -363,3 +363,67 @@ def test_weighted_sample_uniform_draw_rarely_ties(spark):
     u = sampling._hash_prefix_int(F.col("doc_id"))
     n_distinct = d.select(u.alias("u")).distinct().count()
     assert n_distinct == 10_000
+
+
+def test_salted_join_absorbs_data_skew_wallclock(spark):
+    """Data-level proof the salting WORKS, not just that it plans: joining a
+    99%-one-key fact through salted_join must run within ~2x the wall-clock
+    of a uniformly-keyed fact of the SAME row count (plus a sub-second noise
+    floor).  Without salting, the hot key collapses onto one reducer and the
+    stage runs at single-task speed; with salt=16 the hot key fans out
+    across reducers and the schedule is balanced regardless of the key
+    distribution.  Broadcast and AQE skew-splitting are disabled so the
+    measurement isolates the manual salting path (the one used when AQE's
+    thresholds miss or the engine must plan deterministically)."""
+    import time
+
+    from spark_auto_schema.ops import skew
+
+    rows, nkeys, salt = 300_000, 1_000, 16
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def fact(skewed: bool):
+        uniform_key = F.pmod(F.col("id"), nkeys)
+        key = (
+            F.when(F.pmod(F.col("id"), 100) < 99, F.lit(0)).otherwise(uniform_key)
+            if skewed
+            else uniform_key
+        )
+        return spark.range(rows).select(
+            key.cast("long").alias("k"), F.col("id").alias("rid")
+        )
+
+    dim = spark.range(nkeys).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+
+    def run(skewed: bool) -> float:
+        t0 = time.perf_counter()
+        out = skew.salted_join(fact(skewed), dim, on="k", big_row_key="rid", salt=salt)
+        [r] = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("v"), F.lit(1_000_003))).alias("s"),
+        ).collect()
+        assert r["n"] == rows
+        return time.perf_counter() - t0
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        run(False)  # warm codegen/JIT for this plan shape
+        uniform_t = min(run(False), run(False))
+        skewed_t = min(run(True), run(True))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert skewed_t <= 2.0 * uniform_t + 1.0, (
+        f"salted join on 99%-one-key data took {skewed_t:.2f}s vs "
+        f"{uniform_t:.2f}s uniform — salting failed to absorb the skew"
+    )
