@@ -61,17 +61,49 @@ def override_columns(df: DataFrame, columns: list[str] | None) -> DataFrame:
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Names of timestamp[ns] columns per the parquet footer (metadata-only)."""
+    """Names of int64 timestamp[ns] columns per the parquet footer
+    (metadata-only).
+
+    Only int64 columns annotated timestamp(NANOS) need Spark's
+    ``nanosAsLong`` legacy read + manual ns→us conversion.  INT96
+    timestamps (classic Spark/Hive writers — Spark 4's default
+    ``spark.sql.parquet.outputTimestampType`` is still INT96) ALSO surface
+    as ``timestamp[ns]`` in the arrow-level schema, but Spark decodes them
+    natively as TIMESTAMP — converting those would try ``div 1000`` on a
+    timestamp column and fail analysis, so the physical type must be
+    checked, not just the arrow type.  For a multi-file dataset directory
+    the first part file's footer is probed (one writer per dataset ⇒
+    uniform encoding)."""
     if _pq is None:
         return []
+    probe = path
     try:
-        schema = _pq.read_schema(path)
+        import os
+
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                return []
+            probe = os.path.join(path, parts[0])
+        pf = _pq.ParquetFile(probe)
+        arrow_schema = pf.schema_arrow
+        physical = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
     except Exception:
         return []
     out = []
-    for field in schema:
+    for field in arrow_schema:
         t = field.type
-        if _pa is not None and _pa.types.is_timestamp(t) and t.unit == "ns":
+        if (
+            _pa is not None
+            and _pa.types.is_timestamp(t)
+            and t.unit == "ns"
+            and physical.get(field.name) == "INT64"
+        ):
             out.append(field.name)
     return out
 

@@ -60,11 +60,20 @@ def _ts_unit(source_dir: str) -> str:
             "schema at setup, so the ts encoding must be probed from an "
             "existing drop — write the first file before starting the stream"
         )
-    t = pq.read_schema(files[0]).field("ts").type
+    pf = pq.ParquetFile(files[0])
+    t = pf.schema_arrow.field("ts").type
     if not pa.types.is_timestamp(t):
         raise TypeError(f"ts column in {files[0]!r} is {t}, expected timestamp")
     if t.unit == "ns":
-        return "ns"
+        # INT96 (classic Spark/Hive writers) also surfaces as ns at the
+        # arrow level but Spark decodes it natively as TIMESTAMP — only
+        # int64 NANOS needs the nanosAsLong long-typed stream schema
+        # (same distinction as io._nanos_timestamp_columns).
+        phys = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
+        return "ns" if phys.get("ts") == "INT64" else "utc"
     return "utc" if t.tz is not None else "ntz"
 
 

@@ -137,6 +137,53 @@ def test_read_table_events_nanos(spark):
     assert df.count() > 0
 
 
+def test_read_parquet_int96_vs_int64_nanos(spark, tmp_path):
+    """read_parquet must distinguish the two encodings pyarrow BOTH reports
+    as timestamp[ns]: int64 NANOS (needs the nanosAsLong legacy read + div
+    1000) and INT96 (classic Spark/Hive — Spark 4's default output type —
+    decoded natively as TIMESTAMP).  Applying the int64 conversion to an
+    INT96 column fails analysis with 'div' on a timestamp; both paths must
+    yield the same instant.  Also covers the multi-file dataset-directory
+    footer probe."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_auto_schema.io import read_parquet
+
+    wall = datetime.datetime(2024, 3, 1, 12, 0, 1)
+    ns_file = tmp_path / "ns.parquet"
+    pq.write_table(
+        pa.table({"id": [1], "ts": pa.array([wall], pa.timestamp("ns"))}),
+        str(ns_file),
+    )
+    int96_dir = tmp_path / "int96.parquet"
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.createDataFrame([(1, wall)], "id long, ts timestamp").write.mode(
+            "overwrite"
+        ).parquet(str(int96_dir))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
+    # sanity: Spark's default writer really produced INT96-as-ns at arrow level
+    part = sorted(p for p in int96_dir.iterdir() if p.name.endswith(".parquet"))[0]
+    assert pq.read_schema(str(part)).field("ts").type == pa.timestamp("ns")
+    assert pq.ParquetFile(str(part)).schema.column(1).physical_type == "INT96"
+
+    from pyspark.sql import functions as F
+
+    expected = int(
+        wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    for path in (str(ns_file), str(int96_dir)):
+        df = read_parquet(spark, path)
+        assert dict(df.dtypes)["ts"] == "timestamp", path
+        [row] = df.select(F.unix_micros("ts").alias("us")).collect()
+        assert row["us"] == expected, path
+
+
 def test_schema_evolution_merge_and_infer(spark, tmp_path):
     """Files written under different schema versions merge to the union
     schema; inference types the new column and the diff reports it MISSING
@@ -252,6 +299,13 @@ def test_event_stream_ts_unit_detection(spark, tmp_path):
         str(utc_dir / "f.parquet"),
     )
     assert _ts_unit(str(utc_dir)) == "utc"
+    # INT96 (classic Spark writer): arrow-level ns, but decoded natively —
+    # must be classified 'utc', not 'ns' (the int64 legacy path)
+    int96_dir = tmp_path / "int96_drop"
+    spark.createDataFrame([(wall,)], "ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(int96_dir))
+    assert _ts_unit(str(int96_dir)) == "utc"
     # an empty drop-dir must raise, not silently lock in a default schema
     empty_dir = tmp_path / "empty_drop"
     empty_dir.mkdir()

@@ -1,0 +1,247 @@
+"""Scaling-exponent probe: does each operator family scale ~linearly when
+the data grows 10x?
+
+The per-round bench (sf0.1) can prove an operator correct and fast at one
+scale but cannot see a hidden quadratic — a bucketed-LSH family whose
+bucket keys are too coarse, a contract whose truth side is all-pairs, a
+join that degenerates on replica structure.  This probe materializes an
+sf1-equivalent corpus (10x sf0.1) with structure-preserving perturbations,
+times a representative per-family query subset at BOTH scales through the
+same generator (so file encodings are identical and the ratio isolates
+data volume), and reports the log-slope  log(t_10x / t_1x) / log(10)  per
+query and per family.  Slope ~1.0 = linear, ~2.0 = quadratic; anything
+family-median >~1.5 is a scaling bug the sf0.1 bench can't see.
+
+Perturbations (replica i of R):
+* documents — every whitespace token gets an ``_r{i}`` suffix for i>0, so
+  shingle sets are DISJOINT across replicas: within-replica near-dup
+  structure is preserved exactly and total dup pairs scale linearly (naive
+  replication would give every doc R-1 exact clones and inflate pair
+  counts quadratically, masking the real slope).
+* embeddings — deterministic per-(row, dim, replica) sinusoidal jitter
+  (amplitude 0.05) decorrelates replicas so cosine near-dup structure does
+  not explode; ids offset per replica.
+* lineitem / events — key columns offset per replica, values unchanged
+  (inference probes value distributions, which stay identical).
+* dimension tables — copied unscaled (TPC-H semantics: nation/region etc.
+  do not grow with scale factor).
+
+Usage: python tools/scaling_probe.py [out.json]
+Env: SCALE_REPLICAS (default 10), SCALE_BASE_DIR (default /tmp/scale_probe),
+     SPARK_GRAFT_SF_DIR (source, default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SCALE_REPS (default 2, min-of-N timing).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Representative production-shaped queries per family.  Deliberately
+# excluded: verification contracts whose truth side is all-pairs BY DESIGN
+# (simhash_pigeonhole_check, minhash_dup_pairs' exact-Jaccard side,
+# simhash_determinism's double signature job) — their cost is the contract,
+# not the operator, and they are sampled/bounded in-query.
+PROBES: dict[str, list[str]] = {
+    "dedup": [
+        "dedup_exact",
+        "ngram_jaccard_dups",
+        "simhash_near_dup",
+        "incremental_dedup",
+    ],
+    "similarity": ["embedding_topk", "ann_lsh_topk", "ivf_topk"],
+    "inference": ["infer_lineitem", "infer_events", "infer_documents"],
+    "text": ["text_stats", "token_count", "fingerprint_docs"],
+}
+
+SCALED_TABLES = ("documents", "embeddings", "lineitem", "events")
+COPIED_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+)
+
+
+def _build_dir(spark, src: str, out: str, replicas: int) -> None:
+    """Materialize a {replicas}x corpus at ``out`` through Spark writes.
+
+    BOTH scales (1x and Rx) go through this writer so parquet encodings
+    (timestamp unit, compression, row-group layout) are identical and the
+    timing ratio isolates data volume."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+
+    os.makedirs(out, exist_ok=True)
+    for t in COPIED_TABLES:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+
+    def replicate(name: str, per_replica):
+        base = read_table(spark, src, name)
+        parts = [per_replica(base, i) for i in range(replicas)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # one flat dir per table; read_table expects <dir>/<name>.parquet
+        tmp = f"{out}/_{name}_dir"
+        df.write.mode("overwrite").parquet(tmp)
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if len(files) == 1:
+            shutil.move(f"{tmp}/{files[0]}", f"{out}/{name}.parquet")
+            shutil.rmtree(tmp)
+        else:  # multi-part: keep as directory named <name>.parquet
+            dst = f"{out}/{name}.parquet"
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.move(tmp, dst)
+
+    def docs_replica(df, i):
+        off = F.lit(i * 10_000_000)
+        if i == 0:
+            return df
+        text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.concat(x, F.lit(f"_r{i}")),
+            ),
+            " ",
+        )
+        return df.select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).cast("long").alias("n_chars"),
+        )
+
+    def emb_replica(df, i):
+        off = F.lit(i * 10_000_000)
+        if i == 0:
+            return df
+        jitter = F.transform(
+            F.col("embedding"),
+            lambda x, j: (
+                x
+                + F.lit(0.05)
+                * F.sin(
+                    (F.pmod(F.col("vec_id"), F.lit(997)) + F.lit(1.0))
+                    * (j.cast("double") + F.lit(1.0))
+                    * F.lit(float(i))
+                )
+            ).cast("float"),
+        )
+        return df.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            jitter.alias("embedding"),
+            "label",
+        )
+
+    def lineitem_replica(df, i):
+        return df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
+        )
+
+    def events_replica(df, i):
+        return df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        )
+
+    replicate("documents", docs_replica)
+    replicate("embeddings", emb_replica)
+    replicate("lineitem", lineitem_replica)
+    replicate("events", events_replica)
+
+
+def _release_caches() -> None:
+    try:
+        from spark_auto_schema.ops import dedup
+
+        dedup.release_caches()
+    except Exception:
+        pass
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    replicas = int(os.environ.get("SCALE_REPLICAS", "10"))
+    reps = max(1, int(os.environ.get("SCALE_REPS", "2")))
+    base = os.environ.get("SCALE_BASE_DIR", "/tmp/scale_probe")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "tools/scaling_probe_results.json"
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scaling-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for n in (1, replicas):
+        d = f"{base}/x{n}"
+        marker = f"{d}/.complete_{n}"
+        if not os.path.exists(marker):
+            print(f"building {n}x corpus at {d} ...", file=sys.stderr)
+            _build_dir(spark, src, d, n)
+            Path(marker).touch()
+        dirs[n] = d
+
+    queries = entrymod.queries()
+    results: dict[str, dict] = {}
+    for family, names in PROBES.items():
+        for name in names:
+            fn = queries[name]
+            times = {}
+            for n, d in dirs.items():
+                samples = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    rows = len(fn(spark, d).collect())
+                    samples.append(time.perf_counter() - t0)
+                    _release_caches()
+                times[n] = min(samples)
+                print(
+                    f"  {name} @x{n}: {times[n]:.2f}s ({rows} rows)",
+                    file=sys.stderr,
+                )
+            slope = math.log(times[replicas] / times[1]) / math.log(replicas)
+            results[name] = {
+                "family": family,
+                "t_1x_sec": round(times[1], 3),
+                f"t_{replicas}x_sec": round(times[replicas], 3),
+                "log_slope": round(slope, 3),
+            }
+    spark.stop()
+
+    fam_slopes = {
+        fam: round(
+            sorted(results[n]["log_slope"] for n in names)[len(names) // 2], 3
+        )
+        for fam, names in PROBES.items()
+    }
+    payload = {
+        "replicas": replicas,
+        "reps": reps,
+        "source": src,
+        "family_median_log_slope": fam_slopes,
+        "queries": results,
+    }
+    Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload, indent=1))
+
+
+if __name__ == "__main__":
+    main()
