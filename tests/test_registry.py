@@ -37,12 +37,22 @@ def test_every_query_has_oracle_or_is_known_rows_only():
 
 def test_registry_size_and_window():
     qs = list(entry.queries())
-    assert len(qs) >= 125  # only grows; shrinking loses driver coverage
+    assert len(qs) >= 132  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
     # queries added in round 6 must sit inside the driver's 50-entry window
-    assert "bucketed_roundtrip" in window
-    assert "partitioned_roundtrip" in window
+    for added in (
+        "bucketed_roundtrip",
+        "partitioned_roundtrip",
+        "user_retention_cohorts",
+        "event_funnel",
+        "value_histogram",
+        "zscore_outliers",
+        "bigram_pmi",
+        "merge_upsert_orders",
+        "schema_evolution_roundtrip",
+    ):
+        assert added in window, added
 
 
 def test_all_oracles_parse_in_duckdb():
