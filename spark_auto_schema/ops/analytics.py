@@ -100,8 +100,15 @@ def funnel_counts(
     for i in range(1, len(stages)):
         reached = reached & (F.col(f"__t{i}") > F.col(f"__t{i - 1}"))
         flags.append(reached)
+    # coalesce each flag: an unreached stage's comparison is NULL (ts vs
+    # missing min), and an all-NULL sum would report NULL users, not 0
     counted = mins.agg(
-        *[F.sum(f.cast("long")).alias(f"__n{i}") for i, f in enumerate(flags)]
+        *[
+            F.coalesce(
+                F.sum(F.coalesce(f, F.lit(False)).cast("long")), F.lit(0)
+            ).alias(f"__n{i}")
+            for i, f in enumerate(flags)
+        ]
     )
     stack_args = ", ".join(
         f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(stages)

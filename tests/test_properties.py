@@ -214,3 +214,98 @@ def test_select_token_budget_laws(spark, tokens, budget):
                 # rejected doc in a strictly higher bucket than a selected
                 # one can only happen inside the boundary bucket
                 assert buckets[i] in {buckets[j] for j in sel} or t > budget
+
+
+# ---------------------------------------------------------------------------
+# round-6 analytics laws
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 8),                      # user
+            st.integers(0, 10_000),                 # ts offset (seconds)
+            st.sampled_from(["a", "b", "c"]),       # stage
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_counts_are_monotone_nonincreasing(spark, events):
+    """Law: each funnel stage's user count is <= the previous stage's —
+    a user cannot complete step k without completing step k-1 first."""
+    import datetime as dt
+
+    from spark_auto_schema.ops import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(seconds=s), t) for u, s, t in events]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, etype string")
+    out = analytics.funnel_counts(df, "user_id", "ts", "etype", ["a", "b", "c"])
+    counts = [r["n_users"] for r in out.orderBy("stage_idx").collect()]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] <= len({u for u, _, t in events if t == "a"})
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda v: max(v) > min(v)),
+    nbins=st.integers(2, 16),
+)
+def test_histogram_conserves_count_and_tiles_range(spark, values, nbins):
+    """Laws: bin counts sum to the row count (max clamps in, nothing
+    drops); bins are within [0, nbins); each bin's edges tile [min, max]."""
+    from spark_auto_schema.ops import analytics
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    out = analytics.value_histogram(df, "x", nbins=nbins).collect()
+    assert sum(r["n"] for r in out) == len(values)
+    assert all(0 <= r["bin"] < nbins for r in out)
+    lo = min(r["lo"] for r in out)
+    hi = max(r["hi"] for r in out)
+    assert lo == round(min(values), 4)
+    width_sum = round((max(values) - min(values)), 2)
+    assert round(hi - lo, 2) >= 0  # edges ordered
+    assert abs((hi - lo) - (max(r["bin"] for r in out) + 1) * ((max(values) - min(values)) / nbins)) < 1e-4 * max(1.0, width_sum)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.dictionaries(st.integers(1, 20), st.integers(0, 100), min_size=1, max_size=12),
+    upd=st.dictionaries(st.integers(1, 25), st.integers(0, 100), min_size=0, max_size=12),
+)
+def test_merge_upsert_is_idempotent_and_dict_like(spark, base, upd):
+    """Laws: merge result == dict-update semantics ({**base, **upd}); and
+    merging the same update batch twice equals merging it once."""
+    from spark_auto_schema.ops import relational
+
+    b = spark.createDataFrame(list(base.items()), "k int, v int")
+    u_rows = list(upd.items())
+    u = (
+        spark.createDataFrame(u_rows, "k int, v int")
+        if u_rows
+        else b.limit(0)
+    )
+    once = relational.merge_upsert(b, u, "k")
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == {**base, **upd}
+    twice = relational.merge_upsert(once, u, "k")
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
