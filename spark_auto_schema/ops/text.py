@@ -469,6 +469,13 @@ def bigram_pmi(
     a 1-row aggregate broadcast back; the two vocabulary joins attach
     unigram counts to the (``min_count``-pruned, hence much smaller) bigram
     table.  Final top-k is a TakeOrdered, never a global sort.
+
+    Plan note: ~7 exchanges is the honest floor for this dataflow — two
+    wordcount aggregates (unigram, bigram), the 1-row totals aggregate,
+    and two vocabulary equi-joins (each repartitions both sides on its
+    word key; w1- and w2-partitionings cannot be reused for each other).
+    Every exchange carries map-side-combined partials or the pruned bigram
+    table, never raw tokens.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
     toks = df.select(

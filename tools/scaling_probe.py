@@ -59,6 +59,14 @@ PROBES: dict[str, list[str]] = {
     "similarity": ["embedding_topk", "ann_lsh_topk", "ivf_topk"],
     "inference": ["infer_lineitem", "infer_events", "infer_documents"],
     "text": ["text_stats", "token_count", "fingerprint_docs"],
+    # round-6 additions: event-log behavioral analytics (scale with events;
+    # replica-offset user ids also grow the user dim 10x, the harder case)
+    "analytics": [
+        "user_retention_cohorts",
+        "event_funnel",
+        "value_histogram",
+        "zscore_outliers",
+    ],
 }
 
 SCALED_TABLES = ("documents", "embeddings", "lineitem", "events")
