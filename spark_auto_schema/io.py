@@ -287,6 +287,37 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_files: int | None = None,
+) -> None:
+    """Write a parquet dataset range-partitioned and sorted on
+    ``order_col``: rows are globally range-distributed across files (file
+    0 holds the smallest values, file N-1 the largest) and sorted within
+    each file.
+
+    This is the sorted-layout counterpart to :func:`write_partitioned`'s
+    directory pruning: with values clustered AND ordered, parquet's
+    per-row-group min/max statistics become tight, so a range predicate on
+    ``order_col`` skips entire files/row groups at scan time (the
+    "zone-map" effect, and what a Redshift SORTKEY buys).  The cost is one
+    range-exchange at write time — Spark samples the column to build the
+    range boundaries, so output files are balanced even on skewed
+    distributions, unlike hash layouts where a hot key overloads a file.
+
+    At 100 TB, size ``num_files`` so each file lands in the
+    100 MB - 1 GB sweet spot; omitted, the session's shuffle parallelism
+    decides."""
+    parts = (
+        df.repartitionByRange(num_files, F.col(order_col))
+        if num_files is not None
+        else df.repartitionByRange(F.col(order_col))
+    )
+    parts.sortWithinPartitions(order_col).write.mode("overwrite").parquet(path)
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition a degenerately-laid-out input (fewer partitions than
     cores/4 — e.g. a single-row-group parquet file, unsplittable below one

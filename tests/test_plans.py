@@ -194,6 +194,36 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert df.count() == e.where("event_type = 'error'").count()
 
 
+def test_range_partitioned_write_gives_disjoint_sorted_files(spark, tmp_path):
+    """write_range_partitioned must produce files whose value ranges are
+    pairwise disjoint (the zone-map property: a range predicate can skip
+    whole files on min/max stats) and must push range predicates down to
+    the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table, write_range_partitioned
+
+    e = read_table(spark, SF_DIR, "events").select("event_id", "value")
+    path = str(tmp_path / "events_by_value")
+    write_range_partitioned(e, path, "value", num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == e.count()
+
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) > 1
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
+
+    plan = plan_of(back.where(F.col("value") > 90.0))
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2 and "value" in pushed[1].splitlines()[0]
+
+
 def test_chunk_documents_is_shuffle_free_map_stage(spark):
     from spark_auto_schema.io import read_table
     from spark_auto_schema.ops import text
