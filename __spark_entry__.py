@@ -1425,6 +1425,28 @@ FROM orders GROUP BY 1
 """
 
 
+def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over events.user_id: top-5 hottest keys with
+    corpus share and the global max/mean skew ratio — the measurement that
+    decides between plain shuffle, salting, AQE skew-split, or broadcast
+    (ops/skew.skew_profile)."""
+    from spark_auto_schema.ops import skew
+
+    e = read_table(spark, sf_dir, "events")
+    return skew.skew_profile(e, "user_id", top_k=5)
+
+
+_SKEW_PROFILE_SQL = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS nk,
+             CAST(max(n) AS DOUBLE) AS mx
+      FROM c)
+SELECT key, n, round(n / total, 6) AS share, round(mx * nk / total, 4) AS skew_ratio
+FROM c, s ORDER BY n DESC, key LIMIT 5
+"""
+
+
 def _q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (salted) — must equal the plain
     group-by the oracle computes."""
@@ -3744,6 +3766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green on post-regeneration data (CORRECTNESS_r04 or r05) with
     # unchanged code, and remain oracle-checked by the local mirror +
     # pytest every round ----
+    # (skew_profile_events is also new this round, but the window is full
+    # with the 9 additions above; as a pure composition of driver-verified
+    # primitives it sits first past the window and heads the r7 rotation)
+    q["skew_profile_events"] = _q_skew_profile
     # --- r04-anchored cohort displaced from the window by this round's
     # additions (rotate back in next round) ---
     q["sessionize_events"] = _q_sessionize
@@ -3970,4 +3996,5 @@ def oracle_sql() -> dict[str, str]:
     o["bigram_pmi"] = _BIGRAM_PMI_SQL
     o["merge_upsert_orders"] = _MERGE_UPSERT_SQL
     o["schema_evolution_roundtrip"] = _SCHEMA_EVOLUTION_SQL
+    o["skew_profile_events"] = _SKEW_PROFILE_SQL
     return o

@@ -38,7 +38,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("inference", ("infer_", "csv_inference", "column_list", "schema_diff",
                    "column_ddl", "ddl_", "catalog_")),
     ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
-                  "weighted_", "pack_", "corpus_mix")),
+                  "weighted_", "pack_", "corpus_mix", "skew_")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
             "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip")),
 ]

@@ -88,3 +88,45 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = salted_big.join(replicated, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 5
+) -> DataFrame:
+    """Measure key skew before choosing a mitigation: the ``top_k``
+    hottest keys with their row counts and corpus share, each row also
+    carrying the global skew ratio ``max_count / mean_count`` (1.0 =
+    perfectly uniform; 100x = one key holds a hundred partitions' worth).
+
+    Returns ``(key string, n, share, skew_ratio)``, ordered hottest-first
+    with a lexicographic key tie-break.
+
+    This is the diagnostic that decides between a plain shuffle,
+    :func:`salted_aggregate` / :func:`salted_join`, AQE skew splitting, or
+    broadcast — salting uniformly-distributed keys wastes a stage, and
+    shuffling a 100x-skewed key stalls one.  Cost: ONE map-side-combined
+    aggregate over the data (the shuffle carries per-key partials), then
+    key-cardinality-sized work: a 1-row stats aggregate broadcast onto a
+    TakeOrdered top-k.  Safe to run on the full 100 TB input.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__nk"),
+        F.max("n").cast("double").alias("__mx"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("__mx") * F.col("__nk") / F.col("__total"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(top_k)
+    )

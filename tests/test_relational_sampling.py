@@ -427,3 +427,27 @@ def test_salted_join_absorbs_data_skew_wallclock(spark):
         f"salted join on 99%-one-key data took {skewed_t:.2f}s vs "
         f"{uniform_t:.2f}s uniform — salting failed to absorb the skew"
     )
+
+
+def test_skew_profile_measures_hot_key(spark):
+    """skew_profile must surface the hot key first with the right share
+    and a skew_ratio of max/mean over per-key counts."""
+    from spark_auto_schema.ops import skew
+
+    rows = [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 4 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = skew.skew_profile(df, "k", top_k=2).collect()
+    assert [r["key"] for r in out] == ["hot", "a"]
+    assert out[0]["n"] == 90
+    assert out[0]["share"] == 0.9
+    # 4 keys, 100 rows -> mean 25; max 90 -> ratio 3.6, same on every row
+    assert {r["skew_ratio"] for r in out} == {3.6}
+
+
+def test_skew_profile_uniform_keys_ratio_one(spark):
+    from spark_auto_schema.ops import skew
+
+    df = spark.createDataFrame([(str(i % 10),) for i in range(100)], "k string")
+    out = skew.skew_profile(df, "k", top_k=10).collect()
+    assert len(out) == 10
+    assert all(r["skew_ratio"] == 1.0 and r["n"] == 10 for r in out)
