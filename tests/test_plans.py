@@ -495,3 +495,38 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# pinned plan shapes: exchange-count ceilings for representative queries
+# ---------------------------------------------------------------------------
+
+# A silent plan regression (a lost broadcast, a new repartition, a
+# pushdown that stopped firing) often keeps results correct and only
+# shows up as cost at scale.  Pin an exchange-count CEILING for one
+# stable representative per family; a refactor that adds a shuffle must
+# consciously raise the pin.  Ceilings are the CURRENT counts (verified),
+# not aspirations.
+_EXCHANGE_PINS = {
+    "pricing_summary": 1,        # one agg shuffle
+    "dedup_exact": 1,            # one hash-groupBy on md5
+    "infer_lineitem": 1,         # single-row stats exchange
+    "embedding_topk": 0,         # broadcast query vector + TakeOrdered
+    "value_histogram": 2,        # SinglePartition stats agg + one bin agg
+    "merge_upsert_orders": 3,    # union, full-outer join sides, final agg
+    "user_retention_cohorts": 4, # two aggs + join + final agg
+    "skew_profile_events": 3,    # key-count agg (appears on both branches
+                                 # pre-AQE; ReusedExchange dedups at run
+                                 # time) + SinglePartition stats agg
+}
+
+
+def test_pinned_exchange_ceilings(spark):
+    for name, ceiling in _EXCHANGE_PINS.items():
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = plan_of(df, "simple")
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n <= ceiling, (
+            f"{name}: {n} shuffle exchanges, pinned ceiling {ceiling};"
+            f" a new shuffle entered the plan\n{plan}"
+        )
