@@ -382,6 +382,38 @@ def incremental_exact_dedup(
     return batch.join(corpus, on="content_hash", how="left_anti")
 
 
+def prepare_corpus_index(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    md5_grade: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the reusable corpus side of :func:`incremental_near_dedup`:
+    ``(band_buckets, verify_shingles)``.
+
+    This is the "compute once, persist, reuse per batch" half of the
+    incremental workflow: write both frames out (band_buckets bucketed on
+    ``(band, bucket)``, shingles on ``id``) and pass them back via
+    ``corpus_index=`` on every ingest — each increment then only shingles
+    the NEW batch, the 100 TB cost model the operator's docstring
+    promises.  Arguments must match the ones later passed to
+    :func:`incremental_near_dedup` (band layout and hash construction are
+    baked into the frames)."""
+    sh = shingles(corpus_df, text_col, id_col, shingle_n)
+    buckets = _band_buckets(
+        _minhash_sig(sh, num_hashes, md5_grade), num_hashes, bands, md5_grade
+    )
+    verify_sh = (
+        sh
+        if md5_grade
+        else shingles(corpus_df, text_col, id_col, shingle_n, hashed=True)
+    )
+    return buckets, verify_sh
+
+
 def incremental_near_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -392,6 +424,7 @@ def incremental_near_dedup(
     shingle_n: int = 3,
     verify_threshold: float | None = 0.5,
     md5_grade: bool = False,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` with no verified near-duplicate in ``corpus_df``.
 
@@ -406,11 +439,20 @@ def incremental_near_dedup(
 
     ``md5_grade=True`` switches every hash to the md5 construction of
     :func:`minhash_lsh_pairs_md5` so a DuckDB oracle can replay the whole
-    pipeline; xxhash64 is the production default (8-byte shuffle keys)."""
+    pipeline; xxhash64 is the production default (8-byte shuffle keys).
+
+    ``corpus_index`` supplies the persisted output of
+    :func:`prepare_corpus_index` (built with the SAME band/hash
+    arguments); the corpus is then never re-shingled here — the per-batch
+    cost is the batch's own shingling plus bucket-local joins."""
     sh_new = shingles(new_df, text_col, id_col, shingle_n)
-    sh_cor = shingles(corpus_df, text_col, id_col, shingle_n)
     bk_new = _band_buckets(_minhash_sig(sh_new, num_hashes, md5_grade), num_hashes, bands, md5_grade)
-    bk_cor = _band_buckets(_minhash_sig(sh_cor, num_hashes, md5_grade), num_hashes, bands, md5_grade)
+    if corpus_index is not None:
+        bk_cor, idx_verify_sh = corpus_index
+    else:
+        sh_cor = shingles(corpus_df, text_col, id_col, shingle_n)
+        idx_verify_sh = None
+        bk_cor = _band_buckets(_minhash_sig(sh_cor, num_hashes, md5_grade), num_hashes, bands, md5_grade)
     cand = (
         bk_new.alias("n")
         .join(bk_cor.alias("c"), on=["band", "bucket"])
@@ -422,10 +464,15 @@ def incremental_near_dedup(
     else:
         cand = _persist(cand)
         if md5_grade:
-            vn, vc = sh_new, sh_cor
+            vn = sh_new
+            vc = idx_verify_sh if idx_verify_sh is not None else sh_cor
         else:  # hashed shingles: 8-byte join keys for the verify stage
             vn = shingles(new_df, text_col, id_col, shingle_n, hashed=True)
-            vc = shingles(corpus_df, text_col, id_col, shingle_n, hashed=True)
+            vc = (
+                idx_verify_sh
+                if idx_verify_sh is not None
+                else shingles(corpus_df, text_col, id_col, shingle_n, hashed=True)
+            )
         vn = vn.join(F.broadcast(cand.select(F.col("id_new").alias("id")).distinct()), "id", "left_semi")
         vc = vc.join(F.broadcast(cand.select(F.col("id_cor").alias("id")).distinct()), "id", "left_semi")
         jac = _cross_jaccard(vn, vc)

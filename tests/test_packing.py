@@ -148,3 +148,39 @@ def test_incremental_near_dedup_keeps_batch_internal_dups(spark):
     out = dedup.incremental_near_dedup(batch, corpus).collect()
     dedup.release_caches()
     assert {r.doc_id for r in out} == {10, 11}
+
+
+def test_incremental_near_dedup_with_persisted_corpus_index(spark, tmp_path):
+    """The production workflow: prepare_corpus_index once, persist both
+    frames to parquet, reuse per batch — results must equal the direct
+    (corpus-reshingled) computation, through a REAL disk round-trip."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra"),
+            (11, "novel document with entirely unrelated words and content"),
+        ],
+        "doc_id long, text string",
+    )
+    buckets, verify_sh = dedup.prepare_corpus_index(corpus)
+    bpath, spath = str(tmp_path / "buckets"), str(tmp_path / "shingles")
+    buckets.write.parquet(bpath)
+    verify_sh.write.parquet(spath)
+    index = (spark.read.parquet(bpath), spark.read.parquet(spath))
+
+    direct = {
+        r.doc_id
+        for r in dedup.incremental_near_dedup(batch, corpus).collect()
+    }
+    via_index = {
+        r.doc_id
+        for r in dedup.incremental_near_dedup(
+            batch, corpus, corpus_index=index
+        ).collect()
+    }
+    dedup.release_caches()
+    assert via_index == direct == {11}
