@@ -3700,10 +3700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries (bucketed_roundtrip / partitioned_roundtrip) and the 7
     analytics/merge/schema-evolution additions (user_retention_cohorts,
     event_funnel, value_histogram, zscore_outliers, bigram_pmi,
-    merge_upsert_orders, schema_evolution_roundtrip).  Everything past the
-    window is driver-green in r04/r05 with unchanged code and stays
-    covered by the local mirror (tools/check_correctness.py) and pytest
-    every round."""
+    merge_upsert_orders, schema_evolution_roundtrip).  A tenth addition,
+    skew_profile_events, sits first past the full window and heads the r7
+    rotation.  Everything past the window is driver-green in r04/r05 with
+    unchanged code (or mirror-verified this round, for skew_profile) and
+    stays covered by the local mirror (tools/check_correctness.py) and
+    pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- (a) r03-cohort rotation: dedup family ---
     q["dedup_exact"] = _q_hash_dedup

@@ -176,3 +176,21 @@ def test_histogram_and_zscore_broadcast_small_sides(spark):
     assert "BroadcastNestedLoopJoin" in hist_plan or "BroadcastExchange" in hist_plan
     z_plan = analytics.zscore_outliers(df, "k", "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in z_plan
+
+
+def test_cohort_retention_day_bucket(spark):
+    rows = [
+        (1, _ts(1, 1)), (1, _ts(2, 5)),   # cohort Jan 1, active day 0 and 1
+        (2, _ts(2, 9)), (2, _ts(2, 23)),  # cohort Jan 2, two events same day
+    ]
+    e = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = analytics.cohort_retention(e, "user_id", "ts", bucket="day")
+    got = {
+        (r["cohort_day"].isoformat(), r["day_offset"]): r["n_users"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1,
+    }
