@@ -151,3 +151,89 @@ def test_differential_ddl_strings(spark, reference_cls):
         return re.sub(r"\s+", " ", s).strip()
 
     assert norm(ours) == norm(ref_ddl)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis-driven differential fuzz (round 6)
+# ---------------------------------------------------------------------------
+#
+# The fixture-based tests above pin every KNOWN branch of the decision
+# tree; this fuzz walks the boundaries BETWEEN branches (int4/int8 edges,
+# the 240-char varchar threshold, bool-set membership with case noise,
+# midnight vs non-midnight, null sprinkling) with freshly generated
+# columns, always comparing against the actual reference library.  The
+# value space is restricted to the supported contract — whitelisted date
+# formats and |x| < 1e12 numerics — so any mismatch is a real bug in one
+# engine, not a documented divergence class.
+
+import datetime as _dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BOOL_WORDS = ["true", "false", "TRUE", "False", "t", "f", "T", "F", "0", "1"]
+
+
+def _dates(fmt):
+    return st.dates(
+        min_value=_dt.date(1990, 1, 1), max_value=_dt.date(2035, 12, 31)
+    ).map(lambda d: d.strftime(fmt))
+
+
+_COLUMN_KINDS = st.one_of(
+    st.tuples(st.just("bool_words"), st.lists(st.sampled_from(_BOOL_WORDS), min_size=1, max_size=8)),
+    st.tuples(st.just("ints"), st.lists(
+        st.one_of(
+            st.integers(-(2**31), 2**31 - 1),
+            st.sampled_from([2**31 - 1, -(2**31), 2**31, -(2**31) - 1, 0]),
+            st.integers(-(10**12), 10**12),
+        ), min_size=1, max_size=8)),
+    st.tuples(st.just("floats"), st.lists(
+        st.one_of(
+            st.floats(-1e12, 1e12, allow_nan=False, allow_infinity=False),
+            st.integers(-(10**6), 10**6).map(float),
+        ), min_size=1, max_size=8)),
+    st.tuples(st.just("dates"), st.lists(_dates("%Y-%m-%d"), min_size=1, max_size=6)),
+    st.tuples(st.just("timestamps"), st.lists(st.tuples(
+        _dates("%Y-%m-%d"),
+        st.sampled_from(["00:00:00", "00:00:00", "12:34:56", "23:59:59"]),
+    ).map(lambda t: f"{t[0]} {t[1]}"), min_size=1, max_size=6)),
+    st.tuples(st.just("strings"), st.lists(st.text(
+        alphabet="abc XYZ-_", min_size=0, max_size=300
+    ), min_size=1, max_size=6)),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(col=_COLUMN_KINDS, with_null=st.booleans(), id_name=st.booleans())
+def test_differential_fuzz_parquet(spark, reference_cls, col, with_null, id_name):
+    import tempfile
+
+    import pandas as pd
+
+    kind, values = col
+    if with_null and kind in ("bool_words", "dates", "timestamps", "strings"):
+        values = list(values) + [None]
+    name = "fuzz_id" if id_name else "fuzz_col"
+    pdf = pd.DataFrame({name: pd.Series(values, dtype="object" if isinstance(values[0], str) or values[-1] is None else None)})
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/fuzz.parquet"
+        pdf.to_parquet(path, index=False)
+        ref_types = _reference_types(reference_cls, path)
+        ours = {
+            ci.name: ci.proposed_type
+            for ci in infer_table_schema(load_file(spark, path))
+        }
+    nn = [v for v in values if v is not None]
+    if id_name and kind == "bool_words" and set(nn) <= {"0", "1"}:
+        # the documented numeric-string quirk class (EXCLUDED_PARQUET):
+        # an *_id column of "0"/"1" STRINGS skips the bool branch and hits
+        # the reference's `'str' <= int` TypeError -> float8; we return the
+        # deliberately-fixed int4.  Assert OUR contract instead.
+        assert ours == {name: "int4"}, f"values={values!r}"
+        return
+    assert ours == ref_types, f"kind={kind} values={values!r}"
