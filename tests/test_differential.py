@@ -237,3 +237,40 @@ def test_differential_fuzz_parquet(spark, reference_cls, col, with_null, id_name
         assert ours == {name: "int4"}, f"values={values!r}"
         return
     assert ours == ref_types, f"kind={kind} values={values!r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(col=_COLUMN_KINDS, id_name=st.booleans())
+def test_differential_fuzz_csv(spark, reference_cls, col, id_name):
+    """Same fuzz through the |-delimited CSV path: the reference ingests
+    via pandas read_csv dtype inference, we via Spark's inferSchema — the
+    two CSV type sniffers must land both trees on the same proposed type.
+    Nulls are excluded (CSV null spelling is a reader-config concern, not
+    an inference one) and strings are restricted to pipe/quote/newline-free
+    text so the file itself is unambiguous."""
+    import csv as _csv
+    import tempfile
+
+    kind, values = col
+    if kind == "strings":
+        values = [v.replace("|", " ").replace('"', " ") for v in values]
+        if any(v.strip() == "" for v in values):
+            return  # pandas reads empty cells as NaN, Spark as null/empty: config, not inference
+    name = "fuzz_id" if id_name else "fuzz_col"
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/fuzz.csv"
+        with open(path, "w", newline="") as fh:
+            w = _csv.writer(fh, delimiter="|", quotechar='"')
+            w.writerow([name])
+            for v in values:
+                w.writerow([v])
+        ref_types = _reference_types(reference_cls, path, delimiter="|")
+        ours = {
+            ci.name: ci.proposed_type
+            for ci in infer_table_schema(load_file(spark, path, delimiter="|"))
+        }
+    assert ours == ref_types, f"kind={kind} values={values!r}"
