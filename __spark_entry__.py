@@ -2235,6 +2235,57 @@ def _q_streaming_user_stats(spark, sf_dir):
     )
 
 
+def _q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming schema-drift monitor through the gate: the events stream
+    is inferred per microbatch (the same single-pass aggregate as the
+    flagship) and diffed against a deliberately-drifted baseline —
+    ``value`` declared int4 (actual float8 -> TYPE MISMATCH), ``props``
+    omitted (-> MISSING), phantom ``ghost_col`` (-> DEPRECATED).  The
+    oracle recomputes the expected drift by running the generated
+    inference SQL over the same table and joining the same baseline
+    literals (streaming.SchemaDriftMonitor, streaming.py)."""
+    from spark_auto_schema.streaming import SchemaDriftMonitor, read_event_stream
+
+    baseline = {
+        "event_id": "int4",
+        "ts": "timestamp",
+        "user_id": "int4",
+        "event_type": "varchar(256)",
+        "value": "int4",
+        "ghost_col": "float8",
+    }
+    records: list[dict] = []
+    monitor = SchemaDriftMonitor(baseline, lambda bid, drift: records.extend(drift))
+    q = monitor.attach(read_event_stream(spark, _events_stream_dir(sf_dir)))
+    q.awaitTermination()
+    rows = [
+        (d["field"], d["reason"], d.get("proposed"), d.get("deployed"))
+        for d in records
+    ]
+    return spark.createDataFrame(
+        rows, "field string, reason string, proposed string, deployed string"
+    )
+
+
+def _streaming_drift_oracle_sql() -> str:
+    return f"""
+WITH inferred AS ({_infer_table_sql("events")}),
+base(field, deployed) AS (VALUES
+  ('event_id', 'int4'), ('ts', 'timestamp'), ('user_id', 'int4'),
+  ('event_type', 'varchar(256)'), ('value', 'int4'), ('ghost_col', 'float8'))
+SELECT coalesce(i.field, b.field) AS field,
+       CASE WHEN b.field IS NULL THEN 'MISSING'
+            WHEN i.field IS NULL THEN 'DEPRECATED'
+            ELSE 'TYPE MISMATCH' END AS reason,
+       i.proposed_type AS proposed,
+       CASE WHEN i.field IS NULL THEN CAST(NULL AS VARCHAR)
+            ELSE b.deployed END AS deployed
+FROM inferred i FULL OUTER JOIN base b USING (field)
+WHERE b.field IS NULL OR i.field IS NULL
+   OR (i.proposed_type <> b.deployed AND i.proposed_type <> 'notype')
+"""
+
+
 def _q_streaming_enriched_counts(spark, sf_dir):
     """Stream-static join: the event stream enriched with the (batch)
     customer dimension per microbatch, aggregated by market segment.  The
@@ -3772,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the 9 additions above; as a pure composition of driver-verified
     # primitives it sits first past the window and heads the r7 rotation)
     q["skew_profile_events"] = _q_skew_profile
+    q["streaming_drift_monitor"] = _q_streaming_drift
     # --- r04-anchored cohort displaced from the window by this round's
     # additions (rotate back in next round) ---
     q["sessionize_events"] = _q_sessionize
@@ -3999,4 +4051,5 @@ def oracle_sql() -> dict[str, str]:
     o["merge_upsert_orders"] = _MERGE_UPSERT_SQL
     o["schema_evolution_roundtrip"] = _SCHEMA_EVOLUTION_SQL
     o["skew_profile_events"] = _SKEW_PROFILE_SQL
+    o["streaming_drift_monitor"] = _streaming_drift_oracle_sql()
     return o
