@@ -518,6 +518,8 @@ _EXCHANGE_PINS = {
     "skew_profile_events": 3,    # key-count agg (appears on both branches
                                  # pre-AQE; ReusedExchange dedups at run
                                  # time) + SinglePartition stats agg
+    "bigram_pmi": 7,             # 2 wordcount aggs + totals + 2 vocab
+                                 # joins (documented floor in ops/text.py)
 }
 
 
