@@ -216,3 +216,16 @@ class SparkAutoSchema:
             self.evaluate_table_ddl_diffs(deployed_df)
         missing = _diff.missing_columns(self.diff)
         return _ddl.generate_column_ddl(self.schema, self.table, missing)
+
+    def generate_spark_column_ddl(
+        self, deployed_df: DataFrame | None = None
+    ) -> str | None:
+        """Spark SQL dialect twin of :meth:`generate_column_ddl`: one
+        runnable ``ALTER TABLE ... ADD COLUMNS (...)`` for the MISSING
+        rows — executing it against the Spark catalog and re-running
+        :meth:`evaluate_table_ddl_diffs` reconverges the diff to empty
+        (lifecycle-tested)."""
+        if self.diff is None:
+            self.evaluate_table_ddl_diffs(deployed_df)
+        missing = _diff.missing_columns(self.diff)
+        return _ddl.generate_spark_column_ddl(self.schema, self.table, missing)

@@ -146,3 +146,23 @@ def generate_spark_table_ddl(
     if location:
         ddl += f"\nLOCATION '{location}'"
     return ddl
+
+
+def generate_spark_column_ddl(
+    schema: str, table: str, missing: list[tuple[str, str]]
+) -> str | None:
+    """Spark SQL dialect ALTER for the MISSING diff rows (rebuild
+    extension, no reference analog): one ``ALTER TABLE ... ADD COLUMNS
+    (...)`` statement covering every missing column, runnable via
+    ``spark.sql`` — the "apply the fix" half of the diff loop when the
+    deployed table lives in the Spark catalog rather than Redshift.
+    Types are mapped through :func:`redshift_to_spark_type`."""
+    if not missing:
+        return None
+    _check_ident(schema, "schema")
+    _check_ident(table, "table")
+    cols = ", ".join(
+        f"{_check_ident(f, 'column')} {redshift_to_spark_type(t)}"
+        for f, t in missing
+    )
+    return f"ALTER TABLE {schema}.{table} ADD COLUMNS ({cols});"

@@ -321,3 +321,38 @@ def test_event_stream_ts_unit_detection(spark, tmp_path):
     with pytest.raises(ValueError):
         read_event_stream(spark, str(empty_dir), ts_unit="ms")
     shutil.rmtree(str(us_dir))
+
+
+def test_full_lifecycle_reconverges_via_spark_alter(spark, tmp_path):
+    """The complete user journey on the Spark catalog: deploy a table
+    missing columns, diff, APPLY the generated Spark-dialect ALTER via
+    spark.sql, re-diff — every MISSING row must disappear (the loop the
+    reference leaves to a DBA pasting Redshift ALTERs)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS sas_lc_test")
+    spark.sql("DROP TABLE IF EXISTS sas_lc_test.nation")
+    spark.sql(
+        "CREATE TABLE sas_lc_test.nation (n_nationkey INT) USING parquet "
+        "LOCATION '" + str(tmp_path / "nation") + "'"
+    )
+    try:
+        sas = SparkAutoSchema(
+            schema="sas_lc_test",
+            table="nation",
+            file=f"{SF_DIR}/nation.parquet",
+            spark=spark,
+        )
+        before = {r["field"]: r["reason"] for r in sas.evaluate_table_ddl_diffs().collect()}
+        assert set(before) == {"n_name", "n_regionkey"}
+        assert set(before.values()) == {"MISSING"}
+
+        alter = sas.generate_spark_column_ddl()
+        assert alter.startswith("ALTER TABLE sas_lc_test.nation ADD COLUMNS (")
+        spark.sql(alter.rstrip(";"))
+
+        sas.diff = None  # force a fresh diff against the altered catalog
+        after = sas.evaluate_table_ddl_diffs().collect()
+        assert after == [], [r.asDict() for r in after]
+        assert sas.generate_spark_column_ddl() is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sas_lc_test.nation")
+        spark.sql("DROP DATABASE IF EXISTS sas_lc_test")
