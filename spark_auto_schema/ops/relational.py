@@ -185,6 +185,10 @@ def merge_upsert(
     Both inputs must share a schema.  Precedence is column-wise total: the
     winning side's whole row is taken (no per-column coalesce surprises
     with legitimate NULL update values — NULLs in an update row overwrite).
+    ``updates`` must be key-unique, the standard MERGE precondition (Delta
+    raises on multiple matches); duplicate update keys here would fan the
+    matching base row out once per duplicate.  Deduplicate upstream
+    (e.g. keep the latest by a version column) before merging.
 
     Scale (100 TB): one full outer hash join on the key.  Update batches
     are normally a small fraction of the base, so AQE broadcast-joins the
