@@ -161,20 +161,31 @@ def zscore_outliers(
     stddev_value)`` where a row is an outlier when ``|x - mean| / stddev``
     (sample stddev, rounded to 4 decimals before the comparison so the
     boundary is engine-stable) exceeds ``threshold``.
+
+    A constant-valued key has stddev 0, so every z is NULL — such keys
+    report 0 outliers (per-row coalesce; an all-NULL sum would otherwise
+    report NULL), matching a ``count(*) FILTER`` oracle.
     """
     stats = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.avg(F.col(value_col).cast("double")).alias("__mu"),
         F.stddev_samp(F.col(value_col).cast("double")).alias("__sd"),
     )
+    # try_divide: a zero stddev yields NULL z (matching DuckDB's NULL on
+    # double/0) instead of an ANSI-mode DIVIDE_BY_ZERO error
     z = F.round(
-        F.abs(F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sd"), 4
+        F.try_divide(
+            F.abs(F.col(value_col).cast("double") - F.col("__mu")), F.col("__sd")
+        ),
+        4,
     )
     return (
         df.join(F.broadcast(stats), F.col(key_col) == F.col("__k"))
         .groupBy(F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((z > threshold).cast("long")).alias("n_outliers"),
+            F.sum(F.coalesce((z > threshold).cast("long"), F.lit(0))).alias(
+                "n_outliers"
+            ),
             F.round(F.min("__mu"), 4).alias("avg_value"),
             F.round(F.min("__sd"), 4).alias("stddev_value"),
         )

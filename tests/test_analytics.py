@@ -194,3 +194,13 @@ def test_cohort_retention_day_bucket(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_zscore_constant_key_reports_zero_outliers(spark):
+    """stddev 0 -> every z NULL; the key must report 0 outliers, not NULL
+    (the same three-valued-logic trap the funnel fix covers)."""
+    df = spark.createDataFrame([("k", 5.0)] * 10 + [("m", 1.0), ("m", 2.0)],
+                               "k string, v double")
+    out = {r["k"]: r["n_outliers"] for r in
+           analytics.zscore_outliers(df, "k", "v").collect()}
+    assert out["k"] == 0 and out["m"] == 0
