@@ -127,6 +127,11 @@ def value_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
     Bin edges derive from the same double arithmetic everywhere
     (``(x - mn) * nbins / (mx - mn)``), so an external oracle evaluating
     the identical expression bit-matches the assignment.
+
+    Degenerate all-constant input (``mx == mn``): ``try_divide`` yields a
+    NULL raw bin (DuckDB's NULL on double/0), and both engines' NULL-
+    skipping ``least`` clamp every row into the last bin with zero-width
+    edges — consistent, if not meaningful.
     """
     stats = df.agg(
         F.min(col).cast("double").alias("__mn"),
@@ -135,7 +140,11 @@ def value_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
     x = F.col(col).cast("double")
     binned = df.crossJoin(F.broadcast(stats)).select(
         F.least(
-            F.floor((x - F.col("__mn")) * nbins / (F.col("__mx") - F.col("__mn"))),
+            F.floor(
+                F.try_divide(
+                    (x - F.col("__mn")) * nbins, F.col("__mx") - F.col("__mn")
+                )
+            ),
             F.lit(nbins - 1),
         )
         .cast("int")

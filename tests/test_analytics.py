@@ -204,3 +204,15 @@ def test_zscore_constant_key_reports_zero_outliers(spark):
     out = {r["k"]: r["n_outliers"] for r in
            analytics.zscore_outliers(df, "k", "v").collect()}
     assert out["k"] == 0 and out["m"] == 0
+
+
+def test_histogram_constant_column_degenerates_consistently(spark):
+    """All-constant input: mx == mn, so the raw bin is NULL (try_divide)
+    and NULL-skipping least clamps every row into the last bin with
+    zero-width edges — no ANSI divide-by-zero error."""
+    df = spark.createDataFrame([(7.0,)] * 5, "x double")
+    out = analytics.value_histogram(df, "x", nbins=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 3 and r["n"] == 5
+    assert r["lo"] == 7.0 and r["hi"] == 7.0
