@@ -1366,6 +1366,90 @@ FROM merged GROUP BY 1
 """
 
 
+def _q_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE ... WHEN NOT MATCHED THEN INSERT only (insert_only=True):
+    matched update rows are IGNORED (base wins), unmatched rows insert —
+    the append-only ingest pattern.  Same batch as merge_upsert_orders,
+    so the two queries pin both precedence modes against each other."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+    )
+    new = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = relational.merge_upsert(
+        o, upd.unionByName(new), "o_orderkey", insert_only=True
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_MERGE_INSERT_ONLY_SQL = """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100 AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N', o_totalprice
+  FROM base WHERE o_orderkey % 97 = 0),
+merged AS (
+  SELECT coalesce(b.o_orderstatus, u.o_orderstatus) AS st,
+         coalesce(b.o_totalprice, u.o_totalprice) AS price
+  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
+SELECT st AS o_orderstatus, count(*) AS n, round(sum(price), 2) AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+def _q_range_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path read-back for ``io.write_range_partitioned``: events
+    written range-sorted on value (8 files, disjoint spans — the zone-map
+    property is plan/stat-asserted in tests/test_plans.py), read back
+    with a range predicate, aggregated; must equal the filtered aggregate
+    over the source parquet.  Collected before cleanup (lazy-scan race,
+    same as the other roundtrips)."""
+    import shutil
+    import tempfile
+
+    from spark_auto_schema.io import write_range_partitioned
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    d = tempfile.mkdtemp(prefix="range_rt_")
+    try:
+        write_range_partitioned(e, d, "value", num_files=8)
+        rows = (
+            spark.read.parquet(d)
+            .where(F.col("value") > 50.0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["event_type"], r["n"], float(r["sum_value"])) for r in rows],
+        "event_type string, n bigint, sum_value double",
+    )
+
+
+_RANGE_ROUNDTRIP_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events WHERE value > 50.0 GROUP BY event_type
+"""
+
+
 def _q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read-back for ``io.read_parquet_evolving`` — the
     scenario the reference library exists for (a landed dataset gains a
@@ -3824,6 +3908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # primitives it sits first past the window and heads the r7 rotation)
     q["skew_profile_events"] = _q_skew_profile
     q["streaming_drift_monitor"] = _q_streaming_drift
+    q["merge_insert_only_orders"] = _q_merge_insert_only
+    q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
     # --- r04-anchored cohort displaced from the window by this round's
     # additions (rotate back in next round) ---
     q["sessionize_events"] = _q_sessionize
@@ -4052,4 +4138,6 @@ def oracle_sql() -> dict[str, str]:
     o["schema_evolution_roundtrip"] = _SCHEMA_EVOLUTION_SQL
     o["skew_profile_events"] = _SKEW_PROFILE_SQL
     o["streaming_drift_monitor"] = _streaming_drift_oracle_sql()
+    o["merge_insert_only_orders"] = _MERGE_INSERT_ONLY_SQL
+    o["range_partitioned_roundtrip"] = _RANGE_ROUNDTRIP_SQL
     return o
