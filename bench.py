@@ -40,7 +40,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
                   "weighted_", "pack_", "corpus_mix", "skew_")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
-            "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip")),
+            "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
+            "range_partitioned")),
 ]
 _N_SLOWEST = 8
 
