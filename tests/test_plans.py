@@ -520,6 +520,16 @@ _EXCHANGE_PINS = {
                                  # time) + SinglePartition stats agg
     "bigram_pmi": 7,             # 2 wordcount aggs + totals + 2 vocab
                                  # joins (documented floor in ops/text.py)
+    "text_stats": 0,             # shuffle-free per-row projection
+    "lang_id": 0,                # shuffle-free per-row projection
+    "corpus_mix": 0,             # CASE-threshold filter, no shuffle
+    "profile_docs": 2,           # 1-row profile agg + stack ordering
+    "pack_sequences": 1,         # single bucket shuffle, window reuses it
+    "top_terms": 1,              # one wordcount agg, top-k is TakeOrdered
+    "time_bucket_events": 1,     # one hash agg with map-side combine
+    "asof_prior_click": 1,       # union + ONE per-key window shuffle
+    "epoch_shuffle_docs": 1,     # shard-local row_number, no global sort
+    "moving_avg_orders": 2,      # monthly agg + single-window ordering
 }
 
 
