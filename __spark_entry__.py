@@ -3008,6 +3008,37 @@ FROM documents
 """
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media resize (byte-stride decimation stub, codec seam
+    injectable): emits per-doc original/new byte counts and the md5 of the
+    resized payload — the oracle replays the identical stride gather over
+    the source text (payloads are its UTF-8 bytes; the corpus is ASCII so
+    byte and character positions coincide)."""
+    payloads = multimodal.attach_binary_payload(
+        read_table(spark, sf_dir, "documents")
+    )
+    resized = multimodal.resize_media_stub(payloads, target_bytes=48, fake=True)
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        "new_bytes",
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
+_MEDIA_RESIZE_SQL = """
+WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+q AS (SELECT doc_id, text, n, least(48, n) AS m,
+             greatest(n // least(48, n), 1) AS s
+      FROM p)
+SELECT doc_id, n AS orig_bytes, m AS new_bytes,
+       md5(array_to_string(
+             list_transform(generate_series(0, m - 1),
+                            i -> substring(text, 1 + i * s, 1)), '')) AS resized_md5
+FROM q
+"""
+
+
 def _q_media_features(spark, sf_dir):
     """The Arrow mapInPandas feature extractor, value-checked: for the ASCII
     testdata payloads, byte-histogram bin 2 (bytes 0x20-0x2F: space + leading
@@ -3913,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_drift_monitor"] = _q_streaming_drift
     q["merge_insert_only_orders"] = _q_merge_insert_only
     q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
+    q["media_resize"] = _q_media_resize
     # --- r04-anchored cohort displaced from the window by this round's
     # additions (rotate back in next round) ---
     q["sessionize_events"] = _q_sessionize
@@ -4143,4 +4175,5 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_drift_monitor"] = _streaming_drift_oracle_sql()
     o["merge_insert_only_orders"] = _MERGE_INSERT_ONLY_SQL
     o["range_partitioned_roundtrip"] = _RANGE_ROUNDTRIP_SQL
+    o["media_resize"] = _MEDIA_RESIZE_SQL
     return o

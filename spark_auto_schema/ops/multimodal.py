@@ -126,3 +126,69 @@ def frame_sample_stub(
             ).alias("frame_bytes"),
         )
     )
+
+
+RESIZED_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("new_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def _resize_batch(pdf, target_bytes: int, fake: bool):
+    import pandas as pd
+
+    if not fake:
+        raise NotImplementedError(
+            "real media resize requires codec libraries not present in this "
+            "environment; call with fake=True for the deterministic stub"
+        )
+    ids, orig, new, res = [], [], [], []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        data = bytes(payload)
+        n = len(data)
+        if n == 0:
+            m, out = 0, b""
+        else:
+            m = min(target_bytes, n)
+            s = max(n // m, 1)
+            out = data[::s][:m]
+        ids.append(doc_id)
+        orig.append(n)
+        new.append(m)
+        res.append(out)
+    return pd.DataFrame(
+        {"doc_id": ids, "orig_bytes": orig, "new_bytes": new, "resized": res}
+    )
+
+
+def resize_media_stub(
+    df: DataFrame,
+    target_bytes: int = 48,
+    fake: bool = False,
+    resizer=None,
+) -> DataFrame:
+    """Arrow-batched media resize over (doc_id, payload) rows — the
+    image-thumbnail / audio-downsample slot of the pipeline.
+
+    The deterministic fake is byte-stride decimation to at most
+    ``target_bytes`` (keep every ``floor(n / min(target, n))``-th byte —
+    the 1-D analog of nearest-neighbor image resampling), so an external
+    oracle can replay the gather exactly.  ``resizer`` is the codec seam,
+    same contract as :func:`extract_media_features`'s ``extractor``: a
+    callable ``(pandas_batch, target_bytes, fake) -> pandas_batch``
+    conforming to ``RESIZED_MEDIA_SCHEMA``, captured by value into the
+    task closure.  Scale shape: one ``mapInPandas`` map stage, no
+    shuffle; output bytes are strictly smaller than input, so the stage
+    SHRINKS data — run it before any shuffle-bearing downstream step.
+    """
+    resize = resizer if resizer is not None else _resize_batch
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            yield resize(pdf, target_bytes, fake)
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZED_MEDIA_SCHEMA)

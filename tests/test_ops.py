@@ -537,3 +537,51 @@ def test_repeated_ngram_coverage_flags_shared_spans(spark):
     assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
     for r in out.values():
         assert r["n_grams"] >= 1
+
+
+def test_media_resize_stride_decimation(spark, docs):
+    from spark_auto_schema.ops import multimodal
+
+    payloads = multimodal.attach_binary_payload(docs)
+    out = {r["doc_id"]: r for r in
+           multimodal.resize_media_stub(payloads, target_bytes=8, fake=True).collect()}
+    src = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    for doc_id, data in src.items():
+        r = out[doc_id]
+        n = len(data)
+        m = min(8, n)
+        s = max(n // m, 1) if n else 1
+        assert r["orig_bytes"] == n and r["new_bytes"] == m
+        assert bytes(r["resized"]) == data[::s][:m]
+
+
+def test_media_resize_requires_fake_or_resizer(spark, docs):
+    import pytest as _pytest
+
+    from spark_auto_schema.ops import multimodal
+
+    payloads = multimodal.attach_binary_payload(docs)
+    with _pytest.raises(Exception):
+        multimodal.resize_media_stub(payloads, fake=False).collect()
+
+
+def test_media_resize_seam_injection(spark, docs):
+    """Injected resizer replaces the stub wholesale (same seam contract
+    as extract_media_features)."""
+    import pandas as pd
+
+    from spark_auto_schema.ops import multimodal
+
+    def crop(pdf, target_bytes, fake):
+        rows = [(i, len(bytes(p)), min(target_bytes, len(bytes(p))),
+                 bytes(p)[:target_bytes])
+                for i, p in zip(pdf["doc_id"], pdf["payload"])]
+        return pd.DataFrame(rows, columns=["doc_id", "orig_bytes",
+                                           "new_bytes", "resized"])
+
+    payloads = multimodal.attach_binary_payload(docs)
+    out = multimodal.resize_media_stub(
+        payloads, target_bytes=4, fake=False, resizer=crop
+    ).collect()
+    src = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    assert all(bytes(r["resized"]) == src[r["doc_id"]][:4] for r in out)
