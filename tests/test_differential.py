@@ -201,6 +201,19 @@ _COLUMN_KINDS = st.one_of(
     st.tuples(st.just("strings"), st.lists(st.text(
         alphabet="abc XYZ-_", min_size=0, max_size=300
     ), min_size=1, max_size=6)),
+    # heterogeneous columns: every branch's probe must fail closed into
+    # the varchar fallback in BOTH engines (the fall-through seam)
+    st.tuples(st.just("mixed"), st.lists(st.one_of(
+        st.integers(-1000, 1000).map(str),
+        st.sampled_from(["true", "f", "1"]),
+        _dates("%Y-%m-%d"),
+        st.text(alphabet="xyz ", min_size=1, max_size=12),
+    ), min_size=2, max_size=8).filter(
+        # ensure genuine heterogeneity: at least one non-numeric word AND
+        # one numeric-or-structured value, so no single branch can win
+        lambda v: any(any(c.isalpha() for c in x) and "-" not in x for x in v)
+        and any(x.lstrip("-").isdigit() or "-" in x for x in v)
+    )),
 )
 
 
