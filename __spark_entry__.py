@@ -3934,12 +3934,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green on post-regeneration data (CORRECTNESS_r04 or r05) with
     # unchanged code, and remain oracle-checked by the local mirror +
     # pytest every round ----
-    # (the four queries below are also new this round, but the window is
-    # full with the 9 additions above; each is mirror-verified and they
-    # head the r7 rotation.  r7 window plan: these four + the 7 displaced
-    # r04-anchored queries below + the r04 dedup/corpus remainder at the
-    # end of this registry — that again leaves no oracle-checked query
-    # with a driver anchor older than two rounds.)
+    # (the five queries below — skew_profile_events through media_resize —
+    # are also new this round, but the window is full with the 9 additions
+    # above; each is mirror-verified and they head the r7 rotation.  r7
+    # window plan: these five + the 7 displaced r04-anchored queries below
+    # + the r04 dedup/corpus remainder at the end of this registry — that
+    # again leaves no oracle-checked query with a driver anchor older
+    # than two rounds.)
     q["skew_profile_events"] = _q_skew_profile
     q["streaming_drift_monitor"] = _q_streaming_drift
     q["merge_insert_only_orders"] = _q_merge_insert_only
