@@ -110,8 +110,12 @@ def funnel_counts(
             for i, f in enumerate(flags)
         ]
     )
+    # stage names are interpolated into the stack() literal — escape
+    # quotes so a name like "o'clock" cannot break (or inject into) the
+    # expression
     stack_args = ", ".join(
-        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(stages)
+        "{}, '{}', __n{}".format(i + 1, s.replace("'", "''"), i)
+        for i, s in enumerate(stages)
     )
     return counted.select(
         F.expr(
@@ -133,6 +137,9 @@ def value_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
     skipping ``least`` clamp every row into the last bin with zero-width
     edges — consistent, if not meaningful.
     """
+    # NULL values are excluded up front — without the filter the NULL-
+    # skipping least() would silently count them in the last bin
+    df = df.where(F.col(col).isNotNull())
     stats = df.agg(
         F.min(col).cast("double").alias("__mn"),
         F.max(col).cast("double").alias("__mx"),

@@ -216,3 +216,19 @@ def test_histogram_constant_column_degenerates_consistently(spark):
     r = out[0]
     assert r["bin"] == 3 and r["n"] == 5
     assert r["lo"] == 7.0 and r["hi"] == 7.0
+
+
+def test_histogram_excludes_null_values(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,), (None,)], "x double"
+    )
+    out = analytics.value_histogram(df, "x", nbins=2).collect()
+    assert sum(r["n"] for r in out) == 3  # NULLs excluded, not last-binned
+
+
+def test_funnel_stage_name_with_quote(spark):
+    rows = [(1, _ts(1), "sign'up"), (1, _ts(2), "buy")]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, etype string")
+    out = analytics.funnel_counts(df, "user_id", "ts", "etype", ["sign'up", "buy"])
+    got = {r["stage"]: r["n_users"] for r in out.collect()}
+    assert got == {"sign'up": 1, "buy": 1}
