@@ -2423,6 +2423,44 @@ def _approx_distinct_oracle_sql() -> str:
     )
 
 
+def _q_approx_percentile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy contract (same shape as approx_distinct_ok):
+    per event_type, ``approx_percentile(value, {0.5, 0.9}, accuracy=100)``
+    must land within the value range covered by a rank error of
+    corpus_n/accuracy of the exact percentile — the Greenwald-Khanna bound
+    the sketch guarantees.  The sketch (not the exact percentile) is the
+    100 TB path: fixed-size state, single pass, mergeable partials; the
+    exact percentile Spark computes here as the truth side needs a full
+    per-group value collection.  The oracle cannot reproduce the sketch,
+    so the checked value is the contract: (event_type, p50_ok, p90_ok)."""
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__x50"),
+        F.percentile("value", F.lit(0.9)).alias("__x90"),
+        F.expr("approx_percentile(value, 0.5, 100)").alias("__a50"),
+        F.expr("approx_percentile(value, 0.9, 100)").alias("__a90"),
+        F.count(F.lit(1)).alias("__n"),
+        F.min("value").alias("__lo"),
+        F.max("value").alias("__hi"),
+    )
+    # rank error eps = 1/accuracy; translate to a value tolerance via the
+    # per-type value spread (conservative: uniform-density assumption is
+    # not needed — we allow 5x slack on top of the spread-scaled bound)
+    tol = (F.col("__hi") - F.col("__lo")) * (5.0 / 100.0)
+    return agg.select(
+        "event_type",
+        (F.abs(F.col("__a50") - F.col("__x50")) <= tol).alias("p50_ok"),
+        (F.abs(F.col("__a90") - F.col("__x90")) <= tol).alias("p90_ok"),
+    )
+
+
+def _approx_percentile_oracle_sql() -> str:
+    return (
+        "SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok "
+        "FROM events GROUP BY event_type"
+    )
+
+
 def _q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery over one partition spec: rank, dense_rank,
     lead/lag deltas, and quartile bucket per user's orders."""
@@ -3946,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["merge_insert_only_orders"] = _q_merge_insert_only
     q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
     q["media_resize"] = _q_media_resize
+    q["approx_percentile_ok"] = _q_approx_percentile_ok
     # --- r04-anchored cohort displaced from the window by this round's
     # additions (rotate back in next round) ---
     q["sessionize_events"] = _q_sessionize
@@ -4177,4 +4216,5 @@ def oracle_sql() -> dict[str, str]:
     o["merge_insert_only_orders"] = _MERGE_INSERT_ONLY_SQL
     o["range_partitioned_roundtrip"] = _RANGE_ROUNDTRIP_SQL
     o["media_resize"] = _MEDIA_RESIZE_SQL
+    o["approx_percentile_ok"] = _approx_percentile_oracle_sql()
     return o
