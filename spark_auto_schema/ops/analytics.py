@@ -206,3 +206,81 @@ def zscore_outliers(
             F.round(F.min("__sd"), 4).alias("stddev_value"),
         )
     )
+
+
+def threshold_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    quantile: float = 0.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantile filter: keep rows whose score is >= their group's
+    ``quantile``-th score — the CCNet-style gate where each language (or
+    source, or domain) is filtered against ITS OWN quality distribution
+    rather than one global cutoff that would wipe out low-resource groups.
+
+    Two-step plan, both steps group-parallel: (1) one hash aggregate
+    computes the per-group threshold; (2) the |groups|-row threshold table
+    is broadcast back onto the fact stream and the comparison is a
+    row-local filter.  The fact table is scanned twice but never shuffled
+    — at 100 TB the group-threshold aggregate is the only exchange, and it
+    carries |groups| rows.
+
+    ``approx=False`` uses exact ``percentile`` (linear interpolation,
+    identical to DuckDB's ``quantile_cont`` — the oracle-checkable path);
+    its aggregation buffer holds one group's values on one reducer, fine
+    for group cardinalities like languages x sources but not for
+    million-row groups.  ``approx=True`` swaps in ``percentile_approx``
+    (a bounded-memory KLL-style sketch, map-side combinable) — the 100 TB
+    path, same plan shape, threshold within sketch accuracy.  The
+    threshold is rounded to 4 decimals before the comparison so the
+    boundary decision is engine-stable."""
+    score = F.col(score_col).cast("double")
+    agg = (
+        F.percentile_approx(score, quantile)
+        if approx
+        else F.percentile(score, F.lit(quantile))
+    )
+    thresholds = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.round(agg, 4).alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), F.col(group_col) == F.col("__g"))
+        .where(F.round(score, 4) >= F.col("__thr"))
+        .drop("__g", "__thr")
+    )
+
+
+def sharded_distinct_counts(
+    df: DataFrame,
+    shard_col: str,
+    key_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Distinct-key counts per shard AND overall from ONE pass of
+    mergeable HLL sketches: ``(shard, n_unique)`` rows plus an
+    ``'__all__'`` row whose count comes from *unioning the per-shard
+    sketches*, never re-scanning the data.
+
+    This is the sketch-rollup pattern that makes "daily uniques -> monthly
+    uniques" tractable at 100 TB: exact distinct-count rollups cannot be
+    combined (distinct is not additive across shards), so naive pipelines
+    re-scan the whole history per rollup window.  DataSketches HLL
+    sketches union losslessly-in-error: build one bounded-size sketch per
+    shard (``hll_sketch_agg``, map-side combinable, 2^lg_k registers),
+    then ``hll_union_agg`` over the |shards|-row sketch table — a
+    driver-scale second aggregate.  Error is ~1.04/sqrt(2^lg_k)
+    (~0.8% at the default lg_k=14); the estimate path's accuracy
+    contract is driver-checked against exact counts in
+    ``q:hll_sharded_uniques``."""
+    sketches = df.groupBy(F.col(shard_col).cast("string").alias("shard")).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias("__sk")
+    )
+    per_shard = sketches.select(
+        "shard", F.hll_sketch_estimate(F.col("__sk")).alias("n_unique")
+    )
+    overall = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"))).alias("n_unique")
+    ).select(F.lit("__all__").alias("shard"), "n_unique")
+    return per_shard.unionByName(overall)

@@ -20,7 +20,7 @@ All hashing is Spark's ``xxhash64`` — deterministic across runs/executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # DataFrames persisted by the MinHash verification paths (candidate sets and
@@ -973,4 +973,46 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def canonical_survivors(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    quality_col: Column | str,
+) -> DataFrame:
+    """Quality-aware cluster collapse: keep exactly ONE document per
+    near-duplicate cluster — the highest-quality member — plus every
+    unclustered document.
+
+    :func:`dedup_clusters` picks the *minimum id* as representative, which
+    is the right convention for a stable cluster label but the wrong one
+    for choosing which copy to train on: near-dup clusters mix clean
+    originals with truncated scrapes and boilerplate-wrapped mirrors, and
+    min-id keeps whichever happened to be crawled first.  This operator
+    ranks cluster members by an explicit quality signal (a score column or
+    expression — e.g. :func:`~.text.quality_score` output, or plain
+    ``length(text)``) and keeps the argmax, tie-broken by id so the result
+    is deterministic.
+
+    Scale: one left equi-join of the corpus against the (small) cluster
+    table, then a window ``row_number`` partitioned by representative.
+    Unclustered documents are singleton partitions of their own id —
+    the window shuffle is hash-partitioned on ``rep`` with no skew (near-dup
+    clusters are bounded-size in practice; a pathological giant cluster is
+    itself the signal to fix upstream thresholds).  No global sort, no
+    driver-side state."""
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    cl = clusters.select(
+        F.col("id").alias("__cl_id"), F.col("cluster_id").alias("__cl_rep")
+    )
+    joined = df.join(cl, df[id_col] == cl["__cl_id"], "left").withColumn(
+        "__rep", F.coalesce(F.col("__cl_rep"), F.col(id_col))
+    )
+    w = Window.partitionBy("__rep").orderBy(q.desc(), F.col(id_col))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__cl_id", "__cl_rep", "__rep", "__rk")
     )

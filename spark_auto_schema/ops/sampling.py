@@ -135,3 +135,46 @@ def _hash_prefix_int(key: Column) -> Column:
     return F.conv(
         F.substring(F.md5(key.cast("string")), 1, _UNIFORM_HEX_DIGITS), 16, 10
     ).cast("long")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    eval_fraction: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/eval assignment: every near-duplicate CLUSTER
+    lands wholly on one side, so no eval document has a near-copy in train.
+
+    :func:`split_train_eval` hashes each document independently — correct
+    for exact-deduped corpora, but after *near*-dup analysis two documents
+    that are 95% identical are distinct keys and can straddle the split,
+    silently inflating eval scores (the classic benchmark-leakage failure
+    train/eval splits exist to prevent).  The fix is to draw once per
+    cluster, not once per document: join the corpus to its cluster
+    assignment (``(id, cluster_id)`` from :func:`~.dedup.dedup_clusters`),
+    treat unclustered documents as singleton clusters
+    (``rep = coalesce(cluster_id, id)``), and assign each row by the md5
+    draw of its representative.  Documents sharing a representative share a
+    draw, so a cluster cannot straddle sides *by construction*.
+
+    Returns ``df`` plus a ``split`` column ('train' | 'eval').  Scale: one
+    left equi-join on the id key — the cluster table holds only ids that
+    appeared in a near-dup pair (typically a few percent of the corpus), so
+    AQE broadcasts it when small and hash-co-partitions otherwise; the
+    draw and assignment are row-local projections.  Nothing else shuffles,
+    and the assignment is a pure function of content ids — stable across
+    runs, engines, and partitionings."""
+    t = F.lit(fraction_threshold(eval_fraction))
+    cl = clusters.select(
+        F.col("id").alias("__cl_id"), F.col("cluster_id").alias("__cl_rep")
+    )
+    rep = F.coalesce(F.col("__cl_rep"), F.col(id_col))
+    return (
+        df.join(cl, df[id_col] == cl["__cl_id"], "left")
+        .withColumn(
+            "split",
+            F.when(_hash_prefix(rep) < t, F.lit("eval")).otherwise(F.lit("train")),
+        )
+        .drop("__cl_id", "__cl_rep")
+    )

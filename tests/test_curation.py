@@ -1,0 +1,194 @@
+"""Tests for the round-6 curation operators: cluster-safe splitting,
+canonical survivor selection, per-group quantile gating, HLL sharded
+uniques, and the Z-order layout writer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_auto_schema.ops import analytics, dedup, sampling
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cluster_fixture(spark):
+    """6 docs: {1,2,3} one near-dup cluster, {5,6} another, 4 unclustered."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),
+            (2, "aaaa bbbb"),
+            (3, "aaaa bbbb cccc"),
+            (4, "standalone"),
+            (5, "xx"),
+            (6, "xx yy"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    return docs, clusters
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    docs, clusters = _cluster_fixture(spark)
+    out = sampling.cluster_safe_split(docs, "doc_id", clusters, 0.5)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 6
+    # whole clusters share a side
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[5] == rows[6]
+    # every assignment is one of the two labels
+    assert set(rows.values()) <= {"train", "eval"}
+
+
+def test_cluster_safe_split_matches_rep_hash(spark):
+    """A clustered doc's side equals what split_train_eval gives its
+    representative id — the draw is per-cluster, not per-doc."""
+    docs, clusters = _cluster_fixture(spark)
+    out = sampling.cluster_safe_split(docs, "doc_id", clusters, 0.3)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    reps = spark.createDataFrame([(1,), (4,), (5,)], "doc_id long")
+    train, _ = sampling.split_train_eval(reps, "doc_id", 0.3)
+    train_reps = {r["doc_id"] for r in train.collect()}
+    assert (rows[3] == "train") == (1 in train_reps)
+    assert (rows[4] == "train") == (4 in train_reps)
+    assert (rows[6] == "train") == (5 in train_reps)
+
+
+def test_canonical_survivors_keeps_best_and_singletons(spark):
+    docs, clusters = _cluster_fixture(spark)
+    surv = dedup.canonical_survivors(docs, "doc_id", clusters, F.length("text"))
+    kept = sorted(r["doc_id"] for r in surv.collect())
+    # longest member of {1,2,3} is 3; of {5,6} is 6; 4 is a singleton
+    assert kept == [3, 4, 6]
+
+
+def test_canonical_survivors_tie_breaks_by_id(spark):
+    docs = spark.createDataFrame(
+        [(10, "same"), (11, "same"), (12, "other")], "doc_id long, text string"
+    )
+    clusters = dedup.dedup_clusters(
+        spark.createDataFrame([(10, 11)], "id_a long, id_b long")
+    )
+    surv = dedup.canonical_survivors(docs, "doc_id", clusters, F.length("text"))
+    assert sorted(r["doc_id"] for r in surv.collect()) == [10, 12]
+
+
+def test_threshold_by_group_is_per_group(spark):
+    """Group A's scores are an order of magnitude below group B's — a
+    global median would drop all of A; the per-group gate keeps A's own
+    upper half."""
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]] + [
+        ("b", float(v)) for v in [100, 200, 300, 400]
+    ]
+    df = spark.createDataFrame(rows, "g string, score double")
+    out = analytics.threshold_by_group(df, "g", "score", 0.5)
+    got = sorted((r["g"], r["score"]) for r in out.collect())
+    # median of [1,2,3,4] = 2.5 (interpolated); keep 3,4 / 300,400
+    assert got == [("a", 3.0), ("a", 4.0), ("b", 300.0), ("b", 400.0)]
+
+
+def test_threshold_by_group_approx_matches_exact_here(spark):
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, score double")
+    exact = analytics.threshold_by_group(df, "g", "score", 0.9).count()
+    approx = analytics.threshold_by_group(df, "g", "score", 0.9, approx=True).count()
+    # percentile_approx is exact at this cardinality; both keep the top ~10
+    assert abs(exact - approx) <= 1
+
+
+def test_sharded_distinct_counts_union_is_consistent(spark):
+    rows = [(i % 4, f"u{i % 57}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "shard int, user string")
+    out = {
+        r["shard"]: r["n_unique"]
+        for r in analytics.sharded_distinct_counts(df, "shard", "user").collect()
+    }
+    # 57 uniques overall; every shard sees a subset.  HLL at lg_k=14 is
+    # exact at this cardinality (sparse mode).
+    assert out["__all__"] == 57
+    for s in ("0", "1", "2", "3"):
+        assert 0 < out[s] <= 57
+    # union estimate >= any shard estimate (monotone under union)
+    assert out["__all__"] >= max(v for k, v in out.items() if k != "__all__")
+
+
+def test_sharded_distinct_single_aggregate_per_level(spark):
+    """The sketch build is ONE hash aggregate over the facts; the union is
+    an aggregate over |shards| rows — no re-scan, no distinct shuffle of
+    raw keys."""
+    rows = [(i % 4, f"u{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "shard int, user string")
+    plan = analytics.sharded_distinct_counts(df, "shard", "user")._jdf.queryExecution().executedPlan().toString()
+    assert "hll_sketch_agg" in plan or "HllSketchAgg" in plan
+    # no expand/distinct-aggregate path
+    assert "Expand" not in plan
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """The Z-ordered layout must make per-file min/max spans narrow on BOTH
+    interleaved columns: for a selective range predicate on EITHER column,
+    the fraction of files whose [min,max] span intersects the predicate —
+    exactly what a parquet reader must open — is well below 1, while a
+    single-column sorted layout prunes on its sort column only."""
+    from spark_auto_schema.io import read_table, write_range_partitioned, write_zordered
+
+    li = read_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+    zpath, spath = str(tmp_path / "zo"), str(tmp_path / "single")
+    write_zordered(li, zpath, "l_orderkey", "l_partkey", num_files=16)
+    write_range_partitioned(li, spath, "l_orderkey", num_files=16)
+
+    def frac_files_touched(path, col, lo, hi):
+        spans = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        hit = sum(1 for r in spans if r["hi"] >= lo and r["lo"] <= hi)
+        return hit / len(spans), len(spans)
+
+    # a ~10%-of-value-space range predicate on each dimension
+    def band(lo, hi):
+        w = (hi - lo) // 10 or 1
+        mid = lo + (hi - lo) // 2
+        return mid, mid + w
+
+    o_lo, o_hi = band(lo_o, hi_o)
+    p_lo, p_hi = band(lo_p, hi_p)
+
+    z_on_o, nf = frac_files_touched(zpath, "l_orderkey", o_lo, o_hi)
+    z_on_p, _ = frac_files_touched(zpath, "l_partkey", p_lo, p_hi)
+    s_on_o, _ = frac_files_touched(spath, "l_orderkey", o_lo, o_hi)
+    s_on_p, _ = frac_files_touched(spath, "l_partkey", p_lo, p_hi)
+    assert nf > 8  # enough files for pruning fractions to mean anything
+    # single-column layout: near-perfect on its sort column, useless on the other
+    assert s_on_o <= 0.25
+    assert s_on_p > 0.9
+    # z-order: prunes meaningfully on BOTH dimensions (the whole point) —
+    # each ~10% band should touch at most ~60% of files even on 16 coarse
+    # files, and substantially beat the single-column layout's non-sort dim
+    assert z_on_o <= 0.7, z_on_o
+    assert z_on_p <= 0.7, z_on_p
+    assert z_on_p < s_on_p
+
+    # correctness: roundtrip preserves the rowset
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from spark_auto_schema.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "a int, b int"
+    ).select(zorder_key(F.col("a"), F.col("b")).alias("z"))
+    got = [r["z"] for r in df.collect()]
+    # interleave(3=0b11, 5=0b101) = a bits at even positions, b at odd:
+    # a: 1->bit0, 1->bit2 ; b: 1->bit1, 0->bit3, 1->bit5 => 0b100111 = 39
+    assert got == [0, 1, 2, 39]
