@@ -3886,6 +3886,204 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# round-6 curation additions: leakage-safe split, canonical survivors,
+# group-quantile gate, HLL sharded uniques, Z-order roundtrip
+# ---------------------------------------------------------------------------
+
+# The n-gram Jaccard pair set + transitive closure as a reusable CTE prefix
+# (same shingling/threshold as _NGRAM_JACCARD_SQL / _DEDUP_CLUSTERS_SQL),
+# ending in clusters(id, cluster_id) for queries that consume the cluster
+# assignment rather than the pair set.
+_CLUSTER_CLOSURE_CTE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jac
+  UNION SELECT id_b, id_a FROM jac
+), cc AS (
+  SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, c.comp FROM cc c JOIN edges e ON e.src = c.id
+), clusters AS (
+  SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id
+)
+"""
+
+
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval assignment: near-dup clusters (n-gram
+    Jaccard pairs -> connected components) are assigned to a side as a
+    unit, so no eval document has a near-copy in train.  The oracle
+    replays the full pipeline — closure in a recursive CTE, then the same
+    per-REPRESENTATIVE md5 draw — so a single straddling cluster would
+    hash-mismatch."""
+    docs = _spread_docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    cl = dedup.dedup_clusters(pairs)
+    out = sampling.cluster_safe_split(docs, "doc_id", cl, eval_fraction=0.2)
+    return out.select("doc_id", "split")
+
+
+def _leakage_safe_split_oracle_sql() -> str:
+    t = sampling.fraction_threshold(0.2)
+    return (
+        _CLUSTER_CLOSURE_CTE
+        + f"""
+SELECT d.doc_id,
+       CASE WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+                 < '{t}'
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+"""
+    )
+
+
+def _q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster collapse: one survivor per near-dup cluster —
+    the LONGEST member (id tie-break) rather than dedup_clusters' min-id
+    convention — plus all unclustered docs.  Oracle: the same closure,
+    then a row_number window over the representative."""
+    docs = _spread_docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    cl = dedup.dedup_clusters(pairs)
+    surv = dedup.canonical_survivors(docs, "doc_id", cl, F.length("text"))
+    return surv.select("doc_id", F.length("text").alias("text_len"))
+
+
+_CANONICAL_DOCS_SQL = (
+    _CLUSTER_CLOSURE_CTE
+    + """
+SELECT doc_id, text_len FROM (
+  SELECT d.doc_id, length(d.text) AS text_len,
+         row_number() OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rk
+  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+) WHERE rk = 1
+"""
+)
+
+
+def _q_group_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile gate (exact-percentile path): keep events whose
+    value is >= their event_type's median, summarized per group.  The
+    approx=True twin is the 100 TB path (plan shape identical); exact
+    percentile here is what DuckDB's quantile_cont replays."""
+    from spark_auto_schema.ops import analytics
+
+    ev = read_table(spark, sf_dir, "events")
+    kept = analytics.threshold_by_group(ev, "event_type", "value", quantile=0.5)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.min("value"), 2).alias("min_kept"),
+        F.round(F.sum("value"), 2).alias("sum_kept"),
+    )
+
+
+_GROUP_QUANTILE_FILTER_SQL = """
+WITH thr AS (
+  SELECT event_type,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS t
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_kept,
+       round(min(e.value), 2) AS min_kept,
+       round(sum(e.value), 2) AS sum_kept
+FROM events e JOIN thr USING (event_type)
+WHERE round(CAST(e.value AS DOUBLE), 4) >= thr.t
+GROUP BY 1
+"""
+
+
+def _q_hll_sharded_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for the mergeable-sketch rollup: per-shard AND
+    union HLL estimates must land within 5% (or +-1) of exact distinct
+    counts, and the union estimate must dominate every per-shard estimate.
+    Proves the hll_sketch_agg -> hll_union_agg path — the only way
+    distinct counts can be rolled up WITHOUT re-scanning history at
+    100 TB — is wired correctly end-to-end."""
+    from spark_auto_schema.ops import analytics
+
+    ev = read_table(spark, sf_dir, "events")
+    est = analytics.sharded_distinct_counts(ev, "event_type", "user_id")
+    exact = (
+        ev.groupBy(F.col("event_type").cast("string").alias("shard"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact")).select(
+                F.lit("__all__").alias("shard"), "exact"
+            )
+        )
+    )
+    tol = F.greatest(F.lit(1.0), F.col("exact") * F.lit(0.05))
+    return est.join(exact, "shard").select(
+        "shard",
+        (F.abs(F.col("n_unique") - F.col("exact")) <= tol).alias("within_tol"),
+    )
+
+
+_HLL_SHARDED_UNIQUES_SQL = """
+SELECT DISTINCT event_type AS shard, TRUE AS within_tol FROM events
+UNION ALL SELECT '__all__', TRUE
+"""
+
+
+def _q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path read-back for ``io.write_zordered``: lineitem written
+    Z-order-clustered on (l_orderkey, l_partkey), read back, aggregated —
+    must equal the same aggregate over the SOURCE parquet (layout must not
+    drop/duplicate/mutate rows).  The two-column file-skipping property is
+    proven separately in tests/test_curation.py.  Aggregate collected
+    before cleanup (the bucketed_roundtrip pattern)."""
+    import shutil
+    import tempfile
+
+    from spark_auto_schema.io import write_zordered
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+    )
+    d = tempfile.mkdtemp(prefix="zorder_rt_")
+    try:
+        write_zordered(li, d, "l_orderkey", "l_partkey", num_files=8)
+        rows = (
+            spark.read.parquet(d)
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.sum("l_partkey").alias("sum_partkey"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["l_returnflag"], float(r["sum_qty"]), int(r["sum_partkey"]), r["n"])
+            for r in rows
+        ],
+        "l_returnflag string, sum_qty double, sum_partkey long, n long",
+    )
+
+
+_ZORDER_ROUNDTRIP_SQL = """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+       sum(l_partkey) AS sum_partkey, count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3972,13 +4170,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green on post-regeneration data (CORRECTNESS_r04 or r05) with
     # unchanged code, and remain oracle-checked by the local mirror +
     # pytest every round ----
-    # (the five queries below — skew_profile_events through media_resize —
-    # are also new this round, but the window is full with the 9 additions
-    # above; each is mirror-verified and they head the r7 rotation.  r7
-    # window plan: these five + the 7 displaced r04-anchored queries below
-    # + the r04 dedup/corpus remainder at the end of this registry — that
-    # again leaves no oracle-checked query with a driver anchor older
-    # than two rounds.)
+    # (the six queries below — skew_profile_events through
+    # approx_percentile_ok — are also new this round, but the window is
+    # full with the 9 additions above; each is mirror-verified and they
+    # head the r7 rotation together with the five round-6 curation
+    # additions registered at the very end of this registry
+    # (leakage_safe_split, canonical_docs, group_quantile_filter,
+    # hll_sharded_uniques, zorder_roundtrip).  r7 window plan: these
+    # eleven + the 7 displaced r04-anchored queries below + the r04
+    # dedup/corpus remainder at the end of this registry — that again
+    # leaves no oracle-checked query with a driver anchor older than two
+    # rounds.)
     q["skew_profile_events"] = _q_skew_profile
     q["streaming_drift_monitor"] = _q_streaming_drift
     q["merge_insert_only_orders"] = _q_merge_insert_only
@@ -4066,6 +4268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_prior_click"] = _q_asof_prior_click
     q["time_bucket_events"] = _q_time_bucket
     q["salted_join_segments"] = _q_salted_join_segments
+    # --- round-6 late additions (curation family): past the driver window,
+    # mirror-verified this round; they join the five earlier past-window
+    # additions at the head of the r7 rotation ---
+    q["leakage_safe_split"] = _q_leakage_safe_split
+    q["canonical_docs"] = _q_canonical_docs
+    q["group_quantile_filter"] = _q_group_quantile_filter
+    q["hll_sharded_uniques"] = _q_hll_sharded_uniques
+    q["zorder_roundtrip"] = _q_zorder_roundtrip
     return q
 
 
@@ -4175,6 +4385,11 @@ def oracle_sql() -> dict[str, str]:
     o["incremental_dedup"] = _INCREMENTAL_DEDUP_SQL
     o["incremental_near_dedup"] = _INCREMENTAL_NEAR_DEDUP_SQL
     o["salted_join_segments"] = _SALTED_JOIN_SQL
+    o["leakage_safe_split"] = _leakage_safe_split_oracle_sql()
+    o["canonical_docs"] = _CANONICAL_DOCS_SQL
+    o["group_quantile_filter"] = _GROUP_QUANTILE_FILTER_SQL
+    o["hll_sharded_uniques"] = _HLL_SHARDED_UNIQUES_SQL
+    o["zorder_roundtrip"] = _ZORDER_ROUNDTRIP_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "
