@@ -38,10 +38,12 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("inference", ("infer_", "csv_inference", "column_list", "schema_diff",
                    "column_ddl", "ddl_", "catalog_")),
     ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
-                  "weighted_", "pack_", "corpus_mix", "skew_")),
+                  "weighted_", "pack_", "corpus_mix", "skew_",
+                  "leakage_safe", "canonical_", "group_quantile",
+                  "hll_sharded")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
             "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
-            "range_partitioned")),
+            "range_partitioned", "zorder_")),
 ]
 _N_SLOWEST = 8
 

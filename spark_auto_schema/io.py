@@ -382,7 +382,7 @@ def write_zordered(
     covers a small rectangle of the (a, b) value space, so per-file
     min/max ranges on BOTH columns are narrow and a selective predicate on
     either prunes most files (proven file-by-file in
-    ``tests/test_plans.py::test_zorder_layout_skips_on_both_columns``).
+    ``tests/test_curation.py::test_zorder_layout_skips_on_both_columns``).
 
     Interleaving RAW values fails when the columns span different bit
     widths (a 13-bit key interleaved with an 8-bit key is dominated by the

@@ -8,6 +8,7 @@ explicitly Arrow-batched multimodal UDFs.
 """
 
 from . import (
+    analytics,
     corpus,
     dedup,
     multimodal,
@@ -21,6 +22,7 @@ from . import (
 )
 
 __all__ = [
+    "analytics",
     "corpus",
     "dedup",
     "multimodal",

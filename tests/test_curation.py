@@ -192,3 +192,113 @@ def test_zorder_key_interleaves_bits(spark):
     # interleave(3=0b11, 5=0b101) = a bits at even positions, b at odd:
     # a: 1->bit0, 1->bit2 ; b: 1->bit1, 0->bit3, 1->bit5 => 0b100111 = 39
     assert got == [0, 1, 2, 39]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Spark's runtime bloom-filter join injection (the row-level
+    complement of partition pruning): when one join side carries a
+    selective filter, the optimizer builds a bloom filter over its join
+    keys and pushes a might_contain probe into the OTHER side's scan, so
+    most probe rows die before the shuffle.  At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~selectivity fraction that can possibly match.  Production thresholds
+    (10 MB creation side / 10 GB application side) are scaled down to fire
+    on test-sized data — the rewrite itself is what's under proof."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join: broadcast joins skip runtime filters (the
+        # broadcast build side already prunes at the probe)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            (F.col("id") % 10_000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(10_000).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+        ).where(F.col("k") % 100 == 0)  # selective: 1% of keys survive
+        j = big.join(dim, on="k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter_agg" in plan, plan[:2000]
+        assert j.count() == 2_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _deinterleave(z: int) -> tuple[int, int]:
+    a = b = 0
+    for i in range(32):
+        a |= ((z >> (2 * i)) & 1) << i
+        b |= ((z >> (2 * i + 1)) & 1) << i
+    return a, b
+
+
+def test_zorder_key_roundtrips_under_hypothesis(spark):
+    """interleave is a bijection: deinterleaving the key recovers both
+    inputs exactly, for values across the full 16-bit normalized range."""
+    from hypothesis import given, settings, strategies as st
+
+    vals = st.integers(min_value=0, max_value=65535)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(vals, vals), min_size=1, max_size=20))
+    def check(pairs):
+        from spark_auto_schema.io import zorder_key
+
+        df = spark.createDataFrame(pairs, "a long, b long").select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        )
+        for r in df.collect():
+            assert _deinterleave(r["z"]) == (r["a"], r["b"])
+
+    check()
+
+
+def test_cluster_safe_split_no_leak_under_hypothesis(spark):
+    """For arbitrary pair graphs, cluster_safe_split never assigns two
+    transitively-connected docs to different sides."""
+    from hypothesis import given, settings, strategies as st
+
+    ids = st.integers(min_value=1, max_value=30)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(ids, ids), min_size=1, max_size=25))
+    def check(raw_pairs):
+        pairs = [(a, b) for a, b in raw_pairs if a != b]
+        if not pairs:
+            return
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 31)], "doc_id long, text string"
+        )
+        cl = dedup.dedup_clusters(
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+        )
+        out = sampling.cluster_safe_split(docs, "doc_id", cl, 0.5)
+        side = {r["doc_id"]: r["split"] for r in out.collect()}
+        # union-find ground truth in plain python
+        parent = {i: i for i in range(1, 31)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        for a, b in pairs:
+            assert side[a] == side[b], (a, b, side[a], side[b])
+        dedup.release_caches()
+
+    check()

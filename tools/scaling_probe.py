@@ -67,6 +67,18 @@ PROBES: dict[str, list[str]] = {
         "value_histogram",
         "zscore_outliers",
     ],
+    # round-6 curation batch: the leakage-safe split and canonical
+    # survivors re-run the full shingle->LSH->closure pipeline (the
+    # replica-disjoint shingle design keeps pair counts linear, so a
+    # super-linear slope here implicates the operators, not the data);
+    # group-quantile/HLL scale with events, zorder with lineitem.
+    "curation": [
+        "leakage_safe_split",
+        "canonical_docs",
+        "group_quantile_filter",
+        "hll_sharded_uniques",
+        "zorder_roundtrip",
+    ],
 }
 
 SCALED_TABLES = ("documents", "embeddings", "lineitem", "events")
