@@ -4083,6 +4083,52 @@ FROM lineitem GROUP BY 1
 """
 
 
+def _q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (both sides unbounded, watermark-bounded
+    state): every purchase attributed to the same user's clicks within the
+    30 minutes before it, drained availableNow and aggregated per user.
+    Must equal the batch interval join the oracle computes.  The one
+    streaming shape stream-static enrichment cannot express; state
+    eviction mechanics in streaming.attribution_join_stream."""
+    from spark_auto_schema.streaming import (
+        attribution_join_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    name = f"__attr_{next(_STREAM_SEQ)}"
+    d = _events_stream_dir(sf_dir)
+    clicks = read_event_stream(spark, d).where(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, d).where(
+        F.col("event_type") == "purchase"
+    )
+    run_to_memory(
+        attribution_join_stream(clicks, purchases, gap="30 minutes"),
+        name,
+        state_partitions=8,
+    )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+_STREAMING_ATTRIBUTION_SQL = """
+SELECT c.user_id, count(*) AS n_attributed,
+       round(sum(p.value), 2) AS attributed_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4176,7 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head the r7 rotation together with the five round-6 curation
     # additions registered at the very end of this registry
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
-    # hll_sharded_uniques, zorder_roundtrip).  r7 window plan: these
+    # hll_sharded_uniques, zorder_roundtrip, streaming_attribution).  r7 window plan: these
     # eleven + the 7 displaced r04-anchored queries below + the r04
     # dedup/corpus remainder at the end of this registry — that again
     # leaves no oracle-checked query with a driver anchor older than two
@@ -4276,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["group_quantile_filter"] = _q_group_quantile_filter
     q["hll_sharded_uniques"] = _q_hll_sharded_uniques
     q["zorder_roundtrip"] = _q_zorder_roundtrip
+    q["streaming_attribution"] = _q_streaming_attribution
     return q
 
 
@@ -4390,6 +4437,7 @@ def oracle_sql() -> dict[str, str]:
     o["group_quantile_filter"] = _GROUP_QUANTILE_FILTER_SQL
     o["hll_sharded_uniques"] = _HLL_SHARDED_UNIQUES_SQL
     o["zorder_roundtrip"] = _ZORDER_ROUNDTRIP_SQL
+    o["streaming_attribution"] = _STREAMING_ATTRIBUTION_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

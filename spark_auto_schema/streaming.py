@@ -369,3 +369,54 @@ class SchemaDriftMonitor:
             .trigger(availableNow=True)
             .start()
         )
+
+
+def attribution_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user within ``gap`` BEFORE it — the classic last-touch /
+    multi-touch attribution primitive, and the one streaming shape the
+    stream-static enrichment join cannot express (both sides unbounded).
+
+    Both inputs must be streaming DataFrames with event-time columns
+    ``ts``.  Watermarks on BOTH sides plus the two-sided time-range
+    predicate are what make the state finite: from the condition
+    ``click_ts ∈ [purchase_ts - gap, purchase_ts]`` Spark derives that a
+    buffered click is joinable only until the purchase-side watermark
+    passes ``click_ts + gap`` (and vice versa), so each side's state store
+    holds a sliding ``watermark + gap`` horizon of rows per user, evicted
+    by event time — NOT the full history.  At 100 TB/day this bounded
+    eviction is the difference between a join that runs forever and one
+    that OOMs its state stores in hours.
+
+    Inner join ⇒ append output: each (click, purchase) match is emitted
+    exactly once, when the second side arrives.  Clicks arriving later
+    than the watermark slack are dropped by the engine and their pairs
+    lost — size ``watermark`` to the source's disorder bound (the same
+    contract as :func:`streaming_dedup`)."""
+    c = clicks.select(
+        F.col(user_col).alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col(user_col).alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""c_user = p_user
+                AND click_ts <= purchase_ts
+                AND click_ts >= purchase_ts - INTERVAL {gap}"""
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

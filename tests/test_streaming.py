@@ -167,3 +167,100 @@ def test_stream_static_enrichment_matches_batch_join(spark, events_dir):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_attribution_join_matches_batch_interval_join(spark, events_dir):
+    """The stream-stream interval join, drained availableNow, must emit
+    exactly the pairs the equivalent batch interval join produces."""
+    from spark_auto_schema.streaming import attribution_join_stream
+
+    clicks = read_event_stream(spark, events_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, events_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = attribution_join_stream(clicks, purchases, gap="30 minutes")
+    assert joined.isStreaming
+    run_to_memory(joined, "attribution_out", state_partitions=8)
+    got = spark.table("attribution_out")
+
+    ev = read_table(spark, SF_DIR, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bct")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("bpt"), "value"
+    )
+    want = c.join(
+        p,
+        (F.col("bu") == F.col("pu"))
+        & (F.col("bct") <= F.col("bpt"))
+        & (F.col("bct") >= F.col("bpt") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    assert got.count() == want.count() > 0
+    # value-level: same multiset of (user, click_ts, purchase_ts)
+    key = lambda df, u, ct, pt: {
+        (r[u], r[ct], r[pt]) for r in df.collect()
+    }
+    assert key(got, "user_id", "click_ts", "purchase_ts") == key(
+        want, "bu", "bct", "bpt"
+    )
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Offset + state recovery across a query restart: run a checkpointed
+    dedup stream to a file sink, stop it, drop a second file containing
+    redeliveries of the first batch plus new records, restart the SAME
+    query (same checkpoint + output path), and verify the output holds
+    every record exactly once.
+
+    This exercises the two recovery guarantees a production pipeline
+    leans on: the restarted query must NOT reprocess file 1 (offset log),
+    and the dedup state saved at shutdown must still drop file 2's
+    redeliveries (state-store checkpoint) — a fresh query would pass file
+    2's duplicates straight through."""
+    from spark_auto_schema.streaming import read_event_stream, streaming_dedup
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = read_table(spark, SF_DIR, "events").orderBy("event_id")
+    first = ev.limit(200).coalesce(1)
+    first.write.parquet(str(tmp_path / "f1"))
+    shutil.copy(
+        next((tmp_path / "f1").glob("*.parquet")), src / "drop1.parquet"
+    )
+
+    def run_once():
+        stream = streaming_dedup(
+            read_event_stream(spark, str(src), ts_unit="utc"), ["event_id"]
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 200
+
+    # file 2: 100 redeliveries of file 1 + 100 new records
+    redelivered = ev.limit(100)
+    fresh = ev.limit(300).subtract(ev.limit(200)).limit(100)
+    second = redelivered.unionByName(fresh).coalesce(1)
+    second.write.parquet(str(tmp_path / "f2"))
+    shutil.copy(
+        next((tmp_path / "f2").glob("*.parquet")), src / "drop2.parquet"
+    )
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 300  # 200 + 100 new; redeliveries dropped
+    assert got.select("event_id").distinct().count() == 300
