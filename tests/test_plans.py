@@ -530,6 +530,15 @@ _EXCHANGE_PINS = {
     "asof_prior_click": 1,       # union + ONE per-key window shuffle
     "epoch_shuffle_docs": 1,     # shard-local row_number, no global sort
     "moving_avg_orders": 2,      # monthly agg + single-window ordering
+    "group_quantile_filter": 2,  # per-group threshold agg (broadcast back)
+                                 # + final summary agg
+    "hll_sharded_uniques": 7,    # CONTRACT cost, not operator cost: the
+                                 # sketch agg appears on both est branches
+                                 # pre-AQE (ReusedExchange dedups at run
+                                 # time) and the exact-countDistinct truth
+                                 # side adds two 2-phase distinct aggs;
+                                 # the operator alone is 2 (sketch agg +
+                                 # |shards|-row union agg)
 }
 
 
