@@ -2236,9 +2236,11 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
-# the _NGRAM_JACCARD_SQL pair set + transitive closure: cc accumulates every
-# label reachable from each node over symmetric edges; min = component min
-_DEDUP_CLUSTERS_SQL = """
+# The n-gram Jaccard pair set + transitive closure as a reusable CTE prefix
+# (same shingling/threshold as _NGRAM_JACCARD_SQL / _DEDUP_CLUSTERS_SQL),
+# ending in clusters(id, cluster_id) for queries that consume the cluster
+# assignment rather than the pair set.
+_CLUSTER_CLOSURE_CTE = """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2258,9 +2260,14 @@ inter AS (
   SELECT DISTINCT src AS id, src AS comp FROM edges
   UNION
   SELECT e.dst AS id, c.comp FROM cc c JOIN edges e ON e.src = c.id
+), clusters AS (
+  SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id
 )
-SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id
 """
+
+# the closure's canonical projection (cc accumulates every label reachable
+# from each node over symmetric edges; min = component min)
+_DEDUP_CLUSTERS_SQL = _CLUSTER_CLOSURE_CTE + "SELECT id, cluster_id FROM clusters"
 
 
 def _q_streaming_window_counts(spark, sf_dir):
@@ -3890,34 +3897,6 @@ FROM f
 # group-quantile gate, HLL sharded uniques, Z-order roundtrip
 # ---------------------------------------------------------------------------
 
-# The n-gram Jaccard pair set + transitive closure as a reusable CTE prefix
-# (same shingling/threshold as _NGRAM_JACCARD_SQL / _DEDUP_CLUSTERS_SQL),
-# ending in clusters(id, cluster_id) for queries that consume the cluster
-# assignment rather than the pair set.
-_CLUSTER_CLOSURE_CTE = """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
-), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-), jac AS (
-  SELECT id_a, id_b
-  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM jac
-  UNION SELECT id_b, id_a FROM jac
-), cc AS (
-  SELECT DISTINCT src AS id, src AS comp FROM edges
-  UNION
-  SELECT e.dst AS id, c.comp FROM cc c JOIN edges e ON e.src = c.id
-), clusters AS (
-  SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id
-)
-"""
 
 
 def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4025,7 +4004,13 @@ def _q_hll_sharded_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tol = F.greatest(F.lit(1.0), F.col("exact") * F.lit(0.05))
-    return est.join(exact, "shard").select(
+    # eqNullSafe: a NULL shard (NULL event_type) groups on both sides and
+    # must still pair up — a plain equi-join would drop it while the
+    # oracle's SELECT DISTINCT emits it, failing the gate on row count
+    return est.join(
+        exact.withColumnRenamed("shard", "__xs"),
+        est["shard"].eqNullSafe(F.col("__xs")),
+    ).select(
         "shard",
         (F.abs(F.col("n_unique") - F.col("exact")) <= tol).alias("within_tol"),
     )
@@ -4078,7 +4063,7 @@ def _q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZORDER_ROUNDTRIP_SQL = """
 SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
-       sum(l_partkey) AS sum_partkey, count(*) AS n
+       CAST(sum(l_partkey) AS BIGINT) AS sum_partkey, count(*) AS n
 FROM lineitem GROUP BY 1
 """
 

@@ -352,13 +352,21 @@ def _spread_bits(x):
 
 
 def zorder_key(col_a, col_b) -> Column:
-    """64-bit Morton (Z-order) key interleaving the bits of two
-    non-negative 32-bit integer expressions: bit i of ``col_a`` lands at
+    """Morton (Z-order) key interleaving the bits of two non-negative
+    integer expressions in [0, 2^31): bit i of ``col_a`` lands at
     position 2i, bit i of ``col_b`` at 2i+1.  Rows close in Z-value are
     close in BOTH dimensions — the property multi-column data skipping
-    needs."""
-    a = _spread_bits(col_a.cast("long").bitwiseAND(F.lit(0xFFFFFFFF)))
-    b = _spread_bits(col_b.cast("long").bitwiseAND(F.lit(0xFFFFFFFF)))
+    needs.
+
+    Inputs are masked to 31 bits each (not 32): with 32, ``col_b``'s top
+    bit would land on the long's SIGN bit and the upper half of b's range
+    would sort as negative keys, before everything else — silently
+    destroying the clustering the key exists to provide.  31+31 = 62 bits
+    keeps the key non-negative over the whole domain; values >= 2^31 wrap
+    (callers wanting wider ranges should bucket/normalize first, as
+    :func:`write_zordered` does to 16 bits)."""
+    a = _spread_bits(col_a.cast("long").bitwiseAND(F.lit(0x7FFFFFFF)))
+    b = _spread_bits(col_b.cast("long").bitwiseAND(F.lit(0x7FFFFFFF)))
     return a.bitwiseOR(F.shiftleft(b, 1))
 
 

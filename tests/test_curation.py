@@ -246,10 +246,12 @@ def _deinterleave(z: int) -> tuple[int, int]:
 
 def test_zorder_key_roundtrips_under_hypothesis(spark):
     """interleave is a bijection: deinterleaving the key recovers both
-    inputs exactly, for values across the full 16-bit normalized range."""
+    inputs exactly, across the full [0, 2^31) domain — including values
+    whose top bit would hit the long sign bit under a 32-bit interleave
+    (the overflow class a 16-bit-only test cannot see)."""
     from hypothesis import given, settings, strategies as st
 
-    vals = st.integers(min_value=0, max_value=65535)
+    vals = st.integers(min_value=0, max_value=2**31 - 1)
 
     @settings(max_examples=30, deadline=None)
     @given(st.lists(st.tuples(vals, vals), min_size=1, max_size=20))
