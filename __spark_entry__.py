@@ -4114,6 +4114,84 @@ GROUP BY 1
 """
 
 
+def _q_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style targeted delete: drop every order of a deterministic 2%
+    customer tombstone set (hash-sampled, so both engines derive the same
+    set), then summarize the retained orders.  The engine path is a
+    broadcast anti-join — the corpus is scanned once and never shuffled
+    for the delete (plan-asserted in tests/test_curation.py)."""
+    from spark_auto_schema.ops import relational
+
+    orders = read_table(spark, sf_dir, "orders")
+    tombs = sampling.hash_sample(
+        read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey")
+        ),
+        "o_custkey",
+        0.02,
+    )
+    kept = relational.apply_tombstones(orders, tombs, ["o_custkey"])
+    return kept.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def _tombstone_delete_oracle_sql() -> str:
+    t = sampling.fraction_threshold(0.02)
+    return f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) < '{t}'
+)
+GROUP BY 1
+"""
+
+
+def _q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance-op read-back: fragment lineitem into 40 small files,
+    compact to the byte-sized target, read back, aggregate — must equal
+    the same aggregate over the source (compaction must not drop,
+    duplicate, or mutate rows; the file-count contract is pytest-asserted
+    in tests/test_curation.py)."""
+    import shutil
+    import tempfile
+
+    from spark_auto_schema.io import compact_parquet
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    d = tempfile.mkdtemp(prefix="compact_rt_")
+    try:
+        li.repartition(40).write.parquet(f"{d}/frag")
+        compact_parquet(spark, f"{d}/frag", f"{d}/out", 8 * 1024 * 1024)
+        rows = (
+            spark.read.parquet(f"{d}/out")
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["l_returnflag"], float(r["sum_qty"]), r["n"]) for r in rows],
+        "l_returnflag string, sum_qty double, n long",
+    )
+
+
+_COMPACT_ROUNDTRIP_SQL = """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4207,7 +4285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head the r7 rotation together with the five round-6 curation
     # additions registered at the very end of this registry
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
-    # hll_sharded_uniques, zorder_roundtrip, streaming_attribution).  r7 window plan: these
+    # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
+    # tombstone_delete, compact_roundtrip).  r7 window plan: these
     # eleven + the 7 displaced r04-anchored queries below + the r04
     # dedup/corpus remainder at the end of this registry — that again
     # leaves no oracle-checked query with a driver anchor older than two
@@ -4308,6 +4387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hll_sharded_uniques"] = _q_hll_sharded_uniques
     q["zorder_roundtrip"] = _q_zorder_roundtrip
     q["streaming_attribution"] = _q_streaming_attribution
+    q["tombstone_delete"] = _q_tombstone_delete
+    q["compact_roundtrip"] = _q_compact_roundtrip
     return q
 
 
@@ -4423,6 +4504,8 @@ def oracle_sql() -> dict[str, str]:
     o["hll_sharded_uniques"] = _HLL_SHARDED_UNIQUES_SQL
     o["zorder_roundtrip"] = _ZORDER_ROUNDTRIP_SQL
     o["streaming_attribution"] = _STREAMING_ATTRIBUTION_SQL
+    o["tombstone_delete"] = _tombstone_delete_oracle_sql()
+    o["compact_roundtrip"] = _COMPACT_ROUNDTRIP_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -43,7 +43,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                   "hll_sharded")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
             "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
-            "range_partitioned", "zorder_")),
+            "range_partitioned", "zorder_", "compact_")),
 ]
 _N_SLOWEST = 8
 

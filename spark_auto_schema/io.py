@@ -438,3 +438,39 @@ def write_zordered(
     parts.sortWithinPartitions("__zk").drop("__zk").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_file_bytes)`` files and return that count.
+
+    The streaming/incremental ingest pattern (one file per microbatch or
+    per task) degrades read performance long before data size does: every
+    query pays per-file open/footer/listing costs, and a 100 TB table
+    made of 1 MB files spends more time in metadata than in data.
+    Periodic compaction into the 100 MB-1 GB sweet spot is the standard
+    maintenance op (what OPTIMIZE does on table formats).
+
+    Sizing reads the SOURCE's total on-disk bytes (compressed) from the
+    driver-side file listing — a metadata operation, no data pass — so
+    output files land near ``target_file_bytes`` regardless of row width.
+    The rewrite itself is one round-robin repartition (no key, no sort:
+    compaction must not destroy more than it fixes — a clustered layout
+    should be re-written with its own writer instead)."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_parquet(spark, src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files

@@ -229,3 +229,29 @@ def time_bucket_agg(
     dims = dims or []
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
     return df.groupBy(b, *[F.col(d) for d in dims]).agg(*aggs)
+
+
+def apply_tombstones(
+    df: DataFrame,
+    tombstones: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Targeted-delete (tombstone) application: remove every row of ``df``
+    whose key appears in ``tombstones`` — the GDPR/right-to-be-forgotten
+    and retention-expiry primitive a copy-on-write lake rewrites with.
+
+    A deletion list is always tiny relative to the corpus, so the anti
+    semantics must become a BROADCAST anti-join: the corpus is scanned
+    once, never shuffled, and each task drops matches against the
+    broadcast key set.  (A shuffle anti-join — the planner default when it
+    cannot see the tombstone side is small — would re-shuffle 100 TB to
+    delete a few thousand rows.)  Deduplicates the tombstone side first:
+    redelivered delete requests are the norm and duplicates would only
+    bloat the broadcast.
+
+    Rewriting the retained rows back out (partitioned/bucketed/z-ordered
+    as before) is the caller's choice of writer — composing with
+    :func:`~spark_auto_schema.io.write_partitioned` limits the rewrite to
+    the partitions that actually contained tombstoned keys."""
+    t = tombstones.select(*key_cols).dropDuplicates(key_cols)
+    return df.join(F.broadcast(t), on=key_cols, how="left_anti")

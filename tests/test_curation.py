@@ -304,3 +304,39 @@ def test_cluster_safe_split_no_leak_under_hypothesis(spark):
         dedup.release_caches()
 
     check()
+
+
+def test_apply_tombstones_is_broadcast_anti_join(spark):
+    from spark_auto_schema.ops import relational
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    # redelivered tombstones: duplicates must not matter
+    tombs = spark.createDataFrame([(3,), (7,), (3,)], "k long")
+    out = relational.apply_tombstones(df, tombs, ["k"])
+    kept = {r["k"] for r in out.collect()}
+    assert len(kept) == 98 and 3 not in kept and 7 not in kept
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_str and "LeftAnti" in plan_str
+
+
+def test_compact_parquet_hits_target_file_count(spark, tmp_path):
+    from spark_auto_schema.io import compact_parquet, read_table
+
+    src = str(tmp_path / "fragmented")
+    li = read_table(spark, SF_DIR, "lineitem")
+    li.repartition(50).write.parquet(src)  # 50 tiny files
+    assert len(list((tmp_path / "fragmented").glob("*.parquet"))) == 50
+
+    dst = str(tmp_path / "compacted")
+    # target sized so the whole dataset fits a couple of files
+    n = compact_parquet(spark, src, dst, target_file_bytes=512 * 1024)
+    got_files = len(list((tmp_path / "compacted").glob("*.parquet")))
+    assert got_files == n < 50
+    # rowset preserved exactly
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    assert back.select(F.sum("l_quantity")).first()[0] == li.select(
+        F.sum("l_quantity")
+    ).first()[0]
