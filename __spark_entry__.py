@@ -4287,10 +4287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
     # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
     # tombstone_delete, compact_roundtrip).  r7 window plan: these
-    # eleven + the 7 displaced r04-anchored queries below + the r04
-    # dedup/corpus remainder at the end of this registry — that again
-    # leaves no oracle-checked query with a driver anchor older than two
-    # rounds.)
+    # fourteen round-6 additions + the 7 displaced r04-anchored queries
+    # below + the r04 dedup/corpus remainder at the end of this registry
+    # — that again leaves no oracle-checked query with a driver anchor
+    # older than two rounds.)
     q["skew_profile_events"] = _q_skew_profile
     q["streaming_drift_monitor"] = _q_streaming_drift
     q["merge_insert_only_orders"] = _q_merge_insert_only
