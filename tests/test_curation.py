@@ -340,3 +340,54 @@ def test_compact_parquet_hits_target_file_count(spark, tmp_path):
     assert back.select(F.sum("l_quantity")).first()[0] == li.select(
         F.sum("l_quantity")
     ).first()[0]
+
+
+def test_cluster_safe_split_fraction_edges(spark):
+    docs, clusters = _cluster_fixture(spark)
+    all_train = sampling.cluster_safe_split(docs, "doc_id", clusters, 0.0)
+    assert {r["split"] for r in all_train.collect()} == {"train"}
+    all_eval = sampling.cluster_safe_split(docs, "doc_id", clusters, 1.0)
+    assert {r["split"] for r in all_eval.collect()} == {"eval"}
+
+
+def test_canonical_survivors_tolerates_stale_cluster_rows(spark):
+    """A cluster table referencing ids no longer in the corpus (docs were
+    hard-deleted since clustering) must not resurrect or drop rows: the
+    left join simply never matches the stale ids."""
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aa bb")], "doc_id long, text string"
+    )
+    # cluster {1,2,99}: 99 was deleted from the corpus after clustering
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (99, 1)], "id long, cluster_id long"
+    )
+    surv = dedup.canonical_survivors(docs, "doc_id", clusters, F.length("text"))
+    assert [r["doc_id"] for r in surv.collect()] == [2]
+
+
+def test_threshold_by_group_quantile_edges(spark):
+    rows = [("a", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, score double")
+    # q=0: threshold is the min — everything passes
+    assert analytics.threshold_by_group(df, "g", "score", 0.0).count() == 10
+    # q=1: threshold is the max — only the max passes
+    top = analytics.threshold_by_group(df, "g", "score", 1.0).collect()
+    assert [r["score"] for r in top] == [10.0]
+
+
+def test_apply_tombstones_empty_list_is_noop(spark):
+    from spark_auto_schema.ops import relational
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    tombs = spark.createDataFrame([], "k long")
+    assert relational.apply_tombstones(df, tombs, ["k"]).count() == 10
+
+
+def test_compact_parquet_large_target_gives_single_file(spark, tmp_path):
+    from spark_auto_schema.io import compact_parquet
+
+    src = str(tmp_path / "src")
+    spark.range(1000).write.parquet(src)
+    n = compact_parquet(spark, src, str(tmp_path / "dst"), 10**9)
+    assert n == 1
+    assert len(list((tmp_path / "dst").glob("*.parquet"))) == 1
