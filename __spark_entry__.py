@@ -4192,6 +4192,42 @@ FROM lineitem GROUP BY 1
 """
 
 
+def _q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary quantization + Hamming top-k (the 32x-compressed
+    ANN path): FULLY oracle-checked — the DuckDB twin replays the whole
+    pipeline (per-dim mean threshold, 32-bit word packing, XOR+popcount
+    distance, tie-broken top-k) value for value."""
+    from spark_auto_schema.ops import similarity
+
+    return similarity.hamming_topk(
+        read_table(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
+_BINARY_HAMMING_SQL = """
+WITH ex AS (
+  SELECT vec_id, pos - 1 AS pos, CAST(v AS DOUBLE) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings)
+), mu AS (SELECT pos, avg(v) AS mu FROM ex GROUP BY 1),
+words AS (
+  SELECT vec_id, CAST(pos // 32 AS INT) AS w,
+         SUM(CASE WHEN round(v, 6) >= round(mu, 6)
+             THEN (1::BIGINT << CAST(pos % 32 AS INT)) ELSE 0 END) AS word
+  FROM ex JOIN mu USING (pos) GROUP BY 1, 2
+), sigs AS (
+  SELECT vec_id, list(word ORDER BY w) AS sig FROM words GROUP BY 1
+), q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
+SELECT s.vec_id,
+       CAST(list_sum(list_transform(range(1, len(s.sig) + 1),
+            i -> bit_count(xor(s.sig[i], q.qsig[i])))) AS BIGINT) AS hamming
+FROM sigs s, q
+WHERE s.vec_id <> 0
+ORDER BY hamming, s.vec_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4286,8 +4322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions registered at the very end of this registry
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
     # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
-    # tombstone_delete, compact_roundtrip).  r7 window plan: these
-    # fourteen round-6 additions + the 7 displaced r04-anchored queries
+    # tombstone_delete, compact_roundtrip, binary_hamming_topk).  r7 window plan: these
+    # fifteen round-6 additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -4389,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_attribution"] = _q_streaming_attribution
     q["tombstone_delete"] = _q_tombstone_delete
     q["compact_roundtrip"] = _q_compact_roundtrip
+    q["binary_hamming_topk"] = _q_binary_hamming_topk
     return q
 
 
@@ -4506,6 +4543,7 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_attribution"] = _STREAMING_ATTRIBUTION_SQL
     o["tombstone_delete"] = _tombstone_delete_oracle_sql()
     o["compact_roundtrip"] = _COMPACT_ROUNDTRIP_SQL
+    o["binary_hamming_topk"] = _BINARY_HAMMING_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -546,3 +546,91 @@ def label_centroids(
             F.max("n").alias("n_vectors"),
         )
     )
+
+
+def binary_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    word_bits: int = 32,
+) -> DataFrame:
+    """Sign-bit binary quantization: each vector becomes ``ceil(d /
+    word_bits)`` packed integer words — bit i of the signature is
+    ``dim_i >= mean(dim_i)`` — cutting ANN index memory 32x vs float32
+    (vs :func:`quantize_embeddings`' 4x) at the cost of ranking by
+    Hamming distance instead of cosine.
+
+    Thresholding at the per-dimension MEAN (not zero) centers every bit:
+    a dimension with a shifted distribution would otherwise contribute a
+    constant bit carrying no information.  Both sides of the comparison
+    are rounded to 6 decimals so the bit decision is engine-stable.
+
+    Dataflow mirrors :func:`quantize_embeddings`: one posexplode scan, a
+    d-row mean aggregate broadcast back, one packing aggregate keyed on
+    (id, word index) — ``sum(bit << (pos % word_bits))``, map-side
+    combinable — and one position-sorted reassembly per id.  32-bit words
+    keep every shifted value far from the 64-bit sign bit in BOTH engines
+    (DuckDB's ``1 << 63`` overflows BIGINT), which is what makes the
+    signature replayable in the oracle."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    mu = ex.groupBy("pos").agg(F.avg("v").alias("mu"))
+    bit = (F.round(F.col("v"), 6) >= F.round(F.col("mu"), 6)).cast("long")
+    words = (
+        ex.join(F.broadcast(mu), "pos")
+        .groupBy(
+            F.col(id_col), (F.col("pos") / word_bits).cast("int").alias("w")
+        )
+        .agg(
+            # shiftleft's bit count must be a column here (pos % word_bits),
+            # which the python helper rejects — SQL expr takes both forms
+            F.sum(
+                bit * F.expr(f"shiftleft(1L, int(pos % {int(word_bits)}))")
+            ).alias("word")
+        )
+    )
+    return words.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("w", "word"))
+        ).getField("word").alias("sig")
+    )
+
+
+def hamming_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest neighbors of ``query_id`` by Hamming distance over
+    sign-bit binary signatures: (vec_id, hamming), ties broken by id.
+
+    The scale path pairing with :func:`binary_signatures`: the query's
+    packed signature is a broadcast single row (the :func:`cosine_topk`
+    idiom — no driver collect); per-row distance is
+    ``sum(bit_count(word XOR q_word))`` over the word arrays via
+    ``zip_with`` + ``aggregate`` — pure JVM bit arithmetic, ~d/32 XOR +
+    popcount ops per vector vs d multiply-adds for cosine; the top-k is a
+    TakeOrdered k-heap, never a global sort.  In production the signature
+    table is computed once and reused across queries; here it is built
+    in-query so the whole pipeline is replayed by the DuckDB oracle."""
+    sigs = binary_signatures(df, vec_col, id_col)
+    q = sigs.where(F.col(id_col) == query_id).select(F.col("sig").alias("qsig"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("qsig"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return (
+        sigs.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(F.col(id_col), dist.alias("hamming"))
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(k)
+    )
