@@ -4228,6 +4228,69 @@ LIMIT 10
 """
 
 
+def _q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship COMPOSITION contract: a miniature LLM training-data
+    pipeline run end-to-end through the engine's own operators —
+    language-ID -> per-language median quality gate -> exact dedup (keep
+    min id per content hash) -> deterministic train/eval split ->
+    per-(lang, split) summary — with the DuckDB oracle replaying every
+    stage.  Each stage is oracle-checked in isolation elsewhere; this
+    query proves the STAGES COMPOSE: column contracts line up, filters
+    commute the way the pipeline assumes, and no stage's rounding or tie
+    convention silently breaks the next.  All stages are the
+    oracle-replayable variants (stopword lang-ID, md5 dedup/split), so
+    the whole chain is value-checked, not just row-counted."""
+    from spark_auto_schema.ops import analytics
+
+    docs = _spread_docs(spark, sf_dir)
+    lang = text.language_id(docs).select("doc_id", "lang_pred")
+    qual = text.quality_score(docs)
+    d = docs.join(lang, "doc_id").join(qual, "doc_id")
+    gated = analytics.threshold_by_group(d, "lang_pred", "quality", quantile=0.5)
+    keep = dedup.hash_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    surv = gated.join(keep, "doc_id")
+    train, ev = sampling.split_train_eval(surv, "doc_id", 0.1)
+    tagged = train.withColumn("split", F.lit("train")).unionByName(
+        ev.withColumn("split", F.lit("eval"))
+    )
+    return tagged.groupBy("lang_pred", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("quality"), 2).alias("sum_quality"),
+    )
+
+
+def _pipeline_end_to_end_oracle_sql() -> str:
+    t10 = sampling.fraction_threshold(0.1)
+    lang_sql = _lang_id_oracle_sql()
+    qual_sql = _quality_oracle_sql()
+    return f"""
+WITH lang AS ({lang_sql}),
+q AS ({qual_sql}),
+d AS (
+  SELECT doc.doc_id, doc.text, lang.lang_pred, q.quality
+  FROM documents doc JOIN lang USING (doc_id) JOIN q USING (doc_id)
+),
+thr AS (
+  SELECT lang_pred, round(quantile_cont(quality, 0.5), 4) AS t
+  FROM d GROUP BY 1
+),
+gated AS (
+  SELECT d.* FROM d JOIN thr USING (lang_pred)
+  WHERE round(quality, 4) >= thr.t
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+final AS (
+  SELECT g.lang_pred, g.quality,
+         CASE WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 4) < '{t10}'
+              THEN 'eval' ELSE 'train' END AS split
+  FROM gated g JOIN keep USING (doc_id)
+)
+SELECT lang_pred, split, count(*) AS n_docs,
+       round(sum(quality), 2) AS sum_quality
+FROM final GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4322,8 +4385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions registered at the very end of this registry
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
     # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
-    # tombstone_delete, compact_roundtrip, binary_hamming_topk).  r7 window plan: these
-    # fifteen round-6 additions + the 7 displaced r04-anchored queries
+    # tombstone_delete, compact_roundtrip, binary_hamming_topk,
+    # pipeline_end_to_end).  r7 window plan: these
+    # sixteen round-6 additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -4426,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tombstone_delete"] = _q_tombstone_delete
     q["compact_roundtrip"] = _q_compact_roundtrip
     q["binary_hamming_topk"] = _q_binary_hamming_topk
+    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
     return q
 
 
@@ -4544,6 +4609,7 @@ def oracle_sql() -> dict[str, str]:
     o["tombstone_delete"] = _tombstone_delete_oracle_sql()
     o["compact_roundtrip"] = _COMPACT_ROUNDTRIP_SQL
     o["binary_hamming_topk"] = _BINARY_HAMMING_SQL
+    o["pipeline_end_to_end"] = _pipeline_end_to_end_oracle_sql()
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

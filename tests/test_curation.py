@@ -429,3 +429,22 @@ def test_hamming_topk_orders_and_excludes_query(spark):
     )
     got2 = similarity.hamming_topk(emb.unionByName(twin), query_id=999_999, k=1)
     assert got2.first()["hamming"] == 0  # finds the original at distance 0
+
+
+def test_pipeline_end_to_end_stage_invariants(spark):
+    """The composed pipeline's output must respect each stage's contract:
+    every language keeps at most ~half its docs (median gate), no
+    content-duplicate survives, and splits are disjoint."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["pipeline_end_to_end"](spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) >= 2
+    assert {r["split"] for r in rows} <= {"train", "eval"}
+    total_kept = sum(r["n_docs"] for r in rows)
+    from spark_auto_schema.io import read_table
+
+    n_docs = read_table(spark, SF_DIR, "documents").count()
+    # median gate keeps ~half, dedup and split never add rows
+    assert 0 < total_kept <= n_docs * 0.6
+    dedup.release_caches()

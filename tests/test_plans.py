@@ -539,6 +539,14 @@ _EXCHANGE_PINS = {
                                  # side adds two 2-phase distinct aggs;
                                  # the operator alone is 2 (sketch agg +
                                  # |shards|-row union agg)
+    "tombstone_delete": 2,       # tombstone-side dedup (tiny) + final agg;
+                                 # the corpus-side delete itself is a
+                                 # BROADCAST anti-join, zero corpus shuffle
+    "binary_hamming_topk": 6,    # the 3-exchange signature build (d-row
+                                 # mean agg + word packing + reassembly)
+                                 # appears on corpus AND query branches
+                                 # pre-AQE (ReusedExchange dedups at run
+                                 # time); top-k is TakeOrdered, no sort
 }
 
 
