@@ -4291,6 +4291,39 @@ FROM final GROUP BY 1, 2
 """
 
 
+def _q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of event values at [p05, p95],
+    summarized: the clipped mean/min/max per key must equal DuckDB
+    replaying the same exact-percentile band and row-local clip."""
+    from spark_auto_schema.ops import analytics
+
+    ev = read_table(spark, sf_dir, "events")
+    w = analytics.winsorize(ev, "event_type", "value", 0.05, 0.95)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value_winsorized"), 4).alias("avg_w"),
+        F.round(F.min("value_winsorized"), 4).alias("min_w"),
+        F.round(F.max("value_winsorized"), 4).alias("max_w"),
+    )
+
+
+_WINSORIZE_EVENTS_SQL = """
+WITH bands AS (
+  SELECT event_type,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.05), 4) AS lo,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS hi
+  FROM events GROUP BY 1
+), w AS (
+  SELECT e.event_type,
+         round(least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi), 4) AS vw
+  FROM events e JOIN bands b USING (event_type)
+)
+SELECT event_type, count(*) AS n, round(avg(vw), 4) AS avg_w,
+       round(min(vw), 4) AS min_w, round(max(vw), 4) AS max_w
+FROM w GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4386,8 +4419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
     # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
     # tombstone_delete, compact_roundtrip, binary_hamming_topk,
-    # pipeline_end_to_end).  r7 window plan: these
-    # sixteen round-6 additions + the 7 displaced r04-anchored queries
+    # pipeline_end_to_end, winsorize_events).  r7 window plan: these
+    # seventeen round-6 additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -4491,6 +4524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["compact_roundtrip"] = _q_compact_roundtrip
     q["binary_hamming_topk"] = _q_binary_hamming_topk
     q["pipeline_end_to_end"] = _q_pipeline_end_to_end
+    q["winsorize_events"] = _q_winsorize_events
     return q
 
 
@@ -4610,6 +4644,7 @@ def oracle_sql() -> dict[str, str]:
     o["compact_roundtrip"] = _COMPACT_ROUNDTRIP_SQL
     o["binary_hamming_topk"] = _BINARY_HAMMING_SQL
     o["pipeline_end_to_end"] = _pipeline_end_to_end_oracle_sql()
+    o["winsorize_events"] = _WINSORIZE_EVENTS_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -41,7 +41,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
                   "weighted_", "pack_", "corpus_mix", "skew_",
                   "leakage_safe", "canonical_", "group_quantile",
-                  "hll_sharded")),
+                  "hll_sharded", "winsorize_")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
             "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
             "range_partitioned", "zorder_", "compact_")),

@@ -284,3 +284,41 @@ def sharded_distinct_counts(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk"))).alias("n_unique")
     ).select(F.lit("__all__").alias("shard"), "n_unique")
     return per_shard.unionByName(overall)
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-key winsorization: clip ``value_col`` into its key's
+    [``lo_q``, ``hi_q``] quantile band — the standard heavy-tail taming
+    step before means/regressions, applied per key so one group's scale
+    does not clip another's.
+
+    Same two-step shape as :func:`threshold_by_group`: one hash aggregate
+    produces the |keys|-row (lo, hi) band table (exact ``percentile`` for
+    the oracle path, ``percentile_approx`` sketches at scale), broadcast
+    back onto the fact stream; the clip is a row-local
+    ``least(greatest(...))``.  Facts are never shuffled.  Bounds are
+    rounded to 4 decimals so the clip boundary is engine-stable; the
+    clipped value is returned rounded to 4 alongside the original."""
+    v = F.col(value_col).cast("double")
+    lo_agg = (
+        F.percentile_approx(v, lo_q) if approx else F.percentile(v, F.lit(lo_q))
+    )
+    hi_agg = (
+        F.percentile_approx(v, hi_q) if approx else F.percentile(v, F.lit(hi_q))
+    )
+    bands = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.round(lo_agg, 4).alias("__lo"), F.round(hi_agg, 4).alias("__hi")
+    )
+    clipped = F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 4)
+    return (
+        df.join(F.broadcast(bands), F.col(key_col) == F.col("__k"))
+        .withColumn(f"{value_col}_winsorized", clipped)
+        .drop("__k", "__lo", "__hi")
+    )

@@ -448,3 +448,17 @@ def test_pipeline_end_to_end_stage_invariants(spark):
     # median gate keeps ~half, dedup and split never add rows
     assert 0 < total_kept <= n_docs * 0.6
     dedup.release_caches()
+
+
+def test_winsorize_clips_only_the_tails(spark):
+    from spark_auto_schema.ops import analytics
+
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = analytics.winsorize(df, "g", "v", 0.1, 0.9)
+    got = {r["v"]: r["v_winsorized"] for r in w.collect()}
+    # p10 of 1..100 (interpolated) = 10.9, p90 = 90.1
+    assert got[1.0] == 10.9 and got[5.0] == 10.9
+    assert got[100.0] == 90.1 and got[95.0] == 90.1
+    assert got[50.0] == 50.0  # interior untouched
+    assert len(got) == 100  # no rows dropped

@@ -78,6 +78,8 @@ PROBES: dict[str, list[str]] = {
         "group_quantile_filter",
         "hll_sharded_uniques",
         "zorder_roundtrip",
+        "binary_hamming_topk",
+        "pipeline_end_to_end",
     ],
 }
 
