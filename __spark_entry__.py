@@ -4324,6 +4324,54 @@ FROM w GROUP BY 1
 """
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SESSION windows in streaming mode (the variable-length
+    stateful window tumbling counts cannot express): per-user sessions
+    with a 30-minute gap, drained with availableNow in complete mode.
+    The oracle rebuilds the same sessions with the lag-islands pattern
+    using the ``diff > gap -> new session`` boundary rule: session_window
+    merges on a CLOSED interval (an event exactly ``gap`` after the last
+    one still extends the session — verified empirically in
+    tests/test_streaming.py::test_session_window_gap_boundary_semantics,
+    because the sf data's microsecond timestamps never land on the exact
+    boundary and would not catch a wrong rule here)."""
+    from spark_auto_schema.streaming import (
+        read_event_stream,
+        run_to_memory,
+        session_window_stats,
+    )
+
+    name = f"__sessions_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    run_to_memory(
+        session_window_stats(stream, gap="30 minutes"),
+        name,
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return spark.table(name)
+
+
+_STREAMING_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+), l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e
+), n AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM l
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM n
+)
+SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4419,8 +4467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
     # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
     # tombstone_delete, compact_roundtrip, binary_hamming_topk,
-    # pipeline_end_to_end, winsorize_events).  r7 window plan: these
-    # seventeen round-6 additions + the 7 displaced r04-anchored queries
+    # pipeline_end_to_end, winsorize_events, streaming_sessions).  r7 window plan: these
+    # eighteen round-6 additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -4525,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["binary_hamming_topk"] = _q_binary_hamming_topk
     q["pipeline_end_to_end"] = _q_pipeline_end_to_end
     q["winsorize_events"] = _q_winsorize_events
+    q["streaming_sessions"] = _q_streaming_sessions
     return q
 
 
@@ -4645,6 +4694,7 @@ def oracle_sql() -> dict[str, str]:
     o["binary_hamming_topk"] = _BINARY_HAMMING_SQL
     o["pipeline_end_to_end"] = _pipeline_end_to_end_oracle_sql()
     o["winsorize_events"] = _WINSORIZE_EVENTS_SQL
+    o["streaming_sessions"] = _STREAMING_SESSIONS_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

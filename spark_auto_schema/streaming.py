@@ -420,3 +420,45 @@ def attribution_join_stream(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key SESSION windows (Spark-native ``session_window``): events
+    closer than ``gap`` merge into one growing window per key; a quiet
+    period of ``gap`` closes it.  Returns (key, start_us, end_us,
+    n_events, sum_value) with the window bounds as epoch microseconds
+    (``end`` = last event + gap, the engine's convention).
+
+    Unlike tumbling windows (:func:`windowed_event_counts`), session
+    state is VARIABLE-length: the engine merges overlapping candidate
+    windows per key at each microbatch, so state is O(open sessions), not
+    O(events) — with a watermark, closed sessions are finalized and
+    evicted as event time passes (append mode); without one (``complete``
+    mode, the drain-and-compare path) all sessions stay in state.
+    Session boundary semantics: two events exactly ``gap`` apart DO
+    merge — the engine treats candidate windows as closed intervals when
+    merging, so the new-session rule a batch oracle must replicate is
+    ``diff > gap`` (the same convention as the engine's lag-based batch
+    sessionize).  Empirically pinned by the gap-boundary test, since real
+    microsecond timestamps essentially never land on the exact boundary
+    and would let a wrong rule pass unnoticed."""
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.col(key_col), F.session_window(F.col("ts"), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -37,7 +37,7 @@ def test_every_query_has_oracle_or_is_known_rows_only():
 
 def test_registry_size_and_window():
     qs = list(entry.queries())
-    assert len(qs) >= 149  # only grows; shrinking loses driver coverage
+    assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
     # queries added in round 6 must sit inside the driver's 50-entry window

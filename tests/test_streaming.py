@@ -264,3 +264,44 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 300  # 200 + 100 new; redeliveries dropped
     assert got.select("event_id").distinct().count() == 300
+
+
+def test_session_window_gap_boundary_semantics(spark, tmp_path):
+    """Two events exactly gap apart DO merge (closed-interval window
+    merging); one microsecond beyond must not — the boundary rule the
+    DuckDB oracle mirrors with its `diff > gap -> new session` islands."""
+    import datetime as dt
+
+    from spark_auto_schema.streaming import run_to_memory, session_window_stats
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        # user 1: second event exactly at t0+gap -> still ONE session
+        (1, 1, t0, "click", 1.0),
+        (2, 1, t0 + gap, "click", 1.0),
+        # user 2: second event 1us beyond the gap -> two sessions
+        (3, 2, t0, "click", 1.0),
+        (4, 2, t0 + gap + dt.timedelta(microseconds=1), "click", 1.0),
+    ]
+    src = tmp_path / "gap_events"
+    src.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "w"))
+    shutil.copy(
+        next((tmp_path / "w").glob("*.parquet")), src / "drop1.parquet"
+    )
+    from spark_auto_schema.streaming import read_event_stream
+
+    stream = read_event_stream(spark, str(src), ts_unit="utc")
+    run_to_memory(
+        session_window_stats(stream), "gap_sessions", output_mode="complete",
+        state_partitions=4,
+    )
+    got = spark.table("gap_sessions")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_user == {1: 1, 2: 2}
