@@ -4372,6 +4372,121 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _q_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap at 100 docs per language: 'en' (218 docs at
+    sf0.01) exercises the windowed over-cap branch, the other four langs
+    the sort-free broadcast-anti pass-through (ops/corpus.domain_cap).
+    Survivors are content-addressed (md5 of doc_id), so the kept SET is
+    engine- and partitioning-stable."""
+    d = read_table(spark, sf_dir, "documents")
+    return corpus.domain_cap(d, "lang", cap=100, id_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+_DOMAIN_CAP_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 100
+"""
+
+
+def _q_burst_collapse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch debounce: per-user event bursts at a 6-hour gap collapsed to
+    (start, end, n_events) rows (ops/analytics.collapse_bursts).  The gap
+    comparison runs on full-precision double epochs, the identical IEEE
+    arithmetic DuckDB's epoch() performs, so the >= boundary cannot drift
+    between engines on these microsecond-grained timestamps."""
+    from spark_auto_schema.ops import analytics
+
+    ev = read_table(spark, sf_dir, "events")
+    b = analytics.collapse_bursts(
+        ev, "user_id", "ts", gap_seconds=21600, id_col="event_id"
+    )
+    return b.select("user_id", "burst_start", "burst_end", "n_events")
+
+
+_BURST_COLLAPSE_SQL = """
+WITH l AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 21600.0
+              THEN 1 ELSE 0 END AS is_break
+  FROM l
+), s AS (
+  SELECT user_id, ts,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+  FROM f
+)
+SELECT user_id, min(ts) AS burst_start, max(ts) AS burst_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, burst
+"""
+
+
+def _q_scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history apply on an orders-derived dimension
+    (ops/relational.scd2_apply): every 11th key starts closed (history
+    passthrough + new-key insert path), every 7th key gets an update —
+    half of those (key % 14 == 0) carry an unchanged status to prove
+    no-op idempotency, the rest flip to 'X' (close + append path)."""
+    o = read_table(spark, sf_dir, "orders")
+    dim = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_orderdate")).alias(
+            "valid_to"
+        ),
+    )
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 14 == 0, F.col("o_orderstatus"))
+        .otherwise(F.lit("X"))
+        .alias("status"),
+        F.to_timestamp(F.lit("1999-01-01")).alias("effective_ts"),
+    )
+    return relational.scd2_apply(dim, upd, "k", ["status"])
+
+
+_SCD2_SQL = """
+WITH dim AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_orderdate AS valid_from,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_orderdate END AS valid_to
+  FROM orders
+), upd AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 14 = 0 THEN o_orderstatus ELSE 'X' END AS status,
+         TIMESTAMP '1999-01-01' AS eff
+  FROM orders WHERE o_orderkey % 7 = 0
+), hist AS (
+  SELECT k, status, valid_from, valid_to FROM dim WHERE valid_to IS NOT NULL
+), cur AS (
+  SELECT * FROM dim WHERE valid_to IS NULL
+), j AS (
+  SELECT cur.k AS ck, cur.status AS ca, cur.valid_from AS cf,
+         upd.k AS uk, upd.status AS ua, upd.eff AS ue
+  FROM cur FULL OUTER JOIN upd ON cur.k = upd.k
+)
+SELECT k, status, valid_from, valid_to FROM hist
+UNION ALL
+SELECT ck, ca, cf,
+       CASE WHEN uk IS NOT NULL AND ca IS DISTINCT FROM ua THEN ue END
+FROM j WHERE ck IS NOT NULL
+UNION ALL
+SELECT uk, ua, ue, CAST(NULL AS TIMESTAMP)
+FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR ca IS DISTINCT FROM ua)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4467,8 +4582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (leakage_safe_split, canonical_docs, group_quantile_filter,
     # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
     # tombstone_delete, compact_roundtrip, binary_hamming_topk,
-    # pipeline_end_to_end, winsorize_events, streaming_sessions).  r7 window plan: these
-    # eighteen round-6 additions + the 7 displaced r04-anchored queries
+    # pipeline_end_to_end, winsorize_events, streaming_sessions, and the
+    # session-2 trio domain_cap_docs / burst_collapse_events /
+    # scd2_order_status).  r7 window plan: these
+    # twenty-one round-6 additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -4574,6 +4691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipeline_end_to_end"] = _q_pipeline_end_to_end
     q["winsorize_events"] = _q_winsorize_events
     q["streaming_sessions"] = _q_streaming_sessions
+    # --- round-6 session-2 additions: domain capping, batch debounce,
+    # SCD2 history — past the window, mirror-verified, r7-rotation head ---
+    q["domain_cap_docs"] = _q_domain_cap_docs
+    q["burst_collapse_events"] = _q_burst_collapse_events
+    q["scd2_order_status"] = _q_scd2_order_status
     return q
 
 
@@ -4695,6 +4817,9 @@ def oracle_sql() -> dict[str, str]:
     o["pipeline_end_to_end"] = _pipeline_end_to_end_oracle_sql()
     o["winsorize_events"] = _WINSORIZE_EVENTS_SQL
     o["streaming_sessions"] = _STREAMING_SESSIONS_SQL
+    o["domain_cap_docs"] = _DOMAIN_CAP_SQL
+    o["burst_collapse_events"] = _BURST_COLLAPSE_SQL
+    o["scd2_order_status"] = _SCD2_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

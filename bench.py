@@ -29,7 +29,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                "incremental_", "repeated_", "segment_dedup")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
-                "pipeline_")),
+                "pipeline_", "domain_cap")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
               "top_terms", "clean_", "redact_", "repetition_", "gopher_",

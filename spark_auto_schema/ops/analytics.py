@@ -322,3 +322,55 @@ def winsorize(
         .withColumn(f"{value_col}_winsorized", clipped)
         .drop("__k", "__lo", "__hi")
     )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Collapse per-key event bursts: consecutive events of the same key
+    closer than ``gap_seconds`` apart merge into one burst row — the batch
+    debounce that turns retry storms, double-clicks, and sensor chatter
+    into single logical events before downstream counting.
+
+    A burst opens at any event whose predecessor (same key, time order) is
+    ``>= gap_seconds`` away or absent, and absorbs every following event
+    until the next such break — i.e. bursts are the gap-based sessions of
+    ``session_windows`` and the output keeps one row per burst:
+    (key, burst_start, burst_end, n_events).  Ties at the same timestamp
+    order by ``id_col`` (when given) so burst boundaries are deterministic
+    under duplicate timestamps.
+
+    Scale (100 TB): one shuffle on the key; the lag + running-sum windows
+    and the final first-per-burst aggregate all share that partitioning,
+    so Spark plans a single Exchange and sorts per key in parallel.  A
+    pathologically hot key bounds one task at that key's event count —
+    the same bound (and the same daily/hourly pre-split remedy) as any
+    per-entity sessionization.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # full-precision epoch seconds (micros / 1e6 as an IEEE double — the
+    # identical arithmetic DuckDB's epoch() performs, so the >= boundary
+    # is engine-stable; unix_timestamp would truncate to seconds and
+    # disagree with any sub-second oracle within 1 s of the gap)
+    is_break = (
+        prev.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev.cast("double")
+            >= F.lit(float(gap_seconds))
+        )
+    ).cast("long")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bursts = df.withColumn("__burst", F.sum(is_break).over(wb))
+    return bursts.groupBy(F.col(key_col), F.col("__burst")).agg(
+        F.min(ts_col).alias("burst_start"),
+        F.max(ts_col).alias("burst_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("__burst")

@@ -314,3 +314,51 @@ def select_token_budget(
     return kept_full.select("bucket", id_col, tokens_col).unionByName(
         kept_boundary
     ).select(id_col, "bucket", tokens_col)
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Cap the number of documents kept per domain at ``cap`` — the
+    per-domain frequency ceiling every web-scale corpus applies so a
+    handful of boilerplate-heavy hosts cannot dominate the training mix
+    (RefinedWeb/C4-style "top-domain capping").
+
+    Which rows survive an over-cap domain is deterministic and
+    content-addressed: highest ``priority_col`` first when given (quality
+    scores — keep the best), then ``md5(id)``, then id — so the selected
+    SET is identical across engines, partitionings, and reruns.
+
+    Scale (100 TB): the naive plan — one row_number window over every
+    domain — sorts the ENTIRE corpus, even though in a real crawl the
+    overwhelming majority of domains sit far under any sane cap.  Instead
+    a first count aggregate (map-side combined, one row per domain) finds
+    the over-cap domains; there are at most ``n / cap`` of them, so that
+    list broadcasts.  Under-cap rows pass through with a broadcast
+    ANTI-join — no sort, no shuffle beyond the count.  Only rows of
+    over-cap domains (a broadcast SEMI-join selects them) pay the
+    partitionBy(domain) row_number, and that window's sort is per-domain,
+    parallel across domains.  A pathologically hot single domain bounds a
+    task at that domain's row count; cap skew there with a pre-filter on a
+    cheap per-row hash rank if needed (keep ~2x cap by hash bucket first).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.where(F.col("__n") > cap).select(domain_col)
+    under_rows = df.join(F.broadcast(over), domain_col, "left_anti")
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    if priority_col is not None:
+        order.insert(0, F.col(priority_col).desc())
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    over_rows = (
+        df.join(F.broadcast(over), domain_col, "left_semi")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return under_rows.unionByName(over_rows)

@@ -255,3 +255,88 @@ def apply_tombstones(
     the partitions that actually contained tombstoned keys."""
     t = tombstones.select(*key_cols).dropDuplicates(key_cols)
     return df.join(F.broadcast(t), on=key_cols, how="left_anti")
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    effective_col: str = "effective_ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 apply: fold a batch of attribute
+    updates into a versioned dimension, closing out changed rows and
+    appending new versions — the history-preserving alternative to
+    :func:`merge_upsert` that warehouse dimensions (customer tiers,
+    document licenses, model-card labels) are kept under.
+
+    ``dim`` carries (key, *attr_cols, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking the current version.  ``updates`` carries
+    (key, *attr_cols, effective_col) and must be key-unique (same MERGE
+    precondition as :func:`merge_upsert` — dedup to the latest upstream).
+    Per update row:
+
+    * key unknown, or current attrs differ → append a new current version
+      ``[effective, NULL)``; a differing existing current row is closed at
+      ``effective``.
+    * current attrs identical → no-op (idempotent redelivery).
+
+    Closed history rows always pass through untouched.
+
+    Scale (100 TB): history (the bulk of the table) passes through with a
+    FILTER only — no join, no shuffle.  The current slice joins the update
+    batch full-outer on the key; a day's updates are a small fraction of
+    |keys|, so AQE broadcast-joins the batch and the dimension is never
+    shuffled.  Attribute comparison is a row-local struct equality (null
+    =  null, the SQL IS NOT DISTINCT FROM semantics via ``eqNullSafe``).
+    """
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    hist = dim.where(F.col(valid_to_col).isNotNull())
+    cur = dim.where(F.col(valid_to_col).isNull())
+    c = cur.select(
+        F.col(key_col).alias("__ck"),
+        attrs.alias("__ca"),
+        F.col(valid_from_col).alias("__cf"),
+    )
+    u = updates.select(
+        F.col(key_col).alias("__uk"),
+        attrs.alias("__ua"),
+        F.col(effective_col).alias("__ue"),
+    )
+    j = c.join(F.broadcast(u), F.col("__ck") == F.col("__uk"), "full_outer")
+    changed = F.col("__uk").isNotNull() & (
+        F.col("__ck").isNull() | ~F.col("__ca").eqNullSafe(F.col("__ua"))
+    )
+
+    def out(key, a, vf, vt):
+        return [key.alias(key_col)] + [
+            a.getField(c_).alias(c_) for c_ in attr_cols
+        ] + [vf.alias(valid_from_col), vt.alias(valid_to_col)]
+
+    # existing current rows: closed at the update's effective ts when the
+    # attrs changed, passed through open otherwise
+    kept = j.where(F.col("__ck").isNotNull()).select(
+        *out(
+            F.col("__ck"),
+            F.col("__ca"),
+            F.col("__cf"),
+            F.when(changed, F.col("__ue")).cast(dim.schema[valid_to_col].dataType),
+        )
+    )
+    # new versions: inserted keys and changed keys open at effective
+    new = j.where(changed).select(
+        *out(
+            F.col("__uk"),
+            F.col("__ua"),
+            F.col("__ue"),
+            F.lit(None).cast(dim.schema[valid_to_col].dataType),
+        )
+    )
+    return hist.select(
+        F.col(key_col),
+        *[F.col(c_) for c_ in attr_cols],
+        F.col(valid_from_col),
+        F.col(valid_to_col),
+    ).unionByName(kept).unionByName(new)

@@ -1,0 +1,182 @@
+"""Round-6 additions: domain capping, burst collapsing, SCD2 history.
+
+Each test pins semantics an oracle-only check could miss: the pass-through
+/ windowed split in domain_cap, burst boundary inclusivity, and SCD2
+idempotency + history immutability.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from spark_auto_schema.ops import analytics, corpus, relational
+
+
+# ------------------------------------------------------------- domain_cap
+def test_domain_cap_keeps_under_cap_domains_whole(spark):
+    rows = [(i, "hot") for i in range(10)] + [(100 + i, "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.domain_cap(df, "source", cap=4)
+    got = {r["source"]: 0 for r in out.collect()}
+    by = [(r["source"]) for r in out.collect()]
+    assert by.count("cold") == 3  # under cap: untouched
+    assert by.count("hot") == 4  # over cap: exactly cap survivors
+
+
+def test_domain_cap_is_deterministic_and_content_addressed(spark):
+    rows = [(i, "d") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in corpus.domain_cap(df, "source", 5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in corpus.domain_cap(
+            df.repartition(7, "doc_id"), "source", 5
+        ).collect()
+    )
+    assert a == b  # partitioning-invariant survivor set
+
+
+def test_domain_cap_priority_column_wins(spark):
+    rows = [(1, "d", 0.1), (2, "d", 0.9), (3, "d", 0.5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = corpus.domain_cap(df, "source", cap=2, priority_col="q")
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+
+
+def test_domain_cap_under_cap_side_has_no_window_sort(spark):
+    """The pass-through side must be an anti-join, not a window: a plan
+    with every row flowing through row_number would sort the whole corpus
+    at 100 TB.  The broadcast over-list appears in the plan; the
+    under-cap branch contributes no Window node."""
+    rows = [(i, f"s{i % 100}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.domain_cap(df, "source", cap=1000)  # nothing over cap
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # all rows under cap -> result equals input
+    assert out.count() == 200
+
+
+# --------------------------------------------------------- collapse_bursts
+def test_collapse_bursts_merges_within_gap(spark):
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(seconds=10)),  # same burst (<30)
+        (1, t0 + datetime.timedelta(seconds=45)),  # 35s after prev: break
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = analytics.collapse_bursts(df, "user_id", "ts", gap_seconds=30)
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in out.collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_collapse_bursts_gap_boundary_is_a_break(spark):
+    """An event exactly gap_seconds after its predecessor starts a NEW
+    burst (>= semantics) — the same closed/open convention as
+    session_windows, pinned here so the oracle SQL can't drift."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0), (1, t0 + datetime.timedelta(seconds=30))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = analytics.collapse_bursts(df, "user_id", "ts", gap_seconds=30)
+    assert out.count() == 2
+
+
+def test_collapse_bursts_span_and_counts(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0 + datetime.timedelta(seconds=s)) for s in (0, 5, 9, 100)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["burst_start"], r["burst_end"], r["n_events"])
+        for r in analytics.collapse_bursts(df, "user_id", "ts", 30).collect()
+    }
+    assert out == {
+        (t0, t0 + datetime.timedelta(seconds=9), 3),
+        (t0 + datetime.timedelta(seconds=100), t0 + datetime.timedelta(seconds=100), 1),
+    }
+
+
+def test_collapse_bursts_single_exchange(spark):
+    """lag, running-sum, and the burst aggregate all share the hash
+    partitioning on the key: exactly one Exchange in the plan."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i % 5, t0 + datetime.timedelta(seconds=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    import io
+    from contextlib import redirect_stdout
+
+    out = analytics.collapse_bursts(df, "user_id", "ts", 30)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    assert buf.getvalue().count("Exchange") == 1
+
+
+# -------------------------------------------------------------- scd2_apply
+def _dim(spark):
+    d = datetime.datetime
+    rows = [
+        # k=1: one closed + one current version
+        (1, "bronze", d(2020, 1, 1), d(2021, 1, 1)),
+        (1, "silver", d(2021, 1, 1), None),
+        # k=2: current only
+        (2, "gold", d(2020, 6, 1), None),
+    ]
+    return spark.createDataFrame(
+        rows, "k long, tier string, valid_from timestamp, valid_to timestamp"
+    )
+
+
+def test_scd2_change_closes_and_appends(spark):
+    d = datetime.datetime
+    upd = spark.createDataFrame(
+        [(1, "gold", d(2022, 1, 1))], "k long, tier string, effective_ts timestamp"
+    )
+    out = relational.scd2_apply(_dim(spark), upd, "k", ["tier"]).collect()
+    rows = sorted(
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"]) for r in out
+    )
+    assert rows == [
+        (1, "bronze", d(2020, 1, 1), d(2021, 1, 1)),  # history untouched
+        (1, "gold", d(2022, 1, 1), None),  # new current
+        (1, "silver", d(2021, 1, 1), d(2022, 1, 1)),  # closed at effective
+        (2, "gold", d(2020, 6, 1), None),  # unrelated key untouched
+    ]
+
+
+def test_scd2_identical_update_is_noop(spark):
+    d = datetime.datetime
+    upd = spark.createDataFrame(
+        [(2, "gold", d(2022, 1, 1))], "k long, tier string, effective_ts timestamp"
+    )
+    base = _dim(spark)
+    out = relational.scd2_apply(base, upd, "k", ["tier"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_scd2_new_key_inserts_open_version(spark):
+    d = datetime.datetime
+    upd = spark.createDataFrame(
+        [(9, "bronze", d(2022, 1, 1))], "k long, tier string, effective_ts timestamp"
+    )
+    out = relational.scd2_apply(_dim(spark), upd, "k", ["tier"])
+    got = [r for r in out.collect() if r["k"] == 9]
+    assert len(got) == 1
+    assert got[0]["valid_from"] == d(2022, 1, 1) and got[0]["valid_to"] is None
+
+
+def test_scd2_null_attr_equality_is_null_safe(spark):
+    """NULL attr == NULL attr must be a no-op (IS NOT DISTINCT FROM), not
+    a perpetual re-versioning on every redelivery."""
+    d = datetime.datetime
+    dim = spark.createDataFrame(
+        [(1, None, d(2020, 1, 1), None)],
+        "k long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [(1, None, d(2022, 1, 1))], "k long, tier string, effective_ts timestamp"
+    )
+    assert relational.scd2_apply(dim, upd, "k", ["tier"]).count() == 1
