@@ -180,3 +180,83 @@ def test_scd2_null_attr_equality_is_null_safe(spark):
         [(1, None, d(2022, 1, 1))], "k long, tier string, effective_ts timestamp"
     )
     assert relational.scd2_apply(dim, upd, "k", ["tier"]).count() == 1
+
+
+# ---------------------------------------------------- property invariants
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from(["a", "b", None])),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", "c", None])),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_apply_is_idempotent_and_conserves_history(spark, data, upd):
+    """Random dimensions + random key-unique update batches: (1) applying
+    the same batch twice equals applying it once (redelivery idempotency —
+    the second apply sees identical current attrs everywhere), and
+    (2) closed rows only ever accumulate: every input row's (key,
+    valid_from) survives into the output."""
+    import datetime
+
+    d0 = datetime.datetime(2020, 1, 1)
+    eff = datetime.datetime(2022, 1, 1)
+    dim = spark.createDataFrame(
+        [(k, v, d0, None) for k, v in data],
+        "k long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(k, v, eff) for k, v in upd],
+        "k long, tier string, effective_ts timestamp",
+    )
+    once = relational.scd2_apply(dim, updates, "k", ["tier"])
+    twice = relational.scd2_apply(once, updates, "k", ["tier"])
+    key = lambda row: tuple(repr(v) for v in row)
+    a = sorted(map(tuple, once.collect()), key=key)
+    b = sorted(map(tuple, twice.collect()), key=key)
+    assert a == b
+    # conservation: every (k, valid_from) of the input survives
+    in_keys = {(k, d0) for k, _ in data}
+    out_keys = {(r["k"], r["valid_from"]) for r in once.collect()}
+    assert in_keys <= out_keys
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(0, 9), min_size=1, max_size=5),
+    cap=st.integers(1, 10),
+)
+def test_domain_cap_respects_cap_and_is_a_subset(spark, sizes, cap):
+    rows = [
+        (d * 100 + i, f"dom{d}") for d, n in enumerate(sizes) for i in range(n)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.domain_cap(df, "source", cap)
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    assert set(got) <= set(rows)  # survivors are input rows
+    from collections import Counter
+
+    per = Counter(s for _, s in got)
+    for d, n in enumerate(sizes):
+        assert per.get(f"dom{d}", 0) == min(n, cap)

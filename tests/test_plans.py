@@ -547,6 +547,16 @@ _EXCHANGE_PINS = {
                                  # appears on corpus AND query branches
                                  # pre-AQE (ReusedExchange dedups at run
                                  # time); top-k is TakeOrdered, no sort
+    "domain_cap_docs": 3,        # domain-count agg on both branches
+                                 # pre-AQE (ReusedExchange dedups) + the
+                                 # over-cap-only window shuffle; the
+                                 # under-cap pass-through is a broadcast
+                                 # anti-join with NO sort
+    "burst_collapse_events": 1,  # lag + cumsum windows and the burst agg
+                                 # all reuse ONE key shuffle
+    "scd2_order_status": 0,      # history is a filter, the update batch
+                                 # broadcasts: the dimension is NEVER
+                                 # shuffled
 }
 
 

@@ -66,6 +66,9 @@ PROBES: dict[str, list[str]] = {
         "event_funnel",
         "value_histogram",
         "zscore_outliers",
+        # session-2: per-user burst islands (window family — scales with
+        # events; replica-offset user ids grow the key space 10x too)
+        "burst_collapse_events",
     ],
     # round-6 curation batch: the leakage-safe split and canonical
     # survivors re-run the full shingle->LSH->closure pipeline (the
@@ -80,7 +83,13 @@ PROBES: dict[str, list[str]] = {
         "zorder_roundtrip",
         "binary_hamming_topk",
         "pipeline_end_to_end",
+        # session-2: domain capping — the split design (only over-cap
+        # domains pay the window) is exactly what this probe must verify
+        "domain_cap_docs",
     ],
+    # scd2_order_status is deliberately absent: its dimension derives from
+    # orders, a COPIED (unscaled) table here, so its ratio would measure
+    # nothing.
 }
 
 SCALED_TABLES = ("documents", "embeddings", "lineitem", "events")
