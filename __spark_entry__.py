@@ -4487,6 +4487,55 @@ FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR ca IS DISTINCT FROM ua)
 """
 
 
+def _q_zone_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map collection over a freshly partitioned write (io.zone_map):
+    events written partitioned by event_type, per-FILE min/max/null stats
+    collected from the read-back scan, then rolled up per partition key
+    (extracted from the file path) so the result is layout-independent —
+    the oracle is the plain per-type aggregate over the source.  The
+    per-file level itself is pinned in tests/test_curation2.py."""
+    import shutil
+    import tempfile
+
+    from spark_auto_schema.io import write_partitioned, zone_map
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    d = tempfile.mkdtemp(prefix="zone_map_")
+    try:
+        write_partitioned(ev, d, ["event_type"])
+        back = spark.read.parquet(d)
+        zm = zone_map(back, ["value"])
+        rows = (
+            zm.withColumn(
+                "event_type",
+                F.regexp_extract(F.col("file"), r"event_type=([^/]+)/", 1),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_rows").alias("n"),
+                F.round(F.min("value_min"), 4).alias("min_value"),
+                F.round(F.max("value_max"), 4).alias("max_value"),
+                F.sum("value_nulls").alias("n_nulls"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, min_value double, "
+        "max_value double, n_nulls bigint"
+    )
+
+
+_ZONE_MAP_SQL = """
+SELECT event_type, count(*) AS n,
+       round(min(CAST(value AS DOUBLE)), 4) AS min_value,
+       round(max(CAST(value AS DOUBLE)), 4) AS max_value,
+       count(*) FILTER (WHERE value IS NULL) AS n_nulls
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4583,9 +4632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
     # tombstone_delete, compact_roundtrip, binary_hamming_topk,
     # pipeline_end_to_end, winsorize_events, streaming_sessions, and the
-    # session-2 trio domain_cap_docs / burst_collapse_events /
-    # scd2_order_status).  r7 window plan: these
-    # twenty-one round-6 additions + the 7 displaced r04-anchored queries
+    # session-2 additions domain_cap_docs / burst_collapse_events /
+    # scd2_order_status / zone_map_events).  r7 window plan: these
+    # twenty-two round-6 additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -4696,6 +4745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["domain_cap_docs"] = _q_domain_cap_docs
     q["burst_collapse_events"] = _q_burst_collapse_events
     q["scd2_order_status"] = _q_scd2_order_status
+    q["zone_map_events"] = _q_zone_map_events
     return q
 
 
@@ -4820,6 +4870,7 @@ def oracle_sql() -> dict[str, str]:
     o["domain_cap_docs"] = _DOMAIN_CAP_SQL
     o["burst_collapse_events"] = _BURST_COLLAPSE_SQL
     o["scd2_order_status"] = _SCD2_SQL
+    o["zone_map_events"] = _ZONE_MAP_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

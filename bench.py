@@ -44,7 +44,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                   "hll_sharded", "winsorize_")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
             "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
-            "range_partitioned", "zorder_", "compact_")),
+            "range_partitioned", "zorder_", "compact_", "zone_map")),
 ]
 _N_SLOWEST = 8
 

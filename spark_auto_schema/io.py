@@ -474,3 +474,31 @@ def compact_parquet(
     df = read_parquet(spark, src)
     df.repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def zone_map(df: DataFrame, cols: list[str], file_col: str = "file") -> DataFrame:
+    """Per-file zone maps: (file, n_rows, per-column min/max/null-count) for
+    every file feeding ``df``'s scan — the data-skipping statistics layer a
+    lake maintains so point/range predicates can prune files without
+    opening them (the Spark-side counterpart of Redshift zone maps /
+    parquet footer row-group stats).
+
+    Built on ``input_file_name()``: one hash aggregate keyed by file path,
+    map-side combined, output |files| rows.  Scanning data to build zone
+    maps is the VALIDATION path — parquet footers already carry these
+    stats, and a production pruner trusts them; this scan-side builder is
+    what you run to audit footer stats after a writer bug, to zone-map
+    formats without footers (CSV/JSON), or to collect stats on derived
+    expressions footers don't cover.  Pair with
+    :func:`write_range_partitioned` / :func:`write_zordered`: the zone
+    map's min/max overlap across files is exactly the clustering quality
+    those writers exist to improve.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+        ]
+    return df.groupBy(F.input_file_name().alias(file_col)).agg(*aggs)

@@ -260,3 +260,55 @@ def test_domain_cap_respects_cap_and_is_a_subset(spark, sizes, cap):
     per = Counter(s for _, s in got)
     for d, n in enumerate(sizes):
         assert per.get(f"dom{d}", 0) == min(n, cap)
+
+
+# ---------------------------------------------------------------- zone_map
+def test_zone_map_per_file_stats_are_exact(spark, tmp_path):
+    """Two files with disjoint known ranges: the zone map must report each
+    file's exact min/max/null-count — the invariant a pruner relies on."""
+    from spark_auto_schema.io import zone_map
+
+    a = spark.createDataFrame([(1,), (5,), (None,)], "v long")
+    b = spark.createDataFrame([(100,), (200,)], "v long")
+    a.coalesce(1).write.parquet(str(tmp_path / "a"))
+    b.coalesce(1).write.parquet(str(tmp_path / "b"))
+    df = spark.read.parquet(str(tmp_path / "a"), str(tmp_path / "b"))
+    zm = {r["file"].split("/")[-2]: r for r in zone_map(df, ["v"]).collect()}
+    assert zm["a"]["v_min"] == 1 and zm["a"]["v_max"] == 5
+    assert zm["a"]["v_nulls"] == 1 and zm["a"]["n_rows"] == 3
+    assert zm["b"]["v_min"] == 100 and zm["b"]["v_max"] == 200
+
+
+def test_zone_map_identifies_skippable_files(spark, tmp_path):
+    """The point of zone maps: for predicate v > 150, file 'a' ([1,5]) is
+    provably skippable from stats alone."""
+    from spark_auto_schema.io import zone_map
+
+    spark.createDataFrame([(1,), (5,)], "v long").coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    spark.createDataFrame([(100,), (200,)], "v long").coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    df = spark.read.parquet(str(tmp_path / "a"), str(tmp_path / "b"))
+    zm = zone_map(df, ["v"])
+    from pyspark.sql import functions as F
+
+    skippable = [
+        r["file"].split("/")[-2]
+        for r in zm.where(F.col("v_max") <= 150).collect()
+    ]
+    assert skippable == ["a"]
+
+
+def test_zone_map_is_one_aggregate(spark, tmp_path):
+    from spark_auto_schema.io import zone_map
+    import io as _io
+    from contextlib import redirect_stdout
+
+    spark.range(100).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    zm = zone_map(spark.read.parquet(str(tmp_path / "t")), ["id"])
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        zm.explain("simple")
+    assert buf.getvalue().count("Exchange") == 1  # single file-keyed agg
