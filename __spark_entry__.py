@@ -4536,6 +4536,44 @@ FROM events GROUP BY 1
 """
 
 
+def _q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over customer names
+    (ops/dedup.blocked_fuzzy_pairs): blocking key = all but the last name
+    character (bounds blocks at ~10 rows), match = Levenshtein <= 1.
+    The oracle replays the identical equi-join + edit-distance filter —
+    both engines implement classic unit-cost Levenshtein, so dist values
+    compare exactly."""
+    c = read_table(spark, sf_dir, "customer")
+    pairs = dedup.blocked_fuzzy_pairs(
+        c,
+        id_col="c_custkey",
+        text_col="c_name",
+        block=F.expr("substring(c_name, 1, length(c_name) - 1)"),
+        max_distance=1,
+    )
+    return pairs.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("id_a").alias("min_id_a"),
+        F.max("id_b").alias("max_id_b"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"),
+    )
+
+
+_FUZZY_MATCH_SQL = """
+WITH s AS (
+  SELECT c_custkey AS id, c_name AS t,
+         substring(c_name, 1, length(c_name) - 1) AS blk
+  FROM customer WHERE c_name IS NOT NULL
+), p AS (
+  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.t, b.t) AS dist
+  FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT dist, count(*) AS n_pairs, min(id_a) AS min_id_a,
+       max(id_b) AS max_id_b, sum(id_a + id_b) AS id_checksum
+FROM p WHERE dist <= 1 GROUP BY dist
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4633,8 +4671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tombstone_delete, compact_roundtrip, binary_hamming_topk,
     # pipeline_end_to_end, winsorize_events, streaming_sessions, and the
     # session-2 additions domain_cap_docs / burst_collapse_events /
-    # scd2_order_status / zone_map_events).  r7 window plan: these
-    # twenty-two round-6 additions + the 7 displaced r04-anchored queries
+    # scd2_order_status / zone_map_events / fuzzy_match_customers).  r7
+    # window plan: these twenty-three round-6 additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -4746,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["burst_collapse_events"] = _q_burst_collapse_events
     q["scd2_order_status"] = _q_scd2_order_status
     q["zone_map_events"] = _q_zone_map_events
+    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
     return q
 
 
@@ -4871,6 +4910,7 @@ def oracle_sql() -> dict[str, str]:
     o["burst_collapse_events"] = _BURST_COLLAPSE_SQL
     o["scd2_order_status"] = _SCD2_SQL
     o["zone_map_events"] = _ZONE_MAP_SQL
+    o["fuzzy_match_customers"] = _FUZZY_MATCH_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

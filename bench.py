@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # family rollup prefixes, checked in order (first match wins)
 _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
-               "incremental_", "repeated_", "segment_dedup")),
+               "incremental_", "repeated_", "segment_dedup", "fuzzy_")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
                 "pipeline_", "domain_cap")),

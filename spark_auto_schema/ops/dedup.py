@@ -1016,3 +1016,46 @@ def canonical_survivors(
         .where(F.col("__rk") == 1)
         .drop("__cl_id", "__cl_rep", "__rep", "__rk")
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: Column,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Entity resolution by blocked edit-distance matching: candidate pairs
+    share a blocking key (``block``, an expression over the row — a name
+    prefix, a soundex code, a normalized zip), and a pair survives when the
+    Levenshtein distance between their ``text_col`` values is at most
+    ``max_distance`` — the classic record-linkage shape (Fellegi-Sunter
+    blocking) for customer/vendor/author tables where MinHash shingles are
+    too coarse and exact keys too brittle.
+
+    Output: (id_a, id_b, dist) with ``id_a < id_b``, each pair once.
+
+    Scale (100 TB of entities): the all-pairs O(n^2) comparison becomes a
+    hash EQUI-join on the blocking key — the only shuffle — and the edit
+    distance runs row-local (JVM ``levenshtein``, whole-stage codegen)
+    on within-block candidates only.  Cost is sum(|block|^2), so the
+    blocking expression's job is bounding block size: a hot block (every
+    NULL name, a default value) degenerates quadratically — profile with
+    ``skew.skew_profile`` and null-filter or sub-block (append a hash
+    digit) the offenders.  Recall lost to blocking is recovered the
+    standard way: union pair sets from several independent blockings
+    (prefix + soundex + zip), then ``dedup_clusters`` the union.
+    """
+    sel = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), block.alias("blk")
+    ).where(F.col("blk").isNotNull())
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
+        )
+        .where(F.col("dist") <= max_distance)
+    )

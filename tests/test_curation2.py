@@ -312,3 +312,62 @@ def test_zone_map_is_one_aggregate(spark, tmp_path):
     with redirect_stdout(buf):
         zm.explain("simple")
     assert buf.getvalue().count("Exchange") == 1  # single file-keyed agg
+
+
+# ------------------------------------------------------ blocked_fuzzy_pairs
+def test_blocked_fuzzy_pairs_finds_near_matches(spark):
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import dedup
+
+    rows = [
+        (1, "smith john"),
+        (2, "smith jon"),  # dist 1 from id 1? "john"->"jon" = 1 deletion
+        (3, "smith joan"),  # dist 1 from 1 ("h"->"a"... actually check)
+        (4, "zmith john"),  # different block (first char differs)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = dedup.blocked_fuzzy_pairs(
+        df, "id", "name", block=F.substring("name", 1, 6), max_distance=1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out}
+    assert (1, 2) in got and got[(1, 2)] == 1
+    # id 4 shares no block with 1 despite dist 1: blocking recall tradeoff
+    assert not any(4 in p for p in got)
+
+
+def test_blocked_fuzzy_pairs_null_blocks_dropped(spark):
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import dedup
+
+    rows = [(1, None), (2, None), (3, "abc")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = dedup.blocked_fuzzy_pairs(
+        df, "id", "name", block=F.substring("name", 1, 2), max_distance=5
+    )
+    # NULL names -> NULL blocks -> excluded, not matched to each other
+    assert out.count() == 0
+
+
+def test_blocked_fuzzy_pairs_is_an_equi_join(spark):
+    """The blocking key must plan as a hash equi-join — a nested-loop or
+    cartesian here is the O(n^2) explosion blocking exists to avoid."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:04d}") for i in range(100)], "id long, name string"
+    )
+    out = dedup.blocked_fuzzy_pairs(
+        df, "id", "name", block=F.substring("name", 1, 7), max_distance=1
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
