@@ -4574,6 +4574,44 @@ FROM p WHERE dist <= 1 GROUP BY dist
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 16 hash-sampled coarse clusters,
+    drop within-cluster cosine >= 0.3 near-dups (keep the lowest id).  The
+    oracle replays the full pipeline — centroid sample, row-local cosine
+    argmax assignment with cid tie-break, cluster-local pair join, and the
+    drop anti-set (`ops/similarity.py` semantic_dedup)."""
+    return similarity.semantic_dedup(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.3, nlist=16
+    )
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS csim
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM scored) WHERE rk = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.3
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4785,6 +4823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scd2_order_status"] = _q_scd2_order_status
     q["zone_map_events"] = _q_zone_map_events
     q["fuzzy_match_customers"] = _q_fuzzy_match_customers
+    # --- round-7 session additions (past the window; mirror-verified,
+    # head the r7 rotation with the other post-r05 additions) ---
+    q["semantic_dedup"] = _q_semantic_dedup
     return q
 
 
@@ -4911,6 +4952,7 @@ def oracle_sql() -> dict[str, str]:
     o["scd2_order_status"] = _SCD2_SQL
     o["zone_map_events"] = _ZONE_MAP_SQL
     o["fuzzy_match_customers"] = _FUZZY_MATCH_SQL
+    o["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -634,3 +634,101 @@ def hamming_topk(
         .orderBy(F.col("hamming"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    corpus by embedding, then within each cluster drop every vector that has
+    a lower-id neighbor with cosine >= ``threshold``.  Returns one row per
+    input vector: (id, cluster, kept) — survivors carry ``kept = true``.
+
+    Dataflow, Spark-first:
+
+    * **Clustering** reuses the deterministic fixed-size hash-sample
+      quantizer from :func:`ivf_topk` (the ``nlist`` smallest md5(id)
+      vectors — a TakeOrdered, no full sort) and assigns every vector
+      row-locally against the LITERAL centroid array (the
+      :func:`kmeans_assign` trick): argmax cosine with cid tie-break, ZERO
+      shuffle and no join for the assignment scan.  nlist is a model
+      parameter, constant w.r.t. corpus size.
+    * **Pair generation** is an equi-join on the cluster id — the SemDeDup
+      point: the O(n^2) semantic pair space is bounded to cluster-local
+      pairs (sum of |cluster|^2), never a corpus cross join.  Norms are
+      computed once per row BEFORE the join, so pair work is one dot
+      product.  Cluster keys are low-cardinality by construction; AQE's
+      skew-join split handles an oversized cluster at scale, and raising
+      ``nlist`` shrinks the per-cluster quadratic term.
+    * **Drop set** = distinct higher-id members of over-threshold pairs;
+      survivors come from one hash left-join on the id (drop set is
+      data-sized at worst, id-keyed, no sort anywhere).
+
+    Cosine is rounded to ``decimals`` before the threshold compare so the
+    keep/drop boundary is engine-stable (same convention as
+    :func:`label_blocked_near_dup`).  At 100 TB the centroid sample and the
+    assignment plan are unchanged; only the pair join scales, and it is
+    hash-partitioned on (cluster) with cluster-local quadratic cost — the
+    knob the paper itself uses (their k=50k clusters on LAION-440M).
+    """
+    init = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
+    lit = _centroid_literal(cents)
+    vn = norm(F.col(vec_col))
+    # row-local argmax cosine: min over struct(-cos, cid) == max cos, then
+    # smallest cid on exact ties — replayed by ORDER BY csim DESC, cid
+    scored = F.transform(
+        lit,
+        lambda s: F.struct(
+            (-(dot(F.col(vec_col), s["cvec"]) / (vn * norm(s["cvec"])))).alias(
+                "d"
+            ),
+            s["cid"].alias("cid"),
+        ),
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(scored)["cid"].alias("cluster"),
+    )
+    a = assigned.select(
+        F.col("cluster").alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), decimals
+    )
+    drops = (
+        a.join(b, ["blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col(id_col), F.col("cluster"))
+        .join(drops.withColumn("__drop", F.lit(True)), [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("__drop").isNull().alias("kept"),
+        )
+    )

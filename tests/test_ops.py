@@ -585,3 +585,46 @@ def test_media_resize_seam_injection(spark, docs):
     ).collect()
     src = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
     assert all(bytes(r["resized"]) == src[r["doc_id"]][:4] for r in out)
+
+
+# ------------------------------------------------------------- SemDeDup
+def test_semantic_dedup_drops_planted_clone(spark, emb):
+    """An exact clone of vector 0 lands in vector 0's cluster (identical
+    cosine scores, identical tie-break) and must be dropped in favour of
+    the lower id; vector 0 itself survives."""
+    clone = emb.limit(1).withColumn("vec_id", F.lit(99999).cast("long"))
+    out = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in similarity.semantic_dedup(
+            emb.unionByName(clone), threshold=0.999, nlist=8
+        ).collect()
+    }
+    assert len(out) == emb.count() + 1
+    assert out[99999][0] == out[0][0]
+    assert out[0][1] is True and out[99999][1] is False
+
+
+def test_semantic_dedup_min_id_per_cluster_survives(spark, emb):
+    """The drop rule (lower-id neighbour exists) can never drop a cluster's
+    smallest id, at any threshold."""
+    rows = similarity.semantic_dedup(emb, threshold=0.2, nlist=8).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["kept"] is True
+
+
+def test_semantic_dedup_unreachable_threshold_keeps_all(spark, emb):
+    rows = similarity.semantic_dedup(emb, threshold=1.01, nlist=8).collect()
+    assert all(r["kept"] for r in rows)
+    assert len(rows) == emb.count()
+
+
+def test_semantic_dedup_pair_space_is_equi_join(spark, emb):
+    """The cluster-local pair join must be a hash/sort equi-join on the
+    cluster id — never a cartesian/broadcast-nested-loop pair blowup."""
+    plan = similarity.semantic_dedup(emb, threshold=0.3, nlist=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
