@@ -4612,6 +4612,52 @@ FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
 """
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (PSI) between two event snapshots: baseline =
+    even event_ids, current = odd event_ids with values scaled 1.25x (a
+    planted location/scale shift).  The oracle replays baseline-owned bin
+    edges, edge-bin clamping, the epsilon floor on empty bins, and the
+    decimal-snapped log-ratio term (`ops/analytics.py` psi_drift)."""
+    from spark_auto_schema.ops import analytics
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 2 == 0).select("value")
+    curr = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.25).alias("value")
+    )
+    return analytics.psi_drift(base, curr, "value", nbins=10)
+
+
+_PSI_DRIFT_SQL = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL
+), curr AS (
+  SELECT CAST(value AS DOUBLE) * 1.25 AS v FROM events
+  WHERE event_id % 2 = 1 AND value * 1.25 IS NOT NULL
+), st AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+bb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS base_n
+  FROM base, st GROUP BY 1
+), cb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS curr_n
+  FROM curr, st GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+counts AS (
+  SELECT s.bin, coalesce(base_n, 0) AS base_n, coalesce(curr_n, 0) AS curr_n
+  FROM spine s LEFT JOIN bb ON s.bin = bb.bin LEFT JOIN cb ON s.bin = cb.bin
+), t AS (SELECT sum(base_n) AS bt, sum(curr_n) AS ct FROM counts)
+SELECT bin, base_n, curr_n,
+  CAST(round(CAST(greatest(base_n / bt, 1e-6) AS DECIMAL(18,12)), 6) AS DOUBLE) AS base_p,
+  CAST(round(CAST(greatest(curr_n / ct, 1e-6) AS DECIMAL(18,12)), 6) AS DOUBLE) AS curr_p,
+  CAST(round(CAST((greatest(base_n / bt, 1e-6) - greatest(curr_n / ct, 1e-6))
+       * ln(greatest(base_n / bt, 1e-6) / greatest(curr_n / ct, 1e-6)) AS DECIMAL(18,12)), 6) AS DOUBLE) AS psi_term
+FROM counts, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4826,6 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- round-7 session additions (past the window; mirror-verified,
     # head the r7 rotation with the other post-r05 additions) ---
     q["semantic_dedup"] = _q_semantic_dedup
+    q["psi_drift_events"] = _q_psi_drift
     return q
 
 
@@ -4953,6 +5000,7 @@ def oracle_sql() -> dict[str, str]:
     o["zone_map_events"] = _ZONE_MAP_SQL
     o["fuzzy_match_customers"] = _FUZZY_MATCH_SQL
     o["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
+    o["psi_drift_events"] = _PSI_DRIFT_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

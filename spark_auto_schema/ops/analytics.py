@@ -374,3 +374,93 @@ def collapse_bursts(
         F.max(ts_col).alias("burst_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("__burst")
+
+
+def psi_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    col: str,
+    nbins: int = 10,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline snapshot and a current
+    snapshot of the same column: one row per bin ``(bin, base_n, curr_n,
+    base_p, curr_p, psi_term)``; total PSI = ``sum(psi_term)`` (rule of
+    thumb: < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted).
+
+    This is the distribution-level sibling of the schema diff: schema_diff
+    answers "did the columns change", psi_drift answers "did the DATA in a
+    column change" — the monitoring gate production pipelines run between
+    corpus snapshots before retraining.
+
+    Bin edges come from the BASELINE's observed [min, max] (standard PSI:
+    the reference distribution owns the binning) via the same double
+    arithmetic as :func:`value_histogram`, so an oracle evaluating the
+    identical expression bit-matches the assignment.  Current-snapshot
+    values outside the baseline range clamp into the edge bins
+    (greatest/least).  Proportions are floored at ``floor`` before the
+    log-ratio so empty bins contribute a finite term (the standard PSI
+    epsilon correction); ``psi_term`` is snapped through DECIMAL(18,12)
+    then rounded to 6 decimals so engines whose ``ln`` differs in the last
+    ulp agree on the reported value.
+
+    Scale: one 1-row min/max aggregate over the baseline (broadcast back
+    via cross join), one stream-side binning projection + ``nbins``-key
+    hash aggregate per side, and a bin-spine join of two nbins-row frames.
+    The event data is scanned once per side (plus the baseline stats pass);
+    nothing data-sized is collected, sorted, or windowed.
+    """
+    base = base.where(F.col(col).isNotNull())
+    curr = curr.where(F.col(col).isNotNull())
+    stats = base.agg(
+        F.min(col).cast("double").alias("__mn"),
+        F.max(col).cast("double").alias("__mx"),
+    )
+
+    def _binned_counts(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.greatest(
+            F.least(
+                F.floor(
+                    F.try_divide(
+                        (x - F.col("__mn")) * nbins, F.col("__mx") - F.col("__mn")
+                    )
+                ),
+                F.lit(nbins - 1),
+            ),
+            F.lit(0),
+        ).cast("int")
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = (
+        base.sparkSession.range(nbins)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    counts = (
+        spine.join(_binned_counts(base, "base_n"), ["bin"], "left")
+        .join(_binned_counts(curr, "curr_n"), ["bin"], "left")
+        .select(
+            "bin",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("base_n").alias("__bt"), F.sum("curr_n").alias("__ct")
+    )
+    pa = F.greatest(F.try_divide(F.col("base_n"), F.col("__bt")), F.lit(floor))
+    pb = F.greatest(F.try_divide(F.col("curr_n"), F.col("__ct")), F.lit(floor))
+    term = (pa - pb) * F.log(pa / pb)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "base_n",
+        "curr_n",
+        F.round(pa.cast("decimal(18,12)"), 6).cast("double").alias("base_p"),
+        F.round(pb.cast("decimal(18,12)"), 6).cast("double").alias("curr_p"),
+        F.round(term.cast("decimal(18,12)"), 6).cast("double").alias("psi_term"),
+    )

@@ -232,3 +232,42 @@ def test_funnel_stage_name_with_quote(spark):
     out = analytics.funnel_counts(df, "user_id", "ts", "etype", ["sign'up", "buy"])
     got = {r["stage"]: r["n_users"] for r in out.collect()}
     assert got == {"sign'up": 1, "buy": 1}
+
+
+# ----------------------------------------------------------------- PSI drift
+def test_psi_identical_snapshots_score_zero(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    rows = analytics.psi_drift(df, df, "v", nbins=10).collect()
+    assert len(rows) == 10
+    assert all(r["psi_term"] == 0.0 for r in rows)
+    assert sum(r["base_n"] for r in rows) == 100
+
+
+def test_psi_detects_planted_shift(spark):
+    base = spark.createDataFrame([(float(i % 50),) for i in range(500)], "v double")
+    curr = spark.createDataFrame(
+        [(float(i % 50) + 30.0,) for i in range(500)], "v double"
+    )
+    rows = analytics.psi_drift(base, curr, "v", nbins=10).collect()
+    assert sum(r["psi_term"] for r in rows) > 0.25  # "drifted" by rule of thumb
+
+
+def test_psi_out_of_range_current_clamps_to_edge_bins(spark):
+    """Bin edges belong to the baseline; current values outside [min, max]
+    must land in bin 0 / nbins-1, never vanish."""
+    base = spark.createDataFrame([(float(i),) for i in range(10, 20)], "v double")
+    curr = spark.createDataFrame([(-100.0,), (0.0,), (100.0,)], "v double")
+    rows = {r["bin"]: r for r in analytics.psi_drift(base, curr, "v", nbins=5).collect()}
+    assert sum(r["curr_n"] for r in rows.values()) == 3
+    assert rows[0]["curr_n"] == 2 and rows[4]["curr_n"] == 1
+
+
+def test_psi_empty_bin_gets_epsilon_floor(spark):
+    base = spark.createDataFrame([(0.0,), (10.0,)], "v double")
+    curr = spark.createDataFrame([(0.0,), (0.1,), (9.9,), (10.0,)], "v double")
+    rows = {r["bin"]: r for r in analytics.psi_drift(base, curr, "v", nbins=10).collect()}
+    assert len(rows) == 10  # full spine, empty bins included
+    # bin 5 is empty on both sides: floored proportions, zero term
+    assert rows[5]["base_n"] == 0 and rows[5]["curr_n"] == 0
+    assert rows[5]["base_p"] == pytest.approx(1e-6)
+    assert rows[5]["psi_term"] == 0.0
