@@ -4658,6 +4658,70 @@ FROM counts, t
 """
 
 
+_QUARANTINE_DIRS: dict[str, str] = {}
+
+
+def _quarantine_csv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders as `|`-CSV with every o_orderkey % 97 == 0 row's
+    total replaced by an unparseable token — the deterministic bad-line set
+    the quarantine read must route (built once per sf_dir)."""
+    if sf_dir not in _QUARANTINE_DIRS:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="quarantine_csv_")
+        (
+            read_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.when(F.col("o_orderkey") % 97 == 0, F.lit("corrupt!"))
+                .otherwise(F.col("o_totalprice").cast("string"))
+                .alias("o_totalprice"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(d)
+        )
+        _QUARANTINE_DIRS[sf_dir] = d
+    return _QUARANTINE_DIRS[sf_dir]
+
+
+def _q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record routing on ingest (`io.read_csv_quarantine`): a PERMISSIVE
+    typed CSV read splits clean rows from quarantined ones (raw line kept).
+    The oracle derives both partitions from the parquet truth — corrupt
+    rows are exactly the planted o_orderkey % 97 == 0 set, and the good-side
+    aggregate must survive the CSV round-trip bit-for-bit at 2 decimals."""
+    from spark_auto_schema.io import read_csv_quarantine
+
+    good, bad = read_csv_quarantine(
+        spark,
+        _quarantine_csv_path(spark, sf_dir),
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    return good.agg(
+        F.lit("good").alias("status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    ).unionAll(
+        bad.agg(
+            F.lit("quarantined").alias("status"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("double").alias("sum_total"),
+        )
+    )
+
+
+_CSV_QUARANTINE_SQL = """
+SELECT 'good' AS status, count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+FROM orders WHERE o_orderkey % 97 != 0
+UNION ALL
+SELECT 'quarantined', count(*), NULL FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4873,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head the r7 rotation with the other post-r05 additions) ---
     q["semantic_dedup"] = _q_semantic_dedup
     q["psi_drift_events"] = _q_psi_drift
+    q["csv_quarantine"] = _q_csv_quarantine
     return q
 
 
@@ -5001,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
     o["fuzzy_match_customers"] = _FUZZY_MATCH_SQL
     o["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
     o["psi_drift_events"] = _PSI_DRIFT_SQL
+    o["csv_quarantine"] = _CSV_QUARANTINE_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -65,6 +65,12 @@ def _release_op_caches() -> None:
         dedup.release_caches()
     except Exception:
         pass
+    try:
+        from spark_auto_schema import io as _io
+
+        _io.release_caches()
+    except Exception:
+        pass
 
 
 def main() -> None:

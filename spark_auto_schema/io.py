@@ -502,3 +502,63 @@ def zone_map(df: DataFrame, cols: list[str], file_col: str = "file") -> DataFram
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
         ]
     return df.groupBy(F.input_file_name().alias(file_col)).agg(*aggs)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    delimiter: str = "|",
+    quotechar: str = '"',
+    encoding: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV ingest with bad-record routing: returns ``(good,
+    bad)`` — rows that parsed cleanly against ``schema`` (a DDL string,
+    e.g. ``"o_orderkey bigint, o_totalprice double"``), and quarantined
+    rows carrying the raw line in ``corrupt_col`` plus whatever fields
+    still parsed.
+
+    This is the ingestion pattern the reference's strict typed-load flow
+    (infer -> CREATE TABLE -> COPY) needs in front of it at scale: one bad
+    line in a 100 TB drop must not fail the load (FAILFAST) or silently
+    vanish (DROPMALFORMED) — it must land in a reviewable quarantine with
+    the original bytes intact.  A row is quarantined when Spark's
+    PERMISSIVE parser records the raw line: wrong column count, or any
+    field that fails to convert to its declared type.
+
+    Both frames are filters over ONE cached parse of the scan — Spark
+    disallows queries that prune down to only the internal corrupt-record
+    column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parsed frame is
+    persisted before splitting; this also means draining both sinks costs
+    one file pass, not two.  Call :func:`release_caches` (bench and the
+    correctness mirror do) when done.
+    """
+    full = f"{schema}, {corrupt_col} string"
+    reader = (
+        spark.read.option("header", True)
+        .option("sep", delimiter)
+        .option("quote", quotechar)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+    )
+    if encoding:
+        reader = reader.option("encoding", encoding)
+    df = reader.csv(path).persist()
+    _CACHED.append(df)
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
+_CACHED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist frames cached by :func:`read_csv_quarantine` calls."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass

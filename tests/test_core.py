@@ -356,3 +356,43 @@ def test_full_lifecycle_reconverges_via_spark_alter(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS sas_lc_test.nation")
         spark.sql("DROP DATABASE IF EXISTS sas_lc_test")
+
+
+# ------------------------------------------------------- CSV quarantine
+def test_csv_quarantine_routes_bad_lines(spark, tmp_path):
+    """Wrong column count and failed type conversion both quarantine; the
+    raw line survives byte-for-byte and parseable fields stay parsed."""
+    from spark_auto_schema.io import read_csv_quarantine, release_caches
+
+    p = tmp_path / "q.csv"
+    p.write_text(
+        "id|name|score\n"
+        "1|alice|10.5\n"
+        "2|bob|notanumber\n"
+        "3|carol\n"
+        "4|dave|7.25\n"
+    )
+    good, bad = read_csv_quarantine(
+        spark, str(p), "id bigint, name string, score double"
+    )
+    g = {r["id"]: r["score"] for r in good.collect()}
+    assert g == {1: 10.5, 4: 7.25}
+    assert "_corrupt_record" not in good.columns
+    b = {r["id"]: r["_corrupt_record"] for r in bad.collect()}
+    # type failure: id still parsed, raw line kept verbatim
+    assert b[2] == "2|bob|notanumber"
+    # short line: raw kept (id may or may not parse depending on position)
+    assert "3|carol" in set(b.values())
+    release_caches()
+
+
+def test_csv_quarantine_clean_file_empty_bad_side(spark, tmp_path):
+    from spark_auto_schema import io as sio
+
+    p = tmp_path / "clean.csv"
+    p.write_text("id|v\n1|2.0\n2|3.0\n")
+    good, bad = sio.read_csv_quarantine(spark, str(p), "id bigint, v double")
+    assert good.count() == 2
+    assert bad.count() == 0
+    sio.release_caches()
+    assert sio._CACHED == []

@@ -127,6 +127,12 @@ def main() -> int:
             _dedup.release_caches()
         except Exception:
             pass
+        try:
+            from spark_auto_schema import io as _io
+
+            _io.release_caches()
+        except Exception:
+            pass
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
