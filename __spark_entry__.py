@@ -4722,6 +4722,55 @@ SELECT 'quarantined', count(*), NULL FROM orders WHERE o_orderkey % 97 = 0
 """
 
 
+def _q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (`ops/relational.py` scd2_lookup): a state
+    history derived from every 10th event (lead-window validity intervals
+    per user) is joined back onto the remaining events AS OF each fact's
+    timestamp; facts before a user's first state keep NULL.  The oracle
+    replays the interval build and the as-of join condition exactly."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+            F.col("event_id").alias("__eid"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("user_id").orderBy("valid_from", "__eid")
+            ),
+        )
+        .drop("__eid")
+    )
+    facts = ev.where(F.col("event_id") % 10 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    from spark_auto_schema.ops import relational
+
+    out = relational.scd2_lookup(facts, dim, "user_id", "ts", ["state"])
+    return out.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_checksum")
+    )
+
+
+_SCD2_LOOKUP_SQL = """
+WITH st AS (
+  SELECT user_id, ts AS vf, event_type AS state,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM events WHERE event_id % 10 = 0
+), f AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 != 0)
+SELECT s.state, count(*) AS n, sum(f.event_id) AS id_checksum
+FROM f LEFT JOIN st s
+  ON f.user_id = s.user_id AND f.ts >= s.vf AND (s.vt IS NULL OR f.ts < s.vt)
+GROUP BY s.state
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4938,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semantic_dedup"] = _q_semantic_dedup
     q["psi_drift_events"] = _q_psi_drift
     q["csv_quarantine"] = _q_csv_quarantine
+    q["scd2_lookup_events"] = _q_scd2_lookup
     return q
 
 
@@ -5067,6 +5117,7 @@ def oracle_sql() -> dict[str, str]:
     o["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
     o["psi_drift_events"] = _PSI_DRIFT_SQL
     o["csv_quarantine"] = _CSV_QUARANTINE_SQL
+    o["scd2_lookup_events"] = _SCD2_LOOKUP_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

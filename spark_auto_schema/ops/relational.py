@@ -340,3 +340,46 @@ def scd2_apply(
         F.col(valid_from_col),
         F.col(valid_to_col),
     ).unionByName(kept).unionByName(new)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time dimension lookup: attach to every fact row the SCD2
+    version whose ``[valid_from, valid_to)`` interval contains the fact's
+    timestamp (``valid_to IS NULL`` = open/current) — the query-side
+    companion of :func:`scd2_apply`, answering "what was this key's state
+    WHEN the event happened" instead of joining today's state onto
+    yesterday's facts.
+
+    Facts with no covering version (before the key's first version, or an
+    unknown key) keep NULL attributes — a left join, so no fact is ever
+    dropped by enrichment.  SCD2 intervals are disjoint per key by
+    construction, so at most one version matches and the join cannot
+    fan out.
+
+    Scale (100 TB): this is an EQUI-join on the key with the interval
+    predicate as a residual filter — hash-partitioned on the key like any
+    dimension join, never a range/nested-loop join, because the version
+    count per key is small (it is a history, not a time series).  A small
+    dimension broadcasts under AQE; a large one co-partitions with the
+    facts.  No sort, no window, one shuffle per side at most.
+    """
+    d = dim.select(
+        F.col(key_col).alias("__dk"),
+        *[F.col(c) for c in attr_cols],
+        F.col(valid_from_col).alias("__vf"),
+        F.col(valid_to_col).alias("__vt"),
+    )
+    cond = (
+        (facts[key_col] == d["__dk"])
+        & (facts[ts_col] >= d["__vf"])
+        & (d["__vt"].isNull() | (facts[ts_col] < d["__vt"]))
+    )
+    return facts.join(d, cond, "left").drop("__dk", "__vf", "__vt")

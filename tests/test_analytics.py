@@ -271,3 +271,50 @@ def test_psi_empty_bin_gets_epsilon_floor(spark):
     assert rows[5]["base_n"] == 0 and rows[5]["curr_n"] == 0
     assert rows[5]["base_p"] == pytest.approx(1e-6)
     assert rows[5]["psi_term"] == 0.0
+
+
+# ------------------------------------------------------------ SCD2 lookup
+@pytest.fixture(scope="module")
+def scd2_dim(spark):
+    # key 1: two versions [d1, d3), [d3, open); key 2: one open version
+    return spark.createDataFrame(
+        [
+            (1, "bronze", _ts(1), _ts(3)),
+            (1, "gold", _ts(3), None),
+            (2, "silver", _ts(2), None),
+        ],
+        "k int, tier string, valid_from timestamp, valid_to timestamp",
+    )
+
+
+def test_scd2_lookup_picks_version_valid_at_fact_time(spark, scd2_dim):
+    facts = spark.createDataFrame(
+        [(10, 1, _ts(2)), (11, 1, _ts(3)), (12, 1, _ts(9)), (13, 2, _ts(5))],
+        "fid int, k int, ts timestamp",
+    )
+    out = {
+        r["fid"]: r["tier"]
+        for r in relational.scd2_lookup(facts, scd2_dim, "k", "ts", ["tier"]).collect()
+    }
+    # boundary: valid_to is EXCLUSIVE, valid_from INCLUSIVE -> d3 is gold
+    assert out == {10: "bronze", 11: "gold", 12: "gold", 13: "silver"}
+
+
+def test_scd2_lookup_uncovered_facts_keep_null(spark, scd2_dim):
+    facts = spark.createDataFrame(
+        [(20, 1, _ts(1) - dt.timedelta(days=1)), (21, 99, _ts(5))],
+        "fid int, k int, ts timestamp",
+    )
+    rows = relational.scd2_lookup(facts, scd2_dim, "k", "ts", ["tier"]).collect()
+    assert len(rows) == 2  # left join: nothing dropped
+    assert all(r["tier"] is None for r in rows)
+
+
+def test_scd2_lookup_is_equi_join_not_nested_loop(spark, scd2_dim):
+    facts = spark.createDataFrame([(1, 1, _ts(2))], "fid int, k int, ts timestamp")
+    plan = (
+        relational.scd2_lookup(facts, scd2_dim, "k", "ts", ["tier"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
