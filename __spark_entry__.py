@@ -4771,6 +4771,105 @@ GROUP BY s.state
 """
 
 
+def _q_key_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven PK/DISTKEY discovery on orders (`ops/corpus.py`
+    suggest_keys): uniqueness + cardinality per column, strict PK flag,
+    and the distribution-quality rank whose top row is the recommended
+    DISTKEY.  The oracle recomputes every column's stats and the identical
+    rank ordering in SQL."""
+    from spark_auto_schema.ops import corpus
+
+    return corpus.suggest_keys(read_table(spark, sf_dir, "orders"))
+
+
+_KEY_SUGGESTIONS_SQL = """
+WITH prof AS (
+  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct FROM orders
+  UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice) FROM orders
+  UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+         count(DISTINCT o_orderdate) FROM orders
+  UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority) FROM orders
+)
+SELECT "column", n_rows, n_nulls, n_distinct,
+       round(n_distinct / (n_rows - n_nulls), 6) AS uniqueness,
+       (n_nulls = 0 AND n_distinct = n_rows) AS is_unique,
+       CAST(row_number() OVER (
+         ORDER BY CAST(n_nulls > 0 AS INT), n_distinct DESC, "column"
+       ) AS INT) AS distkey_rank
+FROM prof
+"""
+
+
+def _q_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK containment sweep (`ops/corpus.py` fk_candidates) over three
+    relationships: two true foreign keys (orders->customer,
+    lineitem->orders) and one non-FK control (events.user_id->customer).
+    Each reduces to distinct-set sizes + one anti-join count; the oracle
+    recomputes all five statistics per pair."""
+    from spark_auto_schema.ops import corpus
+
+    def one(rel, child, ccol, parent, pcol):
+        return corpus.fk_candidates(
+            read_table(spark, sf_dir, child),
+            ccol,
+            read_table(spark, sf_dir, parent),
+            pcol,
+        ).select(F.lit(rel).alias("rel"), "*")
+
+    return (
+        one("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")
+        .unionAll(
+            one(
+                "lineitem.l_orderkey->orders",
+                "lineitem",
+                "l_orderkey",
+                "orders",
+                "o_orderkey",
+            )
+        )
+        .unionAll(
+            one("events.user_id->customer", "events", "user_id", "customer", "c_custkey")
+        )
+    )
+
+
+_FK_PROFILE_SQL = """
+SELECT 'orders.o_custkey->customer' AS rel,
+       count(*) AS n_child_rows,
+       count(*) - count(o_custkey) AS n_child_nulls,
+       count(DISTINCT o_custkey) AS n_child_distinct,
+       (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.v)) AS n_orphan_values,
+       round(1.0 - (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.v)) / count(DISTINCT o_custkey), 6) AS containment
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       count(*), count(*) - count(l_orderkey), count(DISTINCT l_orderkey),
+       (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_orderkey IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.v)),
+       round(1.0 - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_orderkey IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.v)) / count(DISTINCT l_orderkey), 6)
+FROM lineitem
+UNION ALL
+SELECT 'events.user_id->customer',
+       count(*), count(*) - count(user_id), count(DISTINCT user_id),
+       (SELECT count(*) FROM (SELECT DISTINCT user_id AS v FROM events WHERE user_id IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.v)),
+       round(1.0 - (SELECT count(*) FROM (SELECT DISTINCT user_id AS v FROM events WHERE user_id IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.v)) / count(DISTINCT user_id), 6)
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4988,6 +5087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["psi_drift_events"] = _q_psi_drift
     q["csv_quarantine"] = _q_csv_quarantine
     q["scd2_lookup_events"] = _q_scd2_lookup
+    q["key_suggestions"] = _q_key_suggestions
+    q["fk_profile"] = _q_fk_profile
     return q
 
 
@@ -5118,6 +5219,8 @@ def oracle_sql() -> dict[str, str]:
     o["psi_drift_events"] = _PSI_DRIFT_SQL
     o["csv_quarantine"] = _CSV_QUARANTINE_SQL
     o["scd2_lookup_events"] = _SCD2_LOOKUP_SQL
+    o["key_suggestions"] = _KEY_SUGGESTIONS_SQL
+    o["fk_profile"] = _FK_PROFILE_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

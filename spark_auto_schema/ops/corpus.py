@@ -362,3 +362,89 @@ def domain_cap(
         .drop("__rk")
     )
     return under_rows.unionByName(over_rows)
+
+
+def suggest_keys(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-driven key discovery over one table: per column ``(column,
+    n_rows, n_nulls, n_distinct, uniqueness, is_unique,
+    distkey_rank)`` — the evidence behind PRIMARY KEY / DISTKEY choices
+    the reference leaves to the user (its DDL emitter takes them as
+    arguments; RAS.py:120-137 renders whatever it is told).
+
+    ``is_unique`` marks strict PK candidates (no nulls, every value
+    distinct).  ``distkey_rank`` orders columns by distribution quality
+    for a hash-distributed warehouse: null-free columns first, then
+    highest cardinality (high-cardinality keys spread rows evenly;
+    a low-cardinality DISTKEY concentrates data on few slices) —
+    rank 1 is the recommended DISTKEY.  ``uniqueness`` =
+    n_distinct / (n_rows - n_nulls), rounded to 6 decimals.
+
+    Cost: exactly :func:`profile_table`'s single-pass aggregate (it IS the
+    input), plus a window over the |columns|-row profile — driver-sized,
+    never data-sized."""
+    from pyspark.sql.window import Window
+
+    prof = profile_table(df, columns)
+    uniq = F.round(
+        F.try_divide(F.col("n_distinct"), F.col("n_rows") - F.col("n_nulls")), 6
+    )
+    w = Window.orderBy(
+        (F.col("n_nulls") > 0).cast("int"),
+        F.col("n_distinct").desc(),
+        F.col("column"),
+    )
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        uniq.alias("uniqueness"),
+        (
+            (F.col("n_nulls") == 0)
+            & (F.col("n_distinct") == F.col("n_rows"))
+        ).alias("is_unique"),
+        F.row_number().over(w).alias("distkey_rank"),
+    )
+
+
+def fk_candidates(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+) -> DataFrame:
+    """Foreign-key containment check: does every (non-null) value of
+    ``child.child_col`` exist in ``parent.parent_col``?  One row:
+    ``(n_child_rows, n_child_nulls, n_child_distinct, n_orphan_values,
+    containment)`` where orphans are distinct child values absent from the
+    parent and containment = 1 - orphans/distinct (rounded to 6; 1.0 means
+    the FK holds).  NULL children are excluded, matching SQL FK semantics.
+
+    Scale: both sides reduce to their distinct value sets FIRST (map-side
+    combined hash aggregates on the key — |keys| rows, not |rows|), then
+    one LEFT ANTI join between the two distinct sets.  The parent's
+    distinct keys are usually dimension-sized, so AQE broadcasts the anti
+    join; the child table itself is scanned once and never shuffled whole.
+    """
+    c = child.select(F.col(child_col).alias("__v"))
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n_child_rows"),
+        F.sum(F.col("__v").isNull().cast("long")).alias("n_child_nulls"),
+        F.count_distinct(F.col("__v")).alias("n_child_distinct"),
+    )
+    cd = c.where(F.col("__v").isNotNull()).distinct()
+    pd_ = parent.select(F.col(parent_col).alias("__v")).distinct()
+    orphans = cd.join(pd_, ["__v"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphan_values")
+    )
+    return stats.crossJoin(F.broadcast(orphans)).select(
+        "n_child_rows",
+        "n_child_nulls",
+        "n_child_distinct",
+        "n_orphan_values",
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(F.col("n_orphan_values"), F.col("n_child_distinct")),
+            6,
+        ).alias("containment"),
+    )

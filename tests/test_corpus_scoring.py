@@ -280,3 +280,43 @@ def test_select_token_budget_no_global_corpus_window(spark):
     # rows), never over the raw docs: every Window node that lacks a
     # partition spec must sit above a HashAggregate in its subtree
     assert "Window" in plan
+
+
+# -------------------------------------------------------- key/FK discovery
+def test_suggest_keys_flags_strict_pk_and_ranks_distkey(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "a", None)],
+        "id int, grp string, v int",
+    )
+    from spark_auto_schema.ops import corpus
+
+    out = {r["column"]: r for r in corpus.suggest_keys(df).collect()}
+    assert out["id"]["is_unique"] is True and out["id"]["uniqueness"] == 1.0
+    assert out["grp"]["is_unique"] is False
+    # nullable v ranks LAST despite any cardinality; unique id ranks first
+    assert out["id"]["distkey_rank"] == 1
+    assert out["v"]["distkey_rank"] == 3
+
+
+def test_fk_candidates_counts_orphans_and_ignores_null_children(spark):
+    from spark_auto_schema.ops import corpus
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = corpus.fk_candidates(child, "fk", parent, "pk").collect()[0]
+    assert r["n_child_rows"] == 5
+    assert r["n_child_nulls"] == 1
+    assert r["n_child_distinct"] == 3  # nulls excluded from distinct
+    assert r["n_orphan_values"] == 1  # 99
+    assert r["containment"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+
+
+def test_fk_candidates_perfect_containment_is_exactly_one(spark):
+    from spark_auto_schema.ops import corpus
+
+    child = spark.createDataFrame([(1,), (2,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = corpus.fk_candidates(child, "fk", parent, "pk").collect()[0]
+    assert r["containment"] == 1.0 and r["n_orphan_values"] == 0
