@@ -404,18 +404,25 @@ def psi_drift(
     then rounded to 6 decimals so engines whose ``ln`` differs in the last
     ulp agree on the reported value.
 
-    Scale: one 1-row min/max aggregate over the baseline (broadcast back
-    via cross join), one stream-side binning projection + ``nbins``-key
-    hash aggregate per side, and a bin-spine join of two nbins-row frames.
-    The event data is scanned once per side (plus the baseline stats pass);
-    nothing data-sized is collected, sorted, or windowed.
+    Scale: one 1-row min/max/count aggregate over the baseline (broadcast
+    back via cross join), a 1-row count over the current side, one
+    stream-side binning projection + ``nbins``-key hash aggregate per
+    side, and a bin-spine join of two nbins-row frames.  Side totals ride
+    the 1-row stats aggregates rather than re-summing the bin counts —
+    every non-null row lands in exactly one bin (the clamp guarantees it),
+    so the values are identical and the counts subtree is planned ONCE
+    instead of being duplicated under a second aggregate.  The event data
+    is scanned once per side (plus the baseline stats pass); nothing
+    data-sized is collected, sorted, or windowed.
     """
     base = base.where(F.col(col).isNotNull())
     curr = curr.where(F.col(col).isNotNull())
     stats = base.agg(
         F.min(col).cast("double").alias("__mn"),
         F.max(col).cast("double").alias("__mx"),
+        F.count(F.lit(1)).alias("__bt"),
     )
+    curr_total = curr.agg(F.count(F.lit(1)).alias("__ct"))
 
     def _binned_counts(df: DataFrame, out: str) -> DataFrame:
         x = F.col(col).cast("double")
@@ -431,7 +438,7 @@ def psi_drift(
             F.lit(0),
         ).cast("int")
         return (
-            df.crossJoin(F.broadcast(stats))
+            df.crossJoin(F.broadcast(stats.select("__mn", "__mx")))
             .select(b.alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias(out))
@@ -441,18 +448,19 @@ def psi_drift(
         base.sparkSession.range(nbins)
         .select(F.col("id").cast("int").alias("bin"))
     )
+    # the per-side count frames are <= nbins rows BY CONSTRUCTION (their
+    # aggregate key is the bin), so broadcasting them is safe at any data
+    # scale — the spine join never shuffles
     counts = (
-        spine.join(_binned_counts(base, "base_n"), ["bin"], "left")
-        .join(_binned_counts(curr, "curr_n"), ["bin"], "left")
+        spine.join(F.broadcast(_binned_counts(base, "base_n")), ["bin"], "left")
+        .join(F.broadcast(_binned_counts(curr, "curr_n")), ["bin"], "left")
         .select(
             "bin",
             F.coalesce("base_n", F.lit(0)).alias("base_n"),
             F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
         )
     )
-    totals = counts.agg(
-        F.sum("base_n").alias("__bt"), F.sum("curr_n").alias("__ct")
-    )
+    totals = stats.select("__bt").crossJoin(curr_total)
     pa = F.greatest(F.try_divide(F.col("base_n"), F.col("__bt")), F.lit(floor))
     pb = F.greatest(F.try_divide(F.col("curr_n"), F.col("__ct")), F.lit(floor))
     term = (pa - pb) * F.log(pa / pb)

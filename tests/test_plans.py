@@ -557,6 +557,24 @@ _EXCHANGE_PINS = {
     "scd2_order_status": 0,      # history is a filter, the update batch
                                  # broadcasts: the dimension is NEVER
                                  # shuffled
+    "semantic_dedup": 2,         # assignment is row-local (literal
+                                 # centroids); cluster pair join + drop-set
+                                 # distinct share the only shuffles
+    "psi_drift_events": 6,       # 1-row stats aggs (x2 sides) + nbins-key
+                                 # bin aggs (x2); count frames broadcast
+                                 # into the spine join, totals ride the
+                                 # stats agg — pre-AQE the stats subtree
+                                 # appears per reference, ReusedExchange
+                                 # dedups at run time
+    "csv_quarantine": 2,         # one cached parse, two 1-row aggs
+    "scd2_lookup_events": 2,     # dim-build window + as-of equi-join
+                                 # reuse one key shuffle; final agg
+    "key_suggestions": 2,        # single-pass profile agg + the
+                                 # |columns|-row rank window
+    "fk_profile": 15,            # 3 relationships x (stats agg + child
+                                 # distinct + parent distinct + anti-join
+                                 # pair) pre-AQE; parent distinct sets
+                                 # broadcast at run time under AQE
 }
 
 
