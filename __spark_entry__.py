@@ -4870,6 +4870,63 @@ FROM events
 """
 
 
+def _q_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-drift monitor (`streaming.DataDriftMonitor`): the
+    events stream is PSI-scored per microbatch against a frozen baseline
+    (even event_ids' values).  The single-file drop-dir drains in one
+    batch, so the result is that batch's full psi_drift bin table —
+    the oracle replays baseline-vs-all-events PSI in SQL."""
+    from spark_auto_schema.streaming import DataDriftMonitor, read_event_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    baseline = ev.where(F.col("event_id") % 2 == 0).select("value")
+    fired: list[tuple[int, float]] = []
+    monitor = DataDriftMonitor(
+        baseline, "value", nbins=10, threshold=0.25,
+        on_drift=lambda bid, psi: fired.append((bid, psi)),
+    )
+    q = monitor.attach(
+        read_event_stream(spark, _events_stream_dir(sf_dir)).select("value")
+    )
+    q.awaitTermination()
+    rows = [r for _, _, batch_rows in monitor.history for r in batch_rows]
+    out = spark.createDataFrame(
+        rows,
+        "bin int, base_n bigint, curr_n bigint, base_p double, "
+        "curr_p double, psi_term double",
+    )
+    return out
+
+
+_STREAMING_PSI_SQL = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL
+), curr AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), st AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+bb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS base_n
+  FROM base, st GROUP BY 1
+), cb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS curr_n
+  FROM curr, st GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+counts AS (
+  SELECT s.bin, coalesce(base_n, 0) AS base_n, coalesce(curr_n, 0) AS curr_n
+  FROM spine s LEFT JOIN bb ON s.bin = bb.bin LEFT JOIN cb ON s.bin = cb.bin
+), t AS (SELECT sum(base_n) AS bt, sum(curr_n) AS ct FROM counts)
+SELECT bin, base_n, curr_n,
+  CAST(round(CAST(greatest(base_n / bt, 1e-6) AS DECIMAL(18,12)), 6) AS DOUBLE) AS base_p,
+  CAST(round(CAST(greatest(curr_n / ct, 1e-6) AS DECIMAL(18,12)), 6) AS DOUBLE) AS curr_p,
+  CAST(round(CAST((greatest(base_n / bt, 1e-6) - greatest(curr_n / ct, 1e-6))
+       * ln(greatest(base_n / bt, 1e-6) / greatest(curr_n / ct, 1e-6)) AS DECIMAL(18,12)), 6) AS DOUBLE) AS psi_term
+FROM counts, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5089,6 +5146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scd2_lookup_events"] = _q_scd2_lookup
     q["key_suggestions"] = _q_key_suggestions
     q["fk_profile"] = _q_fk_profile
+    q["streaming_psi_monitor"] = _q_streaming_psi_monitor
     return q
 
 
@@ -5221,6 +5279,7 @@ def oracle_sql() -> dict[str, str]:
     o["scd2_lookup_events"] = _SCD2_LOOKUP_SQL
     o["key_suggestions"] = _KEY_SUGGESTIONS_SQL
     o["fk_profile"] = _FK_PROFILE_SQL
+    o["streaming_psi_monitor"] = _STREAMING_PSI_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

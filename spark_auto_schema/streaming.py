@@ -462,3 +462,59 @@ def session_window_stats(
             "sum_value",
         )
     )
+
+
+class DataDriftMonitor:
+    """Per-microbatch distribution drift (PSI) of a numeric column against
+    a frozen baseline — the data-level companion of
+    :class:`SchemaDriftMonitor`: that one answers "did the schema drift",
+    this one "did the VALUES drift", together covering the two failure
+    modes a landed stream can develop.
+
+    Each microbatch runs :func:`ops.analytics.psi_drift` (baseline vs the
+    batch) — all arithmetic stays Spark-side, identical to the batch
+    operator — collects the nbins-row result (a model-parameter-sized
+    collect, not data), and calls ``on_drift(batch_id, psi)`` when the
+    total PSI crosses ``threshold`` (0.25 = "drifted" by the standard rule
+    of thumb).  Per-batch bin rows accumulate in ``history``.
+
+    Scale: the per-batch cost is the baseline's 1-row stats aggregate plus
+    one binning pass over each side.  For a long-lived monitor, pass a
+    PERSISTED (cached or pre-materialized) baseline frame so only the
+    batch side is rescanned per trigger; the monitor itself keeps O(nbins)
+    state per batch.
+    """
+
+    def __init__(
+        self,
+        baseline: DataFrame,
+        col: str,
+        nbins: int = 10,
+        threshold: float = 0.25,
+        on_drift: Callable[[int, float], None] | None = None,
+    ) -> None:
+        self.baseline = baseline
+        self.col = col
+        self.nbins = nbins
+        self.threshold = threshold
+        self.on_drift = on_drift
+        self.history: list[tuple[int, float, list]] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from spark_auto_schema.ops.analytics import psi_drift
+
+        if batch_df.isEmpty():
+            return
+        rows = psi_drift(self.baseline, batch_df, self.col, self.nbins).collect()
+        psi = float(sum(r["psi_term"] for r in rows))
+        self.history.append((batch_id, psi, rows))
+        if self.on_drift is not None and psi >= self.threshold:
+            self.on_drift(batch_id, psi)
+
+    def attach(self, stream_df: DataFrame):
+        """Start the monitor on a streaming DataFrame (availableNow)."""
+        return (
+            stream_df.writeStream.foreachBatch(self)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -305,3 +305,32 @@ def test_session_window_gap_boundary_semantics(spark, tmp_path):
         for r in got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_user == {1: 1, 2: 2}
+
+
+def test_data_drift_monitor_fires_only_on_drifted_batches(spark, tmp_path):
+    """A batch drawn from the baseline distribution must NOT fire; a
+    shifted batch must — with the PSI visible in history for both."""
+    from spark_auto_schema.streaming import DataDriftMonitor
+
+    baseline = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "value double"
+    )
+    stable = spark.createDataFrame(
+        [(float((i * 7) % 50),) for i in range(300)], "value double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(i % 50) + 40.0,) for i in range(300)], "value double"
+    )
+    fired: list[tuple[int, float]] = []
+    mon = DataDriftMonitor(
+        baseline, "value", nbins=10, threshold=0.25,
+        on_drift=lambda bid, psi: fired.append((bid, psi)),
+    )
+    mon(stable, 0)
+    mon(shifted, 1)
+    assert [bid for bid, _ in fired] == [1]
+    psis = {bid: psi for bid, psi, _ in mon.history}
+    assert psis[0] < 0.25 <= psis[1]
+    # empty batches are skipped entirely
+    mon(spark.createDataFrame([], "value double"), 2)
+    assert len(mon.history) == 2
