@@ -5024,8 +5024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tombstone_delete, compact_roundtrip, binary_hamming_topk,
     # pipeline_end_to_end, winsorize_events, streaming_sessions, and the
     # session-2 additions domain_cap_docs / burst_collapse_events /
-    # scd2_order_status / zone_map_events / fuzzy_match_customers).  r7
-    # window plan: these twenty-three round-6 additions + the 7 displaced r04-anchored queries
+    # scd2_order_status / zone_map_events / fuzzy_match_customers, and the
+    # final-session additions semantic_dedup / psi_drift_events /
+    # csv_quarantine / scd2_lookup_events / key_suggestions / fk_profile /
+    # streaming_psi_monitor).  r7 window plan: these thirty round-6
+    # additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)
@@ -5138,8 +5141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scd2_order_status"] = _q_scd2_order_status
     q["zone_map_events"] = _q_zone_map_events
     q["fuzzy_match_customers"] = _q_fuzzy_match_customers
-    # --- round-7 session additions (past the window; mirror-verified,
-    # head the r7 rotation with the other post-r05 additions) ---
+    # --- final round-6 additions (past the full window; each is
+    # mirror-verified this round and they join the head of the r7
+    # rotation with the other post-r05 additions listed above) ---
     q["semantic_dedup"] = _q_semantic_dedup
     q["psi_drift_events"] = _q_psi_drift
     q["csv_quarantine"] = _q_csv_quarantine
