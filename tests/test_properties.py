@@ -14,6 +14,7 @@ Invariants (SURVEY.md section 5.6):
 
 from __future__ import annotations
 
+import math
 import random
 
 import pytest
@@ -309,3 +310,45 @@ def test_merge_upsert_is_idempotent_and_dict_like(spark, base, upd):
     assert got == {**base, **upd}
     twice = relational.merge_upsert(once, u, "k")
     assert {r["k"]: r["v"] for r in twice.collect()} == got
+
+
+# ---------------------------------------------------------- psi_drift property
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    ),
+    curr=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=0,
+        max_size=40,
+    ),
+    nbins=st.integers(2, 12),
+)
+def test_psi_drift_conservation_laws(spark, base, curr, nbins):
+    """For ANY inputs: full bin spine, every row counted exactly once on
+    each side (edge clamping loses nothing), all terms finite, and PSI of
+    a snapshot against itself is identically zero."""
+    from spark_auto_schema.ops import analytics
+
+    bdf = spark.createDataFrame([(v,) for v in base], "v double")
+    cdf = (
+        spark.createDataFrame([(v,) for v in curr], "v double")
+        if curr
+        else spark.createDataFrame([], "v double")
+    )
+    rows = analytics.psi_drift(bdf, cdf, "v", nbins=nbins).collect()
+    assert sorted(r["bin"] for r in rows) == list(range(nbins))
+    assert sum(r["base_n"] for r in rows) == len(base)
+    assert sum(r["curr_n"] for r in rows) == len(curr)
+    assert all(
+        r["psi_term"] is not None and math.isfinite(r["psi_term"]) for r in rows
+    )
+    self_rows = analytics.psi_drift(bdf, bdf, "v", nbins=nbins).collect()
+    assert all(r["psi_term"] == 0.0 for r in self_rows)

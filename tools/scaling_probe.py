@@ -87,9 +87,18 @@ PROBES: dict[str, list[str]] = {
         # domains pay the window) is exactly what this probe must verify
         "domain_cap_docs",
     ],
+    # final round-6 batch: PSI drift and the SCD2 as-of lookup both scale
+    # with events (the lookup's dim also grows — every 10th event — so the
+    # join is stressed on BOTH sides).
+    "monitoring": ["psi_drift_events", "scd2_lookup_events"],
     # scd2_order_status is deliberately absent: its dimension derives from
     # orders, a COPIED (unscaled) table here, so its ratio would measure
-    # nothing.
+    # nothing.  Same for key_suggestions / fk_profile / csv_quarantine
+    # (orders-derived).  semantic_dedup is absent because the driver query
+    # pins nlist=16 for oracle replay: at fixed nlist the cluster-local
+    # pair join is quadratic BY DESIGN (the SemDeDup paper's own knob is
+    # nlist ∝ corpus — ~n/nlist members per cluster), so the probe would
+    # measure the pinned model parameter, not the dataflow.
 }
 
 SCALED_TABLES = ("documents", "embeddings", "lineitem", "events")
