@@ -628,3 +628,27 @@ def test_semantic_dedup_pair_space_is_equi_join(spark, emb):
     plan = similarity.semantic_dedup(emb, threshold=0.3, nlist=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_single_cluster_equals_brute_force(spark, emb):
+    """nlist=1 degenerates to the global all-pairs rule: a vector is
+    dropped iff ANY lower-id vector has cosine >= threshold — the blocked
+    path must lose nothing when the blocking is trivial."""
+    import numpy as np
+
+    sub = emb.where(F.col("vec_id") < 60)
+    rows = similarity.semantic_dedup(sub, threshold=0.3, nlist=1).collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in sub.collect()
+    }
+    ids = sorted(vecs)
+    expect_dropped = set()
+    for i, b in enumerate(ids):
+        for a in ids[:i]:
+            cos = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if round(cos, 4) >= 0.3:
+                expect_dropped.add(b)
+                break
+    got_dropped = {r["vec_id"] for r in rows if not r["kept"]}
+    assert got_dropped == expect_dropped
