@@ -643,6 +643,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     decimals: int = 4,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     corpus by embedding, then within each cluster drop every vector that has
@@ -675,14 +676,22 @@ def semantic_dedup(
     assignment plan are unchanged; only the pair join scales, and it is
     hash-partitioned on (cluster) with cluster-local quadratic cost — the
     knob the paper itself uses (their k=50k clusters on LAION-440M).
+
+    Pass ``cents`` (the (cid, vector) list :func:`kmeans_lloyd` returns)
+    to cluster with TRAINED centroids instead of the hash sample — the
+    production composition: train once, reuse the quantizer across
+    snapshots so cluster ids stay comparable between runs.
     """
-    init = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(nlist)
-        .collect()
-    )
-    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
+    if cents is None:
+        init = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        cents = [
+            (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+        ]
     lit = _centroid_literal(cents)
     vn = norm(F.col(vec_col))
     # row-local argmax cosine: min over struct(-cos, cid) == max cos, then

@@ -652,3 +652,18 @@ def test_semantic_dedup_single_cluster_equals_brute_force(spark, emb):
                 break
     got_dropped = {r["vec_id"] for r in rows if not r["kept"]}
     assert got_dropped == expect_dropped
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark, emb):
+    """The kmeans_lloyd -> semantic_dedup composition: trained centroids
+    replace the hash sample, clusters follow the trained quantizer, and
+    the planted clone is still caught."""
+    cents, _, _ = similarity.kmeans_lloyd(emb, k=4, iters=2)
+    clone = emb.limit(1).withColumn("vec_id", F.lit(99999).cast("long"))
+    rows = similarity.semantic_dedup(
+        emb.unionByName(clone), threshold=0.999, cents=cents
+    ).collect()
+    out = {r["vec_id"]: (r["cluster"], r["kept"]) for r in rows}
+    assert set(r["cluster"] for r in rows) <= {c for c, _ in cents}
+    assert out[99999][0] == out[0][0]
+    assert out[0][1] is True and out[99999][1] is False
