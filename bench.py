@@ -71,6 +71,12 @@ def _release_op_caches() -> None:
         _io.release_caches()
     except Exception:
         pass
+    try:
+        from spark_auto_schema.ops import similarity as _sim
+
+        _sim.release_caches()
+    except Exception:
+        pass
 
 
 def main() -> None:

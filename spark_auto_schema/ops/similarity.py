@@ -28,6 +28,25 @@ except Exception:  # pragma: no cover
     _np = None
 
 
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist DataFrames cached by :func:`semantic_dedup` calls (bench
+    and the correctness mirror call this between queries)."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns, JVM-side."""
     return F.aggregate(
@@ -705,10 +724,14 @@ def semantic_dedup(
             s["cid"].alias("cid"),
         ),
     )
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.array_min(scored)["cid"].alias("cluster"),
+    # persisted: referenced three times below (both pair-join sides + the
+    # survivor join) — one assignment scan instead of three corpus scans
+    assigned = _persist(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_min(scored)["cid"].alias("cluster"),
+        )
     )
     a = assigned.select(
         F.col("cluster").alias("blk"),

@@ -133,6 +133,12 @@ def main() -> int:
             _io.release_caches()
         except Exception:
             pass
+        try:
+            from spark_auto_schema.ops import similarity as _sim
+
+            _sim.release_caches()
+        except Exception:
+            pass
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
