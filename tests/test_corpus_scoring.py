@@ -320,3 +320,18 @@ def test_fk_candidates_perfect_containment_is_exactly_one(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
     r = corpus.fk_candidates(child, "fk", parent, "pk").collect()[0]
     assert r["containment"] == 1.0 and r["n_orphan_values"] == 0
+
+
+def test_suggest_keys_approx_mode_ranks_but_abstains_on_uniqueness(spark):
+    """The HLL++ scale path: cardinality ranking holds for well-separated
+    cardinalities, but is_unique is NULL — a sketch estimate cannot
+    assert strict PK candidacy."""
+    from spark_auto_schema.ops import corpus
+
+    df = spark.createDataFrame(
+        [(i, i % 3, "x") for i in range(1000)], "id long, grp int, const string"
+    )
+    out = {r["column"]: r for r in corpus.suggest_keys(df, exact=False).collect()}
+    assert all(r["is_unique"] is None for r in out.values())
+    assert out["id"]["distkey_rank"] == 1  # 1000 >> 3 >> 1 survives 5% rsd
+    assert out["const"]["distkey_rank"] == 3
