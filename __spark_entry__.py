@@ -4927,6 +4927,38 @@ FROM counts, t
 """
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier summary per event type — the
+    breakdown-resistant complement of `q:zscore_outliers`
+    (`ops/analytics.py` mad_outliers).  The oracle replays both medians
+    (quantile_cont = Spark's exact interpolating percentile), the 0.6745
+    modified-z rule, and the MAD-0 -> NULL-z convention via nullif."""
+    from spark_auto_schema.ops import analytics
+
+    return analytics.mad_outliers(
+        read_table(spark, sf_dir, "events"), "event_type", "value", threshold=2.0
+    )
+
+
+_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type AS k, round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type AS k,
+         round(quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5), 4) AS mad
+  FROM events e JOIN med m ON e.event_type = m.k GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       coalesce(sum(CASE WHEN round(0.6745 * abs(CAST(e.value AS DOUBLE) - m.med)
+                                    / nullif(d.mad, 0), 4) > 2.0
+                         THEN 1 ELSE 0 END), 0) AS n_outliers,
+       min(m.med) AS median_value, min(d.mad) AS mad_value
+FROM events e JOIN med m ON e.event_type = m.k JOIN mad d ON e.event_type = d.k
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5027,7 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scd2_order_status / zone_map_events / fuzzy_match_customers, and the
     # final-session additions semantic_dedup / psi_drift_events /
     # csv_quarantine / scd2_lookup_events / key_suggestions / fk_profile /
-    # streaming_psi_monitor).  r7 window plan: these thirty round-6
+    # streaming_psi_monitor / mad_outliers_events).  r7 window plan: these thirty-one round-6
     # additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
@@ -5151,6 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["key_suggestions"] = _q_key_suggestions
     q["fk_profile"] = _q_fk_profile
     q["streaming_psi_monitor"] = _q_streaming_psi_monitor
+    q["mad_outliers_events"] = _q_mad_outliers
     return q
 
 
@@ -5284,6 +5317,7 @@ def oracle_sql() -> dict[str, str]:
     o["key_suggestions"] = _KEY_SUGGESTIONS_SQL
     o["fk_profile"] = _FK_PROFILE_SQL
     o["streaming_psi_monitor"] = _STREAMING_PSI_SQL
+    o["mad_outliers_events"] = _MAD_OUTLIERS_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -472,3 +472,66 @@ def psi_drift(
         F.round(pb.cast("decimal(18,12)"), 6).cast("double").alias("curr_p"),
         F.round(term.cast("decimal(18,12)"), 6).cast("double").alias("psi_term"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-key ROBUST outlier summary via the median/MAD modified z-score:
+    ``(key, n, n_outliers, median_value, mad_value)`` where a row is an
+    outlier when ``0.6745 * |x - median| / MAD > threshold`` (Iglewicz &
+    Hoaglin's rule; 3.5 is their recommended cut).
+
+    The robust complement of :func:`zscore_outliers`: mean/stddev are
+    themselves dragged by the outliers they're meant to find (masking),
+    while median and MAD (median absolute deviation) have a 50 %
+    breakdown point — the right default for heavy-tailed event values.
+
+    Dataflow: TWO per-key aggregates by necessity (MAD needs the median
+    first) — a |keys|-row median table broadcast back onto the facts, a
+    second |keys|-row MAD aggregate broadcast likewise, then a row-local
+    flag + one final per-key count aggregate.  Facts are shuffled at most
+    once (the final aggregate); both stat tables ride broadcasts.  Exact
+    ``percentile`` for the oracle path, ``percentile_approx`` at scale
+    (``approx=True``).  An all-constant key has MAD 0 — every z is NULL
+    (``try_divide``) and the key reports 0 outliers, matching the
+    zscore convention.  Medians/MAD are rounded to 4 decimals so the
+    boundary is engine-stable."""
+    v = F.col(value_col).cast("double")
+
+    def _median(col):
+        return (
+            F.percentile_approx(col, 0.5)
+            if approx
+            else F.percentile(col, F.lit(0.5))
+        )
+
+    med = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.round(_median(v), 4).alias("__med")
+    )
+    joined = df.join(F.broadcast(med), F.col(key_col) == F.col("__k")).drop(
+        "__k"
+    )
+    mad = joined.groupBy(F.col(key_col).alias("__k")).agg(
+        F.round(_median(F.abs(v - F.col("__med"))), 4).alias("__mad")
+    )
+    z = F.round(
+        F.try_divide(F.lit(0.6745) * F.abs(v - F.col("__med")), F.col("__mad")),
+        4,
+    )
+    return (
+        joined.join(F.broadcast(mad), F.col(key_col) == F.col("__k"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce((z > threshold).cast("long"), F.lit(0))).alias(
+                "n_outliers"
+            ),
+            F.min("__med").alias("median_value"),
+            F.min("__mad").alias("mad_value"),
+        )
+    )

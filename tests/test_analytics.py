@@ -318,3 +318,33 @@ def test_scd2_lookup_is_equi_join_not_nested_loop(spark, scd2_dim):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- MAD outliers
+def test_mad_outliers_resists_masking_where_zscore_fails(spark):
+    """The motivating case: several extreme values inflate the stddev so
+    much that classic z-score misses them, while median/MAD flags all."""
+    vals = [10.0] * 20 + [11.0] * 20 + [1000.0, 2000.0, 3000.0]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+    mad = analytics.mad_outliers(df, "k", "v", threshold=3.5).collect()[0]
+    assert mad["n_outliers"] == 3
+    assert mad["median_value"] == pytest.approx(11.0, abs=0.01)  # 22nd of 43
+    z = analytics.zscore_outliers(df, "k", "v", threshold=2.5).collect()[0]
+    assert z["n_outliers"] < 3  # stddev dragged by its own outliers
+
+
+def test_mad_outliers_constant_key_reports_zero(spark):
+    df = spark.createDataFrame([("k", 5.0)] * 10, "k string, v double")
+    r = analytics.mad_outliers(df, "k", "v").collect()[0]
+    assert r["n_outliers"] == 0 and r["mad_value"] == 0.0 and r["n"] == 10
+
+
+def test_mad_outliers_broadcasts_stat_tables(spark):
+    df = spark.createDataFrame(
+        [(str(i % 3), float(i)) for i in range(60)], "k string, v double"
+    )
+    plan = (
+        analytics.mad_outliers(df, "k", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # median + MAD tables

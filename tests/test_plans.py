@@ -575,6 +575,11 @@ _EXCHANGE_PINS = {
                                  # distinct + parent distinct + anti-join
                                  # pair) pre-AQE; parent distinct sets
                                  # broadcast at run time under AQE
+    "mad_outliers_events": 4,    # median agg + MAD agg (both |keys|-row)
+                                 # + final per-key count + one pre-AQE
+                                 # join exchange; at run time both stat
+                                 # tables broadcast (asserted by
+                                 # test_mad_outliers_broadcasts_stat_tables)
 }
 
 
