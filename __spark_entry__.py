@@ -4959,6 +4959,41 @@ GROUP BY 1
 """
 
 
+def _q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram of event values — the
+    skew-robust complement of `q:value_histogram` (`ops/analytics.py`
+    equidepth_histogram).  No global sort: one exact percentile aggregate
+    yields the 7 interior edges, binning is a row-local edge count.  The
+    oracle replays quantile_cont edges, the inclusive-upper tie rule, and
+    the min/edge/max bounds."""
+    from spark_auto_schema.ops import analytics
+
+    return analytics.equidepth_histogram(
+        read_table(spark, sf_dir, "events"), "value", nbins=8
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH st AS (
+  SELECT list_transform(quantile_cont(CAST(value AS DOUBLE),
+                        [0.125,0.25,0.375,0.5,0.625,0.75,0.875]),
+                        e -> round(e, 4)) AS edges,
+         round(min(CAST(value AS DOUBLE)), 4) AS mn,
+         round(max(CAST(value AS DOUBLE)), 4) AS mx
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT len(list_filter(st.edges, e -> CAST(value AS DOUBLE) > e)) AS bin,
+         st.edges, st.mn, st.mx
+  FROM events, st WHERE value IS NOT NULL
+)
+SELECT bin,
+       min(CASE WHEN bin = 0 THEN mn ELSE edges[bin] END) AS lo,
+       min(CASE WHEN bin = 7 THEN mx ELSE edges[bin + 1] END) AS hi,
+       count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5059,7 +5094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scd2_order_status / zone_map_events / fuzzy_match_customers, and the
     # final-session additions semantic_dedup / psi_drift_events /
     # csv_quarantine / scd2_lookup_events / key_suggestions / fk_profile /
-    # streaming_psi_monitor / mad_outliers_events).  r7 window plan: these thirty-one round-6
+    # streaming_psi_monitor / mad_outliers_events /
+    # equidepth_histogram_events).  r7 window plan: these thirty-two round-6
     # additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
@@ -5184,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fk_profile"] = _q_fk_profile
     q["streaming_psi_monitor"] = _q_streaming_psi_monitor
     q["mad_outliers_events"] = _q_mad_outliers
+    q["equidepth_histogram_events"] = _q_equidepth_histogram
     return q
 
 
@@ -5318,6 +5355,7 @@ def oracle_sql() -> dict[str, str]:
     o["fk_profile"] = _FK_PROFILE_SQL
     o["streaming_psi_monitor"] = _STREAMING_PSI_SQL
     o["mad_outliers_events"] = _MAD_OUTLIERS_SQL
+    o["equidepth_histogram_events"] = _EQUIDEPTH_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

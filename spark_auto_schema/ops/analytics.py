@@ -535,3 +535,53 @@ def mad_outliers(
             F.min("__mad").alias("mad_value"),
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, nbins: int = 10, approx: bool = False
+) -> DataFrame:
+    """Equi-DEPTH histogram: ``nbins`` buckets holding ~equal row counts,
+    ``(bin, lo, hi, n)`` — the quantile-binned complement of
+    :func:`value_histogram` (equi-width), and the summary query optimizers
+    and drift monitors prefer for skewed columns, where equi-width packs
+    everything into one bar.
+
+    NO global sort and NO ntile window: the ``nbins - 1`` interior edges
+    come from one exact interpolating ``percentile`` aggregate (1 row,
+    broadcast back via cross join; ``percentile_approx`` sketches at
+    scale with ``approx=True``), and bin assignment is the row-local
+    count of edges below the value — ``size(filter(edges, e -> v > e))``
+    — so values equal to an edge land in the LOWER bin (inclusive upper
+    edges).  Duplicate-heavy columns make some buckets fatter than n/k;
+    that is inherent to equi-depth on ties, not an error.  Edges are
+    rounded to 4 decimals so the bucket boundary is engine-stable; lo/hi
+    report min/edge/max per bin.
+    """
+    df = df.where(F.col(col).isNotNull())
+    v = F.col(col).cast("double")
+    qs = [i / nbins for i in range(1, nbins)]
+    pct = (
+        F.percentile_approx(v, qs) if approx else F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+    )
+    stats = df.agg(
+        F.transform(pct, lambda e: F.round(e, 4)).alias("__edges"),
+        F.round(F.min(v), 4).alias("__mn"),
+        F.round(F.max(v), 4).alias("__mx"),
+    )
+    binned = df.crossJoin(F.broadcast(stats)).select(
+        F.size(F.filter(F.col("__edges"), lambda e: v > e)).alias("bin"),
+        F.col("__edges"),
+        F.col("__mn"),
+        F.col("__mx"),
+    )
+    lo = F.when(F.col("bin") == 0, F.col("__mn")).otherwise(
+        F.element_at(F.col("__edges"), F.col("bin"))
+    )
+    hi = F.when(F.col("bin") == nbins - 1, F.col("__mx")).otherwise(
+        F.element_at(F.col("__edges"), F.col("bin") + 1)
+    )
+    return binned.groupBy("bin").agg(
+        F.min(lo).alias("lo"),
+        F.min(hi).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )

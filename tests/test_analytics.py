@@ -348,3 +348,36 @@ def test_mad_outliers_broadcasts_stat_tables(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("BroadcastHashJoin") >= 2  # median + MAD tables
+
+
+# ------------------------------------------------------- equi-depth histogram
+def test_equidepth_histogram_equalizes_skewed_depths(spark):
+    """On a heavily skewed column, equi-WIDTH piles everything into one
+    bar; equi-DEPTH must keep every bucket near n/k."""
+    vals = [float(i) for i in range(100)] + [1e6] * 4
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = analytics.equidepth_histogram(df, "v", nbins=4).collect()
+    assert sorted(r["bin"] for r in rows) == [0, 1, 2, 3]
+    assert sum(r["n"] for r in rows) == 104
+    assert max(r["n"] for r in rows) <= 104 // 4 + 2  # near-equal depths
+    wide = {r["bin"]: r["n"] for r in analytics.value_histogram(df, "v", nbins=4).collect()}
+    assert wide[0] == 100  # the equi-width failure mode this op fixes
+
+
+def test_equidepth_histogram_ties_go_to_lower_bin(spark):
+    """Values equal to an edge land in the LOWER bin (inclusive upper
+    edge), and duplicate-heavy data may legitimately fatten a bucket."""
+    df = spark.createDataFrame([(1.0,)] * 6 + [(2.0,)] * 2, "v double")
+    rows = {r["bin"]: r for r in analytics.equidepth_histogram(df, "v", nbins=2).collect()}
+    # median edge is 1.0 -> all six 1.0s stay in bin 0
+    assert rows[0]["n"] == 6 and rows[1]["n"] == 2
+
+
+def test_equidepth_histogram_no_sort_no_window(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    plan = (
+        analytics.equidepth_histogram(df, "v", nbins=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan  # no global sort

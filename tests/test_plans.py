@@ -580,6 +580,9 @@ _EXCHANGE_PINS = {
                                  # join exchange; at run time both stat
                                  # tables broadcast (asserted by
                                  # test_mad_outliers_broadcasts_stat_tables)
+    "equidepth_histogram_events": 2,  # 1-row percentile-edges agg
+                                      # (broadcast back) + nbins-key agg;
+                                      # NO sort, NO window
 }
 
 
