@@ -396,3 +396,22 @@ def test_csv_quarantine_clean_file_empty_bad_side(spark, tmp_path):
     assert bad.count() == 0
     sio.release_caches()
     assert sio._CACHED == []
+
+
+# ------------------------------------------------------- session builder
+def test_build_session_local_canonical_confs(spark):
+    """The canonical builder must encode the execution assumptions the
+    operators are written against (AQE, Arrow, UTC).  getOrCreate reuses
+    the test session, so we assert on applied conf values."""
+    from spark_auto_schema.session import build_session
+
+    s = build_session("local")
+    try:
+        assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert s.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+        assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        pass  # shared session: do not stop
+
+    with pytest.raises(ValueError):
+        build_session("galaxy")
