@@ -30,7 +30,13 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
                 "pipeline_", "domain_cap")),
-    ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming")),
+    ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming",
+                    "semantic_")),
+    ("analytics", ("user_retention", "event_funnel", "value_histogram",
+                   "zscore_", "mad_outliers", "equidepth_", "psi_drift",
+                   "burst_collapse")),
+    ("governance", ("key_suggestions", "fk_profile", "scd2_",
+                    "merge_", "tombstone_", "csv_quarantine")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
               "top_terms", "clean_", "redact_", "repetition_", "gopher_",
               "unigram_", "vocab_", "tfidf_", "bigram_")),
