@@ -4994,6 +4994,60 @@ FROM b GROUP BY bin
 """
 
 
+def _q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus semantic dedup (`ops/similarity.py`
+    incremental_semantic_dedup): batch vectors (vec_id % 5 == 0) with no
+    cosine >= 0.3 neighbor in the corpus's shared cluster — admission
+    control for a curated corpus.  Centroids come from the CORPUS (the
+    stable side); the oracle replays both assignments and the
+    batch x corpus cluster-local dup set."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.incremental_semantic_dedup(
+        emb.where(F.col("vec_id") % 5 == 0),
+        emb.where(F.col("vec_id") % 5 != 0),
+        threshold=0.3,
+        nlist=16,
+    )
+
+
+_INCR_SEMANTIC_SQL = """
+WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 5 != 0),
+batch AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), bscored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS csim
+  FROM batch e, cents c
+), bassign AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM bscored) WHERE rk = 1
+), cscored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS csim
+  FROM corpus e, cents c
+), cassign AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM cscored) WHERE rk = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id FROM bassign b JOIN cassign c ON b.cluster = c.cluster
+  WHERE round(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4) >= 0.3
+)
+SELECT b.vec_id, b.cluster FROM bassign b
+WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = b.vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5095,7 +5149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # final-session additions semantic_dedup / psi_drift_events /
     # csv_quarantine / scd2_lookup_events / key_suggestions / fk_profile /
     # streaming_psi_monitor / mad_outliers_events /
-    # equidepth_histogram_events).  r7 window plan: these thirty-two round-6
+    # equidepth_histogram_events / incremental_semantic_dedup).  r7 window
+    # plan: these thirty-three round-6
     # additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
@@ -5221,6 +5276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_psi_monitor"] = _q_streaming_psi_monitor
     q["mad_outliers_events"] = _q_mad_outliers
     q["equidepth_histogram_events"] = _q_equidepth_histogram
+    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
     return q
 
 
@@ -5356,6 +5412,7 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_psi_monitor"] = _STREAMING_PSI_SQL
     o["mad_outliers_events"] = _MAD_OUTLIERS_SQL
     o["equidepth_histogram_events"] = _EQUIDEPTH_SQL
+    o["incremental_semantic_dedup"] = _INCR_SEMANTIC_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

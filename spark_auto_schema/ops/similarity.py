@@ -764,3 +764,84 @@ def semantic_dedup(
             F.col("__drop").isNull().alias("kept"),
         )
     )
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 4,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Rows of ``new_df`` with no semantic near-duplicate (cosine >=
+    ``threshold``) in ``corpus_df`` — the SemDeDup analogue of
+    ``dedup.incremental_near_dedup``, for admitting a fresh batch into an
+    already-curated corpus without re-deduplicating the corpus.
+
+    Both sides are assigned row-locally against the SAME centroid set
+    (``cents`` if given — pass the trained quantizer you curated the
+    corpus with, so cluster geometry matches — else the deterministic
+    hash sample of the CORPUS, the stable side), and the batch x corpus
+    pair space is the cluster equi-join only: each batch vector is
+    compared against its cluster's corpus members, never the corpus.
+    Batch-internal duplicates are NOT judged here (run
+    :func:`semantic_dedup` on the batch first if needed) — one concern
+    per operator, matching the incremental MinHash contract.
+
+    At scale the corpus assignment is computed once and persisted
+    (partitioned by ``cluster``); each ingest then assigns only the batch
+    and joins cluster-to-cluster.  Returns the surviving batch rows
+    (id, cluster).
+    """
+    if cents is None:
+        init = (
+            corpus_df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        cents = [
+            (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+        ]
+    lit = _centroid_literal(cents)
+
+    def _assign(df: DataFrame) -> DataFrame:
+        vn = norm(F.col(vec_col))
+        scored = F.transform(
+            lit,
+            lambda s: F.struct(
+                (-(dot(F.col(vec_col), s["cvec"]) / (vn * norm(s["cvec"])))).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_min(scored)["cid"].alias("cluster"),
+        )
+
+    batch = _assign(new_df)
+    corpus = _assign(corpus_df).select(
+        F.col("cluster").alias("blk"),
+        F.col(vec_col).alias("vc"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
+    b = batch.select(
+        F.col("cluster").alias("blk"),
+        F.col(id_col),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("vb"), F.col("vc")) / (F.col("nb") * F.col("nc")), decimals
+    )
+    dups = (
+        b.join(corpus, ["blk"])
+        .where(cos >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return batch.select(id_col, "cluster").join(dups, [id_col], "left_anti")

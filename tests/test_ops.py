@@ -667,3 +667,22 @@ def test_semantic_dedup_accepts_trained_centroids(spark, emb):
     assert set(r["cluster"] for r in rows) <= {c for c, _ in cents}
     assert out[99999][0] == out[0][0]
     assert out[0][1] is True and out[99999][1] is False
+
+
+def test_incremental_semantic_dedup_drops_corpus_clones_keeps_novel(spark, emb):
+    """A batch containing an exact clone of a corpus vector loses it; a
+    batch-internal duplicate pair is NOT judged (one concern per op)."""
+    corpus = emb.where(F.col("vec_id") < 400)
+    novel = emb.where(F.col("vec_id") >= 490).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    clone = corpus.limit(1).withColumn("vec_id", F.lit(99999).cast("long"))
+    batch = novel.unionByName(clone).unionByName(
+        novel.withColumn("vec_id", F.col("vec_id") + 50000)  # internal dup
+    )
+    out = {r["vec_id"] for r in similarity.incremental_semantic_dedup(
+        batch, corpus, threshold=0.999, nlist=8
+    ).collect()}
+    assert 99999 not in out  # corpus clone rejected
+    # novel rows and their batch-internal twins both survive (not judged)
+    assert all(10490 + i in out and 60490 + i in out for i in range(2))

@@ -583,6 +583,9 @@ _EXCHANGE_PINS = {
     "equidepth_histogram_events": 2,  # 1-row percentile-edges agg
                                       # (broadcast back) + nbins-key agg;
                                       # NO sort, NO window
+    "incremental_semantic_dedup": 2,  # batch x corpus cluster equi-join
+                                      # + dup-set distinct; assignment is
+                                      # row-local on both sides
 }
 
 
