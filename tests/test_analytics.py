@@ -381,3 +381,15 @@ def test_equidepth_histogram_no_sort_no_window(spark):
     )
     assert "Window" not in plan
     assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_equidepth_histogram_partitioning_invariance(spark):
+    df = spark.createDataFrame(
+        [(float((i * 37) % 101),) for i in range(500)], "v double"
+    )
+    a = sorted(tuple(r) for r in analytics.equidepth_histogram(df, "v", 6).collect())
+    b = sorted(
+        tuple(r)
+        for r in analytics.equidepth_histogram(df.repartition(9), "v", 6).collect()
+    )
+    assert a == b

@@ -686,3 +686,20 @@ def test_incremental_semantic_dedup_drops_corpus_clones_keeps_novel(spark, emb):
     assert 99999 not in out  # corpus clone rejected
     # novel rows and their batch-internal twins both survive (not judged)
     assert all(10490 + i in out and 60490 + i in out for i in range(2))
+
+
+def test_semantic_dedup_partitioning_invariance(spark, emb):
+    """Same corpus under a different physical partitioning must produce
+    the identical keep/drop set — the determinism contract every dedup
+    operator in this package carries."""
+    base = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in similarity.semantic_dedup(emb, threshold=0.3, nlist=8).collect()
+    }
+    shuffled = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in similarity.semantic_dedup(
+            emb.repartition(7), threshold=0.3, nlist=8
+        ).collect()
+    }
+    assert base == shuffled
