@@ -5048,6 +5048,39 @@ WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = b.vec_id)
 """
 
 
+def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping (`ops/dedup.py` remove_boilerplate):
+    segments appearing in >= 2 distinct documents are deleted from EVERY
+    document — contrast `q:segment_dedup_docs`, which keeps the first
+    occurrence.  The oracle replays segmentation, the distinct-doc
+    frequency gate, and the ordered reassembly."""
+    return dedup.remove_boilerplate(
+        read_table(spark, sf_dir, "documents"), min_df=2
+    )
+
+
+_REMOVE_BOILERPLATE_SQL = """
+WITH segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(0, greatest(CAST(ceil(len(w) / 8.0) AS INT) - 1, 0)))
+         AS t(i)
+), boiler AS (
+  SELECT md5(seg) AS d FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, seg_idx, seg,
+         NOT EXISTS (SELECT 1 FROM boiler b WHERE b.d = md5(seg)) AS keep
+  FROM segs
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')
+         AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5149,8 +5182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # final-session additions semantic_dedup / psi_drift_events /
     # csv_quarantine / scd2_lookup_events / key_suggestions / fk_profile /
     # streaming_psi_monitor / mad_outliers_events /
-    # equidepth_histogram_events / incremental_semantic_dedup).  r7 window
-    # plan: these thirty-three round-6
+    # equidepth_histogram_events / incremental_semantic_dedup /
+    # remove_boilerplate_docs).  r7 window
+    # plan: these thirty-four round-6
     # additions + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
@@ -5277,6 +5311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mad_outliers_events"] = _q_mad_outliers
     q["equidepth_histogram_events"] = _q_equidepth_histogram
     q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
+    q["remove_boilerplate_docs"] = _q_remove_boilerplate
     return q
 
 
@@ -5413,6 +5448,7 @@ def oracle_sql() -> dict[str, str]:
     o["mad_outliers_events"] = _MAD_OUTLIERS_SQL
     o["equidepth_histogram_events"] = _EQUIDEPTH_SQL
     o["incremental_semantic_dedup"] = _INCR_SEMANTIC_SQL
+    o["remove_boilerplate_docs"] = _REMOVE_BOILERPLATE_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -1059,3 +1059,81 @@ def blocked_fuzzy_pairs(
         )
         .where(F.col("dist") <= max_distance)
     )
+
+
+# ------------------------------------------------------ boilerplate removal
+def remove_boilerplate(
+    df: DataFrame,
+    min_df: int = 3,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate stripping: a segment that appears in at
+    least ``min_df`` DISTINCT documents is boilerplate (headers, license
+    blocks, navigation chrome) and is removed from EVERY document —
+    including the first (contrast :func:`segment_dedup`, which keeps the
+    first occurrence: that dedups repeated content, this deletes content
+    whose repetition across documents is evidence it is not content at
+    all).  Returns (doc_id, n_segments, n_kept, clean_text).
+
+    Segmentation matches :func:`segment_dedup` (fixed ``seg_words`` word
+    windows — the corpus is newline-free; on real corpora the boundary is
+    the paragraph/line split).
+
+    Scale: one narrow explode, ONE digest-keyed shuffle that both the
+    document-frequency aggregate and the flag join share (the join key IS
+    the aggregate key, so the co-partitioned sort-merge/hash join adds no
+    exchange on the segment side), then the per-document ordered rollup.
+    The boilerplate relation is |distinct over-threshold segments| rows —
+    usually tiny, but the join is digest-keyed and safe even when it is
+    not.  No pair generation anywhere; linear in corpus word count.
+    """
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil(F.size(words) / F.lit(seg_words)).cast("int") - 1, F.lit(0)
+        ),
+    )
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(starts).alias("seg_idx"),
+        words.alias("__w"),
+    ).select(
+        "id",
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), F.col("seg_idx") * seg_words + 1, seg_words)
+        ).alias("seg"),
+    ).withColumn("__d", F.md5(F.col("seg")))
+    boiler = (
+        segs.groupBy("__d")
+        .agg(F.count_distinct("id").alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__d", F.lit(True).alias("__boiler"))
+    )
+    kept = segs.join(boiler, ["__d"], "left").withColumn(
+        "keep", F.col("__boiler").isNull()
+    )
+    return (
+        kept.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

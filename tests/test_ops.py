@@ -703,3 +703,35 @@ def test_semantic_dedup_partitioning_invariance(spark, emb):
         ).collect()
     }
     assert base == shuffled
+
+
+def test_remove_boilerplate_deletes_from_all_docs_unlike_segment_dedup(spark):
+    """The semantic split between the two segment operators: a segment in
+    3 docs is removed from ALL THREE here, while segment_dedup keeps the
+    first occurrence."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, boiler + " " + " ".join(f"u1x{i}" for i in range(8))),
+        (2, boiler + " " + " ".join(f"u2x{i}" for i in range(8))),
+        (3, boiler + " " + " ".join(f"u3x{i}" for i in range(8))),
+        (4, " ".join(f"u4x{i}" for i in range(8))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_boilerplate(df, min_df=3).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_kept"] == 1 and "b0" not in out[d]["clean_text"]
+    assert out[4]["n_kept"] == 1  # unique doc untouched
+    sd = {r["doc_id"]: r for r in dedup.segment_dedup(df).collect()}
+    assert "b0" in sd[1]["clean_text"]  # first occurrence survives there
+
+
+def test_remove_boilerplate_threshold_boundary(spark):
+    """min_df is inclusive: a segment in exactly min_df docs is removed;
+    one below survives everywhere."""
+    seg2 = " ".join(f"s{i}" for i in range(8))
+    rows = [(1, seg2), (2, seg2), (3, "only once " + " ".join("w%d" % i for i in range(6)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    at = {r["doc_id"]: r["n_kept"] for r in dedup.remove_boilerplate(df, min_df=2).collect()}
+    assert at[1] == 0 and at[2] == 0 and at[3] == 1
+    below = {r["doc_id"]: r["n_kept"] for r in dedup.remove_boilerplate(df, min_df=3).collect()}
+    assert below[1] == 1 and below[2] == 1

@@ -586,6 +586,8 @@ _EXCHANGE_PINS = {
     "incremental_semantic_dedup": 2,  # batch x corpus cluster equi-join
                                       # + dup-set distinct; assignment is
                                       # row-local on both sides
+    "remove_boilerplate_docs": 3,     # digest-keyed DF agg + flag join
+                                      # share one key; per-doc rollup
 }
 
 
