@@ -402,7 +402,11 @@ def psi_drift(
     log-ratio so empty bins contribute a finite term (the standard PSI
     epsilon correction); ``psi_term`` is snapped through DECIMAL(18,12)
     then rounded to 6 decimals so engines whose ``ln`` differs in the last
-    ulp agree on the reported value.
+    ulp agree on the reported value.  Degenerate EMPTY baseline: with no
+    reference rows there are no bin edges (NULL min/max), every row on
+    both sides bins to NULL and falls off the spine, and all counts read
+    0 — an empty baseline defines no distribution to compare against;
+    validate non-emptiness upstream if that state is reachable.
 
     Scale: one 1-row min/max/count aggregate over the baseline (broadcast
     back via cross join), a 1-row count over the current side, one
