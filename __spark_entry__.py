@@ -5081,6 +5081,230 @@ FROM marked GROUP BY doc_id
 """
 
 
+def _q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (`ops/sampling.py` kfold_assign): fold = md5-uniform(doc_id) mod 5, a
+    pure function of the content key — the oracle replays the identical
+    8-hex-digit draw, so every row's fold must match exactly."""
+    return sampling.kfold_assign(
+        read_table(spark, sf_dir, "documents"), "doc_id", k=5
+    ).select("doc_id", "fold")
+
+
+_KFOLD_SPLIT_SQL = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 5 AS INT) AS fold
+FROM documents
+"""
+
+
+def _q_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split with a 3-day embargo gap before the
+    cutoff (`ops/sampling.py` time_embargo_split): the purge that stops
+    autocorrelated signals leaking across the boundary.  Per-row
+    assignment so the oracle verifies every boundary comparison."""
+    return sampling.time_embargo_split(
+        read_table(spark, sf_dir, "events"),
+        "ts",
+        cutoff="2024-01-20 00:00:00",
+        embargo="3 days",
+    ).select("event_id", "split")
+
+
+_TIME_EMBARGO_SQL = """
+SELECT event_id,
+       CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 3 DAY THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'eval'
+            ELSE 'embargo' END AS split
+FROM events
+"""
+
+
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift (`ops/analytics.py`
+    ks_drift) over the same planted shift as `q:psi_drift_events`
+    (baseline = even event_ids, current = odd with values scaled 1.25x):
+    the CDF-distance complement of PSI.  The oracle replays the
+    baseline-owned bin edges, the edge-bin clamp, and the decimal-snapped
+    cumulative fractions; KS statistic = max(ks_term)."""
+    from spark_auto_schema.ops import analytics
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 2 == 0).select("value")
+    curr = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.25).alias("value")
+    )
+    return analytics.ks_drift(base, curr, "value", nbins=10)
+
+
+_KS_DRIFT_SQL = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL
+), curr AS (
+  SELECT CAST(value AS DOUBLE) * 1.25 AS v FROM events
+  WHERE event_id % 2 = 1 AND value * 1.25 IS NOT NULL
+), st AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+bb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS base_n
+  FROM base, st GROUP BY 1
+), cb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS curr_n
+  FROM curr, st GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+counts AS (
+  SELECT s.bin, coalesce(base_n, 0) AS base_n, coalesce(curr_n, 0) AS curr_n
+  FROM spine s LEFT JOIN bb ON s.bin = bb.bin LEFT JOIN cb ON s.bin = cb.bin
+), t AS (SELECT sum(base_n) AS bt, sum(curr_n) AS ct FROM counts),
+cum AS (
+  SELECT bin, base_n, curr_n,
+         CAST(round(CAST(sum(base_n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / bt
+              AS DECIMAL(18,12)), 6) AS DOUBLE) AS base_cum_p,
+         CAST(round(CAST(sum(curr_n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / ct
+              AS DECIMAL(18,12)), 6) AS DOUBLE) AS curr_cum_p
+  FROM counts, t
+)
+SELECT bin, base_n, curr_n, base_cum_p, curr_cum_p,
+       round(abs(base_cum_p - curr_cum_p), 6) AS ks_term
+FROM cum
+"""
+
+
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join (`ops/relational.py` interval_join): per-user
+    daily activity intervals [min(ts), max(ts)+1s) matched against the 20
+    busiest hourly windows [h, h+1h), then rolled up per window.  The
+    Spark side runs the time-bucketed exactly-once plan (explode to
+    hour buckets, equi-join, first-shared-bucket emission); the oracle is
+    the brute-force inequality join — equality proves the bucketing
+    lossless AND the overlap semantics right."""
+    from spark_auto_schema.ops import relational
+
+    e = read_table(spark, sf_dir, "events")
+    acts = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1 second")).alias("t_end"),
+    )
+    hours = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "h")
+        .limit(20)
+        .select("h", (F.col("h") + F.expr("INTERVAL 1 hour")).alias("h_end"))
+    )
+    j = relational.interval_join(
+        acts, hours, "s", "t_end", "h", "h_end", bucket_seconds=3600
+    )
+    return j.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH acts AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         min(ts) AS s, max(ts) + INTERVAL 1 SECOND AS t_end
+  FROM events GROUP BY 1, 2
+), hours AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1 ORDER BY n DESC, h LIMIT 20
+)
+SELECT h, count(*) AS n_active, count(DISTINCT user_id) AS n_users
+FROM acts JOIN hours ON s < h + INTERVAL 1 HOUR AND h < t_end
+GROUP BY h
+"""
+
+
+def _q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection 64 -> 8 dims
+    (`ops/similarity.py` jl_project): the hash-derived +-1 matrix is a
+    pure function of (seed, dims), so the oracle reconstructs the SAME
+    matrix as a SQL literal (via the shared jl_signs helper) and replays
+    the ordered dot-product fold bit-for-bit."""
+    return similarity.jl_project(
+        read_table(spark, sf_dir, "embeddings"), out_dim=8
+    )
+
+
+def _jl_oracle_sql() -> str:
+    signs = similarity.jl_signs(8, 64)
+    mat = (
+        "["
+        + ",".join("[" + ",".join(f"{s:.1f}" for s in row) + "]" for row in signs)
+        + "]"
+    )
+    return f"""
+SELECT vec_id AS id, CAST(j AS INT) AS j,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              (CAST({mat} AS DOUBLE[][]))[j+1]) / sqrt(8.0), 4) AS y
+FROM embeddings, generate_series(0, 7) t(j)
+"""
+
+
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length bucketing + padding economics
+    (`ops/packing.py` length_buckets): whitespace token counts rounded up
+    to the smallest bucket in {16,32,64,128}, per-bucket padding waste.
+    The bucket comes from an exact integer array_min/filter — no float
+    log2 whose last ulp could flip a boundary between engines."""
+    d = read_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("ws_tokens")
+    )
+    return packing.length_buckets(d, "ws_tokens", max_len=128, min_bucket=16)
+
+
+_LENGTH_BUCKETS_SQL = """
+WITH t AS (
+  SELECT least(len(string_split(text, ' ')), 128) AS t FROM documents
+), b AS (
+  SELECT list_min(list_filter([16, 32, 64, 128], c -> c >= greatest(t, 1))) AS bucket, t
+  FROM t
+)
+SELECT bucket, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS token_sum,
+       CAST(count(*) * bucket AS BIGINT) AS padded_sum,
+       round(1.0 - sum(t) * 1.0 / (count(*) * bucket), 4) AS waste_pct
+FROM b GROUP BY bucket
+"""
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC n-gram containment (`ops/dedup.py` containment_pairs):
+    |small n large| / |small| >= 0.5 — catches subset/quote inclusion
+    that Jaccard's union denominator dilutes.  Same shingle-equi-join pair
+    engine as `q:ngram_jaccard_dups` (hashed keys, hot-shingle cap); the
+    oracle recomputes containment over string shingles."""
+    return dedup.containment_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_CONTAINMENT_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), sc AS (
+  SELECT CASE WHEN sa.sz < sb.sz OR (sa.sz = sb.sz AND id_a < id_b)
+              THEN id_a ELSE id_b END AS id_small,
+         CASE WHEN sa.sz < sb.sz OR (sa.sz = sb.sz AND id_a < id_b)
+              THEN id_b ELSE id_a END AS id_large,
+         round(c * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_small, id_large, containment FROM sc WHERE containment >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5312,6 +5536,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["equidepth_histogram_events"] = _q_equidepth_histogram
     q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
     q["remove_boilerplate_docs"] = _q_remove_boilerplate
+    # --- round-6 session-3 additions: CV/temporal splits, KS drift,
+    # interval overlap join, JL projection, length bucketing, containment —
+    # past the window, mirror-verified, r7-rotation head with the other
+    # post-r05 additions above ---
+    q["kfold_split_docs"] = _q_kfold_split
+    q["time_embargo_split_events"] = _q_time_embargo_split
+    q["ks_drift_events"] = _q_ks_drift
+    q["interval_overlap_sessions"] = _q_interval_overlap
+    q["jl_projection"] = _q_jl_projection
+    q["length_buckets_docs"] = _q_length_buckets
+    q["containment_docs"] = _q_containment
     return q
 
 
@@ -5449,6 +5684,13 @@ def oracle_sql() -> dict[str, str]:
     o["equidepth_histogram_events"] = _EQUIDEPTH_SQL
     o["incremental_semantic_dedup"] = _INCR_SEMANTIC_SQL
     o["remove_boilerplate_docs"] = _REMOVE_BOILERPLATE_SQL
+    o["kfold_split_docs"] = _KFOLD_SPLIT_SQL
+    o["time_embargo_split_events"] = _TIME_EMBARGO_SQL
+    o["ks_drift_events"] = _KS_DRIFT_SQL
+    o["interval_overlap_sessions"] = _INTERVAL_OVERLAP_SQL
+    o["jl_projection"] = _jl_oracle_sql()
+    o["length_buckets_docs"] = _LENGTH_BUCKETS_SQL
+    o["containment_docs"] = _CONTAINMENT_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

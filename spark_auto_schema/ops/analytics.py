@@ -589,3 +589,94 @@ def equidepth_histogram(
         F.min(hi).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def ks_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    col: str,
+    nbins: int = 20,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift between a baseline and a
+    current snapshot of the same column: one row per bin ``(bin, base_n,
+    curr_n, base_cum_p, curr_cum_p, ks_term)``; the KS statistic is
+    ``max(ks_term)`` (sup-norm distance between the two empirical CDFs,
+    discretized at the bin edges).
+
+    The CDF-distance sibling of :func:`psi_drift`: PSI sums density
+    log-ratios per bin, so it is sensitive to mass *reallocation* but blind
+    to *direction*; KS reads the cumulative gap, so a consistent one-sided
+    shift (every value slightly larger) shows up even when per-bin densities
+    barely move.  Monitoring suites run both.
+
+    Binning mirrors psi_drift exactly: the BASELINE owns the ``nbins``
+    equal-width edges over its observed [min, max]; current values outside
+    that range clamp into the edge bins, so every non-null row lands in
+    exactly one bin on both sides and the last cumulative fraction is 1 by
+    construction.  Cumulative fractions are snapped through DECIMAL(18,12)
+    then rounded to 6 decimals so engines agree bit-for-bit.  Empty
+    baseline degenerates like psi_drift (no edges, empty output) —
+    validate non-emptiness upstream if reachable.
+
+    Scale: identical shape to psi_drift — one 1-row stats aggregate on the
+    baseline (broadcast back), one nbins-key hash aggregate per side, a
+    bin-spine join of two nbins-row frames.  The cumulative sum is a
+    window over the nbins-row RESULT frame (bins, not data) — tiny by
+    construction, so its single-partition sort is a constant, never a
+    data-sized global sort.
+    """
+    from pyspark.sql.window import Window
+
+    base = base.where(F.col(col).isNotNull())
+    curr = curr.where(F.col(col).isNotNull())
+    stats = base.agg(
+        F.min(col).cast("double").alias("__mn"),
+        F.max(col).cast("double").alias("__mx"),
+        F.count(F.lit(1)).alias("__bt"),
+    )
+    curr_total = curr.agg(F.count(F.lit(1)).alias("__ct"))
+
+    def _binned_counts(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.greatest(
+            F.least(
+                F.floor(
+                    F.try_divide(
+                        (x - F.col("__mn")) * nbins, F.col("__mx") - F.col("__mn")
+                    )
+                ),
+                F.lit(nbins - 1),
+            ),
+            F.lit(0),
+        ).cast("int")
+        return (
+            df.crossJoin(F.broadcast(stats.select("__mn", "__mx")))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = base.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        spine.join(F.broadcast(_binned_counts(base, "base_n")), ["bin"], "left")
+        .join(F.broadcast(_binned_counts(curr, "curr_n")), ["bin"], "left")
+        .select(
+            "bin",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
+        )
+    )
+    # the window frame is the nbins-row counts table, never the data
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    totals = stats.select("__bt").crossJoin(curr_total)
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    pa = snap(F.try_divide(F.sum("base_n").over(cum), F.col("__bt")))
+    pb = snap(F.try_divide(F.sum("curr_n").over(cum), F.col("__ct")))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "base_n",
+        "curr_n",
+        pa.alias("base_cum_p"),
+        pb.alias("curr_cum_p"),
+        F.round(F.abs(pa - pb), 6).alias("ks_term"),
+    )

@@ -1137,3 +1137,64 @@ def remove_boilerplate(
             ).alias("clean_text"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    hashed: bool = True,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment for every document pair sharing a
+    shingle: ``(id_small, id_large, containment)`` where containment =
+    ``|S_small n S_large| / |S_small|`` and the SMALLER shingle set is the
+    one being contained (ties break toward the lower id).
+
+    Jaccard (:func:`ngram_jaccard_pairs`) misses subset relationships: a
+    paragraph quoted inside a 100x-longer article has Jaccard ~ 0.01 but
+    containment ~ 1.0.  Quote/inclusion detection — the "is this document
+    embedded in that one" question behind boilerplate provenance, licence
+    attribution, and aggregator-page dedup — needs the asymmetric score.
+
+    Same pair-generation engine as Jaccard (shingle equi-join, hashed
+    8-byte keys, ``max_df`` hot-shingle cap so one boilerplate phrase
+    cannot go quadratic); containment is computed over the capped shingle
+    space, exactly like the Jaccard variant.  One extra projection over
+    the pair aggregate, no extra shuffle."""
+    sh = shingles(df, text_col, id_col, n, hashed=hashed)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    small_is_a = (F.col("sz_a") < F.col("sz_b")) | (
+        (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+            F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_large"),
+            F.round(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 4
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

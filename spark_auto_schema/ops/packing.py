@@ -124,3 +124,61 @@ def mix_by_column(
     for dom, frac in sorted(fractions.items()):
         thr = F.when(F.col(domain_col) == F.lit(dom), F.lit(fraction_threshold(frac))).otherwise(thr)
     return df.where(_hash_prefix(F.col(key_col)) < thr)
+
+
+def length_buckets(
+    df: DataFrame,
+    token_col: str,
+    max_len: int = 2048,
+    min_bucket: int = 32,
+) -> DataFrame:
+    """Power-of-two length bucketing for batched inference/training: each
+    document rounds UP to the smallest bucket in {min_bucket, 2*min_bucket,
+    ..., max_len} holding its (truncation-capped) token count, and the
+    output reports per-bucket padding economics — ``(bucket, n_docs,
+    token_sum, padded_sum, waste_pct)`` where ``padded_sum = n_docs *
+    bucket`` and ``waste_pct`` is the fraction of padded positions that are
+    padding.  Serving stacks batch same-bucket sequences so one graph
+    compilation serves each shape; this operator answers "how many shapes,
+    and what does the padding cost".
+
+    The bucket is picked from a LITERAL candidate array
+    (``array_min(filter(candidates, c -> c >= t))``) — exact integer
+    comparison, no float log2 whose last-ulp could flip a boundary between
+    engines.  Row-local projection + one ~log2(max_len/min_bucket)-key hash
+    aggregate: no shuffle beyond the tiny final agg at any scale.
+    """
+    if max_len < min_bucket or max_len & (max_len - 1) or min_bucket & (min_bucket - 1):
+        raise ValueError(
+            f"min_bucket/max_len must be powers of two with max_len >= min_bucket,"
+            f" got {min_bucket}/{max_len}"
+        )
+    cands = []
+    b = min_bucket
+    while b <= max_len:
+        cands.append(b)
+        b *= 2
+    t = F.least(F.col(token_col).cast("long"), F.lit(max_len))
+    bucket = F.array_min(
+        F.filter(
+            F.array(*[F.lit(c) for c in cands]), lambda c: c >= F.greatest(t, F.lit(1))
+        )
+    )
+    return (
+        df.select(bucket.alias("bucket"), t.alias("__t"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("token_sum"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "token_sum",
+            (F.col("n_docs") * F.col("bucket")).alias("padded_sum"),
+            F.round(
+                F.lit(1.0) - F.try_divide(F.col("token_sum"), F.col("n_docs") * F.col("bucket")),
+                4,
+            ).alias("waste_pct"),
+        )
+    )

@@ -137,6 +137,56 @@ def _hash_prefix_int(key: Column) -> Column:
     ).cast("long")
 
 
+def kfold_assign(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: ``df`` plus a
+    ``fold`` column in ``[0, k)`` — ``fold = md5-uniform(key) mod k``.
+
+    Fold membership is a pure function of the content key (the same 8-hex
+    md5 draw as :func:`weighted_sample`), so every engine, run, and
+    partitioning agrees on the exact fold of every row, and train/validate
+    rotations (``fold != i`` / ``fold == i``) are disjoint and exhaustive by
+    construction.  Row-local projection: no shuffle, no state, pipelines
+    inside the scan at any scale.  For corpora with near-duplicate clusters
+    use :func:`cluster_safe_split`'s representative key as ``key_col`` so a
+    cluster cannot straddle folds."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        "fold", (_hash_prefix_int(F.col(key_col)) % k).cast("int")
+    )
+
+
+def time_embargo_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo: str = "0 days",
+) -> DataFrame:
+    """Temporal train/eval split with an embargo gap: rows strictly before
+    ``cutoff - embargo`` are 'train', rows at/after ``cutoff`` are 'eval',
+    and rows inside the gap are 'embargo' (excluded from both sides).
+
+    The group/cluster splits stop *identity* leakage; this stops *temporal*
+    leakage — autocorrelated signals (user behavior, market data, trending
+    topics) bleed across an instant boundary, so models validated without a
+    gap look better than they deploy.  The embargo discards the boundary
+    band outright, the standard purge in time-series cross-validation.
+
+    ``cutoff`` is an ISO timestamp string, ``embargo`` an INTERVAL literal
+    (e.g. ``'7 days'``).  Row-local projection against two literals — no
+    shuffle, no state; at 100 TB the split predicate pushes into the scan
+    and partition-prunes a date-partitioned layout."""
+    cut = F.lit(cutoff).cast("timestamp")
+    train_end = cut - F.expr(f"INTERVAL {embargo}")
+    t = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(t < train_end, F.lit("train"))
+        .when(t >= cut, F.lit("eval"))
+        .otherwise(F.lit("embargo")),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     id_col: str,

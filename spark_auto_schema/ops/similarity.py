@@ -845,3 +845,70 @@ def incremental_semantic_dedup(
         .distinct()
     )
     return batch.select(id_col, "cluster").join(dups, [id_col], "left_anti")
+
+
+def jl_signs(out_dim: int, in_dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic +-1 sign matrix for :func:`jl_project`: sign(j, i) is
+    +1 iff the first hex nibble of ``md5('jl{seed}:{j}:{i}')`` is < '8'
+    (exactly p = 1/2).  Engine-independent — any system with md5 (the
+    DuckDB oracle included) reconstructs the identical matrix, so the
+    projection is a pure function of (seed, dims), not of any RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"jl{seed}:{j}:{i}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: compress each
+    ``in_dim`` embedding to ``out_dim`` dimensions via a deterministic
+    +-1/sqrt(out_dim) matrix (Achlioptas' database-friendly construction).
+    Output: ``(id, j, y)`` exploded rows, ``y`` rounded to 4 decimals.
+
+    The cheap pre-filter in front of every dense similarity stage: pairwise
+    inner products are preserved in expectation and concentrate as
+    ``out_dim`` grows, so candidate generation (ANN, near-dup blocking)
+    runs on the short vectors and only survivors touch full embeddings.
+    Unlike :func:`quantize_embeddings` (per-dimension codes, same dim) this
+    REDUCES dimensionality, and unlike a trained PCA it needs no fitting
+    pass — the matrix is hash-derived (:func:`jl_signs`), identical on
+    every engine and run.
+
+    Plan: the sign matrix rides into the expression as ``out_dim`` literal
+    arrays (k*d literals, like kmeans' centroid argmin); each output
+    coordinate is an ordered zip_with/aggregate fold — row-local, JVM-side,
+    no shuffle, no UDF.  The fold order is the array order, matching the
+    oracle's ``list_dot_product``, so round-4 values are engine-stable.
+    """
+    import math
+
+    in_dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    signs = jl_signs(out_dim, in_dim, seed)
+    # divide by sqrt(k) rather than multiply by its reciprocal: IEEE sqrt
+    # and division are correctly rounded, so the oracle's `/ sqrt(k)` is
+    # bit-identical; `* (1/sqrt(k))` could differ in the last ulp
+    scale = math.sqrt(out_dim)
+    v = F.col(vec_col)
+    ys = [
+        F.round(
+            dot(v, F.array(*[F.lit(s) for s in signs[j]])) / F.lit(scale), 4
+        ).alias(f"__y{j}")
+        for j in range(out_dim)
+    ]
+    proj = df.select(F.col(id_col).alias("id"), F.array(*ys).alias("__p"))
+    return proj.select(
+        "id", F.posexplode("__p").alias("j", "y")
+    )

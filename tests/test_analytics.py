@@ -393,3 +393,45 @@ def test_equidepth_histogram_partitioning_invariance(spark):
         for r in analytics.equidepth_histogram(df.repartition(9), "v", 6).collect()
     )
     assert a == b
+
+
+# ------------------------------------------------------------------ ks_drift
+def test_ks_drift_identical_distribution_is_zero(spark):
+    """Same data on both sides: every cumulative fraction matches, all
+    ks_terms are 0, and both CDFs end at exactly 1 (the clamp guarantees
+    every row lands in a bin)."""
+    d = spark.range(1_000).select((F.col("id") % 37).cast("double").alias("v"))
+    out = analytics.ks_drift(d, d, "v", nbins=10).orderBy("bin").collect()
+    assert len(out) == 10
+    assert all(r["ks_term"] == 0.0 for r in out)
+    assert out[-1]["base_cum_p"] == 1.0 and out[-1]["curr_cum_p"] == 1.0
+
+
+def test_ks_drift_detects_location_shift(spark):
+    """A pure location shift moves every quantile one way — PSI's per-bin
+    densities barely move for a small shift, but the cumulative gap
+    accumulates; KS must flag it and the max gap must sit mid-CDF."""
+    base = spark.range(10_000).select(
+        ((F.col("id") % 100) / F.lit(10.0)).alias("v")
+    )
+    curr = base.select((F.col("v") + F.lit(2.0)).alias("v"))
+    out = analytics.ks_drift(base, curr, "v", nbins=10).collect()
+    ks = max(r["ks_term"] for r in out)
+    assert ks >= 0.15  # 2-unit shift over a 10-unit range
+    # current values above the baseline max clamp into the top bin, so the
+    # last cumulative fraction is still exactly 1 on both sides
+    last = max(out, key=lambda r: r["bin"])
+    assert last["base_cum_p"] == 1.0 and last["curr_cum_p"] == 1.0
+
+
+def test_ks_drift_monotone_cdfs(spark):
+    """Cumulative fractions must be non-decreasing in bin order on both
+    sides (catches a broken window frame or bin spine)."""
+    base = spark.range(5_000).select((F.col("id") % 71).cast("double").alias("v"))
+    curr = spark.range(5_000).select(
+        ((F.col("id") * 13) % 97).cast("double").alias("v")
+    )
+    rows = analytics.ks_drift(base, curr, "v", nbins=8).orderBy("bin").collect()
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["base_cum_p"] >= prev["base_cum_p"]
+        assert nxt["curr_cum_p"] >= prev["curr_cum_p"]

@@ -735,3 +735,75 @@ def test_remove_boilerplate_threshold_boundary(spark):
     assert at[1] == 0 and at[2] == 0 and at[3] == 1
     below = {r["doc_id"]: r["n_kept"] for r in dedup.remove_boilerplate(df, min_df=3).collect()}
     assert below[1] == 1 and below[2] == 1
+
+
+# --------------------------------------------------------- containment_pairs
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short document quoted verbatim inside a much longer one:
+    containment ~ 1.0 while Jaccard is diluted by the union — the pair
+    must clear a 0.9 containment threshold and fail a 0.5 Jaccard one.
+    Orientation: the smaller shingle set is id_small."""
+    quote = " ".join(f"q{i}" for i in range(10))
+    article = " ".join(f"w{i}" for i in range(80)) + " " + quote
+    d = spark.createDataFrame(
+        [(1, article), (2, quote)], "doc_id long, text string"
+    )
+    got = dedup.containment_pairs(d, threshold=0.9, hashed=True).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_small"], r["id_large"]) == (2, 1)
+    assert r["containment"] == 1.0
+    jac = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    assert jac.count() == 0
+
+
+def test_containment_threshold_filters(spark):
+    """Disjoint documents never pair; half-overlapping ones score the
+    exact shared-shingle fraction of the smaller set."""
+    a = " ".join(f"a{i}" for i in range(12))
+    b = " ".join(f"b{i}" for i in range(12))
+    d = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    assert dedup.containment_pairs(d, threshold=0.1).count() == 0
+
+
+# ------------------------------------------------------------------ jl_project
+def test_jl_project_deterministic_and_shape(spark):
+    """The projection is a pure function of (data, seed): two runs over
+    different partitionings agree exactly; output is |rows| x out_dim."""
+    e = read_table(spark, SF_DIR, "embeddings").limit(50)
+    p1 = {(r["id"], r["j"]): r["y"] for r in similarity.jl_project(e, out_dim=8).collect()}
+    p2 = {
+        (r["id"], r["j"]): r["y"]
+        for r in similarity.jl_project(e.repartition(5), out_dim=8).collect()
+    }
+    assert p1 == p2
+    assert len(p1) == 50 * 8
+
+
+def test_jl_project_preserves_norm_in_aggregate(spark):
+    """E[||y||^2] = ||x||^2 for the +-1/sqrt(k) construction; with unit
+    vectors and k=16 the per-vector ratio is noisy but the corpus MEAN
+    concentrates — assert it lands within 20% of 1.  (Deterministic: the
+    sign matrix is hash-derived, so this can never flake.)"""
+    e = read_table(spark, SF_DIR, "embeddings")
+    proj = similarity.jl_project(e, out_dim=16)
+    mean_sq = (
+        proj.groupBy("id")
+        .agg(F.sum(F.col("y") * F.col("y")).alias("nsq"))
+        .agg(F.avg("nsq"))
+        .collect()[0][0]
+    )
+    assert 0.8 <= mean_sq <= 1.2  # source embeddings are unit-norm
+
+
+def test_jl_signs_engine_independent(spark):
+    """The sign matrix depends only on (seed, j, i) via md5 — spot-check a
+    few entries against hand-computed hashes and the +1 fraction ~ 1/2."""
+    import hashlib
+
+    signs = similarity.jl_signs(8, 64)
+    for j, i in [(0, 0), (3, 17), (7, 63)]:
+        expect = 1.0 if hashlib.md5(f"jl0:{j}:{i}".encode()).hexdigest()[0] < "8" else -1.0
+        assert signs[j][i] == expect
+    flat = [s for row in signs for s in row]
+    assert 0.4 <= sum(1 for s in flat if s > 0) / len(flat) <= 0.6

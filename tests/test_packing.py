@@ -184,3 +184,34 @@ def test_incremental_near_dedup_with_persisted_corpus_index(spark, tmp_path):
     }
     dedup.release_caches()
     assert via_index == direct == {11}
+
+
+# ------------------------------------------------------------ length_buckets
+def test_length_buckets_rounding_and_waste(spark):
+    """Each count rounds UP to the smallest power-of-two bucket, counts
+    above max_len truncate into the top bucket, and waste_pct is the
+    padding fraction."""
+    d = spark.createDataFrame(
+        [(1,), (16,), (17,), (100,), (5000,)], "t int"
+    )
+    rows = {
+        r["bucket"]: r
+        for r in packing.length_buckets(d, "t", max_len=128, min_bucket=16).collect()
+    }
+    assert set(rows) == {16, 32, 128}
+    assert rows[16]["n_docs"] == 2          # t=1 and t=16
+    assert rows[32]["n_docs"] == 1          # t=17
+    assert rows[128]["n_docs"] == 2         # t=100 and t=5000 (truncated to 128)
+    assert rows[128]["token_sum"] == 100 + 128
+    assert rows[128]["padded_sum"] == 256
+    assert rows[16]["waste_pct"] == round(1 - 17 / 32, 4)
+
+
+def test_length_buckets_rejects_non_powers_of_two(spark):
+    d = spark.createDataFrame([(1,)], "t int")
+    with pytest.raises(ValueError):
+        packing.length_buckets(d, "t", max_len=100, min_bucket=16)
+    with pytest.raises(ValueError):
+        packing.length_buckets(d, "t", max_len=64, min_bucket=24)
+    with pytest.raises(ValueError):
+        packing.length_buckets(d, "t", max_len=16, min_bucket=32)

@@ -600,3 +600,91 @@ def test_pinned_exchange_ceilings(spark):
             f"{name}: {n} shuffle exchanges, pinned ceiling {ceiling};"
             f" a new shuffle entered the plan\n{plan}"
         )
+
+
+# ------------------------------------------------- round-6 session-3 additions
+def test_kfold_and_embargo_are_shuffle_free(spark):
+    """Fold assignment and the temporal split are pure row-local
+    projections: no Exchange anywhere — at 100 TB they pipeline inside
+    the scan."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import sampling
+
+    d = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(sampling.kfold_assign(d, "doc_id", k=5), "simple")
+    assert "Exchange" not in plan
+    e = read_table(spark, SF_DIR, "events")
+    plan = plan_of(
+        sampling.time_embargo_split(e, "ts", "2024-01-20 00:00:00", "3 days"),
+        "simple",
+    )
+    assert "Exchange" not in plan
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed interval join must plan as a hash equi-join on the
+    bucket key (SortMergeJoin or ShuffledHashJoin/BroadcastHashJoin), never
+    BroadcastNestedLoopJoin or CartesianProduct — that is the whole point
+    of exploding intervals into time buckets."""
+    from spark_auto_schema.ops import relational
+
+    a = spark.range(100).selectExpr(
+        "id AS aid", "CAST(id * 10 AS DOUBLE) AS s", "CAST(id * 10 + 5 AS DOUBLE) AS e"
+    )
+    b = spark.range(100).selectExpr(
+        "id AS bid", "CAST(id * 7 AS DOUBLE) AS bs", "CAST(id * 7 + 9 AS DOUBLE) AS be"
+    )
+    plan = plan_of(
+        relational.interval_join(a, b, "s", "e", "bs", "be", bucket_seconds=50),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_jl_project_is_row_local(spark):
+    """The projection is literal sign arrays folded row-locally: no
+    Exchange, no UDF — one narrow stage over the embedding scan."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(similarity.jl_project(e, out_dim=4), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_buckets_single_tiny_aggregate(spark):
+    """One hash aggregate over a handful of bucket keys: exactly one
+    Exchange (the final nbuckets-key agg), nothing else wide."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import packing
+
+    d = read_table(spark, SF_DIR, "documents").select(
+        F.size(F.split("text", " ")).alias("t")
+    )
+    plan = plan_of(packing.length_buckets(d, "t", max_len=128, min_bucket=16), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_ks_drift_no_data_sized_window(spark):
+    """The cumulative window must run over the nbins-row counts frame only:
+    the plan's Window node sits above the bin aggregate (post-aggregation),
+    and the event scan side has no Window or global Sort."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import analytics
+
+    e = read_table(spark, SF_DIR, "events")
+    base = e.where(F.col("event_id") % 2 == 0).select("value")
+    curr = e.where(F.col("event_id") % 2 == 1).select("value")
+    plan = plan_of(analytics.ks_drift(base, curr, "value", nbins=10), "simple")
+    # exactly one Window node, and the per-side bin counts ride broadcasts
+    assert plan.count("Window") == 1
+    assert plan.count("BroadcastExchange") >= 2

@@ -451,3 +451,105 @@ def test_skew_profile_uniform_keys_ratio_one(spark):
     out = skew.skew_profile(df, "k", top_k=10).collect()
     assert len(out) == 10
     assert all(r["skew_ratio"] == 1.0 and r["n"] == 10 for r in out)
+
+
+# -------------------------------------------------------------- kfold_assign
+def test_kfold_assign_exhaustive_disjoint_deterministic(spark):
+    """Every row gets exactly one fold in [0, k); the assignment is a pure
+    function of the key (identical across repartitionings); and folds are
+    roughly balanced (each within 2x of n/k at n=1000)."""
+    d = spark.range(1_000).select(F.col("id").alias("doc_id"))
+    out = sampling.kfold_assign(d, "doc_id", k=5)
+    sizes = {r["fold"]: r["n"] for r in out.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert sum(sizes.values()) == 1_000
+    assert all(100 <= n <= 400 for n in sizes.values())
+    a = {(r["doc_id"], r["fold"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["fold"])
+        for r in sampling.kfold_assign(d.repartition(7), "doc_id", k=5).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        sampling.kfold_assign(d, "doc_id", k=1)
+
+
+# -------------------------------------------------------- time_embargo_split
+def test_time_embargo_split_boundaries(spark):
+    """Rows exactly on the boundaries: train end is EXCLUSIVE (a row at
+    cutoff - embargo is embargoed), eval start is INCLUSIVE (a row at
+    cutoff is eval)."""
+    rows = [
+        (1, _ts("2024-01-16 23:59:59")),  # train (just before gap)
+        (2, _ts("2024-01-17 00:00:00")),  # embargo (== cutoff - 3 days)
+        (3, _ts("2024-01-18 12:00:00")),  # embargo (inside gap)
+        (4, _ts("2024-01-20 00:00:00")),  # eval (== cutoff)
+        (5, _ts("2024-01-25 00:00:00")),  # eval
+    ]
+    d = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r["id"]: r["split"]
+        for r in sampling.time_embargo_split(
+            d, "ts", cutoff="2024-01-20 00:00:00", embargo="3 days"
+        ).collect()
+    }
+    assert got == {1: "train", 2: "embargo", 3: "embargo", 4: "eval", 5: "eval"}
+
+
+# ------------------------------------------------------------- interval_join
+def test_interval_join_matches_bruteforce(spark):
+    """The bucketed exactly-once plan must equal the brute-force theta join
+    on intervals spanning zero, one, and many buckets, including
+    boundary-touching (no match under half-open semantics) and degenerate
+    empty intervals (never match)."""
+    a_rows = [
+        (1, 0.0, 10.0),
+        (2, 95.0, 205.0),    # spans 3 buckets at width 100
+        (3, 400.0, 400.0),   # empty: start == end
+        (4, 500.0, 600.0),
+    ]
+    b_rows = [
+        (10, 5.0, 7.0),      # inside a1
+        (11, 10.0, 20.0),    # touches a1 at 10.0: NO match (half-open)
+        (12, 0.0, 1000.0),   # overlaps everything non-empty
+        (13, 200.0, 300.0),  # overlaps a2 tail
+        (14, 390.0, 410.0),  # would hit a3 were it non-empty
+    ]
+    a = spark.createDataFrame(a_rows, "aid long, s double, e double")
+    b = spark.createDataFrame(b_rows, "bid long, bs double, be double")
+    got = {
+        (r["aid"], r["bid"])
+        for r in relational.interval_join(
+            a, b, "s", "e", "bs", "be", bucket_seconds=100
+        ).collect()
+    }
+    # the inequality predicate only means "intersects" for NON-empty
+    # intervals, so the ground truth filters empties like the operator does
+    brute = {
+        (r["aid"], r["bid"])
+        for r in a.where(F.col("s") < F.col("e"))
+        .join(
+            b.where(F.col("bs") < F.col("be")),
+            (F.col("s") < F.col("be")) & (F.col("bs") < F.col("e")),
+        )
+        .collect()
+    }
+    assert got == brute
+    assert (1, 11) not in got          # boundary touch is not overlap
+    assert all(x[0] != 3 for x in got)  # empty interval matches nothing
+    assert (2, 12) in got and (2, 13) in got
+
+
+def test_interval_join_emits_each_pair_once(spark):
+    """A pair sharing MANY buckets must appear exactly once (the
+    first-shared-bucket gate, not a distinct)."""
+    a = spark.createDataFrame([(1, 0.0, 1000.0)], "aid long, s double, e double")
+    b = spark.createDataFrame([(2, 0.0, 1000.0)], "bid long, bs double, be double")
+    out = relational.interval_join(a, b, "s", "e", "bs", "be", bucket_seconds=10)
+    assert out.count() == 1
+
+
+def test_interval_join_rejects_shared_columns(spark):
+    a = spark.createDataFrame([(1, 0.0, 1.0)], "id long, s double, e double")
+    with pytest.raises(ValueError, match="disjoint"):
+        relational.interval_join(a, a, "s", "e", "s", "e")
