@@ -26,15 +26,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # family rollup prefixes, checked in order (first match wins)
 _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
-               "incremental_", "repeated_", "segment_dedup", "fuzzy_")),
+               "incremental_", "repeated_", "segment_dedup", "fuzzy_",
+               "containment_")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
                 "pipeline_", "domain_cap")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming",
-                    "semantic_")),
+                    "semantic_", "jl_")),
     ("analytics", ("user_retention", "event_funnel", "value_histogram",
                    "zscore_", "mad_outliers", "equidepth_", "psi_drift",
-                   "burst_collapse")),
+                   "burst_collapse", "ks_drift", "interval_overlap")),
     ("governance", ("key_suggestions", "fk_profile", "scd2_",
                     "merge_", "tombstone_", "csv_quarantine")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
@@ -47,7 +48,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
                   "weighted_", "pack_", "corpus_mix", "skew_",
                   "leakage_safe", "canonical_", "group_quantile",
-                  "hll_sharded", "winsorize_")),
+                  "hll_sharded", "winsorize_", "kfold_", "time_embargo",
+                  "length_buckets")),
     ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
             "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
             "range_partitioned", "zorder_", "compact_", "zone_map")),

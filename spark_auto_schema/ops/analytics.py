@@ -615,8 +615,10 @@ def ks_drift(
     exactly one bin on both sides and the last cumulative fraction is 1 by
     construction.  Cumulative fractions are snapped through DECIMAL(18,12)
     then rounded to 6 decimals so engines agree bit-for-bit.  Empty
-    baseline degenerates like psi_drift (no edges, empty output) —
-    validate non-emptiness upstream if reachable.
+    baseline degenerates like psi_drift (no edges, empty output); an
+    empty CURRENT side has no ECDF, so curr_cum_p and ks_term read NULL
+    (``try_divide`` by a zero total) — validate non-emptiness upstream
+    if either state is reachable.
 
     Scale: identical shape to psi_drift — one 1-row stats aggregate on the
     baseline (broadcast back), one nbins-key hash aggregate per side, a

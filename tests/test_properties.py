@@ -352,3 +352,108 @@ def test_psi_drift_conservation_laws(spark, base, curr, nbins):
     )
     self_rows = analytics.psi_drift(bdf, bdf, "v", nbins=nbins).collect()
     assert all(r["psi_term"] == 0.0 for r in self_rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    ),
+    curr=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=0,
+        max_size=40,
+    ),
+    nbins=st.integers(2, 12),
+)
+def test_ks_drift_conservation_laws(spark, base, curr, nbins):
+    """For ANY inputs: full bin spine, per-side counts conserved, both
+    cumulative fractions non-decreasing and ending at exactly 1 (NULL for
+    an empty current side — no ECDF to compare), ks_term =
+    |base_cum - curr_cum| everywhere both sides exist, and KS of a
+    snapshot against itself is identically zero."""
+    from spark_auto_schema.ops import analytics
+
+    bdf = spark.createDataFrame([(v,) for v in base], "v double")
+    cdf = (
+        spark.createDataFrame([(v,) for v in curr], "v double")
+        if curr
+        else spark.createDataFrame([], "v double")
+    )
+    rows = analytics.ks_drift(bdf, cdf, "v", nbins=nbins).orderBy("bin").collect()
+    assert [r["bin"] for r in rows] == list(range(nbins))
+    assert sum(r["base_n"] for r in rows) == len(base)
+    assert sum(r["curr_n"] for r in rows) == len(curr)
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["base_cum_p"] >= prev["base_cum_p"]
+        if curr:
+            assert nxt["curr_cum_p"] >= prev["curr_cum_p"]
+    assert rows[-1]["base_cum_p"] == 1.0
+    if curr:
+        assert rows[-1]["curr_cum_p"] == 1.0
+        for r in rows:
+            assert r["ks_term"] == round(abs(r["base_cum_p"] - r["curr_cum_p"]), 6)
+    else:
+        assert all(r["curr_cum_p"] is None and r["ks_term"] is None for r in rows)
+    self_rows = analytics.ks_drift(bdf, bdf, "v", nbins=nbins).collect()
+    assert all(r["ks_term"] == 0.0 for r in self_rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a_iv=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)),
+        min_size=0,
+        max_size=12,
+    ),
+    b_iv=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)),
+        min_size=0,
+        max_size=12,
+    ),
+    width=st.integers(7, 120),
+)
+def test_interval_join_equals_bruteforce_for_any_intervals(spark, a_iv, b_iv, width):
+    """For ANY interval sets and ANY bucket width, the bucketed plan's pair
+    set equals the brute-force theta join over non-empty intervals —
+    bucketing must be pure optimization, never semantics."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import relational
+
+    a_rows = [(i, float(s), float(s + d)) for i, (s, d) in enumerate(a_iv)]
+    b_rows = [(i, float(s), float(s + d)) for i, (s, d) in enumerate(b_iv)]
+    a = (
+        spark.createDataFrame(a_rows, "aid long, s double, e double")
+        if a_rows
+        else spark.createDataFrame([], "aid long, s double, e double")
+    )
+    b = (
+        spark.createDataFrame(b_rows, "bid long, bs double, be double")
+        if b_rows
+        else spark.createDataFrame([], "bid long, bs double, be double")
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in relational.interval_join(
+            a, b, "s", "e", "bs", "be", bucket_seconds=width
+        ).collect()
+    )
+    brute = sorted(
+        (ai, bi)
+        for ai, s, e in a_rows
+        if s < e
+        for bi, bs, be in b_rows
+        if bs < be and s < be and bs < e
+    )
+    assert got == brute
