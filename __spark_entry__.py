@@ -5305,6 +5305,121 @@ SELECT id_small, id_large, containment FROM sc WHERE containment >= 0.5
 """
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (`ops/text.py` bigram_logprob): add-one
+    smoothed conditionals trained on the corpus itself, mean adjacent-pair
+    log-probability per document — flags unusual SEQUENCES whose
+    individual tokens are common.  The oracle retrains the identical
+    model and replays the decimal-snapped average."""
+    return text.bigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_LOGPROB_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+  FROM documents
+), pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM w, UNNEST(generate_series(1, len(w) - 1)) t(i)
+), toks AS (SELECT unnest(w) AS w1 FROM w),
+uni AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY 1),
+v AS (SELECT count(*) AS v FROM uni),
+big AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+model AS (
+  SELECT b.w1, b.w2, ln((c + 1.0) / (c1 + v)) AS lp
+  FROM big b JOIN uni USING (w1), v
+)
+SELECT doc_id,
+       CAST(round(CAST(avg(lp) AS DECIMAL(18,10)), 4) AS DOUBLE) AS avg_bigram_logprob,
+       count(*) AS n_pairs
+FROM pairs JOIN model USING (w1, w2) GROUP BY doc_id
+"""
+
+
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent sharded content checksum (`ops/corpus.py`
+    table_checksum) over the orders key/status columns: any partitioning,
+    ordering, or engine must produce identical (shard, n_rows,
+    digest_sum) rows — the cheap reproducibility gate after a migration
+    or re-shuffle.  Integer/string columns only, so the canonical string
+    forms agree across engines."""
+    from spark_auto_schema.ops import corpus
+
+    return corpus.table_checksum(
+        read_table(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        n_shards=16,
+    )
+
+
+_TABLE_CHECKSUM_SQL = """
+WITH d AS (
+  SELECT md5(concat_ws(chr(31),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+             coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+             coalesce(o_orderstatus, chr(0)),
+             coalesce(o_orderpriority, chr(0)))) AS h
+  FROM orders
+)
+SELECT CAST(CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 16 AS INT) AS shard,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS DECIMAL(38,0))
+         AS digest_sum
+FROM d GROUP BY 1
+"""
+
+
+def _q_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key percent-rank normalization (`ops/analytics.py`
+    rank_transform): each event's value mapped to its within-type rank
+    fraction — the distribution-free feature scaling.  Standard SQL
+    percent_rank tie semantics, replayed exactly by the oracle."""
+    from spark_auto_schema.ops import analytics
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return analytics.rank_transform(e, "event_type", "value")
+
+
+_RANK_TRANSFORM_SQL = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+         AS pct_rank
+FROM events
+"""
+
+
+def _q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pairwise Pearson correlations (`ops/analytics.py`
+    correlation_matrix) over lineitem's four numeric measures: all 6
+    co-moment pairs ride ONE 1-row aggregate, then a literal unpivot."""
+    from spark_auto_schema.ops import analytics
+
+    return analytics.correlation_matrix(
+        read_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+_CORRELATION_MATRIX_SQL = """
+SELECT col_a, col_b, corr FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5547,6 +5662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["jl_projection"] = _q_jl_projection
     q["length_buckets_docs"] = _q_length_buckets
     q["containment_docs"] = _q_containment
+    q["bigram_logprob_docs"] = _q_bigram_logprob
+    q["table_checksum_orders"] = _q_table_checksum
+    q["rank_transform_events"] = _q_rank_transform
+    q["correlation_matrix_lineitem"] = _q_correlation_matrix
     return q
 
 
@@ -5691,6 +5810,10 @@ def oracle_sql() -> dict[str, str]:
     o["jl_projection"] = _jl_oracle_sql()
     o["length_buckets_docs"] = _LENGTH_BUCKETS_SQL
     o["containment_docs"] = _CONTAINMENT_SQL
+    o["bigram_logprob_docs"] = _BIGRAM_LOGPROB_SQL
+    o["table_checksum_orders"] = _TABLE_CHECKSUM_SQL
+    o["rank_transform_events"] = _RANK_TRANSFORM_SQL
+    o["correlation_matrix_lineitem"] = _CORRELATION_MATRIX_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -682,3 +682,65 @@ def ks_drift(
         pb.alias("curr_cum_p"),
         F.round(F.abs(pa - pb), 6).alias("ks_term"),
     )
+
+
+def rank_transform(
+    df: DataFrame, key_col: str, value_col: str, out_col: str = "pct_rank"
+) -> DataFrame:
+    """Per-key percent-rank transform: ``df`` plus ``out_col`` =
+    ``percent_rank()`` of ``value_col`` within its ``key_col`` partition,
+    rounded to 6 decimals — the distribution-free normalization feature
+    pipelines use when raw scales differ per group (per-language quality
+    scores, per-source lengths) and outliers make z-scores unstable.
+
+    Ties share a rank (standard SQL percent_rank), a single-row group
+    reads 0, and the transform is invariant to any monotone rescaling of
+    the values.  One shuffle (the per-key window sort); nothing else wide.
+    For heavy-tailed KEY cardinality the window partitions are key-sized,
+    not data-sized — skew in one key is bounded by that key's rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col))
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of the given numeric columns in ONE
+    aggregate pass: ``(col_a, col_b, corr)`` for every a < b pair, rounded
+    to 4 decimals.  The profiling complement of
+    :func:`~spark_auto_schema.ops.corpus.profile_table`: per-column stats
+    say what each column looks like, the correlation matrix says which
+    columns move together (redundant features, leaking identifiers,
+    derived-value suspects).
+
+    All k*(k-1)/2 ``corr`` expressions ride a single 1-row aggregate —
+    one scan, map-side partial co-moments, a single-row exchange — then a
+    tiny literal unpivot.  Constant columns have undefined correlation
+    and read NULL — computed as ``try_divide(covar_samp, sa * sb)``
+    rather than ``F.corr``, whose final division throws under ANSI mode
+    when a column is constant (DIVIDE_BY_ZERO); the quotient is the same
+    Pearson r."""
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+            r = F.try_divide(
+                F.covar_samp(ca, cb), F.stddev_samp(ca) * F.stddev_samp(cb)
+            )
+            aggs.append(F.round(r, 4).alias(f"__c{len(names)}"))
+            names.append((a, b))
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__c{i}").alias("corr"),
+            )
+            for i, (a, b) in enumerate(names)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )

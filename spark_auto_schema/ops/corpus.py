@@ -466,3 +466,46 @@ def fk_candidates(
             6,
         ).alias("containment"),
     )
+
+
+def table_checksum(
+    df: DataFrame, cols: list[str] | None = None, n_shards: int = 16
+) -> DataFrame:
+    """Order-independent content checksum of a table, sharded:
+    ``(shard, n_rows, digest_sum)`` where each row's digest is
+    ``md5(col1 || 0x1f || col2 || ...)`` (NULLs as a sentinel), the shard
+    is the digest's top hex nibbles mod ``n_shards``, and ``digest_sum``
+    is the DECIMAL(38,0) sum of 8-hex-digit digest prefixes within the
+    shard — commutative, so ANY partitioning, ordering, or engine
+    produces the identical value.
+
+    The cheap reproducibility gate :func:`corpus_diff` is too heavy for:
+    after a migration, a re-shuffle, or a replay, two materializations of
+    the same logical table must agree on every (shard, n_rows,
+    digest_sum) row — one number per shard instead of a row-level diff,
+    computed in ONE scan with no sort.  A mismatch then localizes to the
+    disagreeing shard(s), cutting the follow-up diff to 1/n_shards of
+    the table.
+
+    The sum rides DECIMAL(38,0) (not BIGINT) so it cannot overflow until
+    ~1e28 rows per shard — ANSI-mode long arithmetic would error at
+    ~2e9 rows of 2^32-sized prefixes.  Caller chooses ``cols`` to pin
+    the canonical string forms (timestamps/floats stringify differently
+    across engines; cast them explicitly upstream)."""
+    cols = cols or df.columns
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+    ]
+    digest = F.md5(F.concat_ws("\x1f", *parts))
+    pref = F.conv(F.substring(digest, 1, 8), 16, 10).cast("decimal(38,0)")
+    shard = (
+        F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    return (
+        df.select(shard.alias("shard"), pref.alias("__p"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__p").cast("decimal(38,0)").alias("digest_sum"),
+        )
+    )

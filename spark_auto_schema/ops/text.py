@@ -528,3 +528,72 @@ def bigram_pmi(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM perplexity proxy: train add-one-smoothed bigram
+    conditionals on the corpus itself, then score each document by its
+    mean adjacent-pair log-probability —
+    ``lp(w1, w2) = ln((c(w1,w2) + 1) / (c1(w1) + V))`` with ``c1`` the
+    corpus occurrence count of the history token and ``V`` the distinct
+    vocabulary.  The context-aware sibling of :func:`unigram_logprob`:
+    unigram scoring flags unusual WORDS, bigram scoring flags unusual
+    SEQUENCES (word-salad, shuffled boilerplate, template churn) whose
+    individual tokens are all common — the next rung on the KenLM-style
+    quality ladder.
+
+    Returns ``(id, avg_bigram_logprob, n_pairs)``; documents with fewer
+    than two tokens have no pairs and are absent from the output.  The
+    average is snapped through DECIMAL(18,10) then rounded to 4 digits so
+    the DuckDB oracle agrees bit-for-bit.
+
+    Scale: pair generation is a row-local slide over the token array (no
+    shuffle); the bigram and unigram models are map-side-combined hash
+    aggregates whose shuffles carry the VOCABULARY, not the corpus; the
+    model-side join (bigram x history-count) is vocabulary-sized; the
+    score join streams pairs past the broadcast model (AQE falls back to
+    a co-partitioned hash join if a 100 TB corpus's bigram table outgrows
+    broadcast); the only corpus-wide exchange is the final per-document
+    average."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
+    )
+    pair_idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(pair_idx).alias("__i"),
+        words.alias("__w"),
+    ).select(
+        id_col,
+        F.element_at("__w", F.col("__i")).alias("w1"),
+        F.element_at("__w", F.col("__i") + 1).alias("w2"),
+    )
+    toks = df.select(F.explode(words).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    model = (
+        big.join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("lp").cast("decimal(18,10)"), 4)
+            .cast("double")
+            .alias("avg_bigram_logprob"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

@@ -435,3 +435,46 @@ def test_ks_drift_monotone_cdfs(spark):
     for prev, nxt in zip(rows, rows[1:]):
         assert nxt["base_cum_p"] >= prev["base_cum_p"]
         assert nxt["curr_cum_p"] >= prev["curr_cum_p"]
+
+
+# -------------------------------------------------------------- rank_transform
+def test_rank_transform_semantics(spark):
+    """percent_rank per key: ties share a rank, a singleton key reads 0,
+    the max reads 1, and a monotone rescaling of values changes nothing."""
+    rows = [("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 40.0), ("b", 7.0)]
+    d = spark.createDataFrame(rows, "k string, v double")
+    out = analytics.rank_transform(d, "k", "v")
+    got = sorted((r["k"], r["v"], r["pct_rank"]) for r in out.collect())
+    assert got == [
+        ("a", 10.0, 0.0),
+        ("a", 20.0, round(1 / 3, 6)),
+        ("a", 20.0, round(1 / 3, 6)),
+        ("a", 40.0, 1.0),
+        ("b", 7.0, 0.0),
+    ]
+    scaled = analytics.rank_transform(
+        d.select("k", (F.col("v") * 100 + 5).alias("v")), "k", "v"
+    )
+    assert sorted(r["pct_rank"] for r in scaled.collect()) == sorted(
+        r["pct_rank"] for r in out.collect()
+    )
+
+
+# -------------------------------------------------------- correlation_matrix
+def test_correlation_matrix_known_relationships(spark):
+    """A column correlates 1.0 with its own affine image, -1.0 with its
+    negation, and NULL against a constant (undefined variance)."""
+    d = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 3).cast("double").alias("y"),
+        (-F.col("id")).cast("double").alias("z"),
+        F.lit(5.0).alias("c"),
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in analytics.correlation_matrix(d, ["x", "y", "z", "c"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("x", "c")] is None
+    assert len(got) == 6

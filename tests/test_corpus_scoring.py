@@ -335,3 +335,37 @@ def test_suggest_keys_approx_mode_ranks_but_abstains_on_uniqueness(spark):
     assert all(r["is_unique"] is None for r in out.values())
     assert out["id"]["distkey_rank"] == 1  # 1000 >> 3 >> 1 survives 5% rsd
     assert out["const"]["distkey_rank"] == 3
+
+
+# ------------------------------------------------------------ table_checksum
+def test_table_checksum_order_and_partitioning_invariant(spark):
+    """The checksum is a pure function of the row MULTISET: repartitioning,
+    reordering, and re-computing all agree; changing one value changes at
+    least one shard row; NULL and empty string digest differently."""
+    from spark_auto_schema.ops import corpus
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "")], "k long, s string"
+    )
+    base = {tuple(r) for r in corpus.table_checksum(d, n_shards=4).collect()}
+    shuffled = {
+        tuple(r)
+        for r in corpus.table_checksum(
+            d.repartition(3).sortWithinPartitions(F.col("s").desc_nulls_last()),
+            n_shards=4,
+        ).collect()
+    }
+    assert base == shuffled
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "")], "k long, s string"
+    )
+    assert base != {
+        tuple(r) for r in corpus.table_checksum(changed, n_shards=4).collect()
+    }
+    # NULL vs "" must not collide (the sentinel encodes them differently)
+    dn = spark.createDataFrame([(3, None)], "k long, s string")
+    de = spark.createDataFrame([(3, "")], "k long, s string")
+    assert {tuple(r) for r in corpus.table_checksum(dn).collect()} != {
+        tuple(r) for r in corpus.table_checksum(de).collect()
+    }
+    assert sum(r["n_rows"] for r in corpus.table_checksum(d, n_shards=4).collect()) == 4

@@ -807,3 +807,23 @@ def test_jl_signs_engine_independent(spark):
         assert signs[j][i] == expect
     flat = [s for row in signs for s in row]
     assert 0.4 <= sum(1 for s in flat if s > 0) / len(flat) <= 0.6
+
+
+# ------------------------------------------------------------ bigram_logprob
+def test_bigram_logprob_flags_shuffled_sequences(spark):
+    """Word-salad detection: a document whose BIGRAMS are novel must score
+    below documents built from the corpus's repeated bigrams, even though
+    all unigrams are identical — the signal unigram_logprob cannot see.
+    Documents with fewer than two tokens produce no pairs and are absent."""
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(1, 9)]
+    docs.append((9, "mat the on sat cat the"))  # same words, shuffled
+    docs.append((10, "solo"))                   # 1 token: no pairs
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bigram_logprob(d).collect()}
+    assert 10 not in out
+    assert out[9]["n_pairs"] == 5
+    assert out[9]["avg_bigram_logprob"] < out[1]["avg_bigram_logprob"]
+    # unigram scoring cannot separate them (identical token multisets)
+    uni = {r["doc_id"]: r["avg_logprob"] for r in text.unigram_logprob(d).collect()}
+    assert uni[9] == uni[1]

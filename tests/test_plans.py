@@ -688,3 +688,47 @@ def test_ks_drift_no_data_sized_window(spark):
     # exactly one Window node, and the per-side bin counts ride broadcasts
     assert plan.count("Window") == 1
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_bigram_model_join_is_broadcast(spark):
+    """The bigram model (vocabulary-sized) joins the pair stream via
+    broadcast, like the unigram op; no Python evaluation anywhere."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.bigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_table_checksum_single_scan_single_exchange(spark):
+    """One scan, one hash aggregate on the shard key: the checksum must
+    never sort or collect the table."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import corpus
+
+    o = read_table(spark, SF_DIR, "orders")
+    plan = plan_of(
+        corpus.table_checksum(o, cols=["o_orderkey", "o_orderstatus"]), "simple"
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Sort" not in plan
+
+
+def test_correlation_matrix_is_one_pass(spark):
+    """All pairwise co-moments ride a single 1-row aggregate: one scan,
+    partial+final aggregate, single-row exchange, no wide shuffle."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import analytics
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = analytics.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    detail = plan_of(df)
+    assert "SinglePartition" in detail
+    assert "hashpartitioning" not in detail
