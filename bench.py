@@ -30,12 +30,13 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                "containment_")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
-                "pipeline_", "domain_cap")),
+                "pipeline_", "domain_cap", "table_checksum")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming",
                     "semantic_", "jl_")),
     ("analytics", ("user_retention", "event_funnel", "value_histogram",
                    "zscore_", "mad_outliers", "equidepth_", "psi_drift",
-                   "burst_collapse", "ks_drift", "interval_overlap")),
+                   "burst_collapse", "ks_drift", "interval_overlap",
+                   "rank_transform", "correlation_")),
     ("governance", ("key_suggestions", "fk_profile", "scd2_",
                     "merge_", "tombstone_", "csv_quarantine")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
