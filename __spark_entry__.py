@@ -5420,6 +5420,68 @@ SELECT col_a, col_b, corr FROM (
 """
 
 
+def _q_streaming_ks_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor (`streaming.DataDriftMonitor` with
+    stat='ks'): the events stream scored per microbatch by the binned
+    two-sample KS statistic against a frozen baseline (even event_ids'
+    values) — the cumulative-gap companion of `q:streaming_psi_monitor`
+    on the same drain.  The oracle replays baseline-vs-all-events
+    ks_drift in SQL."""
+    from spark_auto_schema.streaming import DataDriftMonitor, read_event_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    baseline = ev.where(F.col("event_id") % 2 == 0).select("value")
+    monitor = DataDriftMonitor(
+        baseline, "value", nbins=10, threshold=0.1, stat="ks"
+    )
+    q = monitor.attach(
+        read_event_stream(spark, _events_stream_dir(sf_dir)).select("value")
+    )
+    q.awaitTermination()
+    rows = [r for _, _, batch_rows in monitor.history for r in batch_rows]
+    return spark.createDataFrame(
+        rows,
+        "bin int, base_n bigint, curr_n bigint, base_cum_p double, "
+        "curr_cum_p double, ks_term double",
+    )
+
+
+_STREAMING_KS_SQL = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL
+), curr AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), st AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
+bb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS base_n
+  FROM base, st GROUP BY 1
+), cb AS (
+  SELECT CAST(greatest(least(floor((v - mn) * 10 / (mx - mn)), 9), 0) AS INT) AS bin,
+         count(*) AS curr_n
+  FROM curr, st GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+counts AS (
+  SELECT s.bin, coalesce(base_n, 0) AS base_n, coalesce(curr_n, 0) AS curr_n
+  FROM spine s LEFT JOIN bb ON s.bin = bb.bin LEFT JOIN cb ON s.bin = cb.bin
+), t AS (SELECT sum(base_n) AS bt, sum(curr_n) AS ct FROM counts),
+cum AS (
+  SELECT bin, base_n, curr_n,
+         CAST(round(CAST(sum(base_n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / bt
+              AS DECIMAL(18,12)), 6) AS DOUBLE) AS base_cum_p,
+         CAST(round(CAST(sum(curr_n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / ct
+              AS DECIMAL(18,12)), 6) AS DOUBLE) AS curr_cum_p
+  FROM counts, t
+)
+SELECT bin, base_n, curr_n, base_cum_p, curr_cum_p,
+       round(abs(base_cum_p - curr_cum_p), 6) AS ks_term
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5666,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["table_checksum_orders"] = _q_table_checksum
     q["rank_transform_events"] = _q_rank_transform
     q["correlation_matrix_lineitem"] = _q_correlation_matrix
+    q["streaming_ks_monitor"] = _q_streaming_ks_monitor
     return q
 
 
@@ -5814,6 +5877,7 @@ def oracle_sql() -> dict[str, str]:
     o["table_checksum_orders"] = _TABLE_CHECKSUM_SQL
     o["rank_transform_events"] = _RANK_TRANSFORM_SQL
     o["correlation_matrix_lineitem"] = _CORRELATION_MATRIX_SQL
+    o["streaming_ks_monitor"] = _STREAMING_KS_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -471,12 +471,21 @@ class DataDriftMonitor:
     this one "did the VALUES drift", together covering the two failure
     modes a landed stream can develop.
 
-    Each microbatch runs :func:`ops.analytics.psi_drift` (baseline vs the
+    Each microbatch runs the chosen batch drift operator (baseline vs the
     batch) — all arithmetic stays Spark-side, identical to the batch
     operator — collects the nbins-row result (a model-parameter-sized
-    collect, not data), and calls ``on_drift(batch_id, psi)`` when the
-    total PSI crosses ``threshold`` (0.25 = "drifted" by the standard rule
-    of thumb).  Per-batch bin rows accumulate in ``history``.
+    collect, not data), and calls ``on_drift(batch_id, score)`` when the
+    score crosses ``threshold``.  ``stat`` picks the statistic:
+
+    * ``'psi'`` (default) — :func:`ops.analytics.psi_drift`, score =
+      sum of psi_term (0.25 = "drifted" by the standard rule of thumb);
+      density-sensitive, direction-blind.
+    * ``'ks'`` — :func:`ops.analytics.ks_drift`, score = max ks_term
+      (the binned KS statistic; 0.1 is a common alert level at large n);
+      catches consistent one-sided shifts whose per-bin densities barely
+      move.  Production monitors often run both on the same stream.
+
+    Per-batch bin rows accumulate in ``history``.
 
     Scale: the per-batch cost is the baseline's 1-row stats aggregate plus
     one binning pass over each side.  For a long-lived monitor, pass a
@@ -492,24 +501,32 @@ class DataDriftMonitor:
         nbins: int = 10,
         threshold: float = 0.25,
         on_drift: Callable[[int, float], None] | None = None,
+        stat: str = "psi",
     ) -> None:
+        if stat not in ("psi", "ks"):
+            raise ValueError(f"stat must be 'psi' or 'ks', got {stat!r}")
         self.baseline = baseline
         self.col = col
         self.nbins = nbins
         self.threshold = threshold
         self.on_drift = on_drift
+        self.stat = stat
         self.history: list[tuple[int, float, list]] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from spark_auto_schema.ops.analytics import psi_drift
+        from spark_auto_schema.ops.analytics import ks_drift, psi_drift
 
         if batch_df.isEmpty():
             return
-        rows = psi_drift(self.baseline, batch_df, self.col, self.nbins).collect()
-        psi = float(sum(r["psi_term"] for r in rows))
-        self.history.append((batch_id, psi, rows))
-        if self.on_drift is not None and psi >= self.threshold:
-            self.on_drift(batch_id, psi)
+        if self.stat == "psi":
+            rows = psi_drift(self.baseline, batch_df, self.col, self.nbins).collect()
+            score = float(sum(r["psi_term"] for r in rows))
+        else:
+            rows = ks_drift(self.baseline, batch_df, self.col, self.nbins).collect()
+            score = float(max(r["ks_term"] for r in rows))
+        self.history.append((batch_id, score, rows))
+        if self.on_drift is not None and score >= self.threshold:
+            self.on_drift(batch_id, score)
 
     def attach(self, stream_df: DataFrame):
         """Start the monitor on a streaming DataFrame (availableNow)."""

@@ -334,3 +334,37 @@ def test_data_drift_monitor_fires_only_on_drifted_batches(spark, tmp_path):
     # empty batches are skipped entirely
     mon(spark.createDataFrame([], "value double"), 2)
     assert len(mon.history) == 2
+
+
+def test_data_drift_monitor_ks_stat(spark):
+    """stat='ks': a baseline-shaped batch stays under the alert level, a
+    location-shifted batch fires with the max cumulative gap as the score;
+    unknown stats are rejected."""
+    import pytest
+
+    from spark_auto_schema.streaming import DataDriftMonitor
+
+    baseline = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "value double"
+    )
+    stable = spark.createDataFrame(
+        [(float((i * 7) % 50),) for i in range(300)], "value double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(i % 50) + 15.0,) for i in range(300)], "value double"
+    )
+    fired: list[tuple[int, float]] = []
+    mon = DataDriftMonitor(
+        baseline, "value", nbins=10, threshold=0.1, stat="ks",
+        on_drift=lambda bid, ks: fired.append((bid, ks)),
+    )
+    mon(stable, 0)
+    mon(shifted, 1)
+    assert [bid for bid, _ in fired] == [1]
+    scores = {bid: s for bid, s, _ in mon.history}
+    assert scores[0] < 0.1 <= scores[1]
+    # the score is the MAX ks_term of that batch's bin table
+    rows = {bid: r for bid, _, r in mon.history}
+    assert scores[1] == max(x["ks_term"] for x in rows[1])
+    with pytest.raises(ValueError, match="stat"):
+        DataDriftMonitor(baseline, "value", stat="chi2")

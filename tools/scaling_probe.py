@@ -55,10 +55,26 @@ PROBES: dict[str, list[str]] = {
         "ngram_jaccard_dups",
         "simhash_near_dup",
         "incremental_dedup",
+        # session-3: same shingle-equi-join engine as Jaccard but with the
+        # asymmetric denominator — must inherit the same slope
+        "containment_docs",
     ],
-    "similarity": ["embedding_topk", "ann_lsh_topk", "ivf_topk"],
+    "similarity": [
+        "embedding_topk",
+        "ann_lsh_topk",
+        "ivf_topk",
+        # session-3: row-local literal-matrix fold — must be flat-linear
+        "jl_projection",
+    ],
     "inference": ["infer_lineitem", "infer_events", "infer_documents"],
-    "text": ["text_stats", "token_count", "fingerprint_docs"],
+    "text": [
+        "text_stats",
+        "token_count",
+        "fingerprint_docs",
+        # session-3: bigram model shuffles carry the vocabulary; replica
+        # token suffixes grow the vocab 10x too — the harder case
+        "bigram_logprob_docs",
+    ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
     "analytics": [
@@ -90,11 +106,23 @@ PROBES: dict[str, list[str]] = {
     # final round-6 batch: PSI drift and the SCD2 as-of lookup both scale
     # with events (the lookup's dim also grows — every 10th event — so the
     # join is stressed on BOTH sides).
-    "monitoring": ["psi_drift_events", "scd2_lookup_events"],
+    "monitoring": [
+        "psi_drift_events",
+        "scd2_lookup_events",
+        # session-3: KS shares PSI's binning; rank_transform is the
+        # per-key window (key space grows 10x with replica-offset users);
+        # the interval join's bucket equi-join scales with events on both
+        # derived sides; the correlation matrix is a 1-row co-moment agg
+        # over lineitem
+        "ks_drift_events",
+        "rank_transform_events",
+        "interval_overlap_sessions",
+        "correlation_matrix_lineitem",
+    ],
     # scd2_order_status is deliberately absent: its dimension derives from
     # orders, a COPIED (unscaled) table here, so its ratio would measure
-    # nothing.  Same for key_suggestions / fk_profile / csv_quarantine
-    # (orders-derived).  semantic_dedup is absent because the driver query
+    # nothing.  Same for key_suggestions / fk_profile / csv_quarantine /
+    # table_checksum_orders (orders-derived).  semantic_dedup is absent because the driver query
     # pins nlist=16 for oracle replay: at fixed nlist the cluster-local
     # pair join is quadratic BY DESIGN (the SemDeDup paper's own knob is
     # nlist ∝ corpus — ~n/nlist members per cluster), so the probe would
