@@ -5482,6 +5482,117 @@ FROM cum
 """
 
 
+def _scored_with_lang_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input for the classifier-eval queries: Arrow-batch scores
+    joined back to a planted binary label (lang = 'en', ~44% positive at
+    sf0.01) — evaluating the REAL scoring path end-to-end, not a synthetic
+    score column."""
+    docs = read_table(spark, sf_dir, "documents")
+    scores = scoring.classifier_score(docs)
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return scores.join(labels, "doc_id")
+
+
+_SCORED_LABELED_CTE = """
+WITH f AS (
+  SELECT doc_id,
+         ln(greatest(len(string_split(text, ' ')), 1) + 1.0) AS log_tokens,
+         (greatest(length(text), 1)
+            - (greatest(len(string_split(text, ' ')), 1) - 1)) * 1.0
+           / greatest(len(string_split(text, ' ')), 1) AS mean_word_len,
+         len(list_filter(string_split(text, ' '), w -> lower(w) IN
+             ('the','a','of','and','to','in','is','on','for','with'))) * 1.0
+           / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS alpha_ratio,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+), scored AS (
+  SELECT doc_id, label,
+         round(1.0 / (1.0 + exp(-(-1.0 + 0.35 * log_tokens
+                                  + 0.12 * mean_word_len
+                                  + 1.8 * stopword_ratio
+                                  + 0.9 * alpha_ratio))), 4) AS score
+  FROM f
+)
+"""
+
+
+def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (`ops/scoring.py` calibration_bins) of the
+    Arrow-batch classifier against the planted lang='en' label: per-bin
+    mean score vs positive fraction.  The oracle replays the closed-form
+    model AND the binning, so the whole score->eval path is value-checked."""
+    return scoring.calibration_bins(
+        _scored_with_lang_label(spark, sf_dir), nbins=10
+    )
+
+
+_CALIBRATION_BINS_SQL = (
+    _SCORED_LABELED_CTE
+    + """
+, binned AS (
+  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, score, label
+  FROM scored WHERE score IS NOT NULL
+), counts AS (
+  SELECT bin, count(*) AS n,
+         CAST(round(CAST(avg(score) AS DECIMAL(18,12)), 6) AS DOUBLE) AS mean_score,
+         CAST(round(CAST(avg(label) AS DECIMAL(18,12)), 6) AS DOUBLE) AS frac_pos
+  FROM binned GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, 9)) AS bin)
+SELECT s.bin, coalesce(n, 0) AS n, mean_score, frac_pos
+FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+"""
+)
+
+
+def _q_binned_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC/AUC (`ops/scoring.py` binned_roc) of the classifier vs
+    the planted label — cumulative TPR/FPR sweeping the threshold down,
+    trapezoidal AUC terms; no global rank sort (the sweep runs over the
+    nbins-row frame).  AUC = sum(auc_term), replayed exactly in SQL."""
+    return scoring.binned_roc(
+        _scored_with_lang_label(spark, sf_dir), nbins=20
+    )
+
+
+_BINNED_ROC_SQL = (
+    _SCORED_LABELED_CTE
+    + """
+, binned AS (
+  SELECT CAST(least(floor(score * 20), 19) AS INT) AS bin, label
+  FROM scored WHERE score IS NOT NULL
+), counts AS (
+  SELECT bin, sum(label) AS n_pos, sum(1 - label) AS n_neg
+  FROM binned GROUP BY 1
+), spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
+full_c AS (
+  SELECT s.bin, coalesce(n_pos, 0) AS n_pos, coalesce(n_neg, 0) AS n_neg
+  FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+), cum AS (
+  SELECT bin, n_pos, n_neg,
+         CAST(round(CAST(sum(n_pos) OVER (ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                    / nullif(sum(n_pos) OVER (), 0)
+              AS DECIMAL(18,12)), 6) AS DOUBLE) AS tpr,
+         CAST(round(CAST(sum(n_neg) OVER (ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                    / nullif(sum(n_neg) OVER (), 0)
+              AS DECIMAL(18,12)), 6) AS DOUBLE) AS fpr
+  FROM full_c
+)
+SELECT bin, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       tpr, fpr,
+       CAST(round(CAST((fpr - coalesce(lag(fpr) OVER (ORDER BY bin DESC), 0.0))
+            * (tpr + coalesce(lag(tpr) OVER (ORDER BY bin DESC), 0.0)) / 2.0
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS auc_term
+FROM cum
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5729,6 +5840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rank_transform_events"] = _q_rank_transform
     q["correlation_matrix_lineitem"] = _q_correlation_matrix
     q["streaming_ks_monitor"] = _q_streaming_ks_monitor
+    q["calibration_bins_docs"] = _q_calibration_bins
+    q["binned_roc_docs"] = _q_binned_roc
     return q
 
 
@@ -5878,6 +5991,8 @@ def oracle_sql() -> dict[str, str]:
     o["rank_transform_events"] = _RANK_TRANSFORM_SQL
     o["correlation_matrix_lineitem"] = _CORRELATION_MATRIX_SQL
     o["streaming_ks_monitor"] = _STREAMING_KS_SQL
+    o["calibration_bins_docs"] = _CALIBRATION_BINS_SQL
+    o["binned_roc_docs"] = _BINNED_ROC_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

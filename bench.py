@@ -30,7 +30,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                "containment_")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
-                "pipeline_", "domain_cap", "table_checksum")),
+                "pipeline_", "domain_cap", "table_checksum",
+                "calibration_", "binned_roc")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming",
                     "semantic_", "jl_")),
     ("analytics", ("user_retention", "event_funnel", "value_histogram",

@@ -131,3 +131,110 @@ def classifier_score(
     return feats.mapInPandas(
         score_batches, schema=f"{id_col} long, score double"
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    nbins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: fixed [0, 1)
+    equal-width score bins, per-bin ``(bin, n, mean_score, frac_pos)`` —
+    a well-calibrated model has ``frac_pos ~ mean_score`` in every bin.
+    The eval-side complement of :func:`classifier_score`: before a score
+    threshold gates a corpus, calibration says what the scores MEAN.
+
+    Scores are assumed in [0, 1] (probabilities); 1.0 clamps into the top
+    bin.  Empty bins are emitted with n = 0 and NULL means (full spine,
+    like the drift operators).  Means are snapped through DECIMAL(18,12)
+    then rounded to 6 so engines agree.  One nbins-key hash aggregate +
+    a spine join of an nbins-row frame — nothing else wide."""
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * nbins), F.lit(nbins - 1)).cast("int")
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    counts = (
+        scored.where(s.isNotNull())
+        .select(b.alias("bin"), s.alias("__s"), F.col(label_col).cast("int").alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            snap(F.avg("__s")).alias("mean_score"),
+            snap(F.avg("__y")).alias("frac_pos"),
+        )
+    )
+    spine = scored.sparkSession.range(nbins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    return spine.join(F.broadcast(counts), ["bin"], "left").select(
+        "bin",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "mean_score",
+        "frac_pos",
+    )
+
+
+def binned_roc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    nbins: int = 20,
+) -> DataFrame:
+    """Binned ROC curve + trapezoidal AUC terms, computed without a
+    global sort: fixed [0, 1) score bins, cumulative TPR/FPR sweeping the
+    threshold from HIGH scores down, ``(bin, n_pos, n_neg, tpr, fpr,
+    auc_term)`` with AUC = ``sum(auc_term)``.  The exact AUC is a global
+    rank statistic (a data-sized sort); binning trades resolution for a
+    plan that is one nbins-key aggregate plus windows over the NBINS-ROW
+    frame — at 100 TB the sweep costs the same as at 100 MB.
+
+    ``bin`` descends score order in the cumulative sense: row for bin b
+    holds the TPR/FPR of the classifier that predicts positive when
+    ``score >= b / nbins`` (bin b's lower edge).  The last row (bin 0) is
+    always (1, 1).  Fractions snapped through DECIMAL(18,12) to 6
+    decimals; degenerate single-class inputs read NULL on the undefined
+    side (``try_divide``)."""
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * nbins), F.lit(nbins - 1)).cast("int")
+    y = F.col(label_col).cast("int")
+    counts = (
+        scored.where(s.isNotNull())
+        .select(b.alias("bin"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.sum("__y").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("n_neg"),
+        )
+    )
+    spine = scored.sparkSession.range(nbins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    full = spine.join(F.broadcast(counts), ["bin"], "left").select(
+        "bin",
+        F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+        F.coalesce("n_neg", F.lit(0)).alias("n_neg"),
+    )
+    # windows over the nbins-row frame only (bins, never data)
+    desc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    tpr = snap(F.try_divide(F.sum("n_pos").over(desc), F.sum("n_pos").over(tot)))
+    fpr = snap(F.try_divide(F.sum("n_neg").over(desc), F.sum("n_neg").over(tot)))
+    curve = full.select("bin", "n_pos", "n_neg", tpr.alias("tpr"), fpr.alias("fpr"))
+    lag_w = Window.orderBy(F.col("bin").desc())
+    prev_tpr = F.coalesce(F.lag("tpr").over(lag_w), F.lit(0.0))
+    prev_fpr = F.coalesce(F.lag("fpr").over(lag_w), F.lit(0.0))
+    auc_term = F.round(
+        ((F.col("fpr") - prev_fpr) * (F.col("tpr") + prev_tpr) / F.lit(2.0))
+        .cast("decimal(18,12)"),
+        6,
+    ).cast("double")
+    return curve.select(
+        "bin", "n_pos", "n_neg", "tpr", "fpr", auc_term.alias("auc_term")
+    )

@@ -369,3 +369,50 @@ def test_table_checksum_order_and_partitioning_invariant(spark):
         tuple(r) for r in corpus.table_checksum(de).collect()
     }
     assert sum(r["n_rows"] for r in corpus.table_checksum(d, n_shards=4).collect()) == 4
+
+
+# ---------------------------------------------------------- classifier eval
+def test_binned_roc_perfect_and_reversed_classifier(spark):
+    """AUC (sum of auc_term) must read 1.0 for a perfectly separating
+    scorer, 0.0 for a perfectly reversed one, and ~0.5 for a
+    label-independent one; the bin-0 row always closes the curve at
+    (1, 1)."""
+    from spark_auto_schema.ops import scoring
+
+    rows = [(i, 0.9 if i < 50 else 0.1, 1 if i < 50 else 0) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    perfect = scoring.binned_roc(d, nbins=10).collect()
+    assert round(sum(r["auc_term"] for r in perfect), 6) == 1.0
+    closing = min(perfect, key=lambda r: r["bin"])
+    assert (closing["tpr"], closing["fpr"]) == (1.0, 1.0)
+    rev = d.select("doc_id", "score", (1 - F.col("label")).alias("label"))
+    assert round(sum(r["auc_term"] for r in scoring.binned_roc(rev, nbins=10).collect()), 6) == 0.0
+    indep = d.select("doc_id", "score", (F.col("doc_id") % 2).alias("label"))
+    auc = sum(r["auc_term"] for r in scoring.binned_roc(indep, nbins=10).collect())
+    assert 0.4 <= auc <= 0.6
+    # single-class input: the absent side's rate is NULL everywhere
+    allpos = d.select("doc_id", "score", F.lit(1).alias("label"))
+    assert all(r["fpr"] is None for r in scoring.binned_roc(allpos, nbins=10).collect())
+
+
+def test_calibration_bins_well_calibrated_scores(spark):
+    """Scores that ARE the positive rate per bin produce frac_pos equal to
+    mean_score (within the bin construction); empty bins carry n=0 and
+    NULL means; score 1.0 clamps into the top bin."""
+    from spark_auto_schema.ops import scoring
+
+    rows = []
+    i = 0
+    for center, frac in [(0.25, 0.25), (0.75, 0.75)]:
+        for k in range(40):
+            rows.append((i, center, 1 if k < int(frac * 40) else 0))
+            i += 1
+    rows.append((i, 1.0, 1))  # clamps into bin 9
+    d = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    got = {r["bin"]: r for r in scoring.calibration_bins(d, nbins=10).collect()}
+    assert len(got) == 10
+    assert got[2]["n"] == 40 and got[2]["mean_score"] == 0.25
+    assert got[2]["frac_pos"] == 0.25
+    assert got[7]["frac_pos"] == 0.75
+    assert got[9]["n"] == 1 and got[9]["mean_score"] == 1.0
+    assert got[0]["n"] == 0 and got[0]["mean_score"] is None

@@ -732,3 +732,23 @@ def test_correlation_matrix_is_one_pass(spark):
     detail = plan_of(df)
     assert "SinglePartition" in detail
     assert "hashpartitioning" not in detail
+
+
+def test_binned_roc_windows_are_bin_frame_only(spark):
+    """The ROC sweep's windows run over the nbins-row counts frame, never
+    the data: the scored input contributes ONE data-sized aggregate, and
+    the plan's Window nodes sit above the spine join."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import scoring
+
+    d = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100 / 100.0).alias("score"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    plan = plan_of(scoring.binned_roc(d, nbins=10), "simple")
+    # one data-sized aggregate (partial+final pairs count as HashAggregate
+    # nodes); the rest of the plan operates on <= nbins rows
+    assert "BroadcastExchange" in plan  # counts broadcast into the spine
+    assert plan.count("Window") <= 3   # tpr/fpr sweep + lag, bin-frame only
