@@ -5593,6 +5593,40 @@ FROM cum
 )
 
 
+def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (`ops/analytics.py` transition_counts): all observed event-type
+    transitions with row-normalized probabilities — the all-paths
+    complement of the prescribed-path funnel.  Oracle replays the lag
+    window (event_id tiebreak) and the snapped normalization."""
+    from spark_auto_schema.ops import analytics
+
+    return analytics.transition_counts(
+        read_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak_col="event_id",
+    )
+
+
+_TRANSITION_MATRIX_SQL = """
+WITH l AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state,
+         event_type AS next_state
+  FROM events
+), c AS (
+  SELECT prev_state, next_state, count(*) AS n
+  FROM l WHERE prev_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_state, next_state, n,
+       CAST(round(CAST(n * 1.0 / sum(n) OVER (PARTITION BY prev_state)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS p
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5842,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_ks_monitor"] = _q_streaming_ks_monitor
     q["calibration_bins_docs"] = _q_calibration_bins
     q["binned_roc_docs"] = _q_binned_roc
+    q["transition_matrix_events"] = _q_transition_matrix
     return q
 
 
@@ -5993,6 +6028,7 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_ks_monitor"] = _STREAMING_KS_SQL
     o["calibration_bins_docs"] = _CALIBRATION_BINS_SQL
     o["binned_roc_docs"] = _BINNED_ROC_SQL
+    o["transition_matrix_events"] = _TRANSITION_MATRIX_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -37,7 +37,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("analytics", ("user_retention", "event_funnel", "value_histogram",
                    "zscore_", "mad_outliers", "equidepth_", "psi_drift",
                    "burst_collapse", "ks_drift", "interval_overlap",
-                   "rank_transform", "correlation_")),
+                   "rank_transform", "correlation_", "transition_")),
     ("governance", ("key_suggestions", "fk_profile", "scd2_",
                     "merge_", "tombstone_", "csv_quarantine")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",

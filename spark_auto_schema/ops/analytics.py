@@ -744,3 +744,48 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(F.explode(pairs).alias("p")).select(
         "p.col_a", "p.col_b", "p.corr"
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    ``(prev_state, next_state, n, p)`` where ``n`` counts adjacent
+    (prev -> next) transitions within a key's time-ordered sequence and
+    ``p`` is the row-normalized transition probability (6 decimals,
+    decimal-snapped).  The sequence-structure complement of
+    :func:`funnel_counts`: funnels check ONE prescribed path, the
+    transition matrix surfaces ALL observed paths — the standard first
+    look at navigation flows, bot loops, and broken-funnel leaks.
+
+    Each key's first event has no predecessor and contributes nothing;
+    a key with one event contributes nothing.  ``tiebreak_col`` breaks
+    equal timestamps deterministically (defaults to the state itself).
+
+    Scale: ONE shuffle (the per-key lag window, partitions bounded by the
+    key's own rows), then a |states|^2-key hash aggregate; the
+    normalization rides a window over the states^2-row COUNTS frame,
+    never the data."""
+    from pyspark.sql.window import Window
+
+    tie = tiebreak_col or state_col
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie)
+    prev = F.lag(state_col).over(w)
+    counts = (
+        df.select(
+            prev.alias("prev_state"), F.col(state_col).alias("next_state")
+        )
+        .where(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_state")
+    p = F.round(
+        F.try_divide(F.col("n"), F.sum("n").over(norm)).cast("decimal(18,12)"),
+        6,
+    ).cast("double")
+    return counts.select("prev_state", "next_state", "n", p.alias("p"))

@@ -478,3 +478,36 @@ def test_correlation_matrix_known_relationships(spark):
     assert got[("x", "z")] == -1.0
     assert got[("x", "c")] is None
     assert len(got) == 6
+
+
+# ----------------------------------------------------------- transition_counts
+def test_transition_counts_sequence_semantics(spark):
+    """Known sequences: transitions count adjacent pairs in time order,
+    first events contribute nothing, single-event keys vanish, and each
+    prev_state's probabilities sum to 1."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: A -> B -> B -> C ; user 2: A -> C ; user 3: A alone
+    for i, (u, s) in enumerate(
+        [(1, "A"), (1, "B"), (1, "B"), (1, "C"), (2, "A"), (2, "C"), (3, "A")]
+    ):
+        rows.append((u, t0 + dt.timedelta(minutes=i), s, i))
+    d = spark.createDataFrame(rows, "user_id long, ts timestamp, state string, eid long")
+    got = {
+        (r["prev_state"], r["next_state"]): (r["n"], r["p"])
+        for r in analytics.transition_counts(
+            d, "user_id", "ts", "state", tiebreak_col="eid"
+        ).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "C"): (1, 0.5),
+        ("B", "B"): (1, 0.5),
+        ("B", "C"): (1, 0.5),
+    }
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (prev, _), (_, p) in got.items():
+        sums[prev] += p
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
