@@ -5534,7 +5534,7 @@ _CALIBRATION_BINS_SQL = (
     _SCORED_LABELED_CTE
     + """
 , binned AS (
-  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, score, label
+  SELECT CAST(greatest(least(floor(score * 10), 9), 0) AS INT) AS bin, score, label
   FROM scored WHERE score IS NOT NULL
 ), counts AS (
   SELECT bin, count(*) AS n,
@@ -5562,7 +5562,7 @@ _BINNED_ROC_SQL = (
     _SCORED_LABELED_CTE
     + """
 , binned AS (
-  SELECT CAST(least(floor(score * 20), 19) AS INT) AS bin, label
+  SELECT CAST(greatest(least(floor(score * 20), 19), 0) AS INT) AS bin, label
   FROM scored WHERE score IS NOT NULL
 ), counts AS (
   SELECT bin, sum(label) AS n_pos, sum(1 - label) AS n_neg
@@ -5729,9 +5729,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # csv_quarantine / scd2_lookup_events / key_suggestions / fk_profile /
     # streaming_psi_monitor / mad_outliers_events /
     # equidepth_histogram_events / incremental_semantic_dedup /
-    # remove_boilerplate_docs).  r7 window
-    # plan: these thirty-four round-6
-    # additions + the 7 displaced r04-anchored queries
+    # remove_boilerplate_docs, and the session-3 additions kfold_split_docs
+    # / time_embargo_split_events / ks_drift_events /
+    # interval_overlap_sessions / jl_projection / length_buckets_docs /
+    # containment_docs / bigram_logprob_docs / table_checksum_orders /
+    # rank_transform_events / correlation_matrix_lineitem /
+    # streaming_ks_monitor / calibration_bins_docs / binned_roc_docs /
+    # transition_matrix_events).  r7 window
+    # plan: the round-6 additions (those not fitting one 50-entry window
+    # spill to r8's head) + the 7 displaced r04-anchored queries
     # below + the r04 dedup/corpus remainder at the end of this registry
     # — that again leaves no oracle-checked query with a driver anchor
     # older than two rounds.)

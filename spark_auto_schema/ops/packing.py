@@ -164,8 +164,12 @@ def length_buckets(
             F.array(*[F.lit(c) for c in cands]), lambda c: c >= F.greatest(t, F.lit(1))
         )
     )
+    # NULL counts are dropped explicitly: Spark's least() propagates NULL
+    # but DuckDB's skips it, so a NULL row would bucket differently per
+    # engine if it ever reached the arithmetic
     return (
-        df.select(bucket.alias("bucket"), t.alias("__t"))
+        df.where(F.col(token_col).isNotNull())
+        .select(bucket.alias("bucket"), t.alias("__t"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

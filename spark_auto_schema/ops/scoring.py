@@ -151,7 +151,10 @@ def calibration_bins(
     then rounded to 6 so engines agree.  One nbins-key hash aggregate +
     a spine join of an nbins-row frame — nothing else wide."""
     s = F.col(score_col).cast("double")
-    b = F.least(F.floor(s * nbins), F.lit(nbins - 1)).cast("int")
+    # both edges clamp: scores are documented [0, 1] but a defensive clamp
+    # keeps a stray out-of-range score IN the spine instead of silently
+    # dropping it at the join
+    b = F.greatest(F.least(F.floor(s * nbins), F.lit(nbins - 1)), F.lit(0)).cast("int")
     snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
     counts = (
         scored.where(s.isNotNull())
@@ -197,7 +200,7 @@ def binned_roc(
     from pyspark.sql.window import Window
 
     s = F.col(score_col).cast("double")
-    b = F.least(F.floor(s * nbins), F.lit(nbins - 1)).cast("int")
+    b = F.greatest(F.least(F.floor(s * nbins), F.lit(nbins - 1)), F.lit(0)).cast("int")
     y = F.col(label_col).cast("int")
     counts = (
         scored.where(s.isNotNull())
