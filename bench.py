@@ -87,6 +87,12 @@ def _release_op_caches() -> None:
         _sim.release_caches()
     except Exception:
         pass
+    try:
+        from spark_auto_schema.ops import text as _text
+
+        _text.release_caches()
+    except Exception:
+        pass
 
 
 def main() -> None:

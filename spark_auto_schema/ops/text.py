@@ -38,6 +38,27 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
 
 
+# Frames persisted for intra-query reuse (bigram_logprob's pair stream
+# feeds both model training and scoring); call :func:`release_caches`
+# between queries to drop them — bench and the correctness mirror do.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by this module's operators."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
 def _n_words(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
@@ -550,27 +571,31 @@ def bigram_logprob(
     the DuckDB oracle agrees bit-for-bit.
 
     Scale: pair generation is a row-local slide over the token array (no
-    shuffle); the bigram and unigram models are map-side-combined hash
-    aggregates whose shuffles carry the VOCABULARY, not the corpus; the
-    model-side join (bigram x history-count) is vocabulary-sized; the
-    score join streams pairs past the broadcast model (AQE falls back to
-    a co-partitioned hash join if a 100 TB corpus's bigram table outgrows
-    broadcast); the only corpus-wide exchange is the final per-document
-    average."""
+    shuffle), PERSISTED because it feeds both model training and scoring
+    (the 3x win measured at sf0.1; :func:`release_caches` drops it —
+    bench and the mirror call that per query); the bigram and unigram
+    models are map-side-combined hash aggregates whose shuffles carry the
+    VOCABULARY, not the corpus; the model-side join (bigram x
+    history-count) is vocabulary-sized; the score join is left to AQE —
+    it broadcasts a model that fits and co-partitions one that doesn't
+    (no hard hint: a 100 TB corpus's bigram table outgrows broadcast);
+    the only corpus-wide exchange is the final per-document average."""
     words = F.filter(
         F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
     )
     pair_idx = F.when(
         F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(pair_idx).alias("__i"),
-        words.alias("__w"),
-    ).select(
-        id_col,
-        F.element_at("__w", F.col("__i")).alias("w1"),
-        F.element_at("__w", F.col("__i") + 1).alias("w2"),
+    pairs = _persist(
+        df.select(
+            F.col(id_col),
+            F.explode(pair_idx).alias("__i"),
+            words.alias("__w"),
+        ).select(
+            id_col,
+            F.element_at("__w", F.col("__i")).alias("w1"),
+            F.element_at("__w", F.col("__i") + 1).alias("w2"),
+        )
     )
     toks = df.select(F.explode(words).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
@@ -588,7 +613,7 @@ def bigram_logprob(
         )
     )
     return (
-        pairs.join(F.broadcast(model), ["w1", "w2"])
+        pairs.join(model, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.round(F.avg("lp").cast("decimal(18,10)"), 4)

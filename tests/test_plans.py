@@ -690,16 +690,27 @@ def test_ks_drift_no_data_sized_window(spark):
     assert plan.count("BroadcastExchange") >= 2
 
 
-def test_bigram_model_join_is_broadcast(spark):
-    """The bigram model (vocabulary-sized) joins the pair stream via
-    broadcast, like the unigram op; no Python evaluation anywhere."""
+def test_bigram_model_join_adapts_and_stays_jvm_side(spark):
+    """The score join carries NO broadcast hint (a 100 TB bigram table
+    outgrows broadcast; AQE decides) — at test scale the RUNTIME adaptive
+    plan must still converge to a broadcast of the small model.  No
+    Python evaluation and no cartesian anywhere; the pair stream is
+    persisted (InMemoryTableScan) so model training and scoring share
+    one pair-generation pass."""
     from spark_auto_schema.io import read_table
     from spark_auto_schema.ops import text
 
     docs = read_table(spark, SF_DIR, "documents")
-    plan = plan_of(text.bigram_logprob(docs))
-    assert "BroadcastHashJoin" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    try:
+        df = text.bigram_logprob(docs)
+        df.collect()  # drive AQE to the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        text.release_caches()
 
 
 def test_table_checksum_single_scan_single_exchange(spark):

@@ -139,6 +139,12 @@ def main() -> int:
             _sim.release_caches()
         except Exception:
             pass
+        try:
+            from spark_auto_schema.ops import text as _text
+
+            _text.release_caches()
+        except Exception:
+            pass
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
