@@ -5278,10 +5278,10 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |small n large| / |small| >= 0.5 — catches subset/quote inclusion
     that Jaccard's union denominator dilutes.  Same shingle-equi-join pair
     engine as `q:ngram_jaccard_dups` (hashed keys, hot-shingle cap); the
-    oracle recomputes containment over string shingles."""
-    return dedup.containment_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.5
-    )
+    oracle recomputes containment over string shingles.  The single
+    row-group documents file is spread across cores before the shingle
+    explode (spread_small_scan), like the Jaccard sibling."""
+    return dedup.containment_pairs(_spread_docs(spark, sf_dir), threshold=0.5)
 
 
 _CONTAINMENT_SQL = """
@@ -5310,8 +5310,9 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed conditionals trained on the corpus itself, mean adjacent-pair
     log-probability per document — flags unusual SEQUENCES whose
     individual tokens are common.  The oracle retrains the identical
-    model and replays the decimal-snapped average."""
-    return text.bigram_logprob(read_table(spark, sf_dir, "documents"))
+    model and replays the decimal-snapped average.  The documents scan is
+    spread across cores before the pair explode (spread_small_scan)."""
+    return text.bigram_logprob(_spread_docs(spark, sf_dir))
 
 
 _BIGRAM_LOGPROB_SQL = """
