@@ -2035,7 +2035,8 @@ GROUP BY doc_id
 
 
 def _q_tfidf_pairs(spark, sf_dir):
-    return text.tfidf_top_pairs(read_table(spark, sf_dir, "documents"))
+    # single-row-group input: spread before the term explode (3.3 -> 2.2 s)
+    return text.tfidf_top_pairs(_spread_docs(spark, sf_dir))
 
 
 _TFIDF_PAIRS_SQL = """
@@ -2583,7 +2584,7 @@ _CONTAMINATION_PROBES = (0, 1, 2)
 
 def _q_contamination(spark, sf_dir):
     return dedup.contamination_check(
-        read_table(spark, sf_dir, "documents"),
+        _spread_docs(spark, sf_dir),  # spread before the shingle explode
         probe_ids=list(_CONTAMINATION_PROBES),
         n=3,
     )
@@ -3843,7 +3844,8 @@ def _q_ngram_novelty(spark, sf_dir):
     """Per-document incremental novelty: fraction of distinct 3-gram
     shingles whose corpus-wide first occurrence (min doc_id) is this
     document."""
-    return dedup.ngram_novelty(read_table(spark, sf_dir, "documents"), n=3)
+    # single-row-group input: spread before the shingle explode (2.0 -> 0.9 s)
+    return dedup.ngram_novelty(_spread_docs(spark, sf_dir), n=3)
 
 
 _NGRAM_NOVELTY_SQL = """
