@@ -5630,6 +5630,130 @@ FROM c
 """
 
 
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution
+    (`ops/text.py` token_entropy): the corpus-diversity monitor behind
+    mixture tuning — a source whose entropy collapses (template spam,
+    mode-collapsed synthetic data) reads low against its peers before
+    dedup pair counts move.  Single-pass identity H = ln N - (sum
+    c*ln c)/N over (source, token) counts: one wordcount-shaped shuffle
+    plus an O(sources) rollup.  The oracle replays the identical
+    identity in DuckDB."""
+    return text.token_entropy(
+        read_table(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+_TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT source AS grp, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT grp, tok, count(*) AS c FROM tok WHERE length(tok) > 0 GROUP BY 1, 2
+)
+SELECT grp, sum(c) AS n_tokens, count(*) AS vocab_size,
+       CAST(round(CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c)
+            AS DECIMAL(18,10)), 4) AS DOUBLE) AS entropy
+FROM c GROUP BY grp
+"""
+
+
+def _q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format training-example construction (`ops/packing.py`
+    assemble_sequences): sessionize the event log (30-min gap, the
+    `q:sessionize_events` rule), then assemble each session's event
+    types into ONE ordered `|`-joined sequence — the event-log ->
+    conversation step of a chat/agent data pipeline.  Order is total and
+    engine-independent (array_sort over (ts, event_id, payload) structs,
+    never raw collect_list order); the oracle replays the session
+    closure and an identically-ordered string_agg."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    is_new = F.when(
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = e.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(run)
+    )
+    return packing.assemble_sequences(
+        sessions,
+        key_cols=["user_id", "session_id"],
+        order_cols=["us", "event_id"],
+        payload_col="event_type",
+    ).select("user_id", "session_id", "n_items", "sequence")
+
+
+_CONVERSATION_ASSEMBLY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+), l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM e
+), n AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END
+              AS is_new
+  FROM l
+), s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+  FROM n
+)
+SELECT user_id, session_id, CAST(count(*) AS INTEGER) AS n_items,
+       string_agg(event_type, '|' ORDER BY us, event_id) AS sequence
+FROM s GROUP BY user_id, session_id
+"""
+
+
+_TEXT_DIRS: dict[str, str] = {}
+
+
+def _docs_text_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents.text as a line-per-doc raw-text dir once per
+    sf_dir — the .txt corpus-dump encoding LLM pipelines ingest."""
+    if sf_dir not in _TEXT_DIRS:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="docs_text_")
+        read_table(spark, sf_dir, "documents").select("text").write.mode(
+            "overwrite"
+        ).text(d)
+        _TEXT_DIRS[sf_dir] = d
+    return _TEXT_DIRS[sf_dir]
+
+
+def _q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source format (spark.read.text via the generic
+    `io.load_file` dispatch): documents re-encoded one-doc-per-line
+    (the .txt corpus-dump format), read back, and reduced to
+    order-insensitive totals that must equal the parquet truth — line
+    count, total characters, distinct lines.  Line order is
+    writer-dependent, so the contract is the aggregate, not the
+    sequence (the same pattern as `q:bucketed_roundtrip`)."""
+    from spark_auto_schema.io import load_file
+
+    lines = load_file(spark, _docs_text_path(spark, sf_dir), fmt="text")
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.count_distinct("value").alias("distinct_lines"),
+    )
+
+
+_TEXT_ROUNDTRIP_SQL = """
+SELECT count(*) AS n_lines,
+       sum(length(text)) AS total_chars,
+       count(DISTINCT text) AS distinct_lines
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5886,6 +6010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["calibration_bins_docs"] = _q_calibration_bins
     q["binned_roc_docs"] = _q_binned_roc
     q["transition_matrix_events"] = _q_transition_matrix
+    # --- round-6 session-4 additions: corpus-diversity entropy, chat
+    # conversation assembly, raw-text source roundtrip — past the window,
+    # mirror-verified, r7-rotation head with the other post-r05 additions
+    # above ---
+    q["token_entropy_sources"] = _q_token_entropy
+    q["conversation_assembly_events"] = _q_conversation_assembly
+    q["text_roundtrip"] = _q_text_roundtrip
     return q
 
 
@@ -6038,6 +6169,9 @@ def oracle_sql() -> dict[str, str]:
     o["calibration_bins_docs"] = _CALIBRATION_BINS_SQL
     o["binned_roc_docs"] = _BINNED_ROC_SQL
     o["transition_matrix_events"] = _TRANSITION_MATRIX_SQL
+    o["token_entropy_sources"] = _TOKEN_ENTROPY_SQL
+    o["conversation_assembly_events"] = _CONVERSATION_ASSEMBLY_SQL
+    o["text_roundtrip"] = _TEXT_ROUNDTRIP_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -25,6 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # family rollup prefixes, checked in order (first match wins)
 _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
+    # io goes first: its prefixes are specific full query names, and
+    # text_roundtrip must route here before the text family's "text_"
+    # prefix can claim it
+    ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
+            "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
+            "range_partitioned", "zorder_", "compact_", "zone_map",
+            "text_roundtrip")),
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
                "incremental_", "repeated_", "segment_dedup", "fuzzy_",
                "containment_")),
@@ -51,10 +58,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                   "weighted_", "pack_", "corpus_mix", "skew_",
                   "leakage_safe", "canonical_", "group_quantile",
                   "hll_sharded", "winsorize_", "kfold_", "time_embargo",
-                  "length_buckets")),
-    ("io", ("csv_roundtrip", "json_roundtrip", "orc_roundtrip",
-            "schema_evolution", "bucketed_roundtrip", "partitioned_roundtrip",
-            "range_partitioned", "zorder_", "compact_", "zone_map")),
+                  "length_buckets", "conversation_")),
 ]
 _N_SLOWEST = 8
 

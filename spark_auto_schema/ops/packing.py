@@ -186,3 +186,55 @@ def length_buckets(
             ).alias("waste_pct"),
         )
     )
+
+
+def assemble_sequences(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_col: str,
+    sep: str = "|",
+    max_items: int | None = None,
+) -> DataFrame:
+    """Ordered per-key payload assembly: one row per key with
+    ``(key_cols..., n_items, sequence)`` where ``sequence`` is the
+    key's ``payload_col`` values in ``order_cols`` order joined by
+    ``sep``.
+
+    The conversation-construction step of a chat/agent training
+    pipeline: an event log (one row per turn) becomes one training
+    example per session, turns in wall-clock order.  ``collect_list``
+    alone is partitioning-dependent, so the items are gathered as
+    structs of ``(order_cols..., payload)`` and ``array_sort``-ed —
+    struct comparison orders by field position, giving a total,
+    engine-independent order as long as ``order_cols`` (plus the
+    payload as final tie-break) are unique per key.
+
+    ``max_items`` truncates each assembled sequence AFTER the sort
+    (keep-first semantics, like context-window truncation).  One
+    shuffle (the groupBy); per-key state is the session's turn list —
+    bounded by session length, the same O(session) envelope the
+    stateful-streaming sibling keeps.  Keys with pathologically long
+    histories should be capped upstream (sessionize first: the 30-min
+    gap rule bounds any key) — truncation here saves output width, not
+    aggregation memory.
+    """
+    struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(payload_col).alias("__p")
+    )
+    items = F.array_sort(F.collect_list(struct))
+    if max_items is not None:
+        if max_items <= 0:
+            raise ValueError(f"max_items must be positive, got {max_items}")
+        items = F.slice(items, 1, max_items)
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(items.alias("__items"))
+        .select(
+            *key_cols,
+            F.size("__items").alias("n_items"),
+            F.array_join(
+                F.transform("__items", lambda x: x["__p"].cast("string")), sep
+            ).alias("sequence"),
+        )
+    )

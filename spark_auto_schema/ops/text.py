@@ -622,3 +622,36 @@ def bigram_logprob(
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group Shannon entropy (nats) of the whitespace-token
+    distribution: ``(group, n_tokens, vocab_size, entropy)``.
+
+    The corpus-diversity monitor behind mixture tuning: a source whose
+    entropy collapses (template spam, boilerplate floods, mode-collapsed
+    synthetic data) reads low against its peers long before dedup pair
+    counts move.  Entropy is computed with the single-pass identity
+    ``H = ln N - (sum c*ln c) / N`` over the per-(group, token) counts, so
+    no second totals pass and no join: one explode feeding a map-side
+    combined (group, token) hash aggregate — the wordcount shuffle shape —
+    then a |vocab|-row rollup to one row per group.  At 100 TB both
+    shuffles carry counts, never text, and the final state is
+    O(groups).  The rounding goes through DECIMAL(18,10) so the DuckDB
+    oracle (same identity, same order-insensitive sums) lands on the
+    identical 4th decimal.
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    counts = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    h = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return counts.groupBy("grp").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(h.cast("decimal(18,10)"), 4).cast("double").alias("entropy"),
+    )

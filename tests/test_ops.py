@@ -827,3 +827,38 @@ def test_bigram_logprob_flags_shuffled_sequences(spark):
     # unigram scoring cannot separate them (identical token multisets)
     uni = {r["doc_id"]: r["avg_logprob"] for r in text.unigram_logprob(d).collect()}
     assert uni[9] == uni[1]
+
+
+# -------------------------------------------------------------- token_entropy
+def test_token_entropy_uniform_and_degenerate(spark):
+    """A group with k equiprobable tokens scores ln(k); a single-token
+    group scores exactly 0 (the collapse signal the monitor exists for)."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            ("uniform", "a b c d"),
+            ("collapsed", "x x x x"),
+        ],
+        "source string, text string",
+    )
+    rows = {r["grp"]: r for r in text.token_entropy(df).collect()}
+    assert rows["uniform"]["entropy"] == round(math.log(4), 4)
+    assert rows["uniform"]["n_tokens"] == 4
+    assert rows["uniform"]["vocab_size"] == 4
+    assert rows["collapsed"]["entropy"] == 0.0
+    assert rows["collapsed"]["vocab_size"] == 1
+
+
+def test_token_entropy_matches_direct_formula(spark):
+    """The single-pass identity ln N - sum(c ln c)/N equals the textbook
+    -sum(p ln p) on a skewed distribution."""
+    import math
+
+    toks = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    df = spark.createDataFrame([("g", " ".join(toks))], "source string, text string")
+    r = text.token_entropy(df).collect()[0]
+    expected = -sum(c / 10 * math.log(c / 10) for c in (5, 3, 2))
+    assert r["entropy"] == round(expected, 4)
+    assert r["n_tokens"] == 10
+    assert r["vocab_size"] == 3

@@ -215,3 +215,49 @@ def test_length_buckets_rejects_non_powers_of_two(spark):
         packing.length_buckets(d, "t", max_len=64, min_bucket=24)
     with pytest.raises(ValueError):
         packing.length_buckets(d, "t", max_len=16, min_bucket=32)
+
+
+# ------------------------------------------------------- assemble_sequences
+def test_assemble_sequences_orders_and_joins(spark):
+    """Payloads assemble in (order_cols) order regardless of input order,
+    one row per key, with n_items and sep-joined sequence."""
+    rows = [
+        ("u1", 3, "c"),
+        ("u1", 1, "a"),
+        ("u1", 2, "b"),
+        ("u2", 9, "solo"),
+    ]
+    d = spark.createDataFrame(rows, "k string, t int, p string").repartition(4)
+    out = {
+        r["k"]: r
+        for r in packing.assemble_sequences(
+            d, key_cols=["k"], order_cols=["t"], payload_col="p"
+        ).collect()
+    }
+    assert out["u1"]["sequence"] == "a|b|c"
+    assert out["u1"]["n_items"] == 3
+    assert out["u2"]["sequence"] == "solo"
+    assert out["u2"]["n_items"] == 1
+
+
+def test_assemble_sequences_partitioning_invariant(spark):
+    """The assembled sequence is a pure function of the data, not of the
+    input partitioning (the raw collect_list order is neither)."""
+    rows = [("u", i, f"m{i}") for i in range(50)]
+    d1 = spark.createDataFrame(rows, "k string, t int, p string").coalesce(1)
+    d2 = spark.createDataFrame(rows, "k string, t int, p string").repartition(16)
+    s1 = packing.assemble_sequences(d1, ["k"], ["t"], "p").collect()[0]["sequence"]
+    s2 = packing.assemble_sequences(d2, ["k"], ["t"], "p").collect()[0]["sequence"]
+    assert s1 == s2 == "|".join(f"m{i}" for i in range(50))
+
+
+def test_assemble_sequences_max_items_keeps_prefix(spark):
+    """max_items truncates AFTER the sort (context-window keep-first), and
+    n_items reports the emitted length."""
+    rows = [("u", i, f"m{i}") for i in range(10)]
+    d = spark.createDataFrame(rows, "k string, t int, p string")
+    r = packing.assemble_sequences(d, ["k"], ["t"], "p", max_items=3).collect()[0]
+    assert r["sequence"] == "m0|m1|m2"
+    assert r["n_items"] == 3
+    with pytest.raises(ValueError):
+        packing.assemble_sequences(d, ["k"], ["t"], "p", max_items=0)
