@@ -588,6 +588,14 @@ _EXCHANGE_PINS = {
                                       # row-local on both sides
     "remove_boilerplate_docs": 3,     # digest-keyed DF agg + flag join
                                       # share one key; per-doc rollup
+    "token_entropy_sources": 2,       # (grp, tok) wordcount agg + the
+                                      # O(groups) entropy rollup
+    "conversation_assembly_events": 1,  # sessionize window + the
+                                        # (user, session) groupBy REUSE one
+                                        # user_id shuffle (HashPartitioning
+                                        # on a subset of the grouping keys)
+    "text_roundtrip": 2,              # two-phase distinct-count over the
+                                      # 1-row totals agg
 }
 
 

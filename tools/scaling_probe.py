@@ -74,6 +74,9 @@ PROBES: dict[str, list[str]] = {
         # session-3: bigram model shuffles carry the vocabulary; replica
         # token suffixes grow the vocab 10x too — the harder case
         "bigram_logprob_docs",
+        # session-4: the (grp, tok) count state grows with the vocab, which
+        # the replica token suffixes grow 10x — the harder case
+        "token_entropy_sources",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
@@ -118,6 +121,10 @@ PROBES: dict[str, list[str]] = {
         "rank_transform_events",
         "interval_overlap_sessions",
         "correlation_matrix_lineitem",
+        # session-4: conversation assembly is the sessionize window + a
+        # shuffle-reusing groupBy whose per-key state is the session's
+        # turn list; events AND the user key space both grow 10x
+        "conversation_assembly_events",
     ],
     # scd2_order_status is deliberately absent: its dimension derives from
     # orders, a COPIED (unscaled) table here, so its ratio would measure
