@@ -457,3 +457,75 @@ def test_interval_join_equals_bruteforce_for_any_intervals(spark, a_iv, b_iv, wi
         if bs < be and s < be and bs < e
     )
     assert got == brute
+
+
+# --------------------------------------------------- session-4 operator laws
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(1, 8), min_size=1, max_size=6),
+    split=st.integers(1, 5),
+)
+def test_token_entropy_is_document_split_invariant(spark, counts, split):
+    """Entropy is a property of the token DISTRIBUTION, not of document
+    boundaries: the same multiset of tokens scores identically whether it
+    arrives as one document or scattered across many, and matches the
+    textbook -sum(p ln p)."""
+    import math
+
+    from spark_auto_schema.ops import text
+
+    toks = [f"w{i}" for i, c in enumerate(counts) for _ in range(c)]
+    one = spark.createDataFrame([("g", " ".join(toks))], "source string, text string")
+    many = spark.createDataFrame(
+        [("g", " ".join(toks[i::split])) for i in range(split) if toks[i::split]],
+        "source string, text string",
+    )
+    r1 = text.token_entropy(one).collect()[0]
+    r2 = text.token_entropy(many).collect()[0]
+    assert (r1["n_tokens"], r1["vocab_size"], r1["entropy"]) == (
+        r2["n_tokens"],
+        r2["vocab_size"],
+        r2["entropy"],
+    )
+    n = sum(counts)
+    expected = -sum(c / n * math.log(c / n) for c in counts)
+    assert r1["entropy"] == round(expected, 4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_assemble_sequences_matches_sequential_reference(spark, rows):
+    """Random (key, order, payload) logs: the distributed assembly must
+    equal a sequential sort-and-join per key, for every key."""
+    from collections import defaultdict
+
+    from spark_auto_schema.ops import packing
+
+    data = [(f"k{k}", t, f"p{p}") for k, t, p in rows]
+    df = spark.createDataFrame(data, "k string, t int, p string").repartition(7)
+    got = {
+        r["k"]: (r["n_items"], r["sequence"])
+        for r in packing.assemble_sequences(df, ["k"], ["t"], "p").collect()
+    }
+    want: dict[str, list] = defaultdict(list)
+    for k, t, p in data:
+        want[k].append((t, p))
+    expected = {
+        k: (len(v), "|".join(p for _, p in sorted(v))) for k, v in want.items()
+    }
+    assert got == expected
