@@ -5754,6 +5754,46 @@ FROM documents
 """
 
 
+def _q_jsonl_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over the JSONL encoding (SURVEY 2A #1-3 x #7-19):
+    region re-encoded as JSON lines, read through the generic format
+    dispatch, and fed to the same inference decision tree — closing the
+    source-format x inference matrix (parquet and CSV inference are
+    already driver-checked).  JSON preserves region's value types
+    (integer -> bigint, string -> string), so the oracle is the same
+    per-column probe SQL the parquet `q:infer_region` uses."""
+    from spark_auto_schema.io import load_file
+
+    df = load_file(spark, _region_fmt_path(spark, sf_dir, "json"), fmt="json")
+    return inference_to_df(spark, infer_table_schema(df)).select(
+        "field", "proposed_type"
+    )
+
+
+def _q_eval_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group eval-set construction (`ops/sampling.py`
+    exact_k_per_group): the 20 content-hash-smallest documents of EACH
+    language — pinned group counts where `q:stratified_sample_orders`'
+    fractions would track group size.  The oracle replays the identical
+    (md5, key) rank."""
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.exact_k_per_group(docs, "lang", "doc_id", k=20).select(
+        "lang", "doc_id"
+    )
+
+
+_EVAL_SAMPLE_PER_LANG_SQL = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6017,6 +6057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_entropy_sources"] = _q_token_entropy
     q["conversation_assembly_events"] = _q_conversation_assembly
     q["text_roundtrip"] = _q_text_roundtrip
+    q["jsonl_inference"] = _q_jsonl_inference
+    q["eval_sample_per_lang"] = _q_eval_sample_per_lang
     return q
 
 
@@ -6172,6 +6214,8 @@ def oracle_sql() -> dict[str, str]:
     o["token_entropy_sources"] = _TOKEN_ENTROPY_SQL
     o["conversation_assembly_events"] = _CONVERSATION_ASSEMBLY_SQL
     o["text_roundtrip"] = _TEXT_ROUNDTRIP_SQL
+    o["jsonl_inference"] = _infer_table_sql("region")
+    o["eval_sample_per_lang"] = _EVAL_SAMPLE_PER_LANG_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -52,13 +52,14 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
               "unigram_", "vocab_", "tfidf_", "bigram_")),
     ("multimodal", ("multimodal_", "media_", "frame_")),
     ("streaming", ("streaming_",)),
-    ("inference", ("infer_", "csv_inference", "column_list", "schema_diff",
+    ("inference", ("infer_", "csv_inference", "jsonl_inference",
+                   "column_list", "schema_diff",
                    "column_ddl", "ddl_", "catalog_")),
     ("sampling", ("hash_sample", "stratified_", "train_eval", "salted_",
                   "weighted_", "pack_", "corpus_mix", "skew_",
                   "leakage_safe", "canonical_", "group_quantile",
                   "hll_sharded", "winsorize_", "kfold_", "time_embargo",
-                  "length_buckets", "conversation_")),
+                  "length_buckets", "conversation_", "eval_sample")),
 ]
 _N_SLOWEST = 8
 

@@ -228,3 +228,33 @@ def cluster_safe_split(
         )
         .drop("__cl_id", "__cl_rep")
     )
+
+
+def exact_k_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic exactly-k-per-group sample: each group's k rows with
+    the smallest ``(md5(key), key)`` rank (all rows when the group has
+    fewer than k).
+
+    The eval-set construction primitive — "exactly 100 held-out documents
+    per language" — where :func:`stratified_sample`'s proportional
+    fractions would track group SIZE instead of pinning group COUNT.
+    Content-keyed like every sampler here: the same rows win on every
+    run, engine, and partitioning, and a group's k-sample is a subset of
+    its (k+1)-sample, so growing the eval set never churns it.
+
+    Cost: one shuffle on the group key + the per-group window sort.  With
+    k << group size the right 100 TB plan is still this one — row_number
+    windows sort locally per group and stream; no global sort, no
+    all-groups driver state."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_prefix(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -596,6 +596,10 @@ _EXCHANGE_PINS = {
                                         # on a subset of the grouping keys)
     "text_roundtrip": 2,              # two-phase distinct-count over the
                                       # 1-row totals agg
+    "jsonl_inference": 1,             # same single-row stats exchange as
+                                      # infer_* (runs eagerly inside)
+    "eval_sample_per_lang": 1,        # one group-key shuffle; row_number
+                                      # sorts locally per group
 }
 
 

@@ -553,3 +553,26 @@ def test_interval_join_rejects_shared_columns(spark):
     a = spark.createDataFrame([(1, 0.0, 1.0)], "id long, s double, e double")
     with pytest.raises(ValueError, match="disjoint"):
         relational.interval_join(a, a, "s", "e", "s", "e")
+
+
+# ---------------------------------------------------------- exact_k_per_group
+def test_exact_k_per_group_counts_and_nesting(spark):
+    """Every group with >= k rows yields exactly k; smaller groups keep all
+    rows; a group's k-sample is a subset of its (k+1)-sample (monotone
+    growth, so enlarging an eval set never churns it); and the selection is
+    partitioning-invariant."""
+    rows = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    k3 = sampling.exact_k_per_group(df, "g", "id", 3)
+    counts = {r["g"]: r["n"] for r in k3.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 3, "b": 3}
+    ids3 = {(r["g"], r["id"]) for r in k3.collect()}
+    ids4 = {(r["g"], r["id"]) for r in sampling.exact_k_per_group(df, "g", "id", 4).collect()}
+    assert ids3 < ids4
+    ids3_repart = {
+        (r["g"], r["id"])
+        for r in sampling.exact_k_per_group(df.repartition(8), "g", "id", 3).collect()
+    }
+    assert ids3 == ids3_repart
+    with pytest.raises(ValueError):
+        sampling.exact_k_per_group(df, "g", "id", 0)
