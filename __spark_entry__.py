@@ -5794,6 +5794,208 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-pruned exact incremental dedup (`ops/dedup.py`
+    bloom_incremental_dedup): the runtime-filter join pattern — the corpus
+    collapses to a <=2^18-row md5 bit-set relation, broadcast to prune the
+    batch; bloom-negatives skip verification (no false negatives by
+    construction), bloom-positives are exact-verified.  The oracle is the
+    PLAIN incremental dedup SQL: the driver hash-match is a proof that the
+    prune is answer-preserving, not just fast."""
+    batch, corpus = _incr_split(spark, sf_dir)
+    return dedup.bloom_incremental_dedup(batch, corpus)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (`ops/text.py` bm25_topk): top-20
+    documents for a 3-term query, Lucene idf, k1=1.2 / b=0.75 — the
+    scorer behind hybrid RAG retrieval, beside the dense `embedding_topk`.
+    The oracle replays tokenization, tf/df, length norm, and the snapped
+    score."""
+    return text.bm25_topk(
+        read_table(spark, sf_dir, "documents"), ["merge", "window", "vector"], topk=20
+    )
+
+
+_BM25_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+tf AS (SELECT id, term, count(*) AS tf FROM toks
+       WHERE term IN ('merge', 'window', 'vector') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl),
+c AS (
+  SELECT id, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN s
+), sc AS (
+  SELECT id AS doc_id,
+         CAST(round(CAST(sum(w) AS DECIMAL(18,12)), 4) AS DOUBLE) AS bm25
+  FROM c GROUP BY 1
+)
+SELECT * FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate (`ops/analytics.py`
+    expectation_suite): six expectations over orders evaluated in ONE
+    aggregation pass — (constraint, observed, passed) rows, the
+    ingest-to-training circuit breaker.  The oracle computes each metric
+    as an independent scalar select; the engine must agree on both the
+    observed value and the verdict."""
+    from spark_auto_schema.ops import analytics
+
+    return analytics.expectation_suite(
+        read_table(spark, sf_dir, "orders"),
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("min_at_least", "o_totalprice", 0.0),
+            ("max_at_most", "o_totalprice", 1000000.0),
+            ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+            ("row_count_at_least", 1),
+        ],
+    )
+
+
+_DQ_EXPECTATIONS_SQL = """
+SELECT 'not_null(o_custkey)' AS constraint,
+       CAST(round(CAST(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS observed,
+       avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) = 0.0 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(round(CAST(count(DISTINCT o_orderkey) * 1.0 / count(*)
+            AS DECIMAL(18,12)), 6) AS DOUBLE),
+       count(DISTINCT o_orderkey) = count(*)
+FROM orders
+UNION ALL
+SELECT 'min_at_least(o_totalprice,0.0)', CAST(min(o_totalprice) AS DOUBLE),
+       min(o_totalprice) >= 0.0
+FROM orders
+UNION ALL
+SELECT 'max_at_most(o_totalprice,1000000.0)', CAST(max(o_totalprice) AS DOUBLE),
+       max(o_totalprice) <= 1000000.0
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus,[O,F,P])',
+       CAST(round(CAST(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0
+            ELSE 0.0 END) AS DECIMAL(18,12)), 6) AS DOUBLE),
+       avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) = 1.0
+FROM orders
+UNION ALL
+SELECT 'row_count_at_least(1)', CAST(count(*) AS DOUBLE), count(*) >= 1
+FROM orders
+"""
+
+
+def _q_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph
+    (`ops/analytics.py` pagerank, 3 fixed power iterations, d=0.85): the
+    graph-centrality read on navigation flows — which state the random
+    surfer of user sessions concentrates on.  Edge derivation (the 100 TB
+    part) reuses the transition_counts lag-window shuffle; the iteration
+    runs on the aggregated |V|+|E| graph.  The oracle unrolls the three
+    iterations as a CTE chain, dangling-mass correction included."""
+    from spark_auto_schema.ops import analytics
+
+    edges = analytics.transition_counts(
+        read_table(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tiebreak_col="event_id",
+    ).select(
+        F.col("prev_state").alias("src"), F.col("next_state").alias("dst"), "n"
+    )
+    return analytics.pagerank(edges, iters=3, damping=0.85)
+
+
+_PAGERANK_EVENT_TYPES_SQL = """
+WITH l AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src, event_type AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, count(*) * 1.0 AS w FROM l WHERE src IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+trans AS (SELECT src, dst, w / out_w AS p FROM e JOIN outw USING (src)),
+nn AS (SELECT count(*) * 1.0 AS n_nodes FROM nodes),
+r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn),
+d0 AS (SELECT coalesce(sum(rank), 0.0) AS dangling FROM r0
+       WHERE node NOT IN (SELECT src FROM outw)),
+i0 AS (SELECT dst AS node, sum(rank * p) AS inflow
+       FROM r0 JOIN trans ON r0.node = trans.src GROUP BY 1),
+r1 AS (SELECT nodes.node,
+              0.15 / n_nodes + 0.85 * (coalesce(inflow, 0.0) + dangling / n_nodes)
+                AS rank
+       FROM nodes LEFT JOIN i0 USING (node) CROSS JOIN nn CROSS JOIN d0),
+d1 AS (SELECT coalesce(sum(rank), 0.0) AS dangling FROM r1
+       WHERE node NOT IN (SELECT src FROM outw)),
+i1 AS (SELECT dst AS node, sum(rank * p) AS inflow
+       FROM r1 JOIN trans ON r1.node = trans.src GROUP BY 1),
+r2 AS (SELECT nodes.node,
+              0.15 / n_nodes + 0.85 * (coalesce(inflow, 0.0) + dangling / n_nodes)
+                AS rank
+       FROM nodes LEFT JOIN i1 USING (node) CROSS JOIN nn CROSS JOIN d1),
+d2 AS (SELECT coalesce(sum(rank), 0.0) AS dangling FROM r2
+       WHERE node NOT IN (SELECT src FROM outw)),
+i2 AS (SELECT dst AS node, sum(rank * p) AS inflow
+       FROM r2 JOIN trans ON r2.node = trans.src GROUP BY 1),
+r3 AS (SELECT nodes.node,
+              0.15 / n_nodes + 0.85 * (coalesce(inflow, 0.0) + dangling / n_nodes)
+                AS rank
+       FROM nodes LEFT JOIN i2 USING (node) CROSS JOIN nn CROSS JOIN d2)
+SELECT node, CAST(round(CAST(rank AS DECIMAL(18,12)), 6) AS DOUBLE) AS rank
+FROM r3
+"""
+
+
+def _q_labeler_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic quality labelers
+    (`ops/scoring.py` agreement_kappa): char-length >= 200 vs word-count
+    >= 40 over documents — the chance-corrected agreement read that tells
+    you whether a second cheap labeler adds signal or just shares
+    marginals.  One confusion-count aggregation pass; the oracle replays
+    the identical labelers and the snapped po/pe/kappa algebra."""
+    from spark_auto_schema.ops import scoring as scoring_ops
+
+    labeled = read_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 200).alias("len_ok"),
+        (F.size(F.split(F.col("text"), " ")) >= 40).alias("words_ok"),
+    )
+    return scoring_ops.agreement_kappa(labeled, "len_ok", "words_ok")
+
+
+_LABELER_KAPPA_SQL = """
+WITH l AS (
+  SELECT n_chars >= 200 AS a, len(string_split(text, ' ')) >= 40 AS b
+  FROM documents
+), c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+         sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+         sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+  FROM l WHERE a IS NOT NULL AND b IS NOT NULL
+), m AS (
+  SELECT n, (n11 + n00) * 1.0 / n AS po,
+         ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+           + (1 - (n11 + n10) * 1.0 / n) * (1 - (n11 + n01) * 1.0 / n) AS pe
+  FROM c
+)
+SELECT n, CAST(round(CAST(po AS DECIMAL(18,12)), 6) AS DOUBLE) AS po,
+       CAST(round(CAST(pe AS DECIMAL(18,12)), 6) AS DOUBLE) AS pe,
+       CAST(round(CAST(CASE WHEN pe = 1.0 THEN NULL
+                             ELSE (po - pe) / (1.0 - pe) END
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS kappa
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6059,6 +6261,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_roundtrip"] = _q_text_roundtrip
     q["jsonl_inference"] = _q_jsonl_inference
     q["eval_sample_per_lang"] = _q_eval_sample_per_lang
+    # --- round-6 session-5 additions: bloom runtime-filter dedup, BM25
+    # lexical retrieval, data-quality gate, PageRank centrality, labeler
+    # agreement — past the window, mirror-verified, r7-rotation head ---
+    q["bloom_incremental_dedup"] = _q_bloom_incremental_dedup
+    q["bm25_topk_docs"] = _q_bm25_topk
+    q["dq_expectations_orders"] = _q_dq_expectations
+    q["pagerank_event_types"] = _q_pagerank_event_types
+    q["labeler_kappa_docs"] = _q_labeler_kappa
     return q
 
 
@@ -6216,6 +6426,13 @@ def oracle_sql() -> dict[str, str]:
     o["text_roundtrip"] = _TEXT_ROUNDTRIP_SQL
     o["jsonl_inference"] = _infer_table_sql("region")
     o["eval_sample_per_lang"] = _EVAL_SAMPLE_PER_LANG_SQL
+    # the bloom prune must be answer-preserving: same oracle as the plain
+    # incremental dedup
+    o["bloom_incremental_dedup"] = _INCREMENTAL_DEDUP_SQL
+    o["bm25_topk_docs"] = _BM25_TOPK_SQL
+    o["dq_expectations_orders"] = _DQ_EXPECTATIONS_SQL
+    o["pagerank_event_types"] = _PAGERANK_EVENT_TYPES_SQL
+    o["labeler_kappa_docs"] = _LABELER_KAPPA_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -31,7 +31,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKET_DAYS = {"week": 7, "day": 1}
@@ -789,3 +789,176 @@ def transition_counts(
         6,
     ).cast("double")
     return counts.select("prev_state", "next_state", "n", p.alias("p"))
+
+
+def expectation_suite(df: DataFrame, expectations: list[tuple]) -> DataFrame:
+    """Deequ-style data-quality gate: evaluate a list of declarative
+    expectations over ``df`` in ONE aggregation pass and return one
+    ``(constraint, observed, passed)`` row per expectation.
+
+    Supported specs (tuples):
+      ``("not_null", col)``            — observed = null fraction, pass if 0
+      ``("unique", col)``              — observed = distinct/total, pass if 1
+      ``("min_at_least", col, bound)`` — observed = min(col)
+      ``("max_at_most", col, bound)``  — observed = max(col)
+      ``("accepted_values", col, vals)`` — observed = fraction of rows whose
+        value is in ``vals`` (nulls count as violations), pass if 1
+      ``("row_count_at_least", n)``    — observed = count(*)
+
+    The pipeline circuit-breaker that runs between ingest and training:
+    a constraint regression (nulls appearing in a key, an enum growing a
+    typo'd value, a truncated delivery) fails the batch BEFORE it poisons
+    downstream joins or a tokenizer run.  Scale: every metric reduces in
+    the same single hash-aggregate scan — adding expectations adds agg
+    expressions, not passes; nothing shuffles row data.  The observed
+    metric travels with the verdict so a failed gate is diagnosable from
+    the report alone."""
+    aggs: list[Column] = []
+    metas: list[tuple[str, float | None, str]] = []  # (name, bound, kind)
+    for i, spec in enumerate(expectations):
+        kind = spec[0]
+        a = f"m{i}"
+        if kind == "not_null":
+            col = spec[1]
+            aggs.append(
+                F.round(
+                    F.avg(F.col(col).isNull().cast("double")).cast("decimal(18,12)"),
+                    6,
+                ).cast("double").alias(a)
+            )
+            metas.append((f"not_null({col})", None, kind))
+        elif kind == "unique":
+            col = spec[1]
+            aggs.append(
+                F.round(
+                    (
+                        F.count_distinct(F.col(col)) / F.count(F.lit(1))
+                    ).cast("decimal(18,12)"),
+                    6,
+                ).cast("double").alias(a)
+            )
+            metas.append((f"unique({col})", None, kind))
+        elif kind == "min_at_least":
+            col, bound = spec[1], float(spec[2])
+            aggs.append(F.min(F.col(col)).cast("double").alias(a))
+            metas.append((f"min_at_least({col},{spec[2]})", bound, kind))
+        elif kind == "max_at_most":
+            col, bound = spec[1], float(spec[2])
+            aggs.append(F.max(F.col(col)).cast("double").alias(a))
+            metas.append((f"max_at_most({col},{spec[2]})", bound, kind))
+        elif kind == "accepted_values":
+            col, vals = spec[1], list(spec[2])
+            # isin is NULL for NULL input; snap to False so a null row
+            # counts as a violation (the docstring's contract), not a skip
+            aggs.append(
+                F.round(
+                    F.avg(
+                        F.coalesce(F.col(col).isin(vals), F.lit(False)).cast("double")
+                    ).cast("decimal(18,12)"),
+                    6,
+                ).cast("double").alias(a)
+            )
+            metas.append(
+                (f"accepted_values({col},[{','.join(map(str, vals))}])", None, kind)
+            )
+        elif kind == "row_count_at_least":
+            bound = float(spec[1])
+            aggs.append(F.count(F.lit(1)).cast("double").alias(a))
+            metas.append((f"row_count_at_least({spec[1]})", bound, kind))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+    row = df.agg(*aggs)
+    checks = []
+    for i, (name, bound, kind) in enumerate(metas):
+        m = F.col(f"m{i}")
+        if kind == "not_null":
+            passed = m == 0.0
+        elif kind in ("unique", "accepted_values"):
+            passed = m == 1.0
+        elif kind in ("min_at_least", "row_count_at_least"):
+            passed = m >= bound
+        else:  # max_at_most
+            passed = m <= bound
+        checks.append(
+            F.struct(
+                F.lit(name).alias("constraint"),
+                m.alias("observed"),
+                passed.alias("passed"),
+            )
+        )
+    exploded = row.select(F.explode(F.array(*checks)).alias("c"))
+    return exploded.select("c.constraint", "c.observed", "c.passed")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "n",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge list: ``(node, rank)``
+    after ``iters`` power iterations from the uniform start, rank snapped
+    to 6 decimals.
+
+    rank'(v) = (1-d)/N + d * (sum over in-edges u->v of rank(u) *
+    w(u,v)/out_w(u) + dangling_mass/N), where dangling_mass is the total
+    rank parked on nodes with no out-edges — the standard correction that
+    keeps ranks summing to 1.
+
+    Scale: the expensive part of graph centrality on 100 TB of logs is
+    DERIVING the edge relation (one shuffle over the raw events — see
+    transition_counts); the iteration itself runs on the aggregated
+    |V|+|E| graph, each step one broadcast-size join + hash aggregate.
+    Fixed ``iters`` keeps the plan static and oracle-replayable (an
+    unrolled CTE chain); convergence-driven variants belong behind a
+    driver loop like kmeans_lloyd."""
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"), w.cast("double").alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # Edge transition probabilities: tiny relative to the raw data the
+    # edges were derived from; broadcast onto each iteration's rank frame.
+    trans = e.join(outw, on="src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(iters):
+        dangling = (
+            rank.join(outw.select(F.col("src").alias("node")), on="node", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        inflow = (
+            rank.join(F.broadcast(trans), rank["node"] == trans["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("r"))
+            .groupBy("node")
+            .agg(F.sum("r").alias("inflow"))
+        )
+        rank = (
+            nodes.join(inflow, on="node", how="left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dangling") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank.select(
+        "node",
+        F.round(F.col("rank").cast("decimal(18,12)"), 6).cast("double").alias("rank"),
+    )

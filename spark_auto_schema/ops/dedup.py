@@ -1198,3 +1198,108 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def bloom_bitset(
+    df: DataFrame,
+    content_col: str = "text",
+    num_bits: int = 1 << 18,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """The set bit positions of a Bloom filter over ``content_col`` values:
+    one ``(bit,)`` row per distinct set position (at most ``num_bits``
+    rows, regardless of corpus size).
+
+    This is the pure-dataflow Bloom filter: instead of a driver-side
+    byte-array sketch, the filter IS a tiny relation — ``num_hashes``
+    md5-derived positions per value, deduplicated.  At 100 TB the corpus
+    collapses to <= 2^18 rows (~2 MB), which is persistable, incrementally
+    maintainable (new batches union in), and broadcast-able to prune any
+    future batch without re-shuffling the corpus.  Deliberately md5-based
+    so the construction is exactly replayable by an ANSI-SQL oracle
+    (Spark's BloomFilter sketch is not)."""
+    h = F.md5(F.col(content_col))
+    pos = [
+        (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), h)), 1, 8), 16, 10)
+            .cast("long")
+            % num_bits
+        ).alias("bit")
+        for i in range(num_hashes)
+    ]
+    stacked = df.select(F.explode(F.array(*pos)).alias("bit"))
+    return stacked.distinct()
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 18,
+    num_hashes: int = 3,
+    corpus_bits: DataFrame | None = None,
+) -> DataFrame:
+    """Exact incremental dedup with a Bloom-filter pre-prune: identical
+    output to :func:`incremental_exact_dedup` — one ``(content_hash,
+    keep_id)`` row per batch content value the corpus lacks — but the
+    batch is first pruned against the corpus's Bloom bit-set and only
+    bloom-POSITIVE rows (definite duplicates plus ~fpp false positives)
+    reach the exact anti-join.
+
+    The runtime-filter join pattern Spark applies to dynamic partition
+    pruning, expressed in dataflow: bloom-negative rows are PROVABLY
+    novel (a Bloom filter has no false negatives) and skip verification
+    entirely; the expensive exact check runs on the small positive slice
+    only.  At 100 TB the bit-set (<= num_bits rows) is built once,
+    persisted, and broadcast per batch — the corpus itself is never
+    rescanned, while plain ``incremental_exact_dedup`` re-shuffles the
+    full corpus hash set on every increment.  Pass ``corpus_bits=`` (a
+    persisted :func:`bloom_bitset` output) to use that precomputed
+    filter.  Correctness does not depend on the filter's quality: the
+    verify join restores exactness, so num_bits/num_hashes tune only the
+    pruning rate."""
+    h = F.md5(F.col(content_col))
+    batch = (
+        new_df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    bits = (
+        corpus_bits
+        if corpus_bits is not None
+        else bloom_bitset(corpus_df, content_col, num_bits, num_hashes)
+    )
+    probe = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(i)), F.col("content_hash"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % num_bits
+        ).alias("bit")
+        for i in range(num_hashes)
+    ]
+    probed = batch.select(
+        "content_hash", "keep_id", F.explode(F.array(*probe)).alias("bit")
+    )
+    # A row is bloom-positive iff ALL of its k probe bits are set: count
+    # semi-join hits per hash and compare to k.  The bit relation is tiny
+    # (<= num_bits rows) -- broadcast it so the probe never shuffles.
+    hits = (
+        probed.join(F.broadcast(bits), on="bit", how="left_semi")
+        .groupBy("content_hash", "keep_id")
+        .agg(F.count(F.lit(1)).alias("set_bits"))
+    )
+    positive = hits.where(F.col("set_bits") == num_hashes).drop("set_bits")
+    negative = batch.join(
+        positive.select("content_hash"), on="content_hash", how="left_anti"
+    )
+    corpus_hashes = corpus_df.select(
+        F.md5(F.col(content_col)).alias("content_hash")
+    ).distinct()
+    verified_novel = positive.join(corpus_hashes, on="content_hash", how="left_anti")
+    return negative.unionByName(verified_novel)

@@ -39,7 +39,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Stopword list shared with ops.text quality scoring: a small closed set
@@ -240,4 +240,43 @@ def binned_roc(
     ).cast("double")
     return curve.select(
         "bin", "n_pos", "n_neg", "tpr", "fpr", auc_term.alias("auc_term")
+    )
+
+
+def agreement_kappa(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two boolean labelers: one row
+    ``(n, po, pe, kappa)`` — observed agreement, chance agreement from the
+    labelers' marginals, and the chance-corrected kappa, each snapped to 6
+    decimals.
+
+    The standard check before trusting cheap labels at scale: two quality
+    heuristics (or a heuristic vs. a model, or two annotator pools) that
+    agree 90% of the time sound aligned, but if both pass ~90% of
+    documents, chance alone explains most of it — kappa reads near 0 and
+    says the second labeler adds no signal.  Runs as ONE aggregation pass
+    (four confusion counts as conditional sums); nulls in either label are
+    excluded rows.  kappa = (po - pe) / (1 - pe); when pe = 1 (both
+    labelers constant) kappa is NULL — undefined, not 0 — via try_divide."""
+    a, b = F.col(a_col), F.col(b_col)
+    base = df.where(a.isNotNull() & b.isNotNull())
+    cnt = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & b).cast("long")).alias("n11"),
+        F.sum((a & ~b).cast("long")).alias("n10"),
+        F.sum((~a & b).cast("long")).alias("n01"),
+        F.sum((~a & ~b).cast("long")).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pa1 = (F.col("n11") + F.col("n10")) / F.col("n")
+    pb1 = (F.col("n11") + F.col("n01")) / F.col("n")
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    kappa = F.try_divide(po - pe, F.lit(1.0) - pe)
+
+    def _snap(c: Column) -> Column:
+        return F.round(c.cast("decimal(18,12)"), 6).cast("double")
+
+    return cnt.select(
+        "n", _snap(po).alias("po"), _snap(pe).alias("pe"), _snap(kappa).alias("kappa")
     )

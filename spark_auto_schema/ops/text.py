@@ -655,3 +655,73 @@ def token_entropy(
         F.count(F.lit(1)).alias("vocab_size"),
         F.round(h.cast("decimal(18,10)"), 4).cast("double").alias("entropy"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    topk: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``topk`` documents by Okapi BM25 score against a bag of query
+    terms: ``(doc_id, bm25)`` ordered by score desc, id asc (deterministic
+    tie-break), score decimal-snapped to 4 places.
+
+    The retrieval scorer behind lexical search and hybrid RAG pipelines —
+    tf-idf's production successor (tf saturation via ``k1``, document-length
+    normalization via ``b``).  idf uses the Lucene form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``, which is non-negative for any
+    df <= N.  Scores are snapped to 4 decimals (like tfidf_top_pairs):
+    the ln/division chain is transcendental, so raw doubles can differ in
+    the last ulp across engines.
+
+    Scale: the token explode is filtered to the query terms BEFORE any
+    aggregation — the per-term tf aggregate and df aggregate run on the
+    |query| x matching-docs slice, never the full posting space.  Corpus
+    scalars (N, avgdl) ride a 1-row broadcast cross-join; per-term df
+    (<= |query| rows) broadcasts onto the tf slice.  The final ordering is
+    a TakeOrdered top-k, never a full sort.  Tokenization matches the
+    corpus convention (whitespace split)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    qtoks = toks.where(F.col("term").isin(query_terms))
+    tf = qtoks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(dl, on="id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    scored = contrib.groupBy("id").agg(
+        F.round(F.sum("w").cast("decimal(18,12)"), 4).cast("double").alias("bm25")
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("id"))
+        .limit(topk)
+        .select(F.col("id").alias(id_col), "bm25")
+    )

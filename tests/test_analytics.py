@@ -511,3 +511,74 @@ def test_transition_counts_sequence_semantics(spark):
     for (prev, _), (_, p) in got.items():
         sums[prev] += p
     assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_expectation_suite_single_pass_and_verdicts(spark):
+    """Clean frame passes every expectation; each seeded defect flips
+    exactly its own constraint; unknown kinds raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import analytics
+
+    clean = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "P", 30.0)], "id long, st string, v double"
+    )
+    exp = [
+        ("not_null", "id"),
+        ("unique", "id"),
+        ("min_at_least", "v", 0.0),
+        ("max_at_most", "v", 100.0),
+        ("accepted_values", "st", ["O", "F", "P"]),
+        ("row_count_at_least", 2),
+    ]
+    rows = {r["constraint"]: r for r in analytics.expectation_suite(clean, exp).collect()}
+    assert len(rows) == 6 and all(r["passed"] for r in rows.values())
+
+    dirty = spark.createDataFrame(
+        [(1, "O", -5.0), (1, "X", 20.0), (None, "F", 200.0)],
+        "id long, st string, v double",
+    )
+    bad = {r["constraint"]: r["passed"] for r in analytics.expectation_suite(dirty, exp).collect()}
+    assert not bad["not_null(id)"]
+    assert not bad["unique(id)"]
+    assert not bad["min_at_least(v,0.0)"]
+    assert not bad["max_at_most(v,100.0)"]
+    assert not bad["accepted_values(st,[O,F,P])"]
+    assert bad["row_count_at_least(2)"]
+
+    # nulls count as accepted_values violations, and the whole suite is
+    # ONE aggregate: a single-column frame with a null must fail cleanly
+    null_enum = spark.createDataFrame([("O",), (None,)], "st string")
+    (r,) = analytics.expectation_suite(null_enum, [("accepted_values", "st", ["O"])]).collect()
+    assert not r["passed"] and abs(r["observed"] - 0.5) < 1e-9
+
+    with pytest.raises(ValueError):
+        analytics.expectation_suite(clean, [("nope", "id")])
+
+
+def test_pagerank_uniform_cycle_and_dangling_mass(spark):
+    """A symmetric cycle ranks uniformly; a dangling sink redistributes its
+    mass instead of leaking it (ranks always sum to 1); a sink fed by all
+    nodes outranks its feeders."""
+    from spark_auto_schema.ops import analytics
+
+    cycle = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], "src string, dst string, n long"
+    )
+    r = {x["node"]: x["rank"] for x in analytics.pagerank(cycle).collect()}
+    assert all(abs(v - 1 / 3) < 1e-6 for v in r.values())
+
+    # b is dangling (no out-edges): total mass must still be 1
+    chain = spark.createDataFrame([("a", "b", 1)], "src string, dst string, n long")
+    ranks = analytics.pagerank(chain, iters=5).collect()
+    assert abs(sum(x["rank"] for x in ranks) - 1.0) < 1e-5
+    rb = {x["node"]: x["rank"] for x in ranks}
+    assert rb["b"] > rb["a"]
+
+    star = spark.createDataFrame(
+        [("a", "hub", 3), ("b", "hub", 1), ("c", "hub", 2), ("hub", "a", 1)],
+        "src string, dst string, n long",
+    )
+    rs = {x["node"]: x["rank"] for x in analytics.pagerank(star).collect()}
+    assert rs["hub"] == max(rs.values())

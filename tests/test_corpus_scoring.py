@@ -416,3 +416,35 @@ def test_calibration_bins_well_calibrated_scores(spark):
     assert got[7]["frac_pos"] == 0.75
     assert got[9]["n"] == 1 and got[9]["mean_score"] == 1.0
     assert got[0]["n"] == 0 and got[0]["mean_score"] is None
+
+
+def test_agreement_kappa_bounds_and_degenerate_cases(spark):
+    """kappa = 1 on identical labelers, ~0 on independent ones, NULL (not
+    0) when both labelers are constant, and null-labeled rows drop out."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import scoring
+
+    same = spark.range(100).select(
+        (F.col("id") % 2 == 0).alias("a"), (F.col("id") % 2 == 0).alias("b")
+    )
+    (r,) = scoring.agreement_kappa(same, "a", "b").collect()
+    assert r["kappa"] == 1.0 and r["po"] == 1.0
+
+    # independent: a flips every row, b flips every 2 rows -> po == pe
+    indep = spark.range(100).select(
+        (F.col("id") % 2 == 0).alias("a"), (F.col("id") % 4 < 2).alias("b")
+    )
+    (r,) = scoring.agreement_kappa(indep, "a", "b").collect()
+    assert abs(r["kappa"]) < 1e-9
+
+    const = spark.range(10).select(F.lit(True).alias("a"), F.lit(True).alias("b"))
+    (r,) = scoring.agreement_kappa(const, "a", "b").collect()
+    assert r["kappa"] is None  # pe == 1: undefined, not perfect
+
+    withnull = spark.createDataFrame(
+        [(True, True), (None, True), (False, None), (False, False)],
+        "a boolean, b boolean",
+    )
+    (r,) = scoring.agreement_kappa(withnull, "a", "b").collect()
+    assert r["n"] == 2 and r["kappa"] == 1.0

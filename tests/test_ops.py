@@ -862,3 +862,84 @@ def test_token_entropy_matches_direct_formula(spark):
     assert r["entropy"] == round(expected, 4)
     assert r["n_tokens"] == 10
     assert r["vocab_size"] == 3
+
+
+def test_bloom_incremental_dedup_exact_under_any_filter_quality(spark):
+    """The bloom prune NEVER changes the answer — only the work: results
+    equal incremental_exact_dedup under a good filter, a saturated 8-bit
+    filter (everything bloom-positive), and a precomputed corpus_bits."""
+    from spark_auto_schema.ops import dedup
+
+    batch = spark.createDataFrame(
+        [(10, "aa"), (11, "bb"), (12, "bb"), (13, "cc"), (14, "dd")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "bb"), (2, "dd"), (3, "ee")], "doc_id long, text string"
+    )
+    want = sorted(map(tuple, dedup.incremental_exact_dedup(batch, corpus).collect()))
+    got = sorted(map(tuple, dedup.bloom_incremental_dedup(batch, corpus).collect()))
+    assert got == want and [k for _, k in want] == [10, 13]
+
+    # saturated filter: num_bits=8 forces false positives; verify restores
+    tiny = sorted(
+        map(tuple, dedup.bloom_incremental_dedup(batch, corpus, num_bits=8).collect())
+    )
+    assert tiny == want
+
+    bits = dedup.bloom_bitset(corpus)
+    pre = sorted(
+        map(
+            tuple,
+            dedup.bloom_incremental_dedup(batch, corpus, corpus_bits=bits).collect(),
+        )
+    )
+    assert pre == want
+
+
+def test_bloom_bitset_bounded_and_prune_effective(spark):
+    """The bit-set relation is bounded by num_bits regardless of corpus
+    size, and a disjoint batch is fully pruned (no false negatives by
+    construction; here also zero bloom-positives)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import dedup
+
+    corpus = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("c"), F.col("id")).alias("text")
+    )
+    bits = dedup.bloom_bitset(corpus, num_bits=64)
+    assert bits.count() <= 64
+
+    # big filter, disjoint batch: every batch row must survive (novel)
+    batch = spark.range(50).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.concat(F.lit("b"), F.col("id")).alias("text"),
+    )
+    out = dedup.bloom_incremental_dedup(batch, corpus)
+    assert out.count() == 50
+
+
+def test_bm25_topk_ranking_laws(spark):
+    """More query-term occurrences rank higher at equal length; the rare
+    term outweighs the common one; non-matching docs never appear."""
+    from spark_auto_schema.ops import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare x x x x x"),
+            (2, "common x x x x x"),
+            (3, "common common x x x x"),
+            (4, "x x x x x x"),
+            (5, "common x x x x x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text_ops.bm25_topk(docs, ["rare", "common"], topk=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids and len(ids) == 4
+    score = {r["doc_id"]: r["bm25"] for r in rows}
+    assert score[3] > score[2]  # tf saturation still increases
+    assert score[1] > score[2]  # df=1 term beats df=3 term
+    assert score[2] == score[5]  # identical docs tie exactly
+    assert ids[0] in (1, 3) and rows[0]["bm25"] == max(score.values())

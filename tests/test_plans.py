@@ -775,3 +775,33 @@ def test_binned_roc_windows_are_bin_frame_only(spark):
     # nodes); the rest of the plan operates on <= nbins rows
     assert "BroadcastExchange" in plan  # counts broadcast into the spine
     assert plan.count("Window") <= 3   # tpr/fpr sweep + lag, bin-frame only
+
+
+def test_bloom_prune_probe_is_broadcast_and_verify_is_anti(spark):
+    """The Bloom bit-set (<= 2^18 rows) must broadcast onto the batch probe
+    — a shuffled join there would defeat the runtime-filter pattern — and
+    both the prune outcome split and the exact verify must be anti-joins,
+    never subquery loops."""
+    plan = plan_of(entry._q_bloom_incremental_dedup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # bit-set probe (and positive split)
+    assert plan.count("LeftAnti") >= 2  # negative split + exact verify
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_plan(spark):
+    """Corpus scalars ride broadcast nested-loop 1-row joins; per-term df
+    broadcasts; the final top-k is TakeOrdered, never a global sort."""
+    plan = plan_of(entry._q_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # the query-term filter must reach the token source before aggregation
+    assert "CartesianProduct" not in plan
+
+
+def test_expectation_suite_is_single_aggregate(spark):
+    """All six expectations reduce in ONE aggregation over ONE scan: the
+    plan must contain exactly one scan of orders and no join/shuffle other
+    than the final 1-row aggregate exchange."""
+    plan = plan_of(entry._q_dq_expectations(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
