@@ -5996,6 +5996,101 @@ FROM m
 """
 
 
+def _q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (`ops/similarity.py`
+    rrf_fuse): a 50-candidate BM25 lexical pool and a 50-candidate exact
+    cosine pool (query vector = vec_id 0, vec_id aligned with doc_id in
+    the synthetic corpus) fused by sum 1/(60+rank), top 10.  The
+    rank-based combiner needs no score calibration between the two
+    retrievers; the single-partition rank windows run on k-sized pools
+    only — the corpus-scale work happened inside the retrievers' own
+    TakeOrdered plans.  The oracle replays both pools and the fusion."""
+    docs = read_table(spark, sf_dir, "documents")
+    embs = read_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(
+        docs, ["merge", "window", "vector"], topk=50
+    ).withColumnRenamed("doc_id", "vec_id")
+    dense = similarity.cosine_topk(embs, query_id=0, k=50)
+    return similarity.rrf_fuse([lex, dense], topk=10)
+
+
+_RRF_HYBRID_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+tf AS (SELECT id, term, count(*) AS tf FROM toks
+       WHERE term IN ('merge', 'window', 'vector') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl),
+c AS (
+  SELECT id, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN s
+), lexpool AS (
+  SELECT id, CAST(round(CAST(sum(w) AS DECIMAL(18,12)), 4) AS DOUBLE) AS sc
+  FROM c GROUP BY 1 ORDER BY sc DESC, id LIMIT 50
+), lexrank AS (
+  SELECT id, row_number() OVER (ORDER BY sc DESC, id) AS rank FROM lexpool
+), densepool AS (
+  SELECT b.vec_id AS id,
+         round(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))), 4) AS sc
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a, embeddings b
+  WHERE b.vec_id != 0 ORDER BY sc DESC, b.vec_id LIMIT 50
+), denserank AS (
+  SELECT id, row_number() OVER (ORDER BY sc DESC, id) AS rank FROM densepool
+), u AS (SELECT * FROM lexrank UNION ALL SELECT * FROM denserank),
+f AS (
+  SELECT id, CAST(round(CAST(sum(1.0 / (60 + rank)) AS DECIMAL(18,12)), 6)
+                AS DOUBLE) AS rrf,
+         count(*) AS n_lists
+  FROM u GROUP BY 1
+)
+SELECT id AS vec_id, rrf, n_lists FROM f ORDER BY rrf DESC, vec_id LIMIT 10
+"""
+
+
+def _q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup summary (`ops/dedup.py` cdc_chunks +
+    cdc_dedup_stats): token-level Gear-style boundaries (md5(token) ≡ 0
+    mod 8 closes a chunk), chunk identity = md5 of the space-joined
+    tokens, corpus summary = (n_chunks, n_distinct, dup_ratio,
+    avg_tokens).  Content-defined boundaries re-synchronize after edits
+    where fixed-size chunking shifts every later chunk — the
+    storage-dedup read on a training corpus.  The oracle replays the
+    boundary rule, the cumulative-boundary window, the ordered chunk
+    reassembly, and the summary aggregate."""
+    return dedup.cdc_dedup_stats(read_table(spark, sf_dir, "documents"))
+
+
+_CDC_DEDUP_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, i - 1 AS pos, ws[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+), b AS (
+  SELECT id, pos, tok,
+         coalesce(sum(CASE WHEN CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT)
+                                 % 8 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM toks
+), ch AS (
+  SELECT id, chunk_idx, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+         count(*) AS n
+  FROM b GROUP BY 1, 2
+)
+SELECT count(*) AS n_chunks, count(DISTINCT chunk_hash) AS n_distinct,
+       CAST(round(CAST(1.0 - count(DISTINCT chunk_hash) * 1.0 / count(*)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS dup_ratio,
+       CAST(round(CAST(avg(n) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_tokens
+FROM ch
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6269,6 +6364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dq_expectations_orders"] = _q_dq_expectations
     q["pagerank_event_types"] = _q_pagerank_event_types
     q["labeler_kappa_docs"] = _q_labeler_kappa
+    q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
+    q["cdc_dedup_stats"] = _q_cdc_dedup_stats
     return q
 
 
@@ -6433,6 +6530,8 @@ def oracle_sql() -> dict[str, str]:
     o["dq_expectations_orders"] = _DQ_EXPECTATIONS_SQL
     o["pagerank_event_types"] = _PAGERANK_EVENT_TYPES_SQL
     o["labeler_kappa_docs"] = _LABELER_KAPPA_SQL
+    o["rrf_hybrid_topk"] = _RRF_HYBRID_SQL
+    o["cdc_dedup_stats"] = _CDC_DEDUP_STATS_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

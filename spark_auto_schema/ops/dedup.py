@@ -1303,3 +1303,101 @@ def bloom_incremental_dedup(
     ).distinct()
     verified_novel = positive.join(corpus_hashes, on="content_hash", how="left_anti")
     return negative.unionByName(verified_novel)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking at token granularity: ``(doc_id, chunk_idx,
+    chunk_hash, n_tokens)`` — one row per chunk, where a chunk boundary
+    falls AFTER any token whose md5 prefix is ≡ 0 (mod ``boundary_mod``),
+    giving ~boundary_mod-token expected chunks.
+
+    The storage-dedup primitive (rsync/LBFS/casync) applied to corpus
+    management: because boundaries depend on CONTENT, not position, an
+    insertion early in a document only perturbs chunks up to the next
+    boundary — every later chunk re-synchronizes and dedups against the
+    previous version, where fixed-size chunking (chunk_documents) shifts
+    every subsequent chunk.  Chunk identity is the md5 of the
+    space-joined tokens.
+
+    Scale: one posexplode + ONE per-document window (cumulative boundary
+    count — partitions are document-sized) + one (doc, chunk) aggregate
+    whose collected state is the chunk's own tokens, reassembled
+    order-invariantly via array_sort over (pos, token) structs so the
+    chunk hash is partitioning-independent."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    is_boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % boundary_mod
+        == 0
+    ).cast("long")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(is_boundary).over(w), F.lit(0)).alias("chunk_idx"),
+    )
+    return (
+        chunked.groupBy("id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                        ),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_hash",
+            "n_tokens",
+        )
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Corpus-level chunk-dedup summary over :func:`cdc_chunks`: one row
+    ``(n_chunks, n_distinct, dup_ratio, avg_tokens)`` — the
+    would-be-storage-savings read (dup_ratio = 1 - distinct/total,
+    decimal-snapped to 6) that says whether chunk-level dedup is worth
+    materializing for this corpus.  Reduces the chunk relation in one
+    aggregate; never materializes chunk text (hashes only)."""
+    ch = cdc_chunks(df, text_col, id_col, boundary_mod)
+    return ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct(F.col("chunk_hash")).alias("n_distinct"),
+        F.round(
+            (
+                F.lit(1.0)
+                - F.count_distinct(F.col("chunk_hash")) / F.count(F.lit(1))
+            ).cast("decimal(18,12)"),
+            6,
+        ).cast("double").alias("dup_ratio"),
+        F.round(
+            F.avg(F.col("n_tokens")).cast("decimal(18,12)"), 6
+        ).cast("double").alias("avg_tokens"),
+    )

@@ -912,3 +912,60 @@ def jl_project(
     return proj.select(
         "id", F.posexplode("__p").alias("j", "y")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "vec_id",
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate rankings: ``(id, rrf, n_lists)``
+    for the ``topk`` ids maximizing ``sum over lists of 1/(k0 + rank)``,
+    rrf snapped to 6 decimals, ties broken by id.
+
+    THE standard hybrid-retrieval combiner (lexical BM25 + dense cosine):
+    rank-based, so the incomparable score scales of the input retrievers
+    never need calibration, and ``k0`` (=60 in the original paper and
+    every major search engine since) damps the head so one list cannot
+    dictate the fusion alone.  ``n_lists`` (how many retrievers surfaced
+    the id) travels with the score for diagnosability.
+
+    Each input frame must be a CANDIDATE list — (id, score) with the score
+    as its only other column, already cut to a top-k pool by an upstream
+    TakeOrdered retriever (cosine_topk, ann_lsh_topk, bm25_topk).  Ranks
+    are recomputed here via a global row_number over (score desc, id):
+    that window is a single partition BY DESIGN and is only safe because
+    the inputs are k-sized pools, never corpus-sized — the corpus-scale
+    work (scan, score, top-k heap) already happened inside the
+    retrievers."""
+    from pyspark.sql.window import Window
+
+    parts = []
+    for r in rankings:
+        score_cols = [c for c in r.columns if c != id_col]
+        if len(score_cols) != 1:
+            raise ValueError(
+                f"ranking must be (id, score), got columns {r.columns}"
+            )
+        w = Window.orderBy(F.col(score_cols[0]).desc(), F.col(id_col))
+        parts.append(
+            r.select(
+                F.col(id_col).alias("id"), F.row_number().over(w).alias("rank")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(k0) + F.col("rank"))).cast("decimal(18,12)"),
+            6,
+        ).cast("double").alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(topk)
+        .select(F.col("id").alias(id_col), "rrf", "n_lists")
+    )

@@ -943,3 +943,84 @@ def test_bm25_topk_ranking_laws(spark):
     assert score[1] > score[2]  # df=1 term beats df=3 term
     assert score[2] == score[5]  # identical docs tie exactly
     assert ids[0] in (1, 3) and rows[0]["bm25"] == max(score.values())
+
+
+def test_rrf_fuse_semantics(spark):
+    """Consensus beats single-list heads: an id surfaced mid-rank by BOTH
+    retrievers outranks an id topping only one; rank, not score scale,
+    drives the fusion; malformed inputs raise."""
+    import pytest
+
+    from spark_auto_schema.ops import similarity
+
+    # list A scores in [0,1], list B in [0,1e6]: RRF must not care
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "vec_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(4, 900000.0), (2, 800000.0), (5, 700000.0)], "vec_id long, s double"
+    )
+    rows = similarity.rrf_fuse([a, b], topk=5).collect()
+    score = {r["vec_id"]: r["rrf"] for r in rows}
+    lists = {r["vec_id"]: r["n_lists"] for r in rows}
+    assert lists[2] == 2 and lists[1] == 1
+    # id 2 is rank-2 in both lists: 2/(60+2) > 1/(60+1) of either head
+    assert score[2] == max(score.values())
+    assert rows[0]["vec_id"] == 2
+
+    # heads of each list tie exactly (same rank, one list each): id breaks
+    assert score[1] == score[4]
+    ordered = [r["vec_id"] for r in rows]
+    assert ordered.index(1) < ordered.index(4)
+
+    with pytest.raises(ValueError):
+        similarity.rrf_fuse(
+            [a.withColumn("extra", a["s"])], topk=3
+        )
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """The CDC property fixed-size chunking lacks: prepending a token to a
+    document changes only the chunks BEFORE the next boundary — every
+    later chunk hash reappears unchanged (dedups against the original)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    orig = spark.createDataFrame([(1, base.strip())], "doc_id long, text string")
+    edited = spark.createDataFrame(
+        [(2, ("inserted " + base).strip())], "doc_id long, text string"
+    )
+    both = orig.unionByName(edited)
+    ch = dedup.cdc_chunks(both)
+    o = {r["chunk_hash"] for r in ch.where(F.col("doc_id") == 1).collect()}
+    e = {r["chunk_hash"] for r in ch.where(F.col("doc_id") == 2).collect()}
+    # all but the first (perturbed) chunk re-synchronize
+    assert len(o & e) >= len(o) - 1 > 0
+
+    # determinism + coverage: chunk token counts sum to the token count
+    n_tok = len(base.strip().split(" "))
+    got = (
+        ch.where(F.col("doc_id") == 1)
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == n_tok
+
+
+def test_cdc_dedup_stats_on_duplicated_corpus(spark):
+    """A corpus of two identical docs dedups to ~half the distinct chunks;
+    stats agree with recomputing from cdc_chunks directly."""
+    from spark_auto_schema.ops import dedup
+
+    text = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame(
+        [(1, text.strip()), (2, text.strip())], "doc_id long, text string"
+    )
+    (s,) = dedup.cdc_dedup_stats(df).collect()
+    ch = dedup.cdc_chunks(df)
+    assert s["n_chunks"] == ch.count()
+    assert s["n_distinct"] == ch.select("chunk_hash").distinct().count()
+    assert s["n_distinct"] * 2 == s["n_chunks"]  # exact clone halves
+    assert abs(s["dup_ratio"] - 0.5) < 1e-9

@@ -58,6 +58,10 @@ PROBES: dict[str, list[str]] = {
         # session-3: same shingle-equi-join engine as Jaccard but with the
         # asymmetric denominator — must inherit the same slope
         "containment_docs",
+        # session-5: the bloom bit-set saturates (<=2^18 rows) while the
+        # batch and corpus grow 10x — the probe must show the prune+verify
+        # staying linear, not the filter degenerating to verify-everything
+        "bloom_incremental_dedup",
     ],
     "similarity": [
         "embedding_topk",
@@ -77,6 +81,10 @@ PROBES: dict[str, list[str]] = {
         # session-4: the (grp, tok) count state grows with the vocab, which
         # the replica token suffixes grow 10x — the harder case
         "token_entropy_sources",
+        # session-5: BM25 — replica suffixes make the r0 query terms match
+        # only 1/10th of the grown corpus, but dl/avgdl still scan it all;
+        # the tf slice and TakeOrdered must keep the slope ~1
+        "bm25_topk_docs",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
@@ -125,6 +133,13 @@ PROBES: dict[str, list[str]] = {
         # shuffle-reusing groupBy whose per-key state is the session's
         # turn list; events AND the user key space both grow 10x
         "conversation_assembly_events",
+        # session-5: pagerank's edge derivation scales with events while
+        # its iteration runs on the aggregated graph, so the slope must
+        # track the lag window, not the joins; kappa is a 1-row confusion
+        # aggregate over documents.  dq_expectations_orders is excluded
+        # with the other orders-derived queries (copied table).
+        "pagerank_event_types",
+        "labeler_kappa_docs",
     ],
     # scd2_order_status is deliberately absent: its dimension derives from
     # orders, a COPIED (unscaled) table here, so its ratio would measure
