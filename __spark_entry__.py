@@ -6091,6 +6091,76 @@ FROM ch
 """
 
 
+def _q_waterfill_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling cap allocation over per-source token totals
+    (`ops/corpus.py` waterfill_allocation, budget = 50% of the corpus):
+    the balanced-mixture primitive — sources below the water level keep
+    every token, dominant sources are capped AT the level, and the level
+    is the closed-form solution of sum min(tokens, L) = budget (no
+    iteration).  The corpus-wide token count is the 100 TB scan; the
+    fill itself runs on the |sources| aggregate.  The oracle replays the
+    ranked-boundary closed form."""
+    from spark_auto_schema.ops import corpus as corpus_ops
+
+    sizes = (
+        read_table(spark, sf_dir, "documents")
+        .select("source", F.size(F.split(F.col("text"), " ")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    return corpus_ops.waterfill_allocation(
+        sizes, "source", "n_tokens", budget_frac=0.5
+    )
+
+
+_WATERFILL_SOURCES_SQL = """
+WITH g AS (
+  SELECT source AS grp, CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS t
+  FROM documents GROUP BY 1
+), r AS (
+  SELECT grp, t, row_number() OVER (ORDER BY t, grp) AS rn,
+         coalesce(sum(t) OVER (ORDER BY t, grp
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev,
+         lag(t) OVER (ORDER BY t, grp) AS t_prev,
+         (SELECT sum(t) FROM g) AS total, (SELECT count(*) FROM g) AS n_grps
+  FROM g
+), lv AS (
+  SELECT min(CASE WHEN (total * 0.5 - cum_prev) / (n_grps - rn + 1) <= t
+                   AND (t_prev IS NULL
+                        OR (total * 0.5 - cum_prev) / (n_grps - rn + 1) >= t_prev)
+             THEN (total * 0.5 - cum_prev) / (n_grps - rn + 1) END) AS level
+  FROM r
+)
+SELECT grp AS source, CAST(t AS BIGINT) AS n_tokens,
+       CAST(round(CAST(least(t, coalesce(level, t)) AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS allocation,
+       level IS NOT NULL AND t > level AS capped
+FROM g CROSS JOIN lv
+"""
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens via Spark's native DataSketches approx_top_k
+    aggregate (`ops/text.py` heavy_hitters_sketch, threshold 500): the
+    single-pass MERGEABLE alternative to the exact wordcount — partial
+    sketches combine map-side into fixed megabytes instead of shuffling
+    the (term, count) vocabulary.  The synthetic vocabulary fits the
+    sketch capacity, so counts are exact and the oracle is the plain
+    frequency query; the output contract is a frequency THRESHOLD, not a
+    top-k cut, so boundary ties cannot depend on sketch ordering."""
+    return text.heavy_hitters_sketch(
+        read_table(spark, sf_dir, "documents"), min_count=500
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT term, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY 1 HAVING count(*) >= 500 ORDER BY n DESC, term
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6366,6 +6436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["labeler_kappa_docs"] = _q_labeler_kappa
     q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
     q["cdc_dedup_stats"] = _q_cdc_dedup_stats
+    q["waterfill_sources"] = _q_waterfill_sources
+    q["heavy_hitters_sketch"] = _q_heavy_hitters
     return q
 
 
@@ -6532,6 +6604,8 @@ def oracle_sql() -> dict[str, str]:
     o["labeler_kappa_docs"] = _LABELER_KAPPA_SQL
     o["rrf_hybrid_topk"] = _RRF_HYBRID_SQL
     o["cdc_dedup_stats"] = _CDC_DEDUP_STATS_SQL
+    o["waterfill_sources"] = _WATERFILL_SOURCES_SQL
+    o["heavy_hitters_sketch"] = _HEAVY_HITTERS_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -509,3 +509,71 @@ def table_checksum(
             F.sum("__p").cast("decimal(38,0)").alias("digest_sum"),
         )
     )
+
+
+def waterfill_allocation(
+    sizes: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Water-filling cap allocation over group sizes: ``(group, n_tokens,
+    allocation, capped)`` where ``allocation = min(n_tokens, L)`` and the
+    water level ``L`` is the unique solution of ``sum min(n_tokens, L) =
+    budget_frac * total`` — the balanced-mixture primitive that caps
+    dominant sources while leaving small ones untouched (the continuous
+    form of the max-per-domain cap; cf. domain_cap's count form).
+
+    Algorithm: sort groups ascending by size; for boundary i ("groups
+    before i are fully kept, i.. are capped"), the candidate level is
+    ``L_i = (B - cum_{i-1}) / (n - i + 1)``, valid iff it lands between
+    the neighboring sizes — a closed form, no iteration.  Exactly one
+    boundary is valid when B < total; when B >= total no row validates
+    and every group keeps its full size (level = +inf conceptually).
+
+    Scale: ``sizes`` is already the aggregated per-group frame (|groups|
+    rows — the corpus-wide token count that produced it was the 100 TB
+    scan).  The sort window, the cumulative sum, and the level selection
+    all run on that small frame; the level is a 1-row broadcast back.
+    Level and allocation are decimal-snapped to 6 (the level division is
+    the only non-integer arithmetic — ordered window cumsums are exact)."""
+    g = sizes.select(
+        F.col(group_col).alias("grp"), F.col(size_col).cast("double").alias("t")
+    )
+    w = Window.orderBy("t", "grp")
+    ranked = g.select(
+        "grp",
+        "t",
+        F.row_number().over(w).alias("rn"),
+        F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("cum_prev"),
+        F.lag("t").over(w).alias("t_prev"),
+    ).crossJoin(
+        F.broadcast(
+            g.agg(
+                F.sum("t").alias("total"), F.count(F.lit(1)).alias("n_grps")
+            ).select("total", "n_grps", (F.col("total") * budget_frac).alias("budget"))
+        )
+    )
+    cand = (
+        F.col("budget") - F.coalesce(F.col("cum_prev"), F.lit(0.0))
+    ) / (F.col("n_grps") - F.col("rn") + 1)
+    valid = (cand <= F.col("t")) & (
+        F.col("t_prev").isNull() | (cand >= F.col("t_prev"))
+    )
+    level = ranked.agg(
+        F.min(F.when(valid, cand)).alias("level")  # unique when budget < total
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        g.crossJoin(F.broadcast(level))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("t").cast("long").alias("n_tokens"),
+            snapped(F.least(F.col("t"), F.coalesce(F.col("level"), F.col("t")))).alias(
+                "allocation"
+            ),
+            (F.col("level").isNotNull() & (F.col("t") > F.col("level"))).alias(
+                "capped"
+            ),
+        )
+    )

@@ -725,3 +725,38 @@ def bm25_topk(
         .limit(topk)
         .select(F.col("id").alias(id_col), "bm25")
     )
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    min_count: int,
+    text_col: str = "text",
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Frequent tokens via Spark's native approx_top_k sketch: ``(term,
+    n)`` for every token with count >= ``min_count``, sorted (n desc,
+    term).
+
+    The single-pass alternative to the exact wordcount (top_terms): the
+    DataSketches frequent-items aggregate builds bounded-size partial
+    sketches per partition and MERGES them — no (term, count) shuffle of
+    the full vocabulary, which at 100 TB is the difference between a
+    fixed-megabyte combine and a vocabulary-sized exchange.  Counts are
+    EXACT whenever the observed vocabulary fits ``max_items_tracked``
+    (the sketch only approximates under eviction), which is why the
+    frequency threshold — not a top-k cut whose boundary ties would be
+    sketch-order-dependent — is the output contract.  Callers tracking
+    corpora with vocabularies beyond ``max_items_tracked`` should treat
+    counts as lower-bound estimates."""
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    sk = toks.agg(
+        F.expr(
+            f"approx_top_k(term, {int(max_items_tracked)}, {int(max_items_tracked)})"
+        ).alias("tk")
+    )
+    return (
+        sk.select(F.explode(F.col("tk")).alias("e"))
+        .select(F.col("e.item").alias("term"), F.col("e.count").alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("term"))
+    )

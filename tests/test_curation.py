@@ -462,3 +462,61 @@ def test_winsorize_clips_only_the_tails(spark):
     assert got[100.0] == 90.1 and got[95.0] == 90.1
     assert got[50.0] == 50.0  # interior untouched
     assert len(got) == 100  # no rows dropped
+
+
+def test_waterfill_allocation_laws(spark):
+    """Allocations sum to the budget when it binds; below-level groups
+    keep everything; budget >= total caps nothing; a hand-checked level."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import corpus
+
+    sizes = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 100), ("d", 200)],
+        "src string, n long",
+    )
+    # total=330, budget=165: a,b kept (30), remaining 135 split over c,d
+    # -> level 67.5; allocations 10+20+67.5+67.5 = 165
+    rows = {
+        r["src"]: r
+        for r in corpus.waterfill_allocation(sizes, "src", "n", 0.5).collect()
+    }
+    assert rows["a"]["allocation"] == 10.0 and not rows["a"]["capped"]
+    assert rows["b"]["allocation"] == 20.0 and not rows["b"]["capped"]
+    assert rows["c"]["allocation"] == 67.5 and rows["c"]["capped"]
+    assert rows["d"]["allocation"] == 67.5 and rows["d"]["capped"]
+    assert abs(sum(r["allocation"] for r in rows.values()) - 165.0) < 1e-6
+
+    # budget >= total: level undefined, every group keeps its size
+    full = corpus.waterfill_allocation(sizes, "src", "n", 2.0).collect()
+    assert all(not r["capped"] and r["allocation"] == r["n_tokens"] for r in full)
+
+    # uniform sizes at binding budget: everyone capped at the same level
+    uni = spark.createDataFrame([("x", 100), ("y", 100)], "src string, n long")
+    r = corpus.waterfill_allocation(uni, "src", "n", 0.5).collect()
+    assert all(x["allocation"] == 50.0 and x["capped"] for x in r)
+
+
+def test_heavy_hitters_sketch_exact_when_vocab_fits(spark):
+    """With the vocabulary inside the sketch capacity the counts are exact
+    (equal to the groupBy wordcount) and the threshold is respected."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d"), (3, "a a e")],
+        "doc_id long, text string",
+    )
+    got = {(r["term"], r["n"]) for r in text_ops.heavy_hitters_sketch(docs, 3).collect()}
+    exact = {
+        (r["term"], r["n"])
+        for r in (
+            docs.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 3)
+            .collect()
+        )
+    }
+    assert got == exact == {("a", 6), ("b", 3)}
