@@ -6161,6 +6161,39 @@ GROUP BY 1 HAVING count(*) >= 500 ORDER BY n DESC, term
 """
 
 
+def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle objective prep (`ops/packing.py` fim_transform):
+    ~half the documents (md5(doc_id) draw) get two hash-derived cut
+    points splitting tokens into PSM prefix|middle|suffix spans; the
+    rest pass through as causal-LM rows.  Cuts are pure functions of the
+    id, so a grown corpus never re-cuts existing documents.  A single
+    narrow projection — no shuffle, no Python.  The oracle replays the
+    draw, both cut derivations, and the three slices."""
+    return packing.fim_transform(read_table(spark, sf_dir, "documents"))
+
+
+_FIM_TRANSFORM_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, text, ws, n,
+         CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 2 = 0 AND n >= 8 AS fim,
+         CAST(('0x' || substr(h, 5, 8)) AS BIGINT) % (n - 2) + 1 AS c1,
+         CAST(('0x' || substr(h, 13, 8)) AS BIGINT) AS h2
+  FROM t
+), d AS (
+  SELECT doc_id, text, ws, n, fim, c1, c1 + (h2 % (n - c1 - 1)) + 1 AS c2 FROM c
+)
+SELECT doc_id, fim AS fim_applied,
+       CASE WHEN fim THEN array_to_string(ws[1:c1], ' ') ELSE text END AS prefix,
+       CASE WHEN fim THEN array_to_string(ws[c1+1:c2], ' ') ELSE '' END AS middle,
+       CASE WHEN fim THEN array_to_string(ws[c2+1:n], ' ') ELSE '' END AS suffix
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6438,6 +6471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_dedup_stats"] = _q_cdc_dedup_stats
     q["waterfill_sources"] = _q_waterfill_sources
     q["heavy_hitters_sketch"] = _q_heavy_hitters
+    q["fim_transform_docs"] = _q_fim_transform
     return q
 
 
@@ -6606,6 +6640,7 @@ def oracle_sql() -> dict[str, str]:
     o["cdc_dedup_stats"] = _CDC_DEDUP_STATS_SQL
     o["waterfill_sources"] = _WATERFILL_SOURCES_SQL
     o["heavy_hitters_sketch"] = _HEAVY_HITTERS_SQL
+    o["fim_transform_docs"] = _FIM_TRANSFORM_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -238,3 +238,56 @@ def assemble_sequences(
             ).alias("sequence"),
         )
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate_mod: int = 2,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Fill-in-the-middle training transform (PSM format): ``(doc_id,
+    fim_applied, prefix, middle, suffix)`` where a deterministic
+    md5(doc_id)-derived draw selects ~1/``fim_rate_mod`` of documents for
+    FIM and, for those, two hash-derived cut points split the token
+    sequence into prefix | middle | suffix.  Non-selected (and
+    too-short) documents pass through with the full text as ``prefix``
+    and empty middle/suffix — the causal-LM share of the mix.
+
+    The objective-level data prep for code/infilling models (Bavarian et
+    al.): downstream packing consumes the three spans in PSM order.  Cut
+    points are pure functions of the document id — re-running the
+    pipeline on a grown corpus never re-cuts existing documents
+    differently (the same property the split/sample operators guarantee).
+
+    Scale: a single narrow projection — split, two slices, three joins —
+    no shuffle, no Python; pipelines inside the scan like the text
+    operators.  Cut derivation: c1 = h1 % (n-2) + 1 and c2 = c1 + (h2 %
+    (n - c1 - 1)) + 1 with h1/h2 from disjoint md5 hex slices, so
+    1 <= c1 < c2 <= n-1 and all three spans are non-empty."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    h = F.md5(F.col(id_col).cast("string"))
+    apply_fim = (
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % fim_rate_mod == 0)
+        & (n >= min_tokens)
+    )
+    h1 = F.conv(F.substring(h, 5, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 13, 8), 16, 10).cast("long")
+    c1 = h1 % (n - 2) + 1
+    c2 = c1 + (h2 % (n - c1 - 1)) + 1
+    join_ = lambda arr: F.array_join(arr, " ")
+    return df.select(
+        F.col(id_col),
+        apply_fim.alias("fim_applied"),
+        F.when(apply_fim, join_(F.slice(toks, 1, c1)))
+        .otherwise(F.col(text_col))
+        .alias("prefix"),
+        F.when(apply_fim, join_(F.slice(toks, c1 + 1, c2 - c1)))
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(apply_fim, join_(F.slice(toks, c2 + 1, n - c2)))
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+    )

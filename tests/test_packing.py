@@ -261,3 +261,40 @@ def test_assemble_sequences_max_items_keeps_prefix(spark):
     assert r["n_items"] == 3
     with pytest.raises(ValueError):
         packing.assemble_sequences(d, ["k"], ["t"], "p", max_items=0)
+
+
+def test_fim_transform_reassembly_and_determinism(spark):
+    """FIM laws: prefix+middle+suffix reassemble the original text for
+    selected docs; all three spans are non-empty; non-selected and short
+    docs pass through untouched; the cut is a pure function of doc_id
+    (partitioning-invariant)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import packing
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(20)))
+            for i in range(40)
+        ]
+        + [(100, "too short")],
+        "doc_id long, text string",
+    )
+    rows = packing.fim_transform(docs).collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_fim = 0
+    for r in rows:
+        if r["fim_applied"]:
+            n_fim += 1
+            assert r["prefix"] and r["middle"] and r["suffix"]
+            joined = f'{r["prefix"]} {r["middle"]} {r["suffix"]}'
+            assert joined == orig[r["doc_id"]]
+        else:
+            assert r["prefix"] == orig[r["doc_id"]]
+            assert r["middle"] == "" and r["suffix"] == ""
+    assert 0 < n_fim < len(rows)  # the draw selects some, not all
+    short = [r for r in rows if r["doc_id"] == 100][0]
+    assert not short["fim_applied"]  # below min_tokens never cut
+
+    again = packing.fim_transform(docs.repartition(7)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
