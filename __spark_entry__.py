@@ -6194,6 +6194,37 @@ FROM d
 """
 
 
+def _q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs
+    (`ops/sampling.py` contrastive_negatives): 4 negatives per anchor
+    from 64 hash buckets, each bucket represented by its md5-smallest
+    member.  The anchors only ever join a broadcast 64-row representative
+    table — no anchor x corpus join — and pairs are pure functions of
+    (id, rank), so epoch re-runs reproduce them.  The oracle replays the
+    bucket election (arg_min) and the probe hash."""
+    return sampling.contrastive_negatives(
+        read_table(spark, sf_dir, "documents"), k=4, num_buckets=64
+    )
+
+
+_CONTRASTIVE_NEGATIVES_SQL = """
+WITH reps AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 64 AS bucket,
+         arg_min(doc_id, md5(CAST(doc_id AS VARCHAR))) AS neg_id
+  FROM documents GROUP BY 1
+), probe AS (
+  SELECT doc_id AS id, j AS neg_rank,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 64 AS bucket
+  FROM documents, UNNEST(generate_series(1, 4)) AS t(j)
+)
+SELECT id AS doc_id, CAST(neg_rank AS INT) AS neg_rank, neg_id
+FROM probe JOIN reps USING (bucket) WHERE neg_id != id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6467,11 +6498,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dq_expectations_orders"] = _q_dq_expectations
     q["pagerank_event_types"] = _q_pagerank_event_types
     q["labeler_kappa_docs"] = _q_labeler_kappa
+    # --- session-5 continued: hybrid retrieval fusion, CDC chunk dedup,
+    # water-fill mixture caps, mergeable heavy-hitters sketch, FIM
+    # objective prep — past the window, mirror-verified, r7-rotation head
+    # with the other post-r05 additions above ---
     q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
     q["cdc_dedup_stats"] = _q_cdc_dedup_stats
     q["waterfill_sources"] = _q_waterfill_sources
     q["heavy_hitters_sketch"] = _q_heavy_hitters
     q["fim_transform_docs"] = _q_fim_transform
+    q["contrastive_negatives"] = _q_contrastive_negatives
     return q
 
 
@@ -6641,6 +6677,7 @@ def oracle_sql() -> dict[str, str]:
     o["waterfill_sources"] = _WATERFILL_SOURCES_SQL
     o["heavy_hitters_sketch"] = _HEAVY_HITTERS_SQL
     o["fim_transform_docs"] = _FIM_TRANSFORM_SQL
+    o["contrastive_negatives"] = _CONTRASTIVE_NEGATIVES_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -258,3 +258,51 @@ def exact_k_per_group(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: ``(id,
+    neg_rank, neg_id)`` — up to ``k`` pseudo-random negatives per anchor,
+    a pure function of ``(id, neg_rank)`` so re-runs (and grown corpora,
+    for surviving representatives) reproduce the same pairs.
+
+    Construction: every row hashes into one of ``num_buckets`` buckets;
+    each bucket elects a REPRESENTATIVE (its md5-smallest member) — a
+    ``num_buckets``-row relation.  Anchor ``i``'s j-th negative is the
+    representative of bucket md5(i ':' j), skipping self-matches.
+
+    Scale: the anchors never join each other — the only join is against
+    the broadcast representative table (num_buckets rows), so cost is one
+    aggregate over the corpus plus a narrow map side.  The uniform md5
+    draw makes collisions with the anchor's own bucket (dropped rows)
+    rare and deterministic.  In-batch negatives at training time are a
+    complement, not a substitute: these PRE-COMPUTED pairs survive
+    shuffling, resharding, and epoch re-runs."""
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket_of = lambda c: F.conv(F.substring(c, 1, 8), 16, 10).cast("long") % num_buckets
+    reps = (
+        df.select(F.col(id_col).alias("rep_id"), h.alias("__h"))
+        .withColumn("bucket", bucket_of(F.col("__h")))
+        .groupBy("bucket")
+        .agg(F.min_by("rep_id", F.col("__h")).alias("neg_id"))
+    )
+    anchors = df.select(F.col(id_col).alias("id")).select(
+        "id",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, k + 1)])
+        ).alias("neg_rank"),
+    )
+    probe = anchors.withColumn(
+        "bucket",
+        bucket_of(F.md5(F.concat_ws(":", F.col("id").cast("string"), F.col("neg_rank").cast("string")))),
+    )
+    return (
+        probe.join(F.broadcast(reps), on="bucket")
+        .where(F.col("neg_id") != F.col("id"))
+        .select(F.col("id").alias(id_col), "neg_rank", "neg_id")
+    )

@@ -805,3 +805,18 @@ def test_expectation_suite_is_single_aggregate(spark):
     plan = plan_of(entry._q_dq_expectations(spark, SF_DIR), "simple")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_heavy_hitters_sketch_never_shuffles_vocabulary(spark):
+    """The sketch aggregate's exchange must carry partial SKETCHES (a
+    single-group aggregate), never a vocabulary-keyed hashpartitioning —
+    that vocabulary shuffle is exactly what the sketch exists to avoid."""
+    plan = plan_of(entry._q_heavy_hitters(spark, SF_DIR), "simple")
+    assert "hashpartitioning(term" not in plan
+    assert "SinglePartition" in plan  # partial-sketch merge
+
+
+def test_fim_transform_is_shuffle_free(spark):
+    """FIM is a pure per-row projection: no Exchange of any kind."""
+    plan = plan_of(entry._q_fim_transform(spark, SF_DIR), "simple")
+    assert "Exchange" not in plan

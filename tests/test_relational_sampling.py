@@ -576,3 +576,39 @@ def test_exact_k_per_group_counts_and_nesting(spark):
     assert ids3 == ids3_repart
     with pytest.raises(ValueError):
         sampling.exact_k_per_group(df, "g", "id", 0)
+
+
+def test_contrastive_negatives_laws(spark):
+    """Determinism across partitionings; no self-negatives; pairs are pure
+    functions of (id, rank) — adding corpus rows never changes a pair
+    whose bucket representative survives; at most k per anchor."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import sampling
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = sampling.contrastive_negatives(docs, k=4, num_buckets=16).collect()
+    b = sampling.contrastive_negatives(
+        docs.repartition(7), k=4, num_buckets=16
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["neg_id"] != r["doc_id"] for r in a)
+    per_anchor = {}
+    for r in a:
+        per_anchor.setdefault(r["doc_id"], []).append(r["neg_rank"])
+    assert all(len(v) <= 4 for v in per_anchor.values())
+    # stability under growth: adding rows can only change a pair whose
+    # bucket ELECTED a new (md5-smaller) representative — every pair whose
+    # representative survived the growth is byte-identical
+    grown = docs.unionByName(
+        spark.range(200, 300).select(F.col("id").alias("doc_id"))
+    )
+    g = sampling.contrastive_negatives(grown, k=4, num_buckets=16).collect()
+    g_reps = {r["neg_id"] for r in g}
+    old_pairs = {(r["doc_id"], r["neg_rank"]): r["neg_id"] for r in a}
+    for r in g:
+        if r["doc_id"] < 200 and r["neg_id"] < 200:
+            # an original representative means the bucket minimum did not
+            # move => the original run must have produced this exact pair
+            assert old_pairs[(r["doc_id"], r["neg_rank"])] == r["neg_id"]
+    assert g_reps  # growth still elects representatives
