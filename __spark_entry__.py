@@ -6225,6 +6225,66 @@ FROM probe JOIN reps USING (bucket) WHERE neg_id != id
 """
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (`ops/packing.py` span_corruption): ~25%
+    of tokens masked by a pure md5(doc_id:pos) draw, consecutive masks
+    merged into sentinel spans, emitting (input with <extra_id_k>
+    sentinels, target listing each sentinel + its hidden tokens).  The
+    denoising-objective complement of FIM; positional-hash-pure masking
+    means re-runs and corpus growth reproduce every example.  The oracle
+    replays the draw, the run/span windows, and both ordered
+    reassemblies."""
+    return packing.span_corruption(read_table(spark, sf_dir, "documents"))
+
+
+_SPAN_CORRUPTION_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, i - 1 AS pos, ws[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) AS t(i)
+), m AS (
+  SELECT id, pos, tok,
+         CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                                  || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 4 = 0 AS m
+  FROM toks
+), r AS (
+  SELECT id, pos, tok, m,
+         m AND NOT coalesce(lag(m) OVER (PARTITION BY id ORDER BY pos), FALSE)
+           AS run_head
+  FROM m
+), s AS (
+  SELECT id, pos, tok, m, run_head,
+         sum(CASE WHEN run_head THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS span_k
+  FROM r
+), inp AS (
+  SELECT id,
+         string_agg(CASE WHEN NOT m THEN tok
+                         WHEN run_head THEN '<extra_id_'
+                              || CAST(span_k AS VARCHAR) || '>' END,
+                    ' ' ORDER BY pos) AS input
+  FROM s GROUP BY 1
+), tgt_rows AS (
+  SELECT id, pos, 0 AS prio,
+         '<extra_id_' || CAST(span_k AS VARCHAR) || '>' AS piece
+  FROM s WHERE run_head
+  UNION ALL
+  SELECT id, pos, 1 AS prio, tok AS piece FROM s WHERE m
+), tgt AS (
+  SELECT id, string_agg(piece, ' ' ORDER BY pos, prio) AS target
+  FROM tgt_rows GROUP BY 1
+), ns AS (
+  SELECT id, CAST(max(span_k) + 1 AS BIGINT) AS n_spans FROM s GROUP BY 1
+)
+SELECT inp.id AS doc_id, inp.input, coalesce(tgt.target, '') AS target,
+       ns.n_spans
+FROM inp LEFT JOIN tgt USING (id) JOIN ns USING (id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6508,6 +6568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["heavy_hitters_sketch"] = _q_heavy_hitters
     q["fim_transform_docs"] = _q_fim_transform
     q["contrastive_negatives"] = _q_contrastive_negatives
+    q["span_corruption_docs"] = _q_span_corruption
     return q
 
 
@@ -6678,6 +6739,7 @@ def oracle_sql() -> dict[str, str]:
     o["heavy_hitters_sketch"] = _HEAVY_HITTERS_SQL
     o["fim_transform_docs"] = _FIM_TRANSFORM_SQL
     o["contrastive_negatives"] = _CONTRASTIVE_NEGATIVES_SQL
+    o["span_corruption_docs"] = _SPAN_CORRUPTION_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

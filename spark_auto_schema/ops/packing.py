@@ -291,3 +291,143 @@ def fim_transform(
         .otherwise(F.lit(""))
         .alias("suffix"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_mod: int = 4,
+) -> DataFrame:
+    """T5-style span-corruption prep: ``(doc_id, input, target, n_spans)``
+    — ~1/``mask_mod`` of tokens are masked by a pure md5(doc_id:pos) draw,
+    consecutive masked tokens merge into ONE span, the input replaces
+    each span with its ``<extra_id_k>`` sentinel, and the target lists
+    every sentinel followed by the tokens it hides.
+
+    The denoising-objective complement of :func:`fim_transform` (which
+    rearranges, never hides): masking is positional-hash-pure, so the
+    same document always corrupts identically — pipeline re-runs, corpus
+    growth, and resharding reproduce the examples byte-for-byte.
+    Documents with no masked token pass through with the full text as
+    ``input`` and an empty ``target`` (n_spans = 0).
+
+    Scale: one posexplode + per-document lag/cumsum windows (partitions
+    are document-sized) + one (doc) aggregate that reassembles both
+    streams order-invariantly via array_sort over (pos, priority)
+    structs — the same partitioning end to end, no data-sized state."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("id").cast("string"), F.col("pos").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mask_mod
+        == 0
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    flagged = toks.select("id", "pos", "tok", masked.alias("m")).select(
+        "id",
+        "pos",
+        "tok",
+        "m",
+        (F.col("m") & ~F.coalesce(F.lag("m").over(w), F.lit(False))).alias(
+            "run_head"
+        ),
+    )
+    spanned = flagged.select(
+        "id",
+        "pos",
+        "tok",
+        "m",
+        "run_head",
+        (
+            F.sum(F.col("run_head").cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1
+        ).alias("span_k"),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("span_k"), F.lit(">"))
+    # input stream: unmasked tokens (priority 1) + one sentinel per run at
+    # the run head's position (priority 0 so it sorts before any token)
+    in_piece = F.when(~F.col("m"), F.col("tok")).when(F.col("run_head"), sentinel)
+    # target stream: run-head sentinel (priority 0) then the span's tokens
+    tgt_piece = F.when(F.col("m"), F.col("tok"))
+    assembled = spanned.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            in_piece.isNotNull(),
+                            F.struct(
+                                F.col("pos"),
+                                F.when(F.col("run_head") & F.col("m"), F.lit(0))
+                                .otherwise(F.lit(1))
+                                .alias("prio"),
+                                in_piece.alias("piece"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s.piece,
+            ),
+            " ",
+        ).alias("input"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.flatten(
+                        F.collect_list(
+                            # a run head contributes TWO target pieces —
+                            # its sentinel (prio 0) then its own token
+                            # (prio 1) — so rows emit ARRAYS of structs
+                            F.when(
+                                F.col("run_head"),
+                                F.array(
+                                    F.struct(
+                                        F.col("pos"),
+                                        F.lit(0).alias("prio"),
+                                        sentinel.alias("piece"),
+                                    ),
+                                    F.struct(
+                                        F.col("pos"),
+                                        F.lit(1).alias("prio"),
+                                        tgt_piece.alias("piece"),
+                                    ),
+                                ),
+                            ).when(
+                                F.col("m"),
+                                F.array(
+                                    F.struct(
+                                        F.col("pos"),
+                                        F.lit(1).alias("prio"),
+                                        tgt_piece.alias("piece"),
+                                    )
+                                ),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s.piece,
+            ),
+            " ",
+        ).alias("target"),
+        (F.max(F.col("span_k")) + 1).cast("long").alias("n_spans"),
+    )
+    return assembled.select(
+        F.col("id").alias(id_col), "input", "target", "n_spans"
+    )

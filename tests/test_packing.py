@@ -298,3 +298,47 @@ def test_fim_transform_reassembly_and_determinism(spark):
 
     again = packing.fim_transform(docs.repartition(7)).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_span_corruption_laws(spark):
+    """Round-trip law: substituting each target span back for its sentinel
+    in the input reconstructs the original text; sentinels are numbered
+    0..n_spans-1 in document order; no-mask docs pass through; the
+    transform is partitioning-invariant."""
+    import re
+
+    from spark_auto_schema.ops import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = packing.span_corruption(docs).collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    saw_span = False
+    for r in rows:
+        if r["n_spans"] == 0:
+            assert r["input"] == orig[r["doc_id"]] and r["target"] == ""
+            continue
+        saw_span = True
+        # parse target into {sentinel: tokens}
+        parts = re.split(r"(<extra_id_\d+>)", r["target"])
+        spans, cur = {}, None
+        for p in parts:
+            p = p.strip()
+            if not p:
+                continue
+            if re.fullmatch(r"<extra_id_\d+>", p):
+                cur = p
+                spans[cur] = []
+            else:
+                spans[cur].extend(p.split(" "))
+        assert list(spans) == [f"<extra_id_{k}>" for k in range(r["n_spans"])]
+        rebuilt = r["input"]
+        for sent, toks in spans.items():
+            rebuilt = rebuilt.replace(sent, " ".join(toks), 1)
+        assert rebuilt == orig[r["doc_id"]]
+    assert saw_span
+
+    again = packing.span_corruption(docs.repartition(5)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -62,6 +62,10 @@ PROBES: dict[str, list[str]] = {
         # batch and corpus grow 10x — the probe must show the prune+verify
         # staying linear, not the filter degenerating to verify-everything
         "bloom_incremental_dedup",
+        # session-5: CDC chunking — token explode + per-doc cumulative
+        # window + (doc, chunk) aggregate; all per-document, so the slope
+        # must track the token volume, never the chunk-pair space
+        "cdc_dedup_stats",
     ],
     "similarity": [
         "embedding_topk",
@@ -113,6 +117,12 @@ PROBES: dict[str, list[str]] = {
         # session-2: domain capping — the split design (only over-cap
         # domains pay the window) is exactly what this probe must verify
         "domain_cap_docs",
+        # session-5: FIM is a pure projection (slope ~1 at worst);
+        # contrastive negatives join a broadcast 64-row representative
+        # table, so the slope must track the corpus scan, not any
+        # anchor x corpus pair space
+        "fim_transform_docs",
+        "contrastive_negatives",
     ],
     # final round-6 batch: PSI drift and the SCD2 as-of lookup both scale
     # with events (the lookup's dim also grows — every 10th event — so the
