@@ -6285,6 +6285,43 @@ FROM inp LEFT JOIN tgt USING (id) JOIN ns USING (id)
 """
 
 
+def _q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (`ops/scoring.py`
+    quantile_normalize): per-source percent-ranks of document length
+    mapped onto an 11-point exact global percentile grid — after the
+    transform one global threshold cuts every source at the same
+    quantile (batch-effect correction for multi-source quality scores).
+    The rank window partitions by source; the grid is one broadcast
+    aggregate row; no global sort.  The oracle replays the rank, grid,
+    and interpolation."""
+    from spark_auto_schema.ops import scoring as scoring_ops
+
+    scored = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    return scoring_ops.quantile_normalize(scored, "score", "source", "doc_id")
+
+
+_QUANTILE_NORMALIZE_SQL = """
+WITH s AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score
+           FROM documents),
+g AS (SELECT quantile_cont(score,
+        [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS gl
+      FROM s),
+r AS (SELECT doc_id, source, score,
+        percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS p
+      FROM s)
+SELECT doc_id, source, score,
+       CAST(round(CAST(p AS DECIMAL(18,12)), 6) AS DOUBLE) AS p,
+       CAST(round(CAST(gl[CAST(floor(p * 10) AS INT) + 1]
+            + (gl[least(CAST(floor(p * 10) AS INT) + 2, 11)]
+               - gl[CAST(floor(p * 10) AS INT) + 1])
+              * (p * 10 - floor(p * 10)) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS normalized
+FROM r CROSS JOIN g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6569,6 +6606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fim_transform_docs"] = _q_fim_transform
     q["contrastive_negatives"] = _q_contrastive_negatives
     q["span_corruption_docs"] = _q_span_corruption
+    q["quantile_normalize_docs"] = _q_quantile_normalize
     return q
 
 
@@ -6740,6 +6778,7 @@ def oracle_sql() -> dict[str, str]:
     o["fim_transform_docs"] = _FIM_TRANSFORM_SQL
     o["contrastive_negatives"] = _CONTRASTIVE_NEGATIVES_SQL
     o["span_corruption_docs"] = _SPAN_CORRUPTION_SQL
+    o["quantile_normalize_docs"] = _QUANTILE_NORMALIZE_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

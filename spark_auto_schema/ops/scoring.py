@@ -280,3 +280,59 @@ def agreement_kappa(
     return cnt.select(
         "n", _snap(po).alias("po"), _snap(pe).alias("pe"), _snap(kappa).alias("kappa")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    grid: int = 11,
+) -> DataFrame:
+    """Cross-group quantile normalization (batch-effect correction):
+    ``(id, group, value, p, normalized)`` — each row's value is replaced
+    by the GLOBAL distribution's value at the row's within-group
+    percent-rank, so every group's normalized scores share one reference
+    distribution.
+
+    The classifier-score harmonizer for multi-source corpora: two
+    sources scored by the same quality model still differ in score
+    DISTRIBUTION (domain shift), so a single global threshold keeps
+    different fractions per source; after quantile normalization a
+    threshold cuts every source at the same quantile.  The bioinformatics
+    quantile-normalization trick applied to data curation.
+
+    Mechanics: within-group percent_rank (ties broken by id for
+    determinism), then linear interpolation into a ``grid``-point exact
+    global percentile grid.  Scale: the rank window partitions by group
+    (group-sized state); the grid is ONE aggregate row broadcast to every
+    row — no global sort, no global window.  At extreme scale swap the
+    exact grid for ``approx_percentile`` (sketch) without touching the
+    interpolation.  p and normalized are decimal-snapped to 6."""
+    from pyspark.sql.window import Window
+
+    probs = [i / (grid - 1) for i in range(grid)]
+    gvals = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("__g")
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.percent_rank().over(w).alias("__p"),
+    ).crossJoin(F.broadcast(gvals))
+    pos = F.col("__p") * (grid - 1)
+    i = F.floor(pos).cast("int")
+    frac = pos - i
+    lo = F.element_at(F.col("__g"), i + 1)
+    hi = F.element_at(F.col("__g"), F.least(i + F.lit(2), F.lit(grid)))
+    interp = lo + (hi - lo) * frac
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return ranked.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        snap(F.col("__p")).alias("p"),
+        snap(interp).alias("normalized"),
+    )

@@ -448,3 +448,31 @@ def test_agreement_kappa_bounds_and_degenerate_cases(spark):
     )
     (r,) = scoring.agreement_kappa(withnull, "a", "b").collect()
     assert r["n"] == 2 and r["kappa"] == 1.0
+
+
+def test_quantile_normalize_harmonizes_shifted_groups(spark):
+    """Two groups with the same shape but shifted locations normalize onto
+    one shared reference: equal within-group ranks get equal normalized
+    values; monotonicity within a group is preserved; the extremes map to
+    the global min/max."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import scoring
+
+    # group a: 0..9, group b: 100..109 — identical shapes, disjoint ranges
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", 100.0 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = scoring.quantile_normalize(df, "v", "grp", "id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["p"], r["normalized"]))
+    a = sorted(by_grp["a"])
+    b = sorted(by_grp["b"])
+    # same within-group rank -> same normalized value, despite the shift
+    assert [x[1] for x in a] == [x[1] for x in b]
+    # monotone and spanning the global range
+    vals = [x[1] for x in a]
+    assert vals == sorted(vals)
+    assert vals[0] == 0.0 and vals[-1] == 109.0
