@@ -6322,6 +6322,39 @@ FROM r CROSS JOIN g
 """
 
 
+def _q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence PMI (`ops/text.py`
+    cooccurrence_pmi): the word-association / topic-graph builder —
+    whole-document windows where bigram_pmi uses adjacency.  The pair
+    space is quadratic in the frequency-capped VOCABULARY, never the
+    corpus: vocab broadcast-semi-joins onto the token stream, the
+    doc-membership frame is distinct (term, doc) over that vocab, and
+    the self-join keys on doc id.  The oracle replays vocab, membership,
+    pair counts, and the PMI algebra."""
+    return text.cooccurrence_pmi(read_table(spark, sf_dir, "documents"))
+
+
+_COOCCURRENCE_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents
+), vocab AS (SELECT term FROM toks GROUP BY 1 HAVING count(*) >= 500),
+member AS (SELECT DISTINCT id, term FROM toks JOIN vocab USING (term)),
+dfreq AS (SELECT term, count(*) AS nd FROM member GROUP BY 1),
+nt AS (SELECT count(*) AS n_corpus FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+  FROM member a JOIN member b ON a.id = b.id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT term_a, term_b, n_docs,
+       CAST(round(CAST(ln(n_corpus * n_docs * 1.0 / (da.nd * db.nd))
+            AS DECIMAL(18,12)), 4) AS DOUBLE) AS pmi
+FROM pairs JOIN dfreq da ON da.term = term_a
+           JOIN dfreq db ON db.term = term_b
+CROSS JOIN nt
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6607,6 +6640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["contrastive_negatives"] = _q_contrastive_negatives
     q["span_corruption_docs"] = _q_span_corruption
     q["quantile_normalize_docs"] = _q_quantile_normalize
+    q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
     return q
 
 
@@ -6779,6 +6813,7 @@ def oracle_sql() -> dict[str, str]:
     o["contrastive_negatives"] = _CONTRASTIVE_NEGATIVES_SQL
     o["span_corruption_docs"] = _SPAN_CORRUPTION_SQL
     o["quantile_normalize_docs"] = _QUANTILE_NORMALIZE_SQL
+    o["cooccurrence_pmi_docs"] = _COOCCURRENCE_PMI_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

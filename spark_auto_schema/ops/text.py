@@ -760,3 +760,71 @@ def heavy_hitters_sketch(
         .where(F.col("n") >= min_count)
         .orderBy(F.col("n").desc(), F.col("term"))
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    min_count: int = 500,
+    min_pair_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level term co-occurrence PMI: ``(term_a, term_b, n_docs,
+    pmi)`` for term pairs (a < b) appearing together in >= ``min_pair_docs``
+    documents, over the vocabulary of terms with corpus count >=
+    ``min_count``.  pmi = ln(N * n_ab / (n_a * n_b)) with document
+    frequencies, snapped to 4 decimals.
+
+    The word-association / topic-graph builder (whole-document windows)
+    complementing bigram_pmi's adjacency collocations: high document-level
+    PMI with low adjacency PMI is the signature of topical association
+    rather than a fixed phrase.
+
+    Scale: the pair space is quadratic in VOCABULARY, not corpus — the
+    frequency floor caps the vocab (broadcast semi-join onto the token
+    stream), the per-doc membership frame is distinct (term, doc) pairs
+    over that capped vocab, and the pair join is keyed on the doc id, so
+    fan-out per doc is bounded by (vocab terms present)^2, independent of
+    corpus size.  Exactly the tfidf/shingle join discipline with the
+    hot-term cap inverted: here the FREQUENT terms are the signal."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.where(F.col("n") >= min_count).select("term")
+    member = (
+        toks.join(F.broadcast(vocab), on="term", how="left_semi").distinct()
+    )
+    dfreq = member.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs_term"))
+    n_total = df.agg(F.count(F.lit(1)).alias("n_corpus"))
+    a, b = member.alias("a"), member.alias("b")
+    pairs = (
+        a.join(b, on="id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_pair_docs)
+    )
+    da = dfreq.select(F.col("term").alias("term_a"), F.col("n_docs_term").alias("na"))
+    db = dfreq.select(F.col("term").alias("term_b"), F.col("n_docs_term").alias("nb"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "term_a",
+            "term_b",
+            "n_docs",
+            F.round(
+                F.log(
+                    F.col("n_corpus")
+                    * F.col("n_docs")
+                    / (F.col("na") * F.col("nb"))
+                ).cast("decimal(18,12)"),
+                4,
+            ).cast("double").alias("pmi"),
+        )
+    )

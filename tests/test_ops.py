@@ -1024,3 +1024,30 @@ def test_cdc_dedup_stats_on_duplicated_corpus(spark):
     assert s["n_distinct"] == ch.select("chunk_hash").distinct().count()
     assert s["n_distinct"] * 2 == s["n_chunks"]  # exact clone halves
     assert abs(s["dup_ratio"] - 0.5) < 1e-9
+
+
+def test_cooccurrence_pmi_semantics(spark):
+    """Terms that always appear together get positive PMI; terms that
+    never co-occur are absent; PMI matches the hand formula; sub-vocab
+    terms never enter the pair space."""
+    import math
+
+    from spark_auto_schema.ops import text as text_ops
+
+    # x and y always together (4 docs); z alone (4 docs); 'rare' below floor
+    docs = spark.createDataFrame(
+        [(i, "x y filler") for i in range(4)]
+        + [(10 + i, "z filler rare") for i in range(2)]
+        + [(20 + i, "z filler") for i in range(2)],
+        "doc_id long, text string",
+    )
+    rows = text_ops.cooccurrence_pmi(docs, min_count=4, min_pair_docs=2).collect()
+    pairs = {(r["term_a"], r["term_b"]): r for r in rows}
+    assert ("x", "y") in pairs
+    r = pairs[("x", "y")]
+    # N=8, n_xy=4, n_x=n_y=4 -> pmi = ln(8*4/16) = ln 2
+    assert abs(r["pmi"] - round(math.log(2), 4)) < 1e-9 and r["n_docs"] == 4
+    assert not any("z" in p and ("x" in p or "y" in p) for p in pairs)
+    assert not any("rare" in p for p in pairs)  # below the vocab floor
+    # filler co-occurs with everything: PMI ~ 0 against x (ln(8*4/(8*4)))
+    assert abs(pairs[("filler", "x")]["pmi"] - 0.0) < 1e-9
