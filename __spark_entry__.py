@@ -5714,16 +5714,33 @@ FROM s GROUP BY user_id, session_id
 _TEXT_DIRS: dict[str, str] = {}
 
 
+def _cleanup_text_dirs() -> None:
+    import shutil
+
+    for d in _TEXT_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _TEXT_DIRS.clear()
+
+
 def _docs_text_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize documents.text as a line-per-doc raw-text dir once per
-    sf_dir — the .txt corpus-dump encoding LLM pipelines ingest."""
+    sf_dir — the .txt corpus-dump encoding LLM pipelines ingest.
+
+    The line-per-doc invariant is ENFORCED by `io.write_text_lines`
+    (CR/LF sanitized to spaces, NULL text becomes the empty line — so
+    write.text cannot fail and n_lines always counts documents), and
+    the dirs are registered for atexit cleanup instead of leaking one
+    mkdtemp per process."""
     if sf_dir not in _TEXT_DIRS:
+        import atexit
         import tempfile
 
+        from spark_auto_schema.io import write_text_lines
+
+        if not _TEXT_DIRS:
+            atexit.register(_cleanup_text_dirs)
         d = tempfile.mkdtemp(prefix="docs_text_")
-        read_table(spark, sf_dir, "documents").select("text").write.mode(
-            "overwrite"
-        ).text(d)
+        write_text_lines(read_table(spark, sf_dir, "documents"), "text", d)
         _TEXT_DIRS[sf_dir] = d
     return _TEXT_DIRS[sf_dir]
 
@@ -5747,9 +5764,13 @@ def _q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEXT_ROUNDTRIP_SQL = """
+-- mirrors the writer's CR/LF->space + NULL->'' sanitization, so the
+-- contract holds even for corpora with embedded newlines or null text
 SELECT count(*) AS n_lines,
-       sum(length(text)) AS total_chars,
-       count(DISTINCT text) AS distinct_lines
+       sum(length(replace(replace(coalesce(text, ''), chr(13), ' '),
+                          chr(10), ' '))) AS total_chars,
+       count(DISTINCT replace(replace(coalesce(text, ''), chr(13), ' '),
+                              chr(10), ' ')) AS distinct_lines
 FROM documents
 """
 
@@ -5865,7 +5886,8 @@ _DQ_EXPECTATIONS_SQL = """
 SELECT 'not_null(o_custkey)' AS constraint,
        CAST(round(CAST(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
             AS DECIMAL(18,12)), 6) AS DOUBLE) AS observed,
-       avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) = 0.0 AS passed
+       -- verdict from the EXACT violation count, never the (rounded) ratio
+       coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0 AS passed
 FROM orders
 UNION ALL
 SELECT 'unique(o_orderkey)',
@@ -5885,7 +5907,7 @@ UNION ALL
 SELECT 'accepted_values(o_orderstatus,[O,F,P])',
        CAST(round(CAST(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0
             ELSE 0.0 END) AS DECIMAL(18,12)), 6) AS DOUBLE),
-       avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END) = 1.0
+       coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END), 0) = 0
 FROM orders
 UNION ALL
 SELECT 'row_count_at_least(1)', CAST(count(*) AS DOUBLE), count(*) >= 1

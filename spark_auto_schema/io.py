@@ -552,6 +552,23 @@ def read_csv_quarantine(
     return good, bad
 
 
+def write_text_lines(df: DataFrame, text_col: str, path: str) -> None:
+    """Write one column as a line-per-row raw-text dir (the .txt
+    corpus-dump encoding LLM pipelines ingest), ENFORCING the
+    line-per-row invariant rather than assuming it: embedded CR/LF are
+    sanitized to spaces and NULL becomes the empty line — so
+    ``write.text`` cannot fail on nulls and a read-back line count
+    always equals the row count, even for corpora with multi-line text.
+
+    Scale: a pure per-row projection ahead of the parallel text writer —
+    no shuffle, one output file per input partition."""
+    df.select(
+        F.translate(F.coalesce(F.col(text_col), F.lit("")), "\r\n", "  ").alias(
+            text_col
+        )
+    ).write.mode("overwrite").text(path)
+
+
 _CACHED: list[DataFrame] = []
 
 

@@ -812,12 +812,18 @@ def expectation_suite(df: DataFrame, expectations: list[tuple]) -> DataFrame:
     the same single hash-aggregate scan — adding expectations adds agg
     expressions, not passes; nothing shuffles row data.  The observed
     metric travels with the verdict so a failed gate is diagnosable from
-    the report alone."""
+    the report alone.
+
+    Verdicts are derived from EXACT counts (sum of violations == 0,
+    count_distinct == count(*)), never from the rounded ratio the report
+    shows: at billions of rows a violation fraction below 5e-7 rounds to
+    0.0/1.0, and a circuit breaker that passes on a rounded metric would
+    wave real violations through."""
     aggs: list[Column] = []
     metas: list[tuple[str, float | None, str]] = []  # (name, bound, kind)
     for i, spec in enumerate(expectations):
         kind = spec[0]
-        a = f"m{i}"
+        a, v = f"m{i}", f"v{i}"
         if kind == "not_null":
             col = spec[1]
             aggs.append(
@@ -825,6 +831,13 @@ def expectation_suite(df: DataFrame, expectations: list[tuple]) -> DataFrame:
                     F.avg(F.col(col).isNull().cast("double")).cast("decimal(18,12)"),
                     6,
                 ).cast("double").alias(a)
+            )
+            # exact violation count — the verdict source (never the
+            # rounded ratio above, which saturates at ~2M rows)
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.col(col).isNull().cast("long")), F.lit(0)
+                ).alias(v)
             )
             metas.append((f"not_null({col})", None, kind))
         elif kind == "unique":
@@ -836,6 +849,9 @@ def expectation_suite(df: DataFrame, expectations: list[tuple]) -> DataFrame:
                     ).cast("decimal(18,12)"),
                     6,
                 ).cast("double").alias(a)
+            )
+            aggs.append(
+                (F.count(F.lit(1)) - F.count_distinct(F.col(col))).alias(v)
             )
             metas.append((f"unique({col})", None, kind))
         elif kind == "min_at_least":
@@ -850,13 +866,15 @@ def expectation_suite(df: DataFrame, expectations: list[tuple]) -> DataFrame:
             col, vals = spec[1], list(spec[2])
             # isin is NULL for NULL input; snap to False so a null row
             # counts as a violation (the docstring's contract), not a skip
+            ok = F.coalesce(F.col(col).isin(vals), F.lit(False))
             aggs.append(
                 F.round(
-                    F.avg(
-                        F.coalesce(F.col(col).isin(vals), F.lit(False)).cast("double")
-                    ).cast("decimal(18,12)"),
+                    F.avg(ok.cast("double")).cast("decimal(18,12)"),
                     6,
                 ).cast("double").alias(a)
+            )
+            aggs.append(
+                F.coalesce(F.sum((~ok).cast("long")), F.lit(0)).alias(v)
             )
             metas.append(
                 (f"accepted_values({col},[{','.join(map(str, vals))}])", None, kind)
@@ -871,10 +889,8 @@ def expectation_suite(df: DataFrame, expectations: list[tuple]) -> DataFrame:
     checks = []
     for i, (name, bound, kind) in enumerate(metas):
         m = F.col(f"m{i}")
-        if kind == "not_null":
-            passed = m == 0.0
-        elif kind in ("unique", "accepted_values"):
-            passed = m == 1.0
+        if kind in ("not_null", "unique", "accepted_values"):
+            passed = F.col(f"v{i}") == 0
         elif kind in ("min_at_least", "row_count_at_least"):
             passed = m >= bound
         else:  # max_at_most

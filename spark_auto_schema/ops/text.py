@@ -745,17 +745,48 @@ def heavy_hitters_sketch(
     EXACT whenever the observed vocabulary fits ``max_items_tracked``
     (the sketch only approximates under eviction), which is why the
     frequency threshold — not a top-k cut whose boundary ties would be
-    sketch-order-dependent — is the output contract.  Callers tracking
-    corpora with vocabularies beyond ``max_items_tracked`` should treat
-    counts as lower-bound estimates."""
+    sketch-order-dependent — is the output contract.
+
+    The ``count >= min_count`` contract is VALIDATED, not assumed: the
+    same single pass also counts total tokens T, and the query fails
+    loudly (raise_error in-plan) unless ``min_count`` exceeds the
+    frequent-items a-priori error bound ``3.5 * T / max_items_tracked``
+    — the regime where the sketch guarantees no false negatives and the
+    threshold cut is trustworthy.  Under that bound a silent lower-bound
+    answer would masquerade as an exact one; failing is the honest mode
+    (raise ``max_items_tracked`` or ``min_count`` to proceed)."""
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
     sk = toks.agg(
         F.expr(
             f"approx_top_k(term, {int(max_items_tracked)}, {int(max_items_tracked)})"
-        ).alias("tk")
+        ).alias("tk"),
+        F.count(F.lit(1)).alias("total_tokens"),
+    )
+    err_bound = F.floor(
+        F.lit(3.5) * F.col("total_tokens") / F.lit(int(max_items_tracked))
+    )
+    # guard lives in a filter (not a droppable projection) so Catalyst
+    # cannot prune it; the otherwise-branch only evaluates on violation
+    guard = F.when(F.lit(int(min_count)) > err_bound, F.lit(True)).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit(
+                    "heavy_hitters_sketch: min_count"
+                    f" {int(min_count)} <= sketch error bound"
+                ),
+                err_bound.cast("string"),
+                F.lit(
+                    f"(3.5 * total_tokens / {int(max_items_tracked)});"
+                    " counts would be silent lower-bound estimates —"
+                    " raise max_items_tracked or min_count"
+                ),
+            )
+        ).cast("boolean")
     )
     return (
-        sk.select(F.explode(F.col("tk")).alias("e"))
+        sk.where(guard)
+        .select(F.explode(F.col("tk")).alias("e"))
         .select(F.col("e.item").alias("term"), F.col("e.count").alias("n"))
         .where(F.col("n") >= min_count)
         .orderBy(F.col("n").desc(), F.col("term"))

@@ -582,3 +582,37 @@ def test_pagerank_uniform_cycle_and_dangling_mass(spark):
     )
     rs = {x["node"]: x["rank"] for x in analytics.pagerank(star).collect()}
     assert rs["hub"] == max(rs.values())
+
+
+def test_expectation_suite_verdict_survives_rounding_saturation(spark):
+    """The verdict must come from EXACT counts: a single violation in 4M
+    rows is a fraction below 5e-7, which rounds to 0.0/1.0 in the
+    reported observed metric — the gate must still fail."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import analytics
+
+    n = 4_000_000
+    big = spark.range(n).select(
+        F.when(F.col("id") == 0, None).otherwise(F.col("id")).alias("k"),
+        # one duplicate pair: ids 1 and 2 both map to 1
+        F.when(F.col("id") == 2, F.lit(1)).otherwise(F.col("id")).alias("u"),
+        F.when(F.col("id") == 3, F.lit("X")).otherwise(F.lit("O")).alias("st"),
+    )
+    rows = {
+        r["constraint"]: r
+        for r in analytics.expectation_suite(
+            big,
+            [
+                ("not_null", "k"),
+                ("unique", "u"),
+                ("accepted_values", "st", ["O"]),
+            ],
+        ).collect()
+    }
+    nn = rows["not_null(k)"]
+    assert nn["observed"] == 0.0 and nn["passed"] is False
+    uq = rows["unique(u)"]
+    assert uq["observed"] == 1.0 and uq["passed"] is False
+    av = rows["accepted_values(st,[O])"]
+    assert av["observed"] == 1.0 and av["passed"] is False

@@ -520,3 +520,26 @@ def test_heavy_hitters_sketch_exact_when_vocab_fits(spark):
         )
     }
     assert got == exact == {("a", 6), ("b", 3)}
+
+
+def test_heavy_hitters_sketch_fails_loudly_below_error_bound(spark):
+    """When min_count is within the sketch's a-priori error bound
+    (3.5 * T / max_items_tracked) the threshold contract is not
+    guaranteed — the query must raise, never silently return
+    lower-bound counts."""
+    import pytest
+
+    from spark_auto_schema.ops import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    # T=20, M=10 -> bound = floor(7.0) = 7; min_count=5 violates it
+    with pytest.raises(Exception, match="error bound"):
+        text_ops.heavy_hitters_sketch(
+            docs, min_count=5, max_items_tracked=10
+        ).collect()
+    # min_count=8 clears the bound: the query runs (estimates above the
+    # bound are trustworthy, so whatever survives the threshold is real
+    # up to the guaranteed error — here we only assert the guard opens)
+    text_ops.heavy_hitters_sketch(docs, min_count=8, max_items_tracked=10).collect()

@@ -1051,3 +1051,19 @@ def test_cooccurrence_pmi_semantics(spark):
     assert not any("rare" in p for p in pairs)  # below the vocab floor
     # filler co-occurs with everything: PMI ~ 0 against x (ln(8*4/(8*4)))
     assert abs(pairs[("filler", "x")]["pmi"] - 0.0) < 1e-9
+
+
+def test_write_text_lines_enforces_line_per_row(spark, tmp_path):
+    """CR/LF in text is sanitized to spaces and NULL text becomes the
+    empty line, so read-back line count always equals the row count —
+    the invariant text_roundtrip's aggregate contract relies on."""
+    from spark_auto_schema.io import load_file, write_text_lines
+
+    docs = spark.createDataFrame(
+        [(1, "one\ntwo"), (2, None), (3, "plain"), (4, "cr\rlf\nmix")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "txt")
+    write_text_lines(docs, "text", out)
+    lines = sorted(r["value"] for r in load_file(spark, out, fmt="text").collect())
+    assert lines == ["", "cr lf mix", "one two", "plain"]
