@@ -6385,27 +6385,110 @@ CROSS JOIN nt
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS gate records the
     first 50 entries only.  Rotation policy: every round, the window holds
-    (a) the queries whose newest driver-green row is OLDEST, (b) any query
-    whose code changed this round, and (c) queries added this round — so
-    no query's driver anchor ever ages past ~2 rounds and silent
-    environment drift (which the local mirror might share) is caught.
+    (a) the queries whose newest driver-green row is OLDEST — with the
+    never-anchored backlog taking absolute precedence — (b) any query
+    whose code changed this round, and (c) queries added this round when
+    slots permit (the backlog outranks brand-new entries while it
+    exists) — so no query's driver anchor ever ages past ~2 rounds and
+    silent environment drift (which the local mirror might share) is
+    caught.
 
-    Round-6 window: (a) the 41 queries whose newest driver anchor is
-    CORRECTNESS_r03 (dedup/similarity/text/multimodal/streaming cohorts),
-    and (c) the 9 queries added this round — the two write-path read-back
-    queries (bucketed_roundtrip / partitioned_roundtrip) and the 7
-    analytics/merge/schema-evolution additions (user_retention_cohorts,
-    event_funnel, value_histogram, zscore_outliers, bigram_pmi,
-    merge_upsert_orders, schema_evolution_roundtrip).  A tenth addition,
-    skew_profile_events, sits first past the full window and heads the r7
-    rotation.  Everything past the window is driver-green in r04/r05 with
-    unchanged code (or mirror-verified this round, for skew_profile) and
-    stays covered by the local mirror (tools/check_correctness.py) and
-    pytest every round."""
+    Round-7 window: round 6 added 77 queries and outran the 50-entry
+    window, leaving 68 registry entries with NO driver anchor ever
+    (mirror + pytest green only).  This round's window is 50 of those
+    68: the 47 OLDEST never-anchored additions (in round-6 session
+    order: the six displaced early additions, the curation family, the
+    session-2/3 cohorts through calibration_bins_docs) plus the 3
+    never-anchored queries whose code changed this round
+    (dq_expectations_orders — exact-count verdicts; heavy_hitters_sketch
+    — loud error-bound guard; text_roundtrip — sanitizing text writer).
+    The remaining 18 never-anchored entries are grouped right after the
+    window and head the r8 rotation, followed by the r06-anchored cohort
+    (rotated out after going green in CORRECTNESS_r06) and the r04/r05-
+    anchored remainder — every query past the window is driver-green on
+    current code r04-r06 (or mirror-verified where noted) and stays
+    covered by the local mirror (tools/check_correctness.py) and pytest
+    every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- (a) r03-cohort rotation: dedup family ---
+    # --- r7 window: never-anchored backlog, oldest first (displaced past the r6 window) ---
+    q["skew_profile_events"] = _q_skew_profile
+    q["streaming_drift_monitor"] = _q_streaming_drift
+    q["merge_insert_only_orders"] = _q_merge_insert_only
+    q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
+    q["media_resize"] = _q_media_resize
+    q["approx_percentile_ok"] = _q_approx_percentile_ok
+    # --- r7 window: never-anchored curation family ---
+    q["leakage_safe_split"] = _q_leakage_safe_split
+    q["canonical_docs"] = _q_canonical_docs
+    q["group_quantile_filter"] = _q_group_quantile_filter
+    q["hll_sharded_uniques"] = _q_hll_sharded_uniques
+    q["zorder_roundtrip"] = _q_zorder_roundtrip
+    q["streaming_attribution"] = _q_streaming_attribution
+    q["tombstone_delete"] = _q_tombstone_delete
+    q["compact_roundtrip"] = _q_compact_roundtrip
+    q["binary_hamming_topk"] = _q_binary_hamming_topk
+    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
+    q["winsorize_events"] = _q_winsorize_events
+    q["streaming_sessions"] = _q_streaming_sessions
+    # --- r7 window: never-anchored session-2 cohort ---
+    q["domain_cap_docs"] = _q_domain_cap_docs
+    q["burst_collapse_events"] = _q_burst_collapse_events
+    q["scd2_order_status"] = _q_scd2_order_status
+    q["zone_map_events"] = _q_zone_map_events
+    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
+    # --- r7 window: never-anchored session-2 finals ---
+    q["semantic_dedup"] = _q_semantic_dedup
+    q["psi_drift_events"] = _q_psi_drift
+    q["csv_quarantine"] = _q_csv_quarantine
+    q["scd2_lookup_events"] = _q_scd2_lookup
+    q["key_suggestions"] = _q_key_suggestions
+    q["fk_profile"] = _q_fk_profile
+    q["streaming_psi_monitor"] = _q_streaming_psi_monitor
+    q["mad_outliers_events"] = _q_mad_outliers
+    q["equidepth_histogram_events"] = _q_equidepth_histogram
+    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
+    q["remove_boilerplate_docs"] = _q_remove_boilerplate
+    # --- r7 window: never-anchored session-3 cohort ---
+    q["kfold_split_docs"] = _q_kfold_split
+    q["time_embargo_split_events"] = _q_time_embargo_split
+    q["ks_drift_events"] = _q_ks_drift
+    q["interval_overlap_sessions"] = _q_interval_overlap
+    q["jl_projection"] = _q_jl_projection
+    q["length_buckets_docs"] = _q_length_buckets
+    q["containment_docs"] = _q_containment
+    q["bigram_logprob_docs"] = _q_bigram_logprob
+    q["table_checksum_orders"] = _q_table_checksum
+    q["rank_transform_events"] = _q_rank_transform
+    q["correlation_matrix_lineitem"] = _q_correlation_matrix
+    q["streaming_ks_monitor"] = _q_streaming_ks_monitor
+    q["calibration_bins_docs"] = _q_calibration_bins
+    # --- r7 window: code changed this round (ADVICE fixes) — policy (b) ---
+    q["dq_expectations_orders"] = _q_dq_expectations
+    q["heavy_hitters_sketch"] = _q_heavy_hitters
+    q["text_roundtrip"] = _q_text_roundtrip
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- never-anchored remainder: heads the r8 rotation (mirror + pytest green; no driver anchor yet) ---
+    q["binned_roc_docs"] = _q_binned_roc
+    q["transition_matrix_events"] = _q_transition_matrix
+    q["token_entropy_sources"] = _q_token_entropy
+    q["conversation_assembly_events"] = _q_conversation_assembly
+    q["jsonl_inference"] = _q_jsonl_inference
+    q["eval_sample_per_lang"] = _q_eval_sample_per_lang
+    q["bloom_incremental_dedup"] = _q_bloom_incremental_dedup
+    q["bm25_topk_docs"] = _q_bm25_topk
+    q["pagerank_event_types"] = _q_pagerank_event_types
+    q["labeler_kappa_docs"] = _q_labeler_kappa
+    q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
+    q["cdc_dedup_stats"] = _q_cdc_dedup_stats
+    q["waterfill_sources"] = _q_waterfill_sources
+    q["fim_transform_docs"] = _q_fim_transform
+    q["contrastive_negatives"] = _q_contrastive_negatives
+    q["span_corruption_docs"] = _q_span_corruption
+    q["quantile_normalize_docs"] = _q_quantile_normalize
+    q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
+    # --- r06-anchored cohort (green in CORRECTNESS_r06 on current code) ---
     q["dedup_exact"] = _q_hash_dedup
-    q["simhash_near_dup"] = _q_simhash_neardup  # rows-only
+    q["simhash_near_dup"] = _q_simhash_neardup
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["dedup_clusters"] = _q_dedup_clusters
     q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
@@ -6413,15 +6496,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["incremental_dedup"] = _q_incremental_dedup
     q["incremental_near_dedup"] = _q_incremental_near_dedup
     q["simhash_determinism"] = _q_simhash_determinism
-    # --- (a) r03-cohort rotation: similarity family ---
     q["embedding_topk"] = _q_embedding_topk
-    q["ann_lsh_topk"] = _q_ann_lsh  # full oracle: planes replayed in SQL
+    q["ann_lsh_topk"] = _q_ann_lsh
     q["ann_recall_ok"] = _q_ann_recall_ok
-    q["ivf_topk"] = _q_ivf_topk  # full oracle: centroid pipeline in SQL
+    q["ivf_topk"] = _q_ivf_topk
     q["embedding_label_neardup"] = _q_label_neardup
     q["embedding_dim_stats"] = _q_embedding_dim_stats
     q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
-    # --- (a) r03-cohort rotation: text analysis family ---
     q["text_stats"] = _q_text_stats
     q["token_count"] = _q_token_count
     q["lang_id"] = _q_lang_id
@@ -6436,12 +6517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["vocab_coverage"] = _q_vocab_coverage
     q["tfidf_pairs"] = _q_tfidf_pairs
     q["chunk_documents"] = _q_chunk_documents
-    # --- (a) r03-cohort rotation: corpus / multimodal ---
     q["corpus_mix"] = _q_corpus_mix
     q["multimodal_bytes"] = _q_multimodal_bytes
     q["media_features"] = _q_media_features
     q["frame_sample"] = _q_frame_sample
-    # --- (a) r03-cohort rotation: streaming + time-series ---
     q["streaming_user_stats"] = _q_streaming_user_stats
     q["streaming_dedup"] = _q_streaming_dedup
     q["streaming_enriched_counts"] = _q_streaming_enriched_counts
@@ -6449,10 +6528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["value_percentiles"] = _q_value_percentiles
     q["json_props_agg"] = _q_json_props
     q["except_custkeys"] = _q_except_custkeys
-    # --- (c) added this round: write-path read-back (io write helpers) ---
     q["bucketed_roundtrip"] = _q_bucketed_roundtrip
     q["partitioned_roundtrip"] = _q_partitioned_roundtrip
-    # --- (c) added this round: analytics / MERGE / schema evolution ---
     q["user_retention_cohorts"] = _q_user_retention
     q["event_funnel"] = _q_event_funnel
     q["value_histogram"] = _q_value_histogram
@@ -6460,45 +6537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_pmi"] = _q_bigram_pmi
     q["merge_upsert_orders"] = _q_merge_upsert
     q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
-    # ---- entries below are past the driver's 50-entry window: all are
-    # driver-green on post-regeneration data (CORRECTNESS_r04 or r05) with
-    # unchanged code, and remain oracle-checked by the local mirror +
-    # pytest every round ----
-    # (the six queries below — skew_profile_events through
-    # approx_percentile_ok — are also new this round, but the window is
-    # full with the 9 additions above; each is mirror-verified and they
-    # head the r7 rotation together with the five round-6 curation
-    # additions registered at the very end of this registry
-    # (leakage_safe_split, canonical_docs, group_quantile_filter,
-    # hll_sharded_uniques, zorder_roundtrip, streaming_attribution,
-    # tombstone_delete, compact_roundtrip, binary_hamming_topk,
-    # pipeline_end_to_end, winsorize_events, streaming_sessions, and the
-    # session-2 additions domain_cap_docs / burst_collapse_events /
-    # scd2_order_status / zone_map_events / fuzzy_match_customers, and the
-    # final-session additions semantic_dedup / psi_drift_events /
-    # csv_quarantine / scd2_lookup_events / key_suggestions / fk_profile /
-    # streaming_psi_monitor / mad_outliers_events /
-    # equidepth_histogram_events / incremental_semantic_dedup /
-    # remove_boilerplate_docs, and the session-3 additions kfold_split_docs
-    # / time_embargo_split_events / ks_drift_events /
-    # interval_overlap_sessions / jl_projection / length_buckets_docs /
-    # containment_docs / bigram_logprob_docs / table_checksum_orders /
-    # rank_transform_events / correlation_matrix_lineitem /
-    # streaming_ks_monitor / calibration_bins_docs / binned_roc_docs /
-    # transition_matrix_events).  r7 window
-    # plan: the round-6 additions (those not fitting one 50-entry window
-    # spill to r8's head) + the 7 displaced r04-anchored queries
-    # below + the r04 dedup/corpus remainder at the end of this registry
-    # — that again leaves no oracle-checked query with a driver anchor
-    # older than two rounds.)
-    q["skew_profile_events"] = _q_skew_profile
-    q["streaming_drift_monitor"] = _q_streaming_drift
-    q["merge_insert_only_orders"] = _q_merge_insert_only
-    q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
-    q["media_resize"] = _q_media_resize
-    q["approx_percentile_ok"] = _q_approx_percentile_ok
-    # --- r04-anchored cohort displaced from the window by this round's
-    # additions (rotate back in next round) ---
+    # --- r04/r05-anchored: relational, TPC-H breadth, sampling, io ---
     q["sessionize_events"] = _q_sessionize
     q["ewma_value_check"] = _q_ewma_value_check
     q["streaming_window_counts"] = _q_streaming_window_counts
@@ -6506,7 +6545,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_centroids"] = _q_label_centroids
     q["order_priority_check"] = _q_order_priority_check
     q["volume_shipping"] = _q_volume_shipping
-    # --- relational / TPC-H breadth (r5 cohort) ---
     q["pricing_summary"] = _q_pricing_summary
     q["shipping_priority"] = _q_shipping_priority
     q["local_supplier_volume"] = _q_local_supplier_volume
@@ -6525,7 +6563,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
     q["approx_distinct_ok"] = _q_approx_distinct_ok
-    # --- TPC-H decision-support breadth (r4 cohort) ---
     q["product_profit"] = _q_product_profit
     q["returned_items"] = _q_returned_items
     q["promo_revenue"] = _q_promo_revenue
@@ -6536,7 +6573,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["discount_band_revenue"] = _q_discount_band_revenue
     q["sales_opportunity"] = _q_sales_opportunity
     q["cheapest_part_per_type"] = _q_cheapest_part_per_type
-    # --- sampling / io / misc (r5 cohort) ---
     q["hash_sample_docs"] = _q_hash_sample
     q["stratified_sample_orders"] = _q_stratified_sample
     q["train_eval_split"] = _q_train_eval_split
@@ -6550,7 +6586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _q_pack_sequences
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["ewma_user_values"] = _q_ewma_user_values
-    # --- inference flagship + schema core (r5 cohort) ---
+    # --- inference flagship + schema core (r05-anchored) ---
     for t in _TABLE_KINDS:
         q[f"infer_{t}"] = _infer_query(t)
     q["infer_embeddings_native"] = _q_infer_embeddings_native
@@ -6562,8 +6598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
-    # --- dedup / corpus / streaming remainder (r4 cohort) ---
-    q["simhash_signatures"] = _q_simhash_sigs  # rows-only
+    # --- dedup / corpus / streaming remainder (r04-anchored) ---
+    q["simhash_signatures"] = _q_simhash_sigs
     q["segment_dedup_docs"] = _q_segment_dedup
     q["ngram_novelty_docs"] = _q_ngram_novelty
     q["classifier_scores"] = _q_classifier_scores
@@ -6578,93 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_prior_click"] = _q_asof_prior_click
     q["time_bucket_events"] = _q_time_bucket
     q["salted_join_segments"] = _q_salted_join_segments
-    # --- round-6 late additions (curation family): past the driver window,
-    # mirror-verified this round; they join the five earlier past-window
-    # additions at the head of the r7 rotation ---
-    q["leakage_safe_split"] = _q_leakage_safe_split
-    q["canonical_docs"] = _q_canonical_docs
-    q["group_quantile_filter"] = _q_group_quantile_filter
-    q["hll_sharded_uniques"] = _q_hll_sharded_uniques
-    q["zorder_roundtrip"] = _q_zorder_roundtrip
-    q["streaming_attribution"] = _q_streaming_attribution
-    q["tombstone_delete"] = _q_tombstone_delete
-    q["compact_roundtrip"] = _q_compact_roundtrip
-    q["binary_hamming_topk"] = _q_binary_hamming_topk
-    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
-    q["winsorize_events"] = _q_winsorize_events
-    q["streaming_sessions"] = _q_streaming_sessions
-    # --- round-6 session-2 additions: domain capping, batch debounce,
-    # SCD2 history — past the window, mirror-verified, r7-rotation head ---
-    q["domain_cap_docs"] = _q_domain_cap_docs
-    q["burst_collapse_events"] = _q_burst_collapse_events
-    q["scd2_order_status"] = _q_scd2_order_status
-    q["zone_map_events"] = _q_zone_map_events
-    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
-    # --- final round-6 additions (past the full window; each is
-    # mirror-verified this round and they join the head of the r7
-    # rotation with the other post-r05 additions listed above) ---
-    q["semantic_dedup"] = _q_semantic_dedup
-    q["psi_drift_events"] = _q_psi_drift
-    q["csv_quarantine"] = _q_csv_quarantine
-    q["scd2_lookup_events"] = _q_scd2_lookup
-    q["key_suggestions"] = _q_key_suggestions
-    q["fk_profile"] = _q_fk_profile
-    q["streaming_psi_monitor"] = _q_streaming_psi_monitor
-    q["mad_outliers_events"] = _q_mad_outliers
-    q["equidepth_histogram_events"] = _q_equidepth_histogram
-    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
-    q["remove_boilerplate_docs"] = _q_remove_boilerplate
-    # --- round-6 session-3 additions: CV/temporal splits, KS drift,
-    # interval overlap join, JL projection, length bucketing, containment —
-    # past the window, mirror-verified, r7-rotation head with the other
-    # post-r05 additions above ---
-    q["kfold_split_docs"] = _q_kfold_split
-    q["time_embargo_split_events"] = _q_time_embargo_split
-    q["ks_drift_events"] = _q_ks_drift
-    q["interval_overlap_sessions"] = _q_interval_overlap
-    q["jl_projection"] = _q_jl_projection
-    q["length_buckets_docs"] = _q_length_buckets
-    q["containment_docs"] = _q_containment
-    q["bigram_logprob_docs"] = _q_bigram_logprob
-    q["table_checksum_orders"] = _q_table_checksum
-    q["rank_transform_events"] = _q_rank_transform
-    q["correlation_matrix_lineitem"] = _q_correlation_matrix
-    q["streaming_ks_monitor"] = _q_streaming_ks_monitor
-    q["calibration_bins_docs"] = _q_calibration_bins
-    q["binned_roc_docs"] = _q_binned_roc
-    q["transition_matrix_events"] = _q_transition_matrix
-    # --- round-6 session-4 additions: corpus-diversity entropy, chat
-    # conversation assembly, raw-text source roundtrip — past the window,
-    # mirror-verified, r7-rotation head with the other post-r05 additions
-    # above ---
-    q["token_entropy_sources"] = _q_token_entropy
-    q["conversation_assembly_events"] = _q_conversation_assembly
-    q["text_roundtrip"] = _q_text_roundtrip
-    q["jsonl_inference"] = _q_jsonl_inference
-    q["eval_sample_per_lang"] = _q_eval_sample_per_lang
-    # --- round-6 session-5 additions: bloom runtime-filter dedup, BM25
-    # lexical retrieval, data-quality gate, PageRank centrality, labeler
-    # agreement — past the window, mirror-verified, r7-rotation head ---
-    q["bloom_incremental_dedup"] = _q_bloom_incremental_dedup
-    q["bm25_topk_docs"] = _q_bm25_topk
-    q["dq_expectations_orders"] = _q_dq_expectations
-    q["pagerank_event_types"] = _q_pagerank_event_types
-    q["labeler_kappa_docs"] = _q_labeler_kappa
-    # --- session-5 continued: hybrid retrieval fusion, CDC chunk dedup,
-    # water-fill mixture caps, mergeable heavy-hitters sketch, FIM
-    # objective prep — past the window, mirror-verified, r7-rotation head
-    # with the other post-r05 additions above ---
-    q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
-    q["cdc_dedup_stats"] = _q_cdc_dedup_stats
-    q["waterfill_sources"] = _q_waterfill_sources
-    q["heavy_hitters_sketch"] = _q_heavy_hitters
-    q["fim_transform_docs"] = _q_fim_transform
-    q["contrastive_negatives"] = _q_contrastive_negatives
-    q["span_corruption_docs"] = _q_span_corruption
-    q["quantile_normalize_docs"] = _q_quantile_normalize
-    q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
     return q
-
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}

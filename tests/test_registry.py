@@ -40,19 +40,24 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # queries added in round 6 must sit inside the driver's 50-entry window
-    for added in (
-        "bucketed_roundtrip",
-        "partitioned_roundtrip",
-        "user_retention_cohorts",
-        "event_funnel",
-        "value_histogram",
-        "zscore_outliers",
-        "bigram_pmi",
-        "merge_upsert_orders",
-        "schema_evolution_roundtrip",
+    # r7 rotation: the window clears the never-anchored backlog — the 47
+    # oldest round-6 additions with no driver CORRECTNESS row plus the 3
+    # queries whose code changed this round (policy (b))
+    for member in (
+        "skew_profile_events",      # oldest displaced addition
+        "leakage_safe_split",       # curation-family head
+        "domain_cap_docs",          # session-2 head
+        "semantic_dedup",           # session-2 finals head
+        "kfold_split_docs",         # session-3 head
+        "calibration_bins_docs",    # 47th (last backlog slot)
+        "dq_expectations_orders",   # changed: exact-count verdicts
+        "heavy_hitters_sketch",     # changed: error-bound guard
+        "text_roundtrip",           # changed: sanitizing writer
     ):
-        assert added in window, added
+        assert member in window, member
+    # the r06-anchored cohort rotated OUT to make room
+    for rotated_out in ("dedup_exact", "bucketed_roundtrip", "bigram_pmi"):
+        assert rotated_out not in window, rotated_out
 
 
 def test_all_oracles_parse_in_duckdb():
