@@ -6377,6 +6377,134 @@ CROSS JOIN nt
 """
 
 
+def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter rejection funnel (`ops/corpus.py` filter_funnel):
+    four named keep-rules over documents — min length, min token count,
+    English-only, sane average word length — audited in ONE aggregate
+    pass: per rule, standalone rejections and cumulative survivors.  The
+    why-did-my-corpus-shrink report every multi-stage quality pipeline
+    re-runs after a rule change.  The oracle evaluates the same keeps in
+    a CTE and unrolls the four stages as a UNION chain."""
+    from spark_auto_schema.ops import corpus
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return corpus.filter_funnel(
+        d,
+        [
+            ("min_chars", F.col("n_chars") >= 200),
+            ("min_tokens", toks >= 40),
+            ("lang_en", F.col("lang") == "en"),
+            ("avg_word_len", F.col("n_chars") <= 6 * toks),
+        ],
+    )
+
+
+_FILTER_FUNNEL_SQL = """
+WITH k AS (
+  SELECT coalesce(n_chars >= 200, false) AS k1,
+         coalesce(len(string_split(text, ' ')) >= 40, false) AS k2,
+         coalesce(lang = 'en', false) AS k3,
+         coalesce(n_chars <= 6 * len(string_split(text, ' ')), false) AS k4
+  FROM documents
+), a AS (
+  SELECT count(*) AS n_total,
+         coalesce(sum(CASE WHEN NOT k1 THEN 1 ELSE 0 END), 0) AS a1,
+         coalesce(sum(CASE WHEN k1 THEN 1 ELSE 0 END), 0) AS c1,
+         coalesce(sum(CASE WHEN NOT k2 THEN 1 ELSE 0 END), 0) AS a2,
+         coalesce(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END), 0) AS c2,
+         coalesce(sum(CASE WHEN NOT k3 THEN 1 ELSE 0 END), 0) AS a3,
+         coalesce(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END), 0) AS c3,
+         coalesce(sum(CASE WHEN NOT k4 THEN 1 ELSE 0 END), 0) AS a4,
+         coalesce(sum(CASE WHEN k1 AND k2 AND k3 AND k4 THEN 1 ELSE 0 END), 0) AS c4
+  FROM k
+)
+SELECT 1 AS stage, 'min_chars' AS rule, n_total AS n_input,
+       a1 AS n_rejected_alone, c1 AS n_survivors FROM a
+UNION ALL SELECT 2, 'min_tokens', c1, a2, c2 FROM a
+UNION ALL SELECT 3, 'lang_en', c2, a3, c3 FROM a
+UNION ALL SELECT 4, 'avg_word_len', c3, a4, c4 FROM a
+"""
+
+
+def _q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration over sources (`ops/corpus.py`
+    gini_concentration, weighted by characters): one row (n_groups,
+    total, gini, top1_share, top5_share) — the mixture-health sentinel
+    that moves when a crawl refresh doubles one domain, before any
+    per-query metric does.  Windows run over the |sources|-sized
+    aggregate frame only.  The oracle replays the sorted-index Gini
+    formula over the same per-source sums."""
+    from spark_auto_schema.ops import corpus
+
+    return corpus.gini_concentration(
+        read_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
+_GINI_SOURCES_SQL = """
+WITH g AS (
+  SELECT source AS grp, CAST(sum(n_chars) AS DOUBLE) AS w
+  FROM documents GROUP BY 1
+), r AS (
+  SELECT grp, w,
+         row_number() OVER (ORDER BY w ASC, grp) AS i,
+         row_number() OVER (ORDER BY w DESC, grp) AS ri
+  FROM g
+)
+SELECT count(*) AS n_groups,
+       CAST(sum(w) AS BIGINT) AS total,
+       CAST(round(CAST(2.0 * sum(i * w) / (count(*) * sum(w))
+            - (count(*) + 1.0) / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS gini,
+       CAST(round(CAST(sum(CASE WHEN ri <= 1 THEN w ELSE 0 END) / sum(w)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS top1_share,
+       CAST(round(CAST(sum(CASE WHEN ri <= 5 THEN w ELSE 0 END) / sum(w)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS top5_share
+FROM r
+"""
+
+
+def _q_key_suggestions_approx_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for the HLL++ scale path of key discovery
+    (`ops/corpus.py` suggest_keys(exact=False) — the documented 100 TB
+    mode the driver's exact `key_suggestions` query cannot exercise):
+    per orders column, the sketch estimate must land within 3x the
+    default rsd (|approx - exact| / exact <= 0.15) and strict PK
+    candidacy must ABSTAIN (is_unique IS NULL — an estimate can rank
+    cardinality but never assert uniqueness).  The oracle pins the
+    expected verdicts per column; like ann_recall_ok, the contract — not
+    the sketch internals — is the replayable surface."""
+    from spark_auto_schema.ops import corpus
+
+    orders = read_table(spark, sf_dir, "orders")
+    exact = corpus.suggest_keys(orders, exact=True).select(
+        "column", F.col("n_distinct").alias("exact_nd")
+    )
+    approx = corpus.suggest_keys(orders, exact=False).select(
+        "column",
+        F.col("n_distinct").alias("approx_nd"),
+        F.col("is_unique").isNull().alias("unique_abstains"),
+    )
+    return (
+        exact.join(approx, on="column")
+        .select(
+            "column",
+            (
+                F.abs(F.col("approx_nd") - F.col("exact_nd"))
+                <= 0.15 * F.col("exact_nd")
+            ).alias("est_within_bound"),
+            "unique_abstains",
+        )
+        .orderBy("column")
+    )
+
+
+_KEY_SUGGESTIONS_APPROX_SQL = """
+SELECT column_name AS column, true AS est_within_bound, true AS unique_abstains
+FROM (DESCRIBE orders) ORDER BY column_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6486,6 +6614,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_corruption_docs"] = _q_span_corruption
     q["quantile_normalize_docs"] = _q_quantile_normalize
     q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
+    # --- (c) added this round, placed BEHIND the backlog per the amended
+    # policy (the never-anchored backlog outranks new entries for window
+    # slots); mirror-verified, they join the r8 window with the 18 above ---
+    q["filter_funnel_docs"] = _q_filter_funnel
+    q["gini_source_concentration"] = _q_gini_sources
+    q["key_suggestions_approx_ok"] = _q_key_suggestions_approx_ok
     # --- r06-anchored cohort (green in CORRECTNESS_r06 on current code) ---
     q["dedup_exact"] = _q_hash_dedup
     q["simhash_near_dup"] = _q_simhash_neardup
@@ -6786,6 +6920,9 @@ def oracle_sql() -> dict[str, str]:
     o["span_corruption_docs"] = _SPAN_CORRUPTION_SQL
     o["quantile_normalize_docs"] = _QUANTILE_NORMALIZE_SQL
     o["cooccurrence_pmi_docs"] = _COOCCURRENCE_PMI_SQL
+    o["filter_funnel_docs"] = _FILTER_FUNNEL_SQL
+    o["gini_source_concentration"] = _GINI_SOURCES_SQL
+    o["key_suggestions_approx_ok"] = _KEY_SUGGESTIONS_APPROX_SQL
     o["streaming_window_counts"] = _STREAM_WINDOW_SQL
     o["streaming_user_stats"] = (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value "

@@ -577,3 +577,101 @@ def waterfill_allocation(
             ),
         )
     )
+
+
+def filter_funnel(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Curation-filter rejection funnel: apply named keep-predicates in
+    order and report, per rule, ``(stage, rule, n_input, n_rejected_alone,
+    n_survivors)`` — how many rows the rule rejects on its own, and how
+    many survive the cumulative chain up to and including it.
+
+    The audit layer every multi-stage quality pipeline needs: when a
+    filter re-run drops 40% of the corpus, this says WHICH rule did it
+    and whether it overlaps earlier rules (``n_rejected_alone`` large but
+    survivors barely moved = redundant rule; survivors collapse at stage
+    k = that rule is the cliff).  A NULL predicate result counts as a
+    rejection (filters must affirmatively keep a row), matching the
+    expectation_suite convention.
+
+    Scale: every counter reduces in ONE hash-aggregate pass over ONE
+    scan — adding rules adds agg expressions, not passes; the explode at
+    the end unpivots a single driver-sized row.  This is the profiled
+    (counting) twin of a chained ``.where``; the actual filtering stays a
+    plain conjunctive ``where`` that Catalyst pushes down."""
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    cum = None
+    for i, (name, pred) in enumerate(rules):
+        keep = F.coalesce(pred, F.lit(False))
+        cum = keep if cum is None else (cum & keep)
+        aggs.append(F.sum((~keep).cast("long")).alias(f"alone{i}"))
+        aggs.append(F.sum(cum.cast("long")).alias(f"cum{i}"))
+    row = df.agg(*aggs)
+    stages = []
+    for i, (name, _) in enumerate(rules):
+        n_input = F.col("n_total") if i == 0 else F.col(f"cum{i - 1}")
+        stages.append(
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(name).alias("rule"),
+                n_input.alias("n_input"),
+                F.col(f"alone{i}").alias("n_rejected_alone"),
+                F.col(f"cum{i}").alias("n_survivors"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*stages)).alias("s"))
+        .select("s.stage", "s.rule", "s.n_input", "s.n_rejected_alone", "s.n_survivors")
+    )
+
+
+def gini_concentration(
+    df: DataFrame, group_col: str, weight_col: "F.Column | str | None" = None
+) -> DataFrame:
+    """Corpus concentration over groups: one row ``(n_groups, total,
+    gini, top1_share, top5_share)`` measuring how unevenly weight (docs,
+    tokens, bytes) is spread across sources/domains/languages.
+
+    gini = (2 * sum_i i*w_(i)) / (n * sum w) - (n + 1) / n over weights
+    sorted ascending (1-based i) — 0 is perfectly balanced, ->1 is one
+    group holding everything.  The drift sentinel for mixture health:
+    a crawl refresh that doubles one domain moves gini/top-shares before
+    it moves any per-query metric.  Shares and gini snapped to 6
+    decimals.
+
+    Scale: one hash aggregate to group granularity, then windows over
+    the |groups|-sized frame (thousands at most — the documented
+    aggregate-frame exception to the no-global-window rule)."""
+    w = (
+        F.count(F.lit(1)).alias("w")
+        if weight_col is None
+        else F.sum(F.col(weight_col) if isinstance(weight_col, str) else weight_col).alias("w")
+    )
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(w)
+    # aggregate-sized frame: |groups| rows, window sort is fine
+    ranked = g.select(
+        F.col("w").cast("double").alias("w"),
+        F.row_number().over(Window.orderBy(F.col("w").asc(), F.col("grp"))).alias("i"),
+        F.row_number()
+        .over(Window.orderBy(F.col("w").desc(), F.col("grp")))
+        .alias("ri"),
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("w").cast("long").alias("total"),
+        snapped(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("w"))
+            / (F.count(F.lit(1)) * F.sum("w"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+        ).alias("gini"),
+        snapped(
+            F.sum(F.when(F.col("ri") <= 1, F.col("w")).otherwise(F.lit(0.0)))
+            / F.sum("w")
+        ).alias("top1_share"),
+        snapped(
+            F.sum(F.when(F.col("ri") <= 5, F.col("w")).otherwise(F.lit(0.0)))
+            / F.sum("w")
+        ).alias("top5_share"),
+    )

@@ -476,3 +476,71 @@ def test_quantile_normalize_harmonizes_shifted_groups(spark):
     vals = [x[1] for x in a]
     assert vals == sorted(vals)
     assert vals[0] == 0.0 and vals[-1] == 109.0
+
+
+def test_filter_funnel_accounting_and_null_rejection(spark):
+    """Stage inputs chain (input_i = survivors_{i-1}), standalone
+    rejections count each rule against the FULL frame, and a NULL
+    predicate result rejects (filters must affirmatively keep)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import corpus
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 300, "en"), (3, 300, None), (4, 300, "de"), (5, 5, "de")],
+        "id long, n long, lang string",
+    )
+    rows = {
+        r["rule"]: r
+        for r in corpus.filter_funnel(
+            df,
+            [
+                ("big", F.col("n") >= 100),
+                ("english", F.col("lang") == "en"),
+            ],
+        ).collect()
+    }
+    big = rows["big"]
+    assert (big["stage"], big["n_input"], big["n_rejected_alone"], big["n_survivors"]) == (1, 5, 2, 3)
+    en = rows["english"]
+    # standalone: ids 3 (NULL lang rejects), 4, 5 fail english = 3
+    # cumulative: only id 2 survives big AND english
+    assert (en["stage"], en["n_input"], en["n_rejected_alone"], en["n_survivors"]) == (2, 3, 3, 1)
+
+
+def test_filter_funnel_is_single_aggregate(spark):
+    """All rule counters reduce in ONE aggregation over ONE scan."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import corpus
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    plan = corpus.filter_funnel(
+        df, [("a", F.col("m") > 1), ("b", F.col("m") < 5)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_gini_concentration_bounds_and_known_values(spark):
+    """Uniform weights give gini 0; full concentration on one of n
+    groups gives (n-1)/n; shares report the sorted-top fractions."""
+    from spark_auto_schema.ops import corpus
+
+    uniform = spark.createDataFrame(
+        [(f"s{i}", 10) for i in range(8)], "source string, w long"
+    )
+    (u,) = corpus.gini_concentration(uniform, "source", "w").collect()
+    assert u["n_groups"] == 8 and u["total"] == 80
+    assert abs(u["gini"]) < 1e-9
+    assert abs(u["top1_share"] - 0.125) < 1e-9
+    assert abs(u["top5_share"] - 0.625) < 1e-9
+
+    onehot = spark.createDataFrame(
+        [("a", 100), ("b", 0), ("c", 0), ("d", 0)], "source string, w long"
+    )
+    (o,) = corpus.gini_concentration(onehot, "source", "w").collect()
+    assert abs(o["gini"] - 0.75) < 1e-9 and abs(o["top1_share"] - 1.0) < 1e-9
+
+    # unweighted mode counts rows
+    (c,) = corpus.gini_concentration(uniform, "source").collect()
+    assert c["total"] == 8 and abs(c["gini"]) < 1e-9

@@ -820,3 +820,22 @@ def test_fim_transform_is_shuffle_free(spark):
     """FIM is a pure per-row projection: no Exchange of any kind."""
     plan = plan_of(entry._q_fim_transform(spark, SF_DIR), "simple")
     assert "Exchange" not in plan
+
+
+def test_filter_funnel_is_single_scan_single_aggregate(spark):
+    """Every rule counter (standalone + cumulative) reduces in ONE
+    aggregation over ONE documents scan — adding rules adds agg
+    expressions, never passes."""
+    plan = plan_of(entry._q_filter_funnel(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_gini_concentration_windows_are_aggregate_sized(spark):
+    """The Gini rank windows sort the |sources| aggregate frame, never
+    row data: exactly one scan, and the only hashpartitioning exchange
+    is the group-count aggregate (the window itself runs on a
+    SinglePartition frame of group rows)."""
+    plan = plan_of(entry._q_gini_sources(spark, SF_DIR), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "hashpartitioning(doc_id" not in plan  # never row-keyed
