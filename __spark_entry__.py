@@ -6523,15 +6523,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 window: round 6 added 77 queries and outran the 50-entry
     window, leaving 68 registry entries with NO driver anchor ever
-    (mirror + pytest green only).  This round's window is 50 of those
-    68: the 47 OLDEST never-anchored additions (in round-6 session
-    order: the six displaced early additions, the curation family, the
-    session-2/3 cohorts through calibration_bins_docs) plus the 3
-    never-anchored queries whose code changed this round
-    (dq_expectations_orders — exact-count verdicts; heavy_hitters_sketch
-    — loud error-bound guard; text_roundtrip — sanitizing text writer).
-    The remaining 18 never-anchored entries are grouped right after the
-    window and head the r8 rotation, followed by the r06-anchored cohort
+    (mirror + pytest green only).  This round's window is 50
+    never-anchored queries: the 46 OLDEST never-anchored additions (in
+    round-6 session order: the six displaced early additions, the
+    curation family, the session-2/3 cohorts through
+    streaming_ks_monitor), key_suggestions_approx_ok (new this round,
+    but the round-6 brief pinned its driver anchor to r7 — it sits
+    beside its exact twin), plus the 3 never-anchored queries whose
+    code changed this round (dq_expectations_orders — exact-count
+    verdicts; heavy_hitters_sketch — loud error-bound guard;
+    text_roundtrip — sanitizing text writer).  The remaining 21
+    never-anchored entries (incl. calibration_bins_docs, displaced by
+    the twin, and the two other round-7 additions) are grouped right
+    after the window and head the r8 rotation, followed by the
+    r06-anchored cohort
     (rotated out after going green in CORRECTNESS_r06) and the r04/r05-
     anchored remainder — every query past the window is driver-green on
     current code r04-r06 (or mirror-verified where noted) and stays
@@ -6570,6 +6575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_quarantine"] = _q_csv_quarantine
     q["scd2_lookup_events"] = _q_scd2_lookup
     q["key_suggestions"] = _q_key_suggestions
+    q["key_suggestions_approx_ok"] = _q_key_suggestions_approx_ok
     q["fk_profile"] = _q_fk_profile
     q["streaming_psi_monitor"] = _q_streaming_psi_monitor
     q["mad_outliers_events"] = _q_mad_outliers
@@ -6589,13 +6595,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rank_transform_events"] = _q_rank_transform
     q["correlation_matrix_lineitem"] = _q_correlation_matrix
     q["streaming_ks_monitor"] = _q_streaming_ks_monitor
-    q["calibration_bins_docs"] = _q_calibration_bins
     # --- r7 window: code changed this round (ADVICE fixes) — policy (b) ---
     q["dq_expectations_orders"] = _q_dq_expectations
     q["heavy_hitters_sketch"] = _q_heavy_hitters
     q["text_roundtrip"] = _q_text_roundtrip
     # ---- entries below are past the driver's 50-entry window ----
     # --- never-anchored remainder: heads the r8 rotation (mirror + pytest green; no driver anchor yet) ---
+    q["calibration_bins_docs"] = _q_calibration_bins
     q["binned_roc_docs"] = _q_binned_roc
     q["transition_matrix_events"] = _q_transition_matrix
     q["token_entropy_sources"] = _q_token_entropy
@@ -6616,10 +6622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
     # --- (c) added this round, placed BEHIND the backlog per the amended
     # policy (the never-anchored backlog outranks new entries for window
-    # slots); mirror-verified, they join the r8 window with the 18 above ---
+    # slots); mirror-verified, they join the r8 window with the cohort above.
+    # (key_suggestions_approx_ok is the exception: the round-6 brief pinned
+    # its driver anchor to r7, so it sits in the window beside its exact twin.) ---
     q["filter_funnel_docs"] = _q_filter_funnel
     q["gini_source_concentration"] = _q_gini_sources
-    q["key_suggestions_approx_ok"] = _q_key_suggestions_approx_ok
     # --- r06-anchored cohort (green in CORRECTNESS_r06 on current code) ---
     q["dedup_exact"] = _q_hash_dedup
     q["simhash_near_dup"] = _q_simhash_neardup

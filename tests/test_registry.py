@@ -40,24 +40,55 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r7 rotation: the window clears the never-anchored backlog — the 47
-    # oldest round-6 additions with no driver CORRECTNESS row plus the 3
-    # queries whose code changed this round (policy (b))
+    # r7 rotation: the window clears the never-anchored backlog — the 46
+    # oldest round-6 additions with no driver CORRECTNESS row, the
+    # brief-pinned HLL twin, plus the 3 queries whose code changed this
+    # round (policy (b))
     for member in (
-        "skew_profile_events",      # oldest displaced addition
-        "leakage_safe_split",       # curation-family head
-        "domain_cap_docs",          # session-2 head
-        "semantic_dedup",           # session-2 finals head
-        "kfold_split_docs",         # session-3 head
-        "calibration_bins_docs",    # 47th (last backlog slot)
-        "dq_expectations_orders",   # changed: exact-count verdicts
-        "heavy_hitters_sketch",     # changed: error-bound guard
-        "text_roundtrip",           # changed: sanitizing writer
+        "skew_profile_events",        # oldest displaced addition
+        "leakage_safe_split",         # curation-family head
+        "domain_cap_docs",            # session-2 head
+        "semantic_dedup",             # session-2 finals head
+        "key_suggestions_approx_ok",  # brief-pinned HLL scale-path twin
+        "kfold_split_docs",           # session-3 head
+        "streaming_ks_monitor",       # 46th (last backlog slot)
+        "dq_expectations_orders",     # changed: exact-count verdicts
+        "heavy_hitters_sketch",       # changed: error-bound guard
+        "text_roundtrip",             # changed: sanitizing writer
     ):
         assert member in window, member
-    # the r06-anchored cohort rotated OUT to make room
-    for rotated_out in ("dedup_exact", "bucketed_roundtrip", "bigram_pmi"):
+    # the r06-anchored cohort rotated OUT to make room; calibration_bins
+    # was displaced by the brief-pinned twin and heads the r8 cohort
+    for rotated_out in (
+        "dedup_exact", "bucketed_roundtrip", "bigram_pmi",
+        "calibration_bins_docs",
+    ):
         assert rotated_out not in window, rotated_out
+
+
+def test_driver_window_utilization():
+    """Machine-check of the rotation docstring's claim: at 50 window slots
+    per round, every registry entry must either already hold a driver
+    CORRECTNESS anchor (a row in some committed CORRECTNESS_r*.json) or sit
+    within the first 100 registry positions (reached by the driver gate
+    within <= 2 rounds).  Fails when a registry addition lands somewhere it
+    would NEVER reach the driver gate — the round-6 failure mode (68
+    never-anchored queries) becoming structurally impossible instead of a
+    prose policy."""
+    import json
+
+    root = Path(__file__).resolve().parent.parent
+    anchored: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        anchored |= set(json.loads(path.read_text()))
+    qs = list(entry.queries())
+    reachable = set(qs[:100]) | anchored
+    stranded = [n for n in qs if n not in reachable]
+    assert not stranded, (
+        f"{len(stranded)} queries can never reach the driver gate within 2 "
+        f"rounds: {stranded} — rotate them into the first 100 registry "
+        "positions or shrink the backlog before adding more"
+    )
 
 
 def test_all_oracles_parse_in_duckdb():

@@ -89,6 +89,12 @@ PROBES: dict[str, list[str]] = {
         # only 1/10th of the grown corpus, but dl/avgdl still scan it all;
         # the tf slice and TakeOrdered must keep the slope ~1
         "bm25_topk_docs",
+        # round-7: document-level PMI — the pair space is quadratic in
+        # VOCABULARY by design, and replica token suffixes grow the raw
+        # vocab 10x while the min_count floor admits only terms that stay
+        # frequent; the probe verifies the cap (not the corpus) bounds the
+        # per-doc fan-out, i.e. the slope tracks the token scan
+        "cooccurrence_pmi_docs",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
@@ -100,6 +106,11 @@ PROBES: dict[str, list[str]] = {
         # session-2: per-user burst islands (window family — scales with
         # events; replica-offset user ids grow the key space 10x too)
         "burst_collapse_events",
+        # round-7: per-key winsorization — the |keys|-row band table is a
+        # hash aggregate broadcast back onto the unshuffled fact stream;
+        # replica-grown event volume AND key space must both leave the
+        # slope linear (facts never shuffle)
+        "winsorize_events",
     ],
     # round-6 curation batch: the leakage-safe split and canonical
     # survivors re-run the full shingle->LSH->closure pipeline (the
@@ -150,6 +161,11 @@ PROBES: dict[str, list[str]] = {
         # with the other orders-derived queries (copied table).
         "pagerank_event_types",
         "labeler_kappa_docs",
+        # round-7: quantile normalization — the rank window partitions by
+        # group (source) and the global grid is ONE broadcast aggregate
+        # row; docs grow 10x with sources fixed, so per-group window state
+        # grows linearly and the slope must track the scan, not a sort
+        "quantile_normalize_docs",
     ],
     # scd2_order_status is deliberately absent: its dimension derives from
     # orders, a COPIED (unscaled) table here, so its ratio would measure
