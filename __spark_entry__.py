@@ -6535,11 +6535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_roundtrip — sanitizing text writer).  The remaining 21
     never-anchored entries (incl. calibration_bins_docs, displaced by
     the twin, and the two other round-7 additions) are grouped right
-    after the window and head the r8 rotation, followed by the
-    r06-anchored cohort
-    (rotated out after going green in CORRECTNESS_r06) and the r04/r05-
-    anchored remainder — every query past the window is driver-green on
-    current code r04-r06 (or mirror-verified where noted) and stays
+    after the window, followed by 29 stale r04-anchored entries —
+    positions 51-100 ARE the planned r8 window (21 debt + 29 oldest
+    anchors), so next round's rotation is a no-op.  Behind them: the
+    3-entry stale remainder (r9 head), the r05-anchored cohort, and the
+    r06-anchored cohort — every query past the window is driver-green
+    on current code r04-r06 (or mirror-verified where noted) and stays
     covered by the local mirror (tools/check_correctness.py) and pytest
     every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6627,6 +6628,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its driver anchor to r7, so it sits in the window beside its exact twin.) ---
     q["filter_funnel_docs"] = _q_filter_funnel
     q["gini_source_concentration"] = _q_gini_sources
+    # --- planned r8 window tail: stale r04-anchored cohort (29 entries; with
+    # the 21 never-anchored entries above these form the r8 driver window,
+    # clearing both the anchor debt and the oldest anchors in one rotation) ---
+    q["sessionize_events"] = _q_sessionize
+    q["ewma_value_check"] = _q_ewma_value_check
+    q["streaming_window_counts"] = _q_streaming_window_counts
+    q["embedding_quantize"] = _q_quantize_embeddings
+    q["label_centroids"] = _q_label_centroids
+    q["order_priority_check"] = _q_order_priority_check
+    q["volume_shipping"] = _q_volume_shipping
+    q["product_profit"] = _q_product_profit
+    q["returned_items"] = _q_returned_items
+    q["promo_revenue"] = _q_promo_revenue
+    q["top_supplier"] = _q_top_supplier
+    q["parts_supplier_count"] = _q_parts_supplier_count
+    q["small_qty_revenue"] = _q_small_qty_revenue
+    q["large_volume_orders"] = _q_large_volume_orders
+    q["discount_band_revenue"] = _q_discount_band_revenue
+    q["sales_opportunity"] = _q_sales_opportunity
+    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
+    q["simhash_signatures"] = _q_simhash_sigs
+    q["segment_dedup_docs"] = _q_segment_dedup
+    q["ngram_novelty_docs"] = _q_ngram_novelty
+    q["classifier_scores"] = _q_classifier_scores
+    q["profile_docs"] = _q_profile_docs
+    q["corpus_diff_docs"] = _q_corpus_diff
+    q["epoch_shuffle_docs"] = _q_epoch_shuffle
+    q["mix_weights_sources"] = _q_mix_weights
+    q["materialize_mix_docs"] = _q_materialize_mix
+    q["select_token_budget_docs"] = _q_select_token_budget
+    q["session_windows"] = _q_session_windows
+    q["error_events"] = _q_error_events
+    # --- stale r04-anchored remainder: heads the r9 rotation ---
+    q["asof_prior_click"] = _q_asof_prior_click
+    q["time_bucket_events"] = _q_time_bucket
+    q["salted_join_segments"] = _q_salted_join_segments
+    # --- r05-anchored remainder (incl. the inference flagship + schema core) ---
+    q["pricing_summary"] = _q_pricing_summary
+    q["shipping_priority"] = _q_shipping_priority
+    q["local_supplier_volume"] = _q_local_supplier_volume
+    q["top_customers"] = _q_top_customers
+    q["region_customers"] = _q_region_customers
+    q["customers_with_orders"] = _q_customers_with_orders
+    q["customers_no_orders"] = _q_customers_no_orders
+    q["rollup_orders"] = _q_rollup_orders
+    q["cube_events"] = _q_cube_events
+    q["grouping_sets_orders"] = _q_grouping_sets
+    q["nation_presence"] = _q_nation_presence
+    q["intersect_users"] = _q_intersect_users
+    q["pivot_event_counts"] = _q_pivot_event_counts
+    q["window_functions"] = _q_window_functions
+    q["top_events_per_user"] = _q_top_events_per_user
+    q["monthly_orders"] = _q_monthly_orders
+    q["distinct_status"] = _q_distinct_status
+    q["approx_distinct_ok"] = _q_approx_distinct_ok
+    q["hash_sample_docs"] = _q_hash_sample
+    q["stratified_sample_orders"] = _q_stratified_sample
+    q["train_eval_split"] = _q_train_eval_split
+    q["csv_roundtrip"] = _q_csv_roundtrip
+    q["json_roundtrip"] = _q_json_roundtrip
+    q["orc_roundtrip"] = _q_orc_roundtrip
+    q["csv_inference"] = _q_csv_inference
+    q["range_join_tiers"] = _q_range_join_tiers
+    q["salted_event_counts"] = _q_salted_event_counts
+    q["weighted_sample_docs"] = _q_weighted_sample
+    q["pack_sequences"] = _q_pack_sequences
+    q["minhash_dup_pairs"] = _q_minhash_pairs
+    q["ewma_user_values"] = _q_ewma_user_values
+    for t in _TABLE_KINDS:
+        q[f"infer_{t}"] = _infer_query(t)
+    q["infer_embeddings_native"] = _q_infer_embeddings_native
+    q["schema_diff"] = _q_schema_diff
+    q["column_ddl"] = _q_column_ddl
+    q["ddl_strings"] = _q_ddl_strings
+    q["catalog_checks"] = _q_catalog_checks
+    q["column_list_lineitem"] = _q_column_list
+    q["minhash_md5_dup_pairs"] = _q_minhash_md5
+    q["simhash_md5_near_dup"] = _q_simhash_md5
+    q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
     # --- r06-anchored cohort (green in CORRECTNESS_r06 on current code) ---
     q["dedup_exact"] = _q_hash_dedup
     q["simhash_near_dup"] = _q_simhash_neardup
@@ -6678,83 +6758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_pmi"] = _q_bigram_pmi
     q["merge_upsert_orders"] = _q_merge_upsert
     q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
-    # --- r04/r05-anchored: relational, TPC-H breadth, sampling, io ---
-    q["sessionize_events"] = _q_sessionize
-    q["ewma_value_check"] = _q_ewma_value_check
-    q["streaming_window_counts"] = _q_streaming_window_counts
-    q["embedding_quantize"] = _q_quantize_embeddings
-    q["label_centroids"] = _q_label_centroids
-    q["order_priority_check"] = _q_order_priority_check
-    q["volume_shipping"] = _q_volume_shipping
-    q["pricing_summary"] = _q_pricing_summary
-    q["shipping_priority"] = _q_shipping_priority
-    q["local_supplier_volume"] = _q_local_supplier_volume
-    q["top_customers"] = _q_top_customers
-    q["region_customers"] = _q_region_customers
-    q["customers_with_orders"] = _q_customers_with_orders
-    q["customers_no_orders"] = _q_customers_no_orders
-    q["rollup_orders"] = _q_rollup_orders
-    q["cube_events"] = _q_cube_events
-    q["grouping_sets_orders"] = _q_grouping_sets
-    q["nation_presence"] = _q_nation_presence
-    q["intersect_users"] = _q_intersect_users
-    q["pivot_event_counts"] = _q_pivot_event_counts
-    q["window_functions"] = _q_window_functions
-    q["top_events_per_user"] = _q_top_events_per_user
-    q["monthly_orders"] = _q_monthly_orders
-    q["distinct_status"] = _q_distinct_status
-    q["approx_distinct_ok"] = _q_approx_distinct_ok
-    q["product_profit"] = _q_product_profit
-    q["returned_items"] = _q_returned_items
-    q["promo_revenue"] = _q_promo_revenue
-    q["top_supplier"] = _q_top_supplier
-    q["parts_supplier_count"] = _q_parts_supplier_count
-    q["small_qty_revenue"] = _q_small_qty_revenue
-    q["large_volume_orders"] = _q_large_volume_orders
-    q["discount_band_revenue"] = _q_discount_band_revenue
-    q["sales_opportunity"] = _q_sales_opportunity
-    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
-    q["hash_sample_docs"] = _q_hash_sample
-    q["stratified_sample_orders"] = _q_stratified_sample
-    q["train_eval_split"] = _q_train_eval_split
-    q["csv_roundtrip"] = _q_csv_roundtrip
-    q["json_roundtrip"] = _q_json_roundtrip
-    q["orc_roundtrip"] = _q_orc_roundtrip
-    q["csv_inference"] = _q_csv_inference
-    q["range_join_tiers"] = _q_range_join_tiers
-    q["salted_event_counts"] = _q_salted_event_counts
-    q["weighted_sample_docs"] = _q_weighted_sample
-    q["pack_sequences"] = _q_pack_sequences
-    q["minhash_dup_pairs"] = _q_minhash_pairs
-    q["ewma_user_values"] = _q_ewma_user_values
-    # --- inference flagship + schema core (r05-anchored) ---
-    for t in _TABLE_KINDS:
-        q[f"infer_{t}"] = _infer_query(t)
-    q["infer_embeddings_native"] = _q_infer_embeddings_native
-    q["schema_diff"] = _q_schema_diff
-    q["column_ddl"] = _q_column_ddl
-    q["ddl_strings"] = _q_ddl_strings
-    q["catalog_checks"] = _q_catalog_checks
-    q["column_list_lineitem"] = _q_column_list
-    q["minhash_md5_dup_pairs"] = _q_minhash_md5
-    q["simhash_md5_near_dup"] = _q_simhash_md5
-    q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
-    # --- dedup / corpus / streaming remainder (r04-anchored) ---
-    q["simhash_signatures"] = _q_simhash_sigs
-    q["segment_dedup_docs"] = _q_segment_dedup
-    q["ngram_novelty_docs"] = _q_ngram_novelty
-    q["classifier_scores"] = _q_classifier_scores
-    q["profile_docs"] = _q_profile_docs
-    q["corpus_diff_docs"] = _q_corpus_diff
-    q["epoch_shuffle_docs"] = _q_epoch_shuffle
-    q["mix_weights_sources"] = _q_mix_weights
-    q["materialize_mix_docs"] = _q_materialize_mix
-    q["select_token_budget_docs"] = _q_select_token_budget
-    q["session_windows"] = _q_session_windows
-    q["error_events"] = _q_error_events
-    q["asof_prior_click"] = _q_asof_prior_click
-    q["time_bucket_events"] = _q_time_bucket
-    q["salted_join_segments"] = _q_salted_join_segments
     return q
 
 def oracle_sql() -> dict[str, str]:
