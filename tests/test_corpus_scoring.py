@@ -544,3 +544,81 @@ def test_gini_concentration_bounds_and_known_values(spark):
     # unweighted mode counts rows
     (c,) = corpus.gini_concentration(uniform, "source").collect()
     assert c["total"] == 8 and abs(c["gini"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# hypothesis law tests for the round-7 corpus additions
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(0, 1000), min_size=1, max_size=12),
+    scale=st.integers(2, 50),
+)
+def test_gini_concentration_laws(spark, weights, scale):
+    """For ANY weight vector: gini in [0, (n-1)/n]; scale-invariant
+    (multiplying every weight by a constant changes total but not gini or
+    shares); shares are correct order statistics.  Zero-total degenerates
+    are excluded (gini undefined)."""
+    from hypothesis import assume
+
+    assume(sum(weights) > 0)
+    rows = [(f"s{i}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "source string, w long")
+    (g,) = corpus.gini_concentration(df, "source", "w").collect()
+    n = len(weights)
+    assert g["n_groups"] == n and g["total"] == sum(weights)
+    assert -1e-6 <= g["gini"] <= (n - 1) / n + 1e-6
+    top = sorted(weights, reverse=True)
+    assert abs(g["top1_share"] - top[0] / sum(weights)) < 1e-5
+    assert abs(g["top5_share"] - sum(top[:5]) / sum(weights)) < 1e-5
+    scaled = spark.createDataFrame(
+        [(s, w * scale) for s, w in rows], "source string, w long"
+    )
+    (gs,) = corpus.gini_concentration(scaled, "source", "w").collect()
+    assert abs(gs["gini"] - g["gini"]) < 1e-5  # scale invariance
+    assert abs(gs["top1_share"] - g["top1_share"]) < 1e-5
+    assert gs["total"] == scale * g["total"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(0, 9), st.none()), min_size=1, max_size=30
+    ),
+    cuts=st.lists(st.integers(0, 9), min_size=1, max_size=4),
+)
+def test_filter_funnel_accounting_laws(spark, vals, cuts):
+    """For ANY data and ANY >=cut rule chain: stage inputs chain exactly
+    (n_input[i+1] == n_survivors[i]), survivors are non-increasing, every
+    count is reproduced by a brute-force pass treating NULL as reject, and
+    the final survivor count equals the conjunctive filter's count."""
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    rules = [(f"ge_{i}_{c}", F.col("x") >= c) for i, c in enumerate(cuts)]
+    out = {r["stage"]: r for r in corpus.filter_funnel(df, rules).collect()}
+    keep = [[v is not None and v >= c for v in vals] for c in cuts]
+    n_in = len(vals)
+    for i, c in enumerate(cuts):
+        st_row = out[i + 1]
+        assert st_row["n_input"] == n_in
+        assert st_row["n_rejected_alone"] == sum(not k for k in keep[i])
+        cum = [all(keep[j][r] for j in range(i + 1)) for r in range(len(vals))]
+        assert st_row["n_survivors"] == sum(cum)
+        assert st_row["n_survivors"] <= st_row["n_input"]
+        n_in = st_row["n_survivors"]
+    conj = df
+    for _, pred in rules:
+        conj = conj.where(F.coalesce(pred, F.lit(False)))
+    assert out[len(cuts)]["n_survivors"] == conj.count()
