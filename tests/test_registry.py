@@ -91,6 +91,30 @@ def test_driver_window_utilization():
     )
 
 
+def test_planned_r8_window_composition():
+    """Positions 51-100 are the PLANNED r8 window (see the queries()
+    docstring): every entry there must be either never-driver-anchored or
+    r04-anchored (stale) — i.e. next round's rotation is already encoded
+    and a drive-by registry edit can't silently push debt or stale anchors
+    past it."""
+    import json
+
+    root = Path(__file__).resolve().parent.parent
+    newest: dict[str, str] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = path.stem.split("_r")[-1]
+        for k in json.loads(path.read_text()):
+            newest[k] = max(newest.get(k, "00"), rnd)
+    qs = list(entry.queries())
+    planned = qs[50:100]
+    assert len(planned) == 50
+    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "04"}
+    assert not bad, (
+        f"planned r8 window holds fresh-anchored entries {bad} — move them "
+        "behind position 100 and pull debt/stale entries forward"
+    )
+
+
 def test_all_oracles_parse_in_duckdb():
     """EXPLAIN every oracle against the real table views: catches SQL
     syntax/semantic rot (renamed columns, dialect slips) without paying for
