@@ -66,6 +66,10 @@ PROBES: dict[str, list[str]] = {
         # window + (doc, chunk) aggregate; all per-document, so the slope
         # must track the token volume, never the chunk-pair space
         "cdc_dedup_stats",
+        # round-7: boilerplate removal — digest-keyed doc-frequency agg +
+        # flag join share one shuffle key; replica-disjoint segments grow
+        # the digest space 10x with the corpus, the harder case
+        "remove_boilerplate_docs",
     ],
     "similarity": [
         "embedding_topk",
@@ -111,6 +115,13 @@ PROBES: dict[str, list[str]] = {
         # replica-grown event volume AND key space must both leave the
         # slope linear (facts never shuffle)
         "winsorize_events",
+        # round-7: MAD robust outliers — two |keys|-row exact-percentile
+        # stat aggregates broadcast back; keys grow 10x with events
+        "mad_outliers_events",
+        # round-7: equi-depth histogram — ONE interpolating percentile
+        # aggregate + row-local edge binning; must stay flat-linear with
+        # no hidden sort as the value volume grows
+        "equidepth_histogram_events",
     ],
     # round-6 curation batch: the leakage-safe split and canonical
     # survivors re-run the full shingle->LSH->closure pipeline (the
@@ -134,6 +145,13 @@ PROBES: dict[str, list[str]] = {
         # anchor x corpus pair space
         "fim_transform_docs",
         "contrastive_negatives",
+        # round-7: split assignments are row-local md5 draws (kfold) or
+        # two-literal predicates (embargo) — both must be flat scans with
+        # zero shuffle at any scale; length bucketing is a literal-array
+        # fold + one bucket-key agg
+        "kfold_split_docs",
+        "time_embargo_split_events",
+        "length_buckets_docs",
     ],
     # final round-6 batch: PSI drift and the SCD2 as-of lookup both scale
     # with events (the lookup's dim also grows — every 10th event — so the
