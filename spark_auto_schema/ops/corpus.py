@@ -605,8 +605,14 @@ def filter_funnel(
     for i, (name, pred) in enumerate(rules):
         keep = F.coalesce(pred, F.lit(False))
         cum = keep if cum is None else (cum & keep)
-        aggs.append(F.sum((~keep).cast("long")).alias(f"alone{i}"))
-        aggs.append(F.sum(cum.cast("long")).alias(f"cum{i}"))
+        # coalesce: sum over ZERO rows is NULL, but an empty corpus must
+        # report 0-valued counters (the DuckDB oracle twin coalesces too)
+        aggs.append(
+            F.coalesce(F.sum((~keep).cast("long")), F.lit(0)).alias(f"alone{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0)).alias(f"cum{i}")
+        )
     row = df.agg(*aggs)
     stages = []
     for i, (name, _) in enumerate(rules):
@@ -643,10 +649,20 @@ def gini_concentration(
     Scale: one hash aggregate to group granularity, then windows over
     the |groups|-sized frame (thousands at most — the documented
     aggregate-frame exception to the no-global-window rule)."""
+    # coalesce: a group whose weights are entirely NULL sums to NULL; it
+    # carries zero weight, and leaving it NULL would both put its rank at
+    # an engine-dependent position (Spark sorts NULLS FIRST ascending,
+    # DuckDB NULLS LAST) and exclude it from the weight sums while still
+    # counting in n — pinning it to 0 keeps the sorted-index formula exact
     w = (
         F.count(F.lit(1)).alias("w")
         if weight_col is None
-        else F.sum(F.col(weight_col) if isinstance(weight_col, str) else weight_col).alias("w")
+        else F.coalesce(
+            F.sum(
+                F.col(weight_col) if isinstance(weight_col, str) else weight_col
+            ),
+            F.lit(0),
+        ).alias("w")
     )
     g = df.groupBy(F.col(group_col).alias("grp")).agg(w)
     # aggregate-sized frame: |groups| rows, window sort is fine

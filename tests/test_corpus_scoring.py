@@ -622,3 +622,29 @@ def test_filter_funnel_accounting_laws(spark, vals, cuts):
     for _, pred in rules:
         conj = conj.where(F.coalesce(pred, F.lit(False)))
     assert out[len(cuts)]["n_survivors"] == conj.count()
+
+
+def test_filter_funnel_empty_input_reports_zero_counters(spark):
+    """Sum over zero rows is NULL in Spark; the funnel must pin empty-corpus
+    counters to 0 like its oracle twin does (round-7 review finding)."""
+    df = spark.createDataFrame([], "x int")
+    rows = corpus.filter_funnel(df, [("pos", F.col("x") > 0)]).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["n_input"] == 0 and r["n_rejected_alone"] == 0
+    assert r["n_survivors"] == 0
+
+
+def test_gini_concentration_all_null_weight_group_counts_as_zero(spark):
+    """A group whose weights are entirely NULL carries zero weight: it must
+    rank deterministically at the bottom (not at an engine-dependent NULL
+    position) and contribute 0 to every weight sum (round-7 review
+    finding).  With one real group holding everything and one weightless
+    group, the sorted-index formula gives gini = 0.5 exactly."""
+    df = spark.createDataFrame(
+        [("a", 100), ("b", None)], "source string, w int"
+    )
+    (g,) = corpus.gini_concentration(df, "source", "w").collect()
+    assert g["n_groups"] == 2 and g["total"] == 100
+    assert abs(g["gini"] - 0.5) < 1e-9
+    assert abs(g["top1_share"] - 1.0) < 1e-9
