@@ -6444,7 +6444,8 @@ def _q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GINI_SOURCES_SQL = """
 WITH g AS (
-  SELECT source AS grp, CAST(sum(n_chars) AS DOUBLE) AS w
+  -- coalesce mirrors the operator: an all-NULL-weight group carries 0
+  SELECT source AS grp, coalesce(CAST(sum(n_chars) AS DOUBLE), 0) AS w
   FROM documents GROUP BY 1
 ), r AS (
   SELECT grp, w,
