@@ -4571,7 +4571,8 @@ WITH s AS (
   FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
 )
 SELECT dist, count(*) AS n_pairs, min(id_a) AS min_id_a,
-       max(id_b) AS max_id_b, sum(id_a + id_b) AS id_checksum
+       max(id_b) AS max_id_b,
+       CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
 FROM p WHERE dist <= 1 GROUP BY dist
 """
 
@@ -4766,7 +4767,8 @@ WITH st AS (
          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
   FROM events WHERE event_id % 10 = 0
 ), f AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 != 0)
-SELECT s.state, count(*) AS n, sum(f.event_id) AS id_checksum
+SELECT s.state, count(*) AS n,
+       CAST(sum(f.event_id) AS BIGINT) AS id_checksum
 FROM f LEFT JOIN st s
   ON f.user_id = s.user_id AND f.ts >= s.vf AND (s.vt IS NULL OR f.ts < s.vt)
 GROUP BY s.state
@@ -4952,9 +4954,9 @@ WITH med AS (
   FROM events e JOIN med m ON e.event_type = m.k GROUP BY 1
 )
 SELECT e.event_type, count(*) AS n,
-       coalesce(sum(CASE WHEN round(0.6745 * abs(CAST(e.value AS DOUBLE) - m.med)
+       CAST(coalesce(sum(CASE WHEN round(0.6745 * abs(CAST(e.value AS DOUBLE) - m.med)
                                     / nullif(d.mad, 0), 4) > 2.0
-                         THEN 1 ELSE 0 END), 0) AS n_outliers,
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
        min(m.med) AS median_value, min(d.mad) AS mad_value
 FROM events e JOIN med m ON e.event_type = m.k JOIN mad d ON e.event_type = d.k
 GROUP BY 1
@@ -5366,8 +5368,8 @@ WITH d AS (
 )
 SELECT CAST(CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 16 AS INT) AS shard,
        count(*) AS n_rows,
-       CAST(sum(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS DECIMAL(38,0))
-         AS digest_sum
+       CAST(sum(CAST(('0x' || substr(h, 5, 8)) AS BIGINT) % 1048576)
+            AS BIGINT) AS digest_sum
 FROM d GROUP BY 1
 """
 
@@ -5650,7 +5652,7 @@ WITH tok AS (
 ), c AS (
   SELECT grp, tok, count(*) AS c FROM tok WHERE length(tok) > 0 GROUP BY 1, 2
 )
-SELECT grp, sum(c) AS n_tokens, count(*) AS vocab_size,
+SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab_size,
        CAST(round(CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c)
             AS DECIMAL(18,10)), 4) AS DOUBLE) AS entropy
 FROM c GROUP BY grp
@@ -5767,8 +5769,8 @@ _TEXT_ROUNDTRIP_SQL = """
 -- mirrors the writer's CR/LF->space + NULL->'' sanitization, so the
 -- contract holds even for corpora with embedded newlines or null text
 SELECT count(*) AS n_lines,
-       sum(length(replace(replace(coalesce(text, ''), chr(13), ' '),
-                          chr(10), ' '))) AS total_chars,
+       CAST(sum(length(replace(replace(coalesce(text, ''), chr(13), ' '),
+                          chr(10), ' '))) AS BIGINT) AS total_chars,
        count(DISTINCT replace(replace(coalesce(text, ''), chr(13), ' '),
                               chr(10), ' ')) AS distinct_lines
 FROM documents
@@ -6408,15 +6410,17 @@ WITH k AS (
          coalesce(n_chars <= 6 * len(string_split(text, ' ')), false) AS k4
   FROM documents
 ), a AS (
+  -- every sum cast to BIGINT: DuckDB integer sum() is HUGEINT/decimal128,
+  -- which hash-diverges from Spark int64 in the driver compare (round 7)
   SELECT count(*) AS n_total,
-         coalesce(sum(CASE WHEN NOT k1 THEN 1 ELSE 0 END), 0) AS a1,
-         coalesce(sum(CASE WHEN k1 THEN 1 ELSE 0 END), 0) AS c1,
-         coalesce(sum(CASE WHEN NOT k2 THEN 1 ELSE 0 END), 0) AS a2,
-         coalesce(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END), 0) AS c2,
-         coalesce(sum(CASE WHEN NOT k3 THEN 1 ELSE 0 END), 0) AS a3,
-         coalesce(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END), 0) AS c3,
-         coalesce(sum(CASE WHEN NOT k4 THEN 1 ELSE 0 END), 0) AS a4,
-         coalesce(sum(CASE WHEN k1 AND k2 AND k3 AND k4 THEN 1 ELSE 0 END), 0) AS c4
+         CAST(coalesce(sum(CASE WHEN NOT k1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS a1,
+         CAST(coalesce(sum(CASE WHEN k1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+         CAST(coalesce(sum(CASE WHEN NOT k2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS a2,
+         CAST(coalesce(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
+         CAST(coalesce(sum(CASE WHEN NOT k3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS a3,
+         CAST(coalesce(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+         CAST(coalesce(sum(CASE WHEN NOT k4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS a4,
+         CAST(coalesce(sum(CASE WHEN k1 AND k2 AND k3 AND k4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4
   FROM k
 )
 SELECT 1 AS stage, 'min_chars' AS rule, n_total AS n_input,

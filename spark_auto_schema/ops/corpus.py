@@ -475,9 +475,9 @@ def table_checksum(
     ``(shard, n_rows, digest_sum)`` where each row's digest is
     ``md5(col1 || 0x1f || col2 || ...)`` (NULLs as a sentinel), the shard
     is the digest's top hex nibbles mod ``n_shards``, and ``digest_sum``
-    is the DECIMAL(38,0) sum of 8-hex-digit digest prefixes within the
-    shard — commutative, so ANY partitioning, ordering, or engine
-    produces the identical value.
+    is the BIGINT sum of a 20-bit digest word within the shard —
+    commutative, so ANY partitioning, ordering, or engine produces the
+    identical value.
 
     The cheap reproducibility gate :func:`corpus_diff` is too heavy for:
     after a migration, a re-shuffle, or a replay, two materializations of
@@ -487,26 +487,33 @@ def table_checksum(
     disagreeing shard(s), cutting the follow-up diff to 1/n_shards of
     the table.
 
-    The sum rides DECIMAL(38,0) (not BIGINT) so it cannot overflow until
-    ~1e28 rows per shard — ANSI-mode long arithmetic would error at
-    ~2e9 rows of 2^32-sized prefixes.  Caller chooses ``cols`` to pin
-    the canonical string forms (timestamps/floats stringify differently
-    across engines; cast them explicitly upstream)."""
+    The summed word is hex chars 5-12 of the digest mod 2^20 —
+    deliberately disjoint from the shard nibbles (chars 1-4), so shard
+    assignment and checksum word are independent md5 output bits.  The
+    sum stays int64 on every engine (DuckDB would promote an integer
+    sum to HUGEINT/decimal128 without an explicit BIGINT cast, and
+    decimal canonical forms differ across engines — proven divergence in
+    round 7); overflow needs >2^43 rows PER SHARD (~8.8e12, two orders
+    past a 100 TB table sharded 16 ways).  Caller chooses ``cols`` to
+    pin the canonical string forms (timestamps/floats stringify
+    differently across engines; cast them explicitly upstream)."""
     cols = cols or df.columns
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
     ]
     digest = F.md5(F.concat_ws("\x1f", *parts))
-    pref = F.conv(F.substring(digest, 1, 8), 16, 10).cast("decimal(38,0)")
+    word = (
+        F.conv(F.substring(digest, 5, 8), 16, 10).cast("long") % (1 << 20)
+    )
     shard = (
         F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % n_shards
     ).cast("int")
     return (
-        df.select(shard.alias("shard"), pref.alias("__p"))
+        df.select(shard.alias("shard"), word.alias("__w"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("__p").cast("decimal(38,0)").alias("digest_sum"),
+            F.sum("__w").alias("digest_sum"),
         )
     )
 

@@ -115,6 +115,40 @@ def test_planned_r8_window_composition():
     )
 
 
+def test_no_oracle_emits_decimal_columns():
+    """EXECUTE every oracle in DuckDB and assert no result column is
+    decimal/hugeint (arrow schema — the DB-API cursor description reports
+    the generic 'NUMBER' and can never flag this).  DuckDB promotes
+    integer sum() to HUGEINT/decimal128; the driver's hash compare
+    canonicalizes that differently from Spark int64 EVEN WHEN VALUES MATCH
+    (round 7 lost 5 window anchors this way, and decimal-on-both-sides
+    also diverges — decimal itself is the hazard).  CAST AS BIGINT in the
+    oracle.  This turns the bug class into a pre-commit failure instead of
+    a lost driver round."""
+    import duckdb
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            schema = con.sql(sql).arrow().schema
+        except Exception as exc:
+            bad[name] = f"execution error: {str(exc).splitlines()[0]}"
+            continue
+        risky = [f.name for f in schema if pa.types.is_decimal(f.type)]
+        if risky:
+            bad[name] = f"decimal cols {risky}"
+    assert not bad, (
+        f"oracles whose DuckDB result types would hash-diverge from Spark "
+        f"in the driver gate: {bad}"
+    )
+
+
 def test_all_oracles_parse_in_duckdb():
     """EXPLAIN every oracle against the real table views: catches SQL
     syntax/semantic rot (renamed columns, dialect slips) without paying for

@@ -32,7 +32,11 @@ def canon(v) -> str:
             return "NaN"
         return f"{v:.10g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.10g}"
+        # exact, not float-coerced: %.10g masked the round-7 HUGEINT
+        # divergence and silently truncated >10-significant-digit ints
+        if v == v.to_integral_value():
+            return str(int(v))
+        return format(v.normalize(), "f")
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
@@ -87,25 +91,31 @@ def main() -> int:
             print(f"ok(rows-only) {name}: {len(srows)} rows")
             continue
         try:
-            rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
+            import pyarrow as pa
+
+            rel = con.sql(oracles[name])
+            # Arrow schema is the truth (DB-API description says the generic
+            # 'NUMBER' for every numeric type, so it can never flag this):
+            # DuckDB integer sums aggregate to HUGEINT/decimal128, which
+            # hash-diverges from Spark int64 in the driver's compare even
+            # when values match exactly (proven round 7, 5 lost anchors).
+            # CAST AS BIGINT in the oracle.  Hard FAIL, not a warning.
+            otbl = rel.arrow()
+            ocols = otbl.schema.names
             risky = [
-                d[0]
-                for d in rel.description
-                if "DECIMAL" in str(d[1]).upper() or "HUGEINT" in str(d[1]).upper()
+                f.name for f in otbl.schema if pa.types.is_decimal(f.type)
             ]
-            if risky:
-                # DuckDB integer sums aggregate to HUGEINT/decimal128; those
-                # hash-diverge from Spark int64 in some driver environments
-                # even when this float-coercing mirror agrees.  CAST AS BIGINT
-                # in the oracle instead.
-                print(f"WARN {name}: oracle emits DECIMAL/HUGEINT cols {risky}")
             orows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
             failures += 1
             continue
         problems = []
+        if risky:
+            problems.append(
+                f"oracle emits decimal/hugeint cols {risky} (driver hash "
+                "diverges from Spark int64 — CAST AS BIGINT)"
+            )
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
