@@ -6526,87 +6526,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     silent environment drift (which the local mirror might share) is
     caught.
 
-    Round-7 window: round 6 added 77 queries and outran the 50-entry
-    window, leaving 68 registry entries with NO driver anchor ever
-    (mirror + pytest green only).  This round's window is 50
-    never-anchored queries: the 46 OLDEST never-anchored additions (in
-    round-6 session order: the six displaced early additions, the
-    curation family, the session-2/3 cohorts through
-    streaming_ks_monitor), key_suggestions_approx_ok (new this round,
-    but the round-6 brief pinned its driver anchor to r7 — it sits
-    beside its exact twin), plus the 3 never-anchored queries whose
-    code changed this round (dq_expectations_orders — exact-count
-    verdicts; heavy_hitters_sketch — loud error-bound guard;
-    text_roundtrip — sanitizing text writer).  The remaining 21
-    never-anchored entries (incl. calibration_bins_docs, displaced by
-    the twin, and the two other round-7 additions) are grouped right
-    after the window, followed by 29 stale r04-anchored entries —
-    positions 51-100 ARE the planned r8 window (21 debt + 29 oldest
-    anchors), so next round's rotation is a no-op.  Behind them: the
-    3-entry stale remainder (r9 head), the r05-anchored cohort, and the
-    r06-anchored cohort — every query past the window is driver-green
-    on current code r04-r06 (or mirror-verified where noted) and stays
-    covered by the local mirror (tools/check_correctness.py) and pytest
-    every round."""
+    Round-8 window (amended per the round-7 verdict): the 21 remaining
+    never-anchored entries (the full r7 backlog tail — debt clears to
+    ZERO this round), the 5 queries whose oracles were fixed this round
+    and MUST re-anchor (fuzzy_match_customers, scd2_lookup_events,
+    mad_outliers_events, table_checksum_orders, text_roundtrip — their
+    r7 rows hash-failed on DuckDB HUGEINT vs Spark int64 result typing;
+    the pre-ordered plan would have deferred their re-anchor to r9+, so
+    they displace 5 stale-r04 entries, policy (b) code-changed), and 24
+    of the 32 stale r04-anchored entries.  Positions 51-100 are the
+    planned r9 window: queries ADDED this round (never-anchored, backlog
+    precedence) first, then the 8 r04 leftovers, then the oldest
+    r05-anchored entries.  Behind them: the r05 remainder, the
+    r06-anchored cohort, and the 45 entries freshly r07-anchored —
+    every query past the window is driver-green on current code r04-r07
+    and stays covered by the local mirror (tools/check_correctness.py)
+    and pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r7 window: never-anchored backlog, oldest first (displaced past the r6 window) ---
-    q["skew_profile_events"] = _q_skew_profile
-    q["streaming_drift_monitor"] = _q_streaming_drift
-    q["merge_insert_only_orders"] = _q_merge_insert_only
-    q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
-    q["media_resize"] = _q_media_resize
-    q["approx_percentile_ok"] = _q_approx_percentile_ok
-    # --- r7 window: never-anchored curation family ---
-    q["leakage_safe_split"] = _q_leakage_safe_split
-    q["canonical_docs"] = _q_canonical_docs
-    q["group_quantile_filter"] = _q_group_quantile_filter
-    q["hll_sharded_uniques"] = _q_hll_sharded_uniques
-    q["zorder_roundtrip"] = _q_zorder_roundtrip
-    q["streaming_attribution"] = _q_streaming_attribution
-    q["tombstone_delete"] = _q_tombstone_delete
-    q["compact_roundtrip"] = _q_compact_roundtrip
-    q["binary_hamming_topk"] = _q_binary_hamming_topk
-    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
-    q["winsorize_events"] = _q_winsorize_events
-    q["streaming_sessions"] = _q_streaming_sessions
-    # --- r7 window: never-anchored session-2 cohort ---
-    q["domain_cap_docs"] = _q_domain_cap_docs
-    q["burst_collapse_events"] = _q_burst_collapse_events
-    q["scd2_order_status"] = _q_scd2_order_status
-    q["zone_map_events"] = _q_zone_map_events
-    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
-    # --- r7 window: never-anchored session-2 finals ---
-    q["semantic_dedup"] = _q_semantic_dedup
-    q["psi_drift_events"] = _q_psi_drift
-    q["csv_quarantine"] = _q_csv_quarantine
-    q["scd2_lookup_events"] = _q_scd2_lookup
-    q["key_suggestions"] = _q_key_suggestions
-    q["key_suggestions_approx_ok"] = _q_key_suggestions_approx_ok
-    q["fk_profile"] = _q_fk_profile
-    q["streaming_psi_monitor"] = _q_streaming_psi_monitor
-    q["mad_outliers_events"] = _q_mad_outliers
-    q["equidepth_histogram_events"] = _q_equidepth_histogram
-    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
-    q["remove_boilerplate_docs"] = _q_remove_boilerplate
-    # --- r7 window: never-anchored session-3 cohort ---
-    q["kfold_split_docs"] = _q_kfold_split
-    q["time_embargo_split_events"] = _q_time_embargo_split
-    q["ks_drift_events"] = _q_ks_drift
-    q["interval_overlap_sessions"] = _q_interval_overlap
-    q["jl_projection"] = _q_jl_projection
-    q["length_buckets_docs"] = _q_length_buckets
-    q["containment_docs"] = _q_containment
-    q["bigram_logprob_docs"] = _q_bigram_logprob
-    q["table_checksum_orders"] = _q_table_checksum
-    q["rank_transform_events"] = _q_rank_transform
-    q["correlation_matrix_lineitem"] = _q_correlation_matrix
-    q["streaming_ks_monitor"] = _q_streaming_ks_monitor
-    # --- r7 window: code changed this round (ADVICE fixes) — policy (b) ---
-    q["dq_expectations_orders"] = _q_dq_expectations
-    q["heavy_hitters_sketch"] = _q_heavy_hitters
-    q["text_roundtrip"] = _q_text_roundtrip
-    # ---- entries below are past the driver's 50-entry window ----
-    # --- never-anchored remainder: heads the r8 rotation (mirror + pytest green; no driver anchor yet) ---
+    # --- r8 window: the 21-entry never-anchored backlog (r7 remainder; debt -> 0) ---
     q["calibration_bins_docs"] = _q_calibration_bins
     q["binned_roc_docs"] = _q_binned_roc
     q["transition_matrix_events"] = _q_transition_matrix
@@ -6626,16 +6563,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_corruption_docs"] = _q_span_corruption
     q["quantile_normalize_docs"] = _q_quantile_normalize
     q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
-    # --- (c) added this round, placed BEHIND the backlog per the amended
-    # policy (the never-anchored backlog outranks new entries for window
-    # slots); mirror-verified, they join the r8 window with the cohort above.
-    # (key_suggestions_approx_ok is the exception: the round-6 brief pinned
-    # its driver anchor to r7, so it sits in the window beside its exact twin.) ---
     q["filter_funnel_docs"] = _q_filter_funnel
     q["gini_source_concentration"] = _q_gini_sources
-    # --- planned r8 window tail: stale r04-anchored cohort (29 entries; with
-    # the 21 never-anchored entries above these form the r8 driver window,
-    # clearing both the anchor debt and the oldest anchors in one rotation) ---
+    # --- r8 window: re-anchor pins — policy (b), oracle typing fixed this
+    # round after their r7 rows hash-failed (HUGEINT/decimal128 oracle output
+    # vs Spark int64; values matched exactly).  Displace 5 stale-r04 slots. ---
+    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
+    q["scd2_lookup_events"] = _q_scd2_lookup
+    q["mad_outliers_events"] = _q_mad_outliers
+    q["table_checksum_orders"] = _q_table_checksum
+    q["text_roundtrip"] = _q_text_roundtrip
+    # --- r8 window: stale r04-anchored cohort (24 of 32; oldest anchors) ---
     q["sessionize_events"] = _q_sessionize
     q["ewma_value_check"] = _q_ewma_value_check
     q["streaming_window_counts"] = _q_streaming_window_counts
@@ -6660,16 +6598,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_docs"] = _q_profile_docs
     q["corpus_diff_docs"] = _q_corpus_diff
     q["epoch_shuffle_docs"] = _q_epoch_shuffle
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- planned r9 window head: added this round (never-anchored; backlog
+    # precedence over anchored entries) ---
+    # (new round-8 operators register here)
+    # --- planned r9 window: stale r04-anchored leftovers (8) ---
     q["mix_weights_sources"] = _q_mix_weights
     q["materialize_mix_docs"] = _q_materialize_mix
     q["select_token_budget_docs"] = _q_select_token_budget
     q["session_windows"] = _q_session_windows
     q["error_events"] = _q_error_events
-    # --- stale r04-anchored remainder: heads the r9 rotation ---
     q["asof_prior_click"] = _q_asof_prior_click
     q["time_bucket_events"] = _q_time_bucket
     q["salted_join_segments"] = _q_salted_join_segments
-    # --- r05-anchored remainder (incl. the inference flagship + schema core) ---
+    # --- planned r9 window tail + r05-anchored remainder (incl. the
+    # inference flagship + schema core; oldest r05 anchors first) ---
     q["pricing_summary"] = _q_pricing_summary
     q["shipping_priority"] = _q_shipping_priority
     q["local_supplier_volume"] = _q_local_supplier_volume
@@ -6763,6 +6706,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_pmi"] = _q_bigram_pmi
     q["merge_upsert_orders"] = _q_merge_upsert
     q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
+    # --- r07-anchored cohort (green in CORRECTNESS_r07 on current code;
+    # freshest anchors, so they queue last for rotation) ---
+    q["skew_profile_events"] = _q_skew_profile
+    q["streaming_drift_monitor"] = _q_streaming_drift
+    q["merge_insert_only_orders"] = _q_merge_insert_only
+    q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
+    q["media_resize"] = _q_media_resize
+    q["approx_percentile_ok"] = _q_approx_percentile_ok
+    q["leakage_safe_split"] = _q_leakage_safe_split
+    q["canonical_docs"] = _q_canonical_docs
+    q["group_quantile_filter"] = _q_group_quantile_filter
+    q["hll_sharded_uniques"] = _q_hll_sharded_uniques
+    q["zorder_roundtrip"] = _q_zorder_roundtrip
+    q["streaming_attribution"] = _q_streaming_attribution
+    q["tombstone_delete"] = _q_tombstone_delete
+    q["compact_roundtrip"] = _q_compact_roundtrip
+    q["binary_hamming_topk"] = _q_binary_hamming_topk
+    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
+    q["winsorize_events"] = _q_winsorize_events
+    q["streaming_sessions"] = _q_streaming_sessions
+    q["domain_cap_docs"] = _q_domain_cap_docs
+    q["burst_collapse_events"] = _q_burst_collapse_events
+    q["scd2_order_status"] = _q_scd2_order_status
+    q["zone_map_events"] = _q_zone_map_events
+    q["semantic_dedup"] = _q_semantic_dedup
+    q["psi_drift_events"] = _q_psi_drift
+    q["csv_quarantine"] = _q_csv_quarantine
+    q["key_suggestions"] = _q_key_suggestions
+    q["key_suggestions_approx_ok"] = _q_key_suggestions_approx_ok
+    q["fk_profile"] = _q_fk_profile
+    q["streaming_psi_monitor"] = _q_streaming_psi_monitor
+    q["equidepth_histogram_events"] = _q_equidepth_histogram
+    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
+    q["remove_boilerplate_docs"] = _q_remove_boilerplate
+    q["kfold_split_docs"] = _q_kfold_split
+    q["time_embargo_split_events"] = _q_time_embargo_split
+    q["ks_drift_events"] = _q_ks_drift
+    q["interval_overlap_sessions"] = _q_interval_overlap
+    q["jl_projection"] = _q_jl_projection
+    q["length_buckets_docs"] = _q_length_buckets
+    q["containment_docs"] = _q_containment
+    q["bigram_logprob_docs"] = _q_bigram_logprob
+    q["rank_transform_events"] = _q_rank_transform
+    q["correlation_matrix_lineitem"] = _q_correlation_matrix
+    q["streaming_ks_monitor"] = _q_streaming_ks_monitor
+    q["dq_expectations_orders"] = _q_dq_expectations
+    q["heavy_hitters_sketch"] = _q_heavy_hitters
     return q
 
 def oracle_sql() -> dict[str, str]:

@@ -40,28 +40,30 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r7 rotation: the window clears the never-anchored backlog — the 46
-    # oldest round-6 additions with no driver CORRECTNESS row, the
-    # brief-pinned HLL twin, plus the 3 queries whose code changed this
-    # round (policy (b))
+    # r8 rotation (amended per the round-7 verdict): the 21-entry
+    # never-anchored backlog remainder (debt -> 0), the 5 re-anchor pins
+    # whose oracles' HUGEINT typing was fixed this round (policy (b) —
+    # their r7 rows hash-failed, so waiting for the pre-ordered rotation
+    # would defer the re-anchor to r9+), and 24 stale-r04 entries
     for member in (
-        "skew_profile_events",        # oldest displaced addition
-        "leakage_safe_split",         # curation-family head
-        "domain_cap_docs",            # session-2 head
-        "semantic_dedup",             # session-2 finals head
-        "key_suggestions_approx_ok",  # brief-pinned HLL scale-path twin
-        "kfold_split_docs",           # session-3 head
-        "streaming_ks_monitor",       # 46th (last backlog slot)
-        "dq_expectations_orders",     # changed: exact-count verdicts
-        "heavy_hitters_sketch",       # changed: error-bound guard
-        "text_roundtrip",             # changed: sanitizing writer
+        "calibration_bins_docs",      # backlog head
+        "token_entropy_sources",      # backlog + latent oracle fix
+        "filter_funnel_docs",         # backlog + latent oracle fix
+        "gini_source_concentration",  # 21st (last backlog slot)
+        "fuzzy_match_customers",      # re-anchor pin (r7 hash-fail)
+        "scd2_lookup_events",         # re-anchor pin (r7 hash-fail)
+        "mad_outliers_events",        # re-anchor pin (r7 hash-fail)
+        "table_checksum_orders",      # re-anchor pin (r7 hash-fail)
+        "text_roundtrip",             # re-anchor pin (r7 hash-fail)
+        "sessionize_events",          # stale-r04 cohort head
+        "epoch_shuffle_docs",         # 24th stale-r04 slot
     ):
         assert member in window, member
-    # the r06-anchored cohort rotated OUT to make room; calibration_bins
-    # was displaced by the brief-pinned twin and heads the r8 cohort
+    # displaced by the 5 pins: the 8 youngest stale-r04 entries queue for
+    # r9 instead; freshly r07-anchored entries never re-enter
     for rotated_out in (
-        "dedup_exact", "bucketed_roundtrip", "bigram_pmi",
-        "calibration_bins_docs",
+        "mix_weights_sources", "error_events", "salted_join_segments",
+        "skew_profile_events", "leakage_safe_split", "heavy_hitters_sketch",
     ):
         assert rotated_out not in window, rotated_out
 
@@ -91,12 +93,12 @@ def test_driver_window_utilization():
     )
 
 
-def test_planned_r8_window_composition():
-    """Positions 51-100 are the PLANNED r8 window (see the queries()
-    docstring): every entry there must be either never-driver-anchored or
-    r04-anchored (stale) — i.e. next round's rotation is already encoded
-    and a drive-by registry edit can't silently push debt or stale anchors
-    past it."""
+def test_planned_r9_window_composition():
+    """Positions 51-100 are the PLANNED r9 window (see the queries()
+    docstring): every entry there must be never-driver-anchored (round-8
+    additions) or anchored no later than r05 (the stale cohort) — i.e.
+    next round's rotation is already encoded and a drive-by registry edit
+    can't silently push debt or stale anchors past it."""
     import json
 
     root = Path(__file__).resolve().parent.parent
@@ -108,9 +110,9 @@ def test_planned_r8_window_composition():
     qs = list(entry.queries())
     planned = qs[50:100]
     assert len(planned) == 50
-    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "04"}
+    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "05"}
     assert not bad, (
-        f"planned r8 window holds fresh-anchored entries {bad} — move them "
+        f"planned r9 window holds fresh-anchored entries {bad} — move them "
         "behind position 100 and pull debt/stale entries forward"
     )
 
