@@ -6172,7 +6172,16 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (term, count) vocabulary.  The synthetic vocabulary fits the
     sketch capacity, so counts are exact and the oracle is the plain
     frequency query; the output contract is a frequency THRESHOLD, not a
-    top-k cut, so boundary ties cannot depend on sketch ordering."""
+    top-k cut, so boundary ties cannot depend on sketch ordering.
+
+    Scale ceiling of THIS call site: the op's error-bound guard raises
+    once min_count <= 3.5*T/max_items_tracked, i.e. min_count=500 with
+    the default 10k capacity stops being provable past T ~= 1.43M total
+    tokens (sf0.1 documents carry ~0.4M).  Growing sf_dir past that
+    needs max_items_tracked (or min_count) raised HERE, in proportion to
+    corpus size; the 3.5*T/M bound is conservative-approximate (Spark
+    sizes the sketch's internal map from maxItemsTracked with its own
+    rounding), so the guard fires early, never late."""
     return text.heavy_hitters_sketch(
         read_table(spark, sf_dir, "documents"), min_count=500
     )
@@ -6505,6 +6514,11 @@ def _q_key_suggestions_approx_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KEY_SUGGESTIONS_APPROX_SQL = """
+-- pins est_within_bound=true per column: HLL++ is deterministic per
+-- dataset (not flaky per run), but a TESTDATA REGENERATION can push a
+-- column's estimate outside the 3x-rsd bound (~0.3% chance per column);
+-- if this query alone goes red with no code change, suspect regenerated
+-- parquet and re-check |approx-exact|/exact per column before anything else
 SELECT column_name AS column, true AS est_within_bound, true AS unique_abstains
 FROM (DESCRIBE orders) ORDER BY column_name
 """

@@ -607,6 +607,10 @@ def filter_funnel(
     the end unpivots a single driver-sized row.  This is the profiled
     (counting) twin of a chained ``.where``; the actual filtering stays a
     plain conjunctive ``where`` that Catalyst pushes down."""
+    if not rules:
+        # explode of a zero-element array would raise an opaque
+        # AnalysisException; an empty funnel is a caller bug
+        raise ValueError("filter_funnel needs at least one (name, predicate) rule")
     aggs = [F.count(F.lit(1)).alias("n_total")]
     cum = None
     for i, (name, pred) in enumerate(rules):
@@ -683,7 +687,10 @@ def gini_concentration(
     snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum("w").cast("long").alias("total"),
+        # round() first: Spark's double->long cast truncates while the
+        # DuckDB oracle's CAST AS BIGINT rounds to nearest — identical for
+        # integral weights below 2^53, divergent for fractional ones
+        F.round(F.sum("w")).cast("long").alias("total"),
         snapped(
             F.lit(2.0) * F.sum(F.col("i") * F.col("w"))
             / (F.count(F.lit(1)) * F.sum("w"))

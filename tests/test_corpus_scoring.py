@@ -508,6 +508,31 @@ def test_filter_funnel_accounting_and_null_rejection(spark):
     assert (en["stage"], en["n_input"], en["n_rejected_alone"], en["n_survivors"]) == (2, 3, 3, 1)
 
 
+def test_filter_funnel_rejects_empty_rules(spark):
+    """An empty rule list is a caller bug and must raise a clear
+    ValueError, not an opaque AnalysisException from exploding a
+    zero-element array."""
+    import pytest
+
+    from spark_auto_schema.ops import corpus
+
+    with pytest.raises(ValueError, match="at least one"):
+        corpus.filter_funnel(spark.range(3), [])
+
+
+def test_gini_total_rounds_fractional_weights(spark):
+    """The total column rounds-to-nearest before the long cast (matching
+    the oracle's CAST AS BIGINT) instead of truncating: three 0.9 weights
+    must report total 3, not 2."""
+    from spark_auto_schema.ops import corpus
+
+    df = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.9), ("c", 0.9)], "source string, w double"
+    )
+    (row,) = corpus.gini_concentration(df, "source", "w").collect()
+    assert row["total"] == 3
+
+
 def test_filter_funnel_is_single_aggregate(spark):
     """All rule counters reduce in ONE aggregation over ONE scan."""
     from pyspark.sql import functions as F
