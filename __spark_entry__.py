@@ -6524,6 +6524,292 @@ FROM (DESCRIBE orders) ORDER BY column_name
 """
 
 
+def _q_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC-lite normalization roundtrip (`ops/text.py` normalize_text):
+    every document is decorated with the fold table's hazards — curly
+    quotes, an ellipsis, and per-parity either fullwidth ASCII or an
+    NBSP + fi-ligature + zero-width-space cluster — then normalized; the
+    output is (doc_id, raw_len, norm_len, norm_digest) with the digest
+    over the normalized text, so ANY character-level divergence between
+    the Spark fold and the oracle's replay (same module constants,
+    translate + regexp chain in the identical order) flips the hash.
+    Idempotence is property-tested in tests/test_ops.py."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_NORM_PRE),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_NORM_SUF),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_NORM_TAIL_EVEN)).otherwise(
+                F.lit(_NORM_TAIL_ODD)
+            ),
+        ).alias("t"),
+    )
+    return text.normalize_text(d, "t", "tn").select(
+        "doc_id",
+        F.length("t").alias("raw_len"),
+        F.length("tn").alias("norm_len"),
+        F.substring(F.md5("tn"), 1, 16).alias("norm_digest"),
+    )
+
+
+# decoration constants shared between the Spark query above and the oracle
+# below: U+201C/U+201D curly quotes; even docs get ellipsis + fullwidth OK,
+# odd docs get NBSP + fi-ligature + ZWSP
+_NORM_PRE = "\u201c"
+_NORM_SUF = "\u201d"
+_NORM_TAIL_EVEN = "\u2026\uff2f\uff2b"
+_NORM_TAIL_ODD = "\u00a0\ufb01x\u200by"
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+# the oracle replays the decoration and the exact fold chain from the
+# text-module constants: delete invisibles, translate the 1:1 table,
+# expand ellipsis/ligatures, collapse \s+ (ASCII whitespace in BOTH
+# regex engines — Java \s adds \x0B, absent from this corpus), trim
+_NFKC_NORMALIZE_SQL = f"""
+WITH dec AS (
+  SELECT doc_id,
+         '{_sql_quote(_NORM_PRE)}' || coalesce(text, '') ||
+         '{_sql_quote(_NORM_SUF)}' ||
+         CASE WHEN doc_id % 2 = 0 THEN '{_sql_quote(_NORM_TAIL_EVEN)}'
+              ELSE '{_sql_quote(_NORM_TAIL_ODD)}' END AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             translate(regexp_replace(t, '{text._NFKC_DELETE_RE}', '', 'g'),
+                       '{_sql_quote(text._NFKC_FROM)}',
+                       '{_sql_quote(text._NFKC_TO)}'),
+             '{text._NFKC_EXPAND[0][0]}', '{text._NFKC_EXPAND[0][1]}', 'g'),
+             '{text._NFKC_EXPAND[1][0]}', '{text._NFKC_EXPAND[1][1]}', 'g'),
+             '{text._NFKC_EXPAND[2][0]}', '{text._NFKC_EXPAND[2][1]}', 'g'),
+           '\\s+', ' ', 'g')) AS tn
+  FROM dec
+)
+SELECT doc_id, length(t) AS raw_len, length(tn) AS norm_len,
+       substr(md5(tn), 1, 16) AS norm_digest
+FROM n
+"""
+
+
+def _q_url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain rollup (`ops/text.py`
+    canonicalize_urls): synthesize one URL per document covering every
+    canonicalization hazard — mixed-case scheme/host, www. prefix,
+    two-level public suffix (co.uk), explicit port, trailing slash,
+    utm_* tracking params in both leading and trailing position,
+    unsorted params, fragments — then roll up to (registered_domain,
+    n_urls, n_hosts, n_canon).  The oracle rebuilds the same URLs and
+    replays the identical regexp/split/sort chain."""
+    d = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("http://")
+        ),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".Example.CO.UK"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".example.com"))
+        .otherwise(F.lit(".example.org")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        sid,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("?utm_source=news&id="), sid))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("?id="), sid, F.lit("&utm_campaign=x")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        text.canonicalize_urls(d.select(url.alias("url")))
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("host").alias("n_hosts"),
+            F.count_distinct("url_canon").alias("n_canon"),
+        )
+    )
+
+
+_URL_ROLLUP_SQL = f"""
+WITH u AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END
+         || source ||
+         CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
+              WHEN doc_id % 3 = 1 THEN '.example.com'
+              ELSE '.example.org' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+         '/Docs/' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0 THEN '?utm_source=news&id=' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+              WHEN doc_id % 4 = 2 THEN '?b=2&a=1'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+), s AS (
+  SELECT regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u2
+  FROM u
+), p AS (
+  SELECT u2, regexp_extract(u2, '^([^/?]+)', 1) AS hostport,
+         substr(u2, length(regexp_extract(u2, '^([^/?]+)', 1)) + 1) AS rest
+  FROM s
+), hp AS (
+  SELECT regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+         regexp_replace(rest, '^[^?]*\\??', '') AS query
+  FROM p
+), c AS (
+  SELECT host, path, string_split(host, '.') AS labels,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           q -> length(q) > 0 AND NOT starts_with(q, 'utm_'))), '&') AS params
+  FROM hp
+), reg AS (
+  SELECT CASE WHEN len(labels) >= 3
+                   AND (labels[-2] || '.' || labels[-1]) IN
+                       ({", ".join("'" + s + "'" for s in text.TWO_LEVEL_SUFFIXES)})
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+              ELSE host END AS registered_domain,
+         host,
+         host || path ||
+         CASE WHEN length(params) > 0 THEN '?' || params ELSE '' END AS url_canon
+  FROM c
+)
+SELECT registered_domain, count(*) AS n_urls,
+       count(DISTINCT host) AS n_hosts,
+       count(DISTINCT url_canon) AS n_canon
+FROM reg GROUP BY 1
+"""
+
+
+def _q_token_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level rolling-window exact-substring dedup (`ops/dedup.py`
+    token_window_dup_coverage, k=8): per doc, the count/fraction of
+    8-token windows shared verbatim with another document plus the
+    longest consecutive duplicated run (a shared-substring length lower
+    bound — the tractable distributed slice of suffix-array dedup).  The
+    oracle replays window generation from the same split array, the
+    min!=max shared flag, and the gaps-and-islands run length."""
+    return dedup.token_window_dup_coverage(_spread_docs(spark, sf_dir), k=8)
+
+
+_TOKEN_WINDOW_DEDUP_SQL = """
+WITH ws AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> length(w) > 0) AS l
+  FROM documents
+), pos AS (
+  SELECT id, t.i AS i,
+         md5(array_to_string(l[t.i:t.i + 7], ' ')) AS h
+  FROM ws, UNNEST(generate_series(1, greatest(len(l) - 7, 1))) AS t(i)
+), marked AS (
+  SELECT id, i,
+         (min(id) OVER (PARTITION BY h) != max(id) OVER (PARTITION BY h)) AS rep
+  FROM pos
+), isl AS (
+  SELECT id, i, i - row_number() OVER (PARTITION BY id ORDER BY i) AS g
+  FROM marked WHERE rep
+), runs AS (
+  SELECT id, max(rl) AS max_run
+  FROM (SELECT id, g, count(*) AS rl FROM isl GROUP BY id, g) GROUP BY id
+)
+SELECT m.id AS doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN m.rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(sum(CASE WHEN m.rep THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac,
+       CAST(coalesce(max(r.max_run), 0) AS BIGINT) AS max_dup_run
+FROM marked m LEFT JOIN runs r ON m.id = r.id
+GROUP BY m.id
+"""
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer cost profile (`ops/text.py`
+    tokenizer_fertility): bytes/chars/whitespace-token/BPE-proxy-token
+    sums plus bytes_per_token, chars_per_token, and fertility — the
+    token-denominated budgeting stats a mixture planner needs before any
+    real tokenizer pass.  The oracle replays the ceil(len/4) subword
+    charge per word over the same split."""
+    return text.tokenizer_fertility(
+        read_table(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+_TOKENIZER_FERTILITY_SQL = f"""
+WITH w AS (
+  SELECT source, coalesce(text, '') AS t,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), agg AS (
+  SELECT source AS grp, count(*) AS n_docs,
+         CAST(sum(strlen(t)) AS BIGINT) AS n_bytes,
+         CAST(sum(length(t)) AS BIGINT) AS n_chars,
+         CAST(sum(len(ws)) AS BIGINT) AS n_ws_tokens,
+         CAST(sum(coalesce(list_sum(list_transform(ws,
+              x -> CAST(ceil(length(x) / {float(text.BPE_CHARS_PER_TOKEN)}) AS BIGINT))), 0))
+              AS BIGINT) AS n_bpe_tokens
+  FROM w GROUP BY 1
+)
+SELECT grp, n_docs, n_bytes, n_chars, n_ws_tokens, n_bpe_tokens,
+       CAST(round(CAST(n_bytes / n_bpe_tokens AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS bytes_per_token,
+       CAST(round(CAST(n_chars / n_bpe_tokens AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS chars_per_token,
+       CAST(round(CAST(n_bpe_tokens / n_ws_tokens
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS fertility
+FROM agg
+"""
+
+
+def _q_topic_share_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-mixture balance over embedding clusters (`ops/similarity.py`
+    topic_shares, nlist=16): per coarse cluster, count, corpus share,
+    balance ratio (share x k; 1.0 = even), and share rank — the
+    semantic counterpart of source-level Gini concentration.  The oracle
+    replays the md5-sampled literal centroids and the row-local argmax
+    cosine assignment (the semantic_dedup quantizer), then the k-row
+    rollup."""
+    return similarity.topic_shares(
+        read_table(spark, sf_dir, "embeddings"), nlist=16
+    )
+
+
+_TOPIC_SHARE_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) AS csim
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM scored) WHERE rk = 1
+), counts AS (
+  SELECT cluster, count(*) AS n_vecs FROM assigned GROUP BY 1
+), tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM counts)
+SELECT cluster, n_vecs,
+       CAST(round(CAST(n_vecs / n_total AS DECIMAL(18,12)), 6) AS DOUBLE) AS share,
+       CAST(round(CAST(n_vecs * 16 / n_total AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS balance_ratio,
+       CAST(row_number() OVER (ORDER BY n_vecs DESC, cluster) AS INT) AS share_rank
+FROM counts, tot
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6615,7 +6901,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- entries below are past the driver's 50-entry window ----
     # --- planned r9 window head: added this round (never-anchored; backlog
     # precedence over anchored entries) ---
-    # (new round-8 operators register here)
+    # added round 8 (never-anchored; they head the planned r9 window):
+    q["nfkc_normalize_docs"] = _q_nfkc_normalize
+    q["url_domain_rollup"] = _q_url_domain_rollup
+    q["token_window_dedup_docs"] = _q_token_window_dedup
+    q["tokenizer_fertility_sources"] = _q_tokenizer_fertility
+    q["topic_share_balance"] = _q_topic_share_balance
     # --- planned r9 window: stale r04-anchored leftovers (8) ---
     q["mix_weights_sources"] = _q_mix_weights
     q["materialize_mix_docs"] = _q_materialize_mix
@@ -6921,6 +7212,11 @@ def oracle_sql() -> dict[str, str]:
     o["token_entropy_sources"] = _TOKEN_ENTROPY_SQL
     o["conversation_assembly_events"] = _CONVERSATION_ASSEMBLY_SQL
     o["text_roundtrip"] = _TEXT_ROUNDTRIP_SQL
+    o["nfkc_normalize_docs"] = _NFKC_NORMALIZE_SQL
+    o["url_domain_rollup"] = _URL_ROLLUP_SQL
+    o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
+    o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL
+    o["topic_share_balance"] = _TOPIC_SHARE_SQL
     o["jsonl_inference"] = _infer_table_sql("region")
     o["eval_sample_per_lang"] = _EVAL_SAMPLE_PER_LANG_SQL
     # the bloom prune must be answer-preserving: same oracle as the plain

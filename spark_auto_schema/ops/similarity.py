@@ -19,7 +19,7 @@ deterministic (numpy PCG64 with a fixed seed, driver-side constants).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 try:
@@ -968,4 +968,71 @@ def rrf_fuse(
         fused.orderBy(F.col("rrf").desc(), F.col("id"))
         .limit(topk)
         .select(F.col("id").alias(id_col), "rrf", "n_lists")
+    )
+
+
+def topic_shares(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Topic-mixture balance report over embedding-space clusters: assign
+    every vector to its nearest coarse centroid (the deterministic
+    md5-sampled quantizer shared with :func:`semantic_dedup` /
+    :func:`ivf_topk`, or TRAINED centroids via ``cents``) and report per
+    cluster ``(cluster, n_vecs, share, balance_ratio, share_rank)`` —
+    share snapped to 6 decimals, ``balance_ratio = share * nlist`` (1.0 =
+    perfectly even), rank by (n desc, cluster).
+
+    The semantic counterpart of source-level :func:`gini_concentration`:
+    a crawl refresh can keep source shares flat while quietly doubling
+    one TOPIC; this is the k-row sentinel that moves first.  Feeding
+    kmeans_lloyd's centroids keeps cluster ids comparable across
+    snapshots, making share deltas diffable epoch over epoch.
+
+    Scale: the assignment is the zero-shuffle literal-centroid scan
+    (argmax cosine row-locally, no join); the only shuffle is the
+    |clusters|-row hash aggregate, and every window below it runs over
+    that k-row frame — output and state are O(nlist) regardless of
+    corpus size."""
+    if cents is None:
+        init = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        cents = [
+            (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+        ]
+    lit = _centroid_literal(cents)
+    vn = norm(F.col(vec_col))
+    scored = F.transform(
+        lit,
+        lambda s: F.struct(
+            (-(dot(F.col(vec_col), s["cvec"]) / (vn * norm(s["cvec"])))).alias(
+                "d"
+            ),
+            s["cid"].alias("cid"),
+        ),
+    )
+    assigned = df.select(F.array_min(scored)["cid"].alias("cluster"))
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    # the corpus total rides a window over the k-row aggregate frame (the
+    # documented aggregate-frame exception) — no second scan, no join
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return counts.select(
+        "cluster",
+        "n_vecs",
+        snapped(F.col("n_vecs") / total).alias("share"),
+        snapped(F.col("n_vecs") * len(cents) / total).alias("balance_ratio"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_vecs").desc(), F.col("cluster")))
+        .cast("int")
+        .alias("share_rank"),
     )

@@ -37,6 +37,29 @@ URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
 
+# NFKC-lite compatibility folds (normalize_text).  1:1 maps ride a single
+# translate(); 1:n expansions and deletions ride anchored regexes.  The
+# oracle SQL embeds these SAME constants so both engines fold identically.
+# Fullwidth ASCII block U+FF01-U+FF5E -> ASCII 0x21-0x7E (94 chars) ...
+_NFKC_FROM = "".join(chr(0xFF01 + i) for i in range(94))
+_NFKC_TO = "".join(chr(0x21 + i) for i in range(94))
+# ... plus Unicode spaces -> ASCII space, curly quotes -> straight,
+# dash family -> hyphen-minus (all 1:1)
+_NFKC_FROM += "\u3000\u00a0\u2002\u2003\u2009\u202f" "\u2018\u2019\u201c\u201d" "\u2012\u2013\u2014\u2212"
+_NFKC_TO += "  " + "    " + "''" + '""' + "----"
+# invisibles deleted outright: ZWSP, BOM/ZWNBSP, soft hyphen
+_NFKC_DELETE_RE = "[\u200b\ufeff\u00ad]"
+# 1:n expansions: ellipsis and the fi/fl ligatures
+_NFKC_EXPAND: tuple[tuple[str, str], ...] = (
+    ("\u2026", "..."),
+    ("\ufb01", "fi"),
+    ("\ufb02", "fl"),
+)
+
+# chars-per-BPE-token proxy for tokenizer_fertility: ceil(len(word)/4)
+# subword units per word — the published ~4-chars/token English heuristic
+BPE_CHARS_PER_TOKEN = 4
+
 
 # Frames persisted for intra-query reuse (bigram_logprob's pair stream
 # feeds both model training and scoring); call :func:`release_caches`
@@ -858,4 +881,179 @@ def cooccurrence_pmi(
                 4,
             ).cast("double").alias("pmi"),
         )
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """NFKC-lite Unicode normalization as a pure JVM projection: fold the
+    fullwidth ASCII block, Unicode spaces, curly quotes, the dash family
+    (one ``translate``), delete zero-width/soft-hyphen invisibles, expand
+    ellipsis and fi/fl ligatures, then collapse whitespace runs and trim.
+    Adds ``out_col`` (default ``<text_col>_norm``); other columns pass
+    through.
+
+    The canonical-form step every dedup/quality pipeline needs FIRST:
+    without it, a fullwidth or curly-quoted copy of a document hashes as
+    "novel" and sails past exact AND shingle dedup.  The fold table is a
+    curated compatibility subset (not the full Unicode NFKC data files —
+    no ICU in the hot path), chosen so the mapping is IDEMPOTENT:
+    normalize(normalize(x)) == normalize(x), property-tested in
+    tests/test_ops.py and replayed character-for-character by the DuckDB
+    oracle from these same module constants.
+
+    Scale: one narrow per-row projection — translate + a fixed number of
+    regexp_replace calls, all whole-stage-codegen'd; no shuffle, no UDF,
+    pipelines inside the scan.  At 100 TB this is scan-bound, exactly
+    like clean_text."""
+    out = out_col or f"{text_col}_norm"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(t, _NFKC_DELETE_RE, "")
+    t = F.translate(t, _NFKC_FROM, _NFKC_TO)
+    for src, repl in _NFKC_EXPAND:
+        t = F.regexp_replace(t, src, repl)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out, t)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer cost profile: ``(group, n_docs, n_bytes,
+    n_chars, n_ws_tokens, n_bpe_tokens, bytes_per_token, chars_per_token,
+    fertility)`` where the BPE proxy charges ``ceil(len(word)/4)``
+    subword units per whitespace word (BPE_CHARS_PER_TOKEN) and fertility
+    = bpe_tokens / ws_tokens — the "how many subwords does a word cost
+    here" mixture signal.
+
+    The budgeting primitive for token-denominated corpus planning: two
+    sources with equal byte counts can differ 2x in trained-token cost
+    (CJK, URLs, code), and this surfaces that BEFORE a tokenizer pass.
+    bytes_per_token rising across snapshots of the same source is the
+    cheapest early warning of encoding junk.
+
+    Scale: token counts are computed ROW-LOCALLY over the split array
+    (size/aggregate higher-order functions — no explode, so no
+    (doc x token)-sized intermediate), then one hash aggregate to group
+    granularity: the shuffle carries |groups| partial rows, map-side
+    combined.  All JVM built-ins, no UDF."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
+    bpe = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.ceil(F.length(w) / F.lit(float(BPE_CHARS_PER_TOKEN))),
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length(t)).alias("n_bytes"),
+            F.sum(F.length(t)).alias("n_chars"),
+            F.sum(F.size(words)).cast("long").alias("n_ws_tokens"),
+            F.sum(bpe).alias("n_bpe_tokens"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "n_bytes",
+            "n_chars",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            snapped(F.try_divide(F.col("n_bytes"), F.col("n_bpe_tokens"))).alias(
+                "bytes_per_token"
+            ),
+            snapped(F.try_divide(F.col("n_chars"), F.col("n_bpe_tokens"))).alias(
+                "chars_per_token"
+            ),
+            snapped(
+                F.try_divide(F.col("n_bpe_tokens"), F.col("n_ws_tokens"))
+            ).alias("fertility"),
+        )
+    )
+
+
+# two-level public suffixes the registered-domain heuristic recognizes —
+# a curated subset standing in for the full Public Suffix List (no
+# external data files; extend as corpora demand).  Shared verbatim with
+# the DuckDB oracle.
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "ac.uk", "co.in", "co.jp", "co.nz", "co.uk", "com.au",
+    "com.br", "gov.uk", "org.uk",
+)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization + registered-domain extraction, pure JVM
+    string ops: adds ``host`` (lowercased, www- and port-stripped),
+    ``registered_domain`` (eTLD+1 under the curated TWO_LEVEL_SUFFIXES
+    list), and ``url_canon`` (host + trailing-slash-stripped path +
+    alphabetically-sorted query with utm_* tracking params dropped;
+    scheme and fragment removed).  Other columns pass through.
+
+    The crawl-dedup prerequisite: the same page arrives as http/https,
+    with and without www., with utm_ tracking junk, and with params in
+    feed-dependent order — url_canon folds all of those to one key, and
+    registered_domain is the rollup level where per-site caps
+    (domain_cap_docs) and source mixing actually operate.
+
+    Semantics pinned for the oracle: host matching is case-insensitive
+    (lowered before www/port strip), the PATH keeps its case (paths are
+    case-sensitive), empty query segments vanish, and a host with fewer
+    labels than the suffix rule needs is its own registered domain.
+
+    Scale: a fixed chain of regexp/split/array built-ins per row — no
+    UDF, no shuffle, whole-stage codegen'd; pipelines inside the scan
+    like clean_text/normalize_text."""
+    u = F.trim(F.coalesce(F.col(url_col), F.lit("")))
+    u = F.regexp_replace(u, r"#.*$", "")          # fragment
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")  # scheme
+    hostport = F.regexp_extract(u, r"^([^/?]+)", 1)
+    rest = F.substring(u, F.length(hostport) + 1, F.lit(2_147_483_647))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r":[0-9]+$", ""), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_replace(rest, r"^[^?]*\??", "")
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (F.length(p) > 0) & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffix2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    reg = (
+        F.when(
+            (n >= 3) & suffix2.isin(*TWO_LEVEL_SUFFIXES),
+            F.concat_ws(
+                ".",
+                F.element_at(labels, -3),
+                F.element_at(labels, -2),
+                F.element_at(labels, -1),
+            ),
+        )
+        .when(n >= 2, suffix2)
+        .otherwise(host)
+    )
+    canon = F.concat(
+        host,
+        path,
+        F.when(F.length(params) > 0, F.concat(F.lit("?"), params)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        df.withColumn("host", host)
+        .withColumn("registered_domain", reg)
+        .withColumn("url_canon", canon)
     )

@@ -1067,3 +1067,158 @@ def test_write_text_lines_enforces_line_per_row(spark, tmp_path):
     write_text_lines(docs, "text", out)
     lines = sorted(r["value"] for r in load_file(spark, out, fmt="text").collect())
     assert lines == ["", "cr lf mix", "one two", "plain"]
+
+
+# ------------------------------------------------ round-8 operators
+def test_normalize_text_known_folds(spark):
+    """Fullwidth ASCII, curly quotes, dashes, ellipsis, ligatures,
+    Unicode spaces and invisibles all fold to their ASCII forms."""
+    df = spark.createDataFrame(
+        [
+            (1, "Ｈｉ　there"),          # fullwidth Hi + ideographic space
+            (2, "“q” ‘s’ —dash…"),
+            (3, "ﬁne ﬂow"),
+            (4, "a​b­c﻿d"),           # invisibles deleted
+            (5, "  spaced  out  "),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_norm"] for r in text.normalize_text(df).collect()}
+    assert got[1] == "Hi there"
+    assert got[2] == "\"q\" 's' -dash..."
+    assert got[3] == "fine flow"
+    assert got[4] == "abcd"
+    assert got[5] == "spaced out"
+    assert got[6] == ""
+
+
+def test_normalize_text_idempotent_property(spark):
+    """normalize(normalize(x)) == normalize(x) over strings drawn from
+    every fold class — the law that makes the fold table a projection."""
+    import random
+
+    rng = random.Random(8)
+    alphabet = (
+        list(text._NFKC_FROM)
+        + list("abc XYZ 09 .!?-'\"")
+        + ["​", "﻿", "­", "…", "ﬁ", "ﬂ", "\t", "\n"]
+    )
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = text.normalize_text(df).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    twice = text.normalize_text(once).collect()
+    for r in twice:
+        assert r["text_norm"] == r["text"], repr((r["text"], r["text_norm"]))
+
+
+def test_normalize_text_is_narrow_projection(spark, docs):
+    """No exchange: the fold chain pipelines inside the scan."""
+    plan = text.normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_canonicalize_urls_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Sub.Example.CO.UK:443/Docs/A/?utm_source=x&b=2&a=1#f"),
+            (2, "http://example.com/page"),
+            (3, "example.org"),                       # no scheme
+            (4, "https://host/x?utm_campaign=z"),     # single-label host
+            (5, "http://www.gov.uk"),                 # fewer labels than suffix+1
+            (6, None),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r for r in text.canonicalize_urls(df).collect()}
+    assert got[1]["host"] == "sub.example.co.uk"
+    assert got[1]["registered_domain"] == "example.co.uk"
+    assert got[1]["url_canon"] == "sub.example.co.uk/Docs/A?a=1&b=2"
+    assert got[2]["url_canon"] == "example.com/page"
+    assert got[3]["registered_domain"] == "example.org"
+    assert got[4]["registered_domain"] == "host"
+    assert got[4]["url_canon"] == "host/x"
+    # gov.uk with no third label stays its own registered domain
+    assert got[5]["registered_domain"] == "gov.uk"
+    assert got[6]["url_canon"] == ""
+
+
+def test_canonicalize_urls_idempotent_on_canonical_form(spark):
+    """Re-canonicalizing url_canon is a fixed point: host/domain/canon
+    survive a second pass unchanged."""
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.A.B.co.uk:8080/p/?utm_x=1&z=2&utm_source=t#y")],
+        "id long, url string",
+    )
+    first = text.canonicalize_urls(df).select(
+        "id", F.col("url_canon").alias("url"), "host", "registered_domain"
+    )
+    second = text.canonicalize_urls(
+        first.select("id", "url")
+    ).collect()[0]
+    base = first.collect()[0]
+    assert second["host"] == base["host"]
+    assert second["registered_domain"] == base["registered_domain"]
+    assert second["url_canon"] == base["url"]
+
+
+def test_token_window_dup_coverage_run_law(spark):
+    """A planted shared block of m tokens yields a duplicated run of
+    exactly m - k + 1 windows in both carriers (run r certifies a shared
+    substring of >= k + r - 1 tokens); unique docs report zeros."""
+    shared = " ".join(f"s{i}" for i in range(12))  # m = 12
+    df = spark.createDataFrame(
+        [
+            (1, "u1 u2 " + shared + " u3"),
+            (2, shared + " v1 v2 v3 v4"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.token_window_dup_coverage(df, k=8).collect()
+    }
+    assert got[1]["max_dup_run"] == 5 and got[2]["max_dup_run"] == 5  # 12-8+1
+    assert got[1]["n_dup_windows"] == 5 and got[2]["n_dup_windows"] == 5
+    assert got[3]["n_dup_windows"] == 0 and got[3]["max_dup_run"] == 0
+    # short doc: one whole-text window
+    short = spark.createDataFrame([(9, "just three words")], "doc_id long, text string")
+    (s,) = dedup.token_window_dup_coverage(short, k=8).collect()
+    assert s["n_windows"] == 1 and s["dup_frac"] == 0.0
+
+
+def test_tokenizer_fertility_arithmetic(spark):
+    """Counts and ratios follow the ceil(len/4) charge exactly."""
+    df = spark.createDataFrame(
+        [("a", "abcd ab abcdefgh"), ("a", ""), ("b", "xyz")],
+        "source string, text string",
+    )
+    got = {r["grp"]: r for r in text.tokenizer_fertility(df).collect()}
+    a = got["a"]
+    # words: abcd(1) ab(1) abcdefgh(2) -> 4 bpe tokens over 3 ws tokens
+    assert (a["n_docs"], a["n_ws_tokens"], a["n_bpe_tokens"]) == (2, 3, 4)
+    assert a["n_bytes"] == 16 and a["n_chars"] == 16
+    assert abs(a["fertility"] - 4 / 3) < 1e-6
+    b = got["b"]
+    assert (b["n_ws_tokens"], b["n_bpe_tokens"]) == (1, 1)
+    assert b["bytes_per_token"] == 3.0
+
+
+def test_topic_shares_partition_laws(spark, emb):
+    """Shares sum to 1, counts sum to the corpus, ranks are a permutation,
+    and the assignment is deterministic across runs."""
+    out1 = similarity.topic_shares(emb, nlist=8).collect()
+    out2 = similarity.topic_shares(emb, nlist=8).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    total_rows = emb.count()
+    assert sum(r["n_vecs"] for r in out1) == total_rows
+    assert abs(sum(r["share"] for r in out1) - 1.0) < 1e-4
+    assert sorted(r["share_rank"] for r in out1) == list(range(1, len(out1) + 1))
+    for r in out1:
+        assert abs(r["balance_ratio"] - r["share"] * 8) < 1e-5

@@ -839,3 +839,66 @@ def test_gini_concentration_windows_are_aggregate_sized(spark):
     plan = plan_of(entry._q_gini_sources(spark, SF_DIR), "simple")
     assert plan.count("FileScan parquet") == 1
     assert "hashpartitioning(doc_id" not in plan  # never row-keyed
+
+
+# ---------------------------------------------------------------- round 8
+def test_normalize_and_urls_are_shuffle_free_projections(spark):
+    """normalize_text and canonicalize_urls pipeline inside the scan: no
+    Exchange, no Python evaluation, one parquet scan each."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    for df in (
+        text.normalize_text(docs),
+        text.canonicalize_urls(docs.select(F.col("text").alias("url"))),
+    ):
+        plan = plan_of(df, "simple")
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert plan.count("FileScan parquet") == 1
+
+
+def test_token_window_dedup_single_scan_two_exchanges(spark):
+    """Window generation is row-local (no token explode re-derivation),
+    the shared flag is ONE fingerprint exchange, and both the island and
+    doc rollups reuse the doc-id partitioning: one scan, exactly two
+    exchanges, no join anywhere."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.token_window_dup_coverage(docs, k=8), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_topic_shares_assignment_is_zero_shuffle(spark):
+    """The centroid assignment is a row-local literal fold: the ONLY
+    exchanges are the k-row cluster aggregate and the k-row window frame
+    (SinglePartition); one scan, no join, nothing data-sized sorts."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(similarity.topic_shares(emb, nlist=8), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "SinglePartition" in plan
+    assert "Join" not in plan
+
+
+def test_tokenizer_fertility_single_aggregate_no_explode(spark):
+    """Token counts fold row-locally over the split array (no Generate /
+    explode), then one hash aggregate to group granularity."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.tokenizer_fertility(docs), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan

@@ -70,6 +70,11 @@ PROBES: dict[str, list[str]] = {
         # flag join share one shuffle key; replica-disjoint segments grow
         # the digest space 10x with the corpus, the harder case
         "remove_boilerplate_docs",
+        # round-8: token-window rolling-hash substring dedup — row-local
+        # window generation, one fingerprint exchange, island rollups on
+        # the id partitioning; replica docs grow position volume 10x and
+        # the slope must track it (no pair space exists to explode)
+        "token_window_dedup_docs",
     ],
     "similarity": [
         "embedding_topk",
@@ -77,6 +82,9 @@ PROBES: dict[str, list[str]] = {
         "ivf_topk",
         # session-3: row-local literal-matrix fold — must be flat-linear
         "jl_projection",
+        # round-8: topic shares — zero-shuffle literal-centroid assignment
+        # + k-row aggregate; must be flat-linear like jl_projection
+        "topic_share_balance",
     ],
     "inference": ["infer_lineitem", "infer_events", "infer_documents"],
     "text": [
@@ -99,6 +107,11 @@ PROBES: dict[str, list[str]] = {
         # frequent; the probe verifies the cap (not the corpus) bounds the
         # per-doc fan-out, i.e. the slope tracks the token scan
         "cooccurrence_pmi_docs",
+        # round-8: shuffle-free per-row projections (translate/regexp
+        # chains) + single group aggregates — all must be flat-linear
+        "nfkc_normalize_docs",
+        "url_domain_rollup",
+        "tokenizer_fertility_sources",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
