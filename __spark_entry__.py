@@ -7061,6 +7061,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB oracle twins for queries().
+
+    Engine behaviors the oracles RELY ON, pinned here so a DuckDB version
+    bump in the driver environment is diagnosable in minutes (each is
+    stable across DuckDB 0.9-1.x and matches the Spark built-in exactly):
+
+    * ``quantile_cont`` — linear interpolation between order statistics
+      (h = (n-1)*q rule), identical to Spark's exact ``percentile``;
+      used by the percentile/median/MAD/equidepth/quantile-normalize
+      oracles.  ``quantile_disc`` would NOT match.
+    * ``levenshtein`` — unit-cost insert/delete/substitute WITHOUT
+      transposition (not Damerau), matching Spark ``levenshtein``.
+    * ``CAST(('0x' || <hex>) AS BIGINT)`` — hex-literal parse of md5
+      prefixes, matching Spark ``conv(substring(md5, ...), 16, 10)``;
+      prefixes are <= 12 hex digits so both stay under 2^48 (no sign
+      issues on either engine).
+    * integer ``sum()`` returns HUGEINT/decimal128 — every oracle casts
+      integer sums to BIGINT (driver hash canonicalization diverges on
+      decimal even when values match; see round 7).  Enforced by
+      tests/test_registry.py::test_no_oracle_emits_decimal_columns.
+    * ``round(x, n)`` on DOUBLE — half-away-from-zero vs Spark's
+      HALF_UP on positive values agree; where a value can land one ulp
+      off a half boundary the oracles snap through DECIMAL(18,10..12)
+      first (same convention as the Spark side).
+    """
     o: dict[str, str] = {}
     for t in _TABLE_KINDS:
         o[f"infer_{t}"] = _infer_table_sql(t)

@@ -34,13 +34,13 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
             "text_roundtrip")),
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
                "incremental_", "repeated_", "segment_dedup", "fuzzy_",
-               "containment_")),
+               "containment_", "token_window")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
                 "pipeline_", "domain_cap", "table_checksum",
                 "calibration_", "binned_roc")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming",
-                    "semantic_", "jl_")),
+                    "semantic_", "jl_", "topic_")),
     ("analytics", ("user_retention", "event_funnel", "value_histogram",
                    "zscore_", "mad_outliers", "equidepth_", "psi_drift",
                    "burst_collapse", "ks_drift", "interval_overlap",
@@ -49,7 +49,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                     "merge_", "tombstone_", "csv_quarantine")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
               "top_terms", "clean_", "redact_", "repetition_", "gopher_",
-              "unigram_", "vocab_", "tfidf_", "bigram_")),
+              "unigram_", "vocab_", "tfidf_", "bigram_", "nfkc_",
+              "url_domain", "tokenizer_")),
     ("multimodal", ("multimodal_", "media_", "frame_")),
     ("streaming", ("streaming_",)),
     ("inference", ("infer_", "csv_inference", "jsonl_inference",
