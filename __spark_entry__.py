@@ -6810,6 +6810,114 @@ SELECT cluster, n_vecs,
 FROM counts, tot
 """
 
+def _q_top_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus memorization audit (`ops/dedup.py` top_repeated_substrings,
+    k=8, top 20): the most-repeated cross-document 8-token windows with
+    occurrence and doc counts — the ranked WHAT-is-duplicated report
+    complementing `q:token_window_dedup_docs`'s per-doc coverage.  The
+    oracle replays the fingerprint aggregate, the (count desc,
+    fingerprint) top-k cut, and the exemplar-based gram reconstruction."""
+    return dedup.top_repeated_substrings(_spread_docs(spark, sf_dir), k=8, top=20)
+
+
+_TOP_REPEATED_SQL = """
+WITH ws AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> length(w) > 0) AS l
+  FROM documents
+), pos AS (
+  SELECT id, t.i AS i, md5(array_to_string(l[t.i:t.i + 7], ' ')) AS h
+  FROM ws, UNNEST(generate_series(1, greatest(len(l) - 7, 1))) AS t(i)
+), agg AS (
+  SELECT h, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs,
+         min(id) AS eid
+  FROM pos GROUP BY h HAVING count(DISTINCT id) >= 2
+), top AS (
+  SELECT * FROM agg ORDER BY n_occurrences DESC, h LIMIT 20
+), ex AS (
+  SELECT t.h, t.n_occurrences, t.n_docs, t.eid, min(p.i) AS ei
+  FROM top t JOIN pos p ON p.h = t.h AND p.id = t.eid
+  GROUP BY 1, 2, 3, 4
+)
+SELECT array_to_string(w.l[ex.ei:ex.ei + 7], ' ') AS gram,
+       ex.n_occurrences, ex.n_docs
+FROM ex JOIN ws w ON w.id = ex.eid
+"""
+
+
+def _q_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix (`ops/dedup.py`
+    cross_source_duplication) with a planted syndication feed: every
+    7th document re-published under source 'mirror' — the query must
+    report each (mirror, src*) pair's shared distinct contents and both
+    relative shares.  The oracle replays the distinct (digest, source)
+    reduction and the bounded digest self-join."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirror = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return dedup.cross_source_duplication(docs.unionByName(mirror))
+
+
+_SYNDICATION_SQL = """
+WITH all_docs AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' FROM documents WHERE doc_id % 7 = 0
+), ds AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS d, source AS src FROM all_docs
+), tot AS (SELECT src, count(*) AS n FROM ds GROUP BY 1),
+p AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+  FROM ds a JOIN ds b ON a.d = b.d AND a.src < b.src GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       CAST(round(CAST(n_shared / ta.n AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS share_of_a,
+       CAST(round(CAST(n_shared / tb.n AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS share_of_b
+FROM p JOIN tot ta ON p.source_a = ta.src JOIN tot tb ON p.source_b = tb.src
+"""
+
+
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency slope (`ops/text.py` zipf_slope,
+    top 100 terms): OLS of ln(freq) on ln(rank) — the vocabulary-shape
+    sentinel beside token_entropy.  The oracle replays the identical
+    (count desc, term) ranking and the closed-form OLS."""
+    return text.zipf_slope(
+        read_table(spark, sf_dir, "documents"), "source", "text", top_n=100
+    )
+
+
+_ZIPF_SLOPE_SQL = """
+WITH toks AS (
+  SELECT source AS grp, t.w AS term
+  FROM (SELECT source, string_split(coalesce(text, ''), ' ') AS ws
+        FROM documents), UNNEST(ws) AS t(w)
+  WHERE length(t.w) > 0
+), c AS (
+  SELECT grp, term, count(*) AS c FROM toks GROUP BY 1, 2
+), r AS (
+  SELECT grp, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c DESC, term) AS r
+  FROM c
+), xy AS (
+  SELECT grp, ln(r) AS x, ln(c) AS y FROM r WHERE r <= 100
+)
+SELECT grp, count(*) AS n_terms,
+       CAST(round(CAST(
+         (count(*) * sum(x * y) - sum(x) * sum(y))
+         / nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0)
+         AS DECIMAL(18,10)), 4) AS DOUBLE) AS zipf_slope
+FROM xy GROUP BY grp
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6907,6 +7015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_window_dedup_docs"] = _q_token_window_dedup
     q["tokenizer_fertility_sources"] = _q_tokenizer_fertility
     q["topic_share_balance"] = _q_topic_share_balance
+    q["top_repeated_substrings"] = _q_top_repeated_substrings
+    q["syndication_matrix"] = _q_syndication_matrix
+    q["zipf_slope_sources"] = _q_zipf_slope
     # --- planned r9 window: stale r04-anchored leftovers (8) ---
     q["mix_weights_sources"] = _q_mix_weights
     q["materialize_mix_docs"] = _q_materialize_mix
@@ -7242,6 +7353,9 @@ def oracle_sql() -> dict[str, str]:
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL
     o["topic_share_balance"] = _TOPIC_SHARE_SQL
+    o["top_repeated_substrings"] = _TOP_REPEATED_SQL
+    o["syndication_matrix"] = _SYNDICATION_SQL
+    o["zipf_slope_sources"] = _ZIPF_SLOPE_SQL
     o["jsonl_inference"] = _infer_table_sql("region")
     o["eval_sample_per_lang"] = _EVAL_SAMPLE_PER_LANG_SQL
     # the bloom prune must be answer-preserving: same oracle as the plain

@@ -34,7 +34,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
             "text_roundtrip")),
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
                "incremental_", "repeated_", "segment_dedup", "fuzzy_",
-               "containment_", "token_window")),
+               "containment_", "token_window", "top_repeated",
+               "syndication")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
                 "pipeline_", "domain_cap", "table_checksum",
@@ -50,7 +51,7 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
               "top_terms", "clean_", "redact_", "repetition_", "gopher_",
               "unigram_", "vocab_", "tfidf_", "bigram_", "nfkc_",
-              "url_domain", "tokenizer_")),
+              "url_domain", "tokenizer_", "zipf_")),
     ("multimodal", ("multimodal_", "media_", "frame_")),
     ("streaming", ("streaming_",)),
     ("inference", ("infer_", "csv_inference", "jsonl_inference",

@@ -1475,3 +1475,147 @@ def token_window_dup_coverage(
         F.round(F.sum("n_rep") / F.sum("n_all"), 4).alias("dup_frac"),
         F.max("n_rep").cast("long").alias("max_dup_run"),
     ).withColumnRenamed("id", id_col)
+
+
+def top_repeated_substrings(
+    df: DataFrame,
+    k: int = 8,
+    top: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level memorization audit (the other view of
+    :func:`token_window_dup_coverage`): the ``top`` most-repeated k-token
+    windows appearing in >= ``min_docs`` distinct documents, as
+    ``(gram, n_occurrences, n_docs)`` — the ranked list of exactly WHAT
+    is duplicated, where the per-doc coverage op only says how much.
+    This is the report behind "which boilerplate/license/template blocks
+    dominate the corpus" and the memorization-risk audit of Lee et al.
+    2022 (their most-duplicated-substring tables).
+
+    Dataflow: row-local window fingerprints (as in the coverage op), ONE
+    16-byte-key hash aggregate to (fingerprint -> occurrence count,
+    distinct docs, lexicographic-min (id, i) exemplar), a TakeOrdered
+    top-k on (count desc, fingerprint) — never a global sort — and one
+    BROADCAST join of the k winners back to the corpus to reconstruct
+    the gram text from the exemplar's split array (window text never
+    rides the big shuffle).  Deterministic: ties cut by the fingerprint
+    hex, and any exemplar reconstructs the same gram because the
+    fingerprint pins the text."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1)))
+        ).alias("i"),
+        words.alias("__ws"),
+    ).select(
+        "id",
+        "i",
+        F.md5(F.array_join(F.slice(F.col("__ws"), F.col("i"), k), " ")).alias("h"),
+    )
+    winners = (
+        pos.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("id").alias("n_docs"),
+            F.min(F.struct("id", "i")).alias("ex"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occurrences").desc(), F.col("h"))
+        .limit(top)
+    )
+    corpus = df.select(F.col(id_col).alias("id"), words.alias("__ws"))
+    return (
+        F.broadcast(winners)
+        .join(corpus, winners["ex"]["id"] == corpus["id"])
+        .select(
+            F.array_join(F.slice(F.col("__ws"), F.col("ex")["i"], k), " ").alias(
+                "gram"
+            ),
+            "n_occurrences",
+            "n_docs",
+        )
+    )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Syndication matrix: for every unordered source pair (a < b), how
+    many DISTINCT exact contents (md5 digests) appear in both —
+    ``(source_a, source_b, n_shared, share_of_a, share_of_b)`` with
+    shares relative to each side's distinct-content count (snapped to 6
+    decimals).  The mixture-dedup planning view: two mirrors of the same
+    feed show up as a near-1.0 share pair, and deduping them FIRST
+    changes every downstream source weight.
+
+    Dataflow: ONE digest-keyed hash aggregate folds the corpus to
+    (digest -> sorted source set) — collect_set dedups a source's
+    internal re-posts map-side, and the set is bounded by |sources|, so
+    the aggregate state is small no matter the corpus.  Source PAIRS
+    then expand ROW-LOCALLY from each set (<= |sources| choose 2 per
+    digest, no self-join), and per-source distinct-content totals come
+    off the same digest frame; the |sources|^2-row pair table joins the
+    |sources|-row totals via broadcast.  Three narrow 2-column scans
+    (pair branch + each totals side), no digest self-join anywhere."""
+    sets = (
+        df.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("d"),
+            F.col(group_col).alias("src"),
+        )
+        .groupBy("d")
+        .agg(F.sort_array(F.collect_set("src")).alias("ss"))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ss"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ss"), i + F.lit(2), F.size(F.col("ss"))
+                    ),
+                    lambda y: F.struct(
+                        x.alias("source_a"), y.alias("source_b")
+                    ),
+                ),
+            )
+        )
+    )
+    pairs = (
+        sets.where(F.size("ss") >= 2)
+        .select(pair.alias("pr"))
+        .groupBy(
+            F.col("pr.source_a").alias("source_a"),
+            F.col("pr.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = (
+        sets.select(F.explode("ss").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    ta = totals.select(
+        F.col("src").alias("source_a"), F.col("n_distinct").alias("na")
+    )
+    tb = totals.select(
+        F.col("src").alias("source_b"), F.col("n_distinct").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            snapped(F.col("n_shared") / F.col("na")).alias("share_of_a"),
+            snapped(F.col("n_shared") / F.col("nb")).alias("share_of_b"),
+        )
+    )

@@ -1057,3 +1057,57 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         .withColumn("registered_domain", reg)
         .withColumn("url_canon", canon)
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency fit: OLS slope of ln(freq) on
+    ln(rank) over each group's ``top_n`` most frequent terms —
+    ``(grp, n_terms, zipf_slope)`` with the slope snapped to 4 decimals
+    (ln involved).  Natural text sits near -1; template/synthetic spam
+    flattens toward 0 (every line reuses the same tokens at similar
+    frequencies) and mode-collapsed generators overshoot steeper than
+    -1.5 — a vocabulary-health sentinel that complements token_entropy
+    (entropy says diversity dropped; the slope says the SHAPE of the
+    drop).
+
+    Dataflow: one wordcount-shaped shuffle to (group, term) counts, a
+    rank window over each group's VOCABULARY-sized frame (the same
+    frame token_entropy already materializes — never row data), a
+    top_n filter, then the closed-form OLS over the <= top_n-row frame:
+    slope = (n*sum(xy) - sum(x)sum(y)) / (n*sum(x^2) - sum(x)^2).
+    Ranks tie-break (count desc, term asc) so both engines rank
+    identically."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "term"
+        ),
+    ).where(F.length("term") > 0)
+    counts = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.col("c").desc(), F.col("term"))
+        ),
+    ).where(F.col("r") <= top_n)
+    xy = ranked.select(
+        "grp",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,10)"), 4).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return xy.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        snapped(
+            F.try_divide(
+                n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"),
+                n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"),
+            )
+        ).alias("zipf_slope"),
+    )

@@ -1222,3 +1222,63 @@ def test_topic_shares_partition_laws(spark, emb):
     assert sorted(r["share_rank"] for r in out1) == list(range(1, len(out1) + 1))
     for r in out1:
         assert abs(r["balance_ratio"] - r["share"] * 8) < 1e-5
+
+
+def test_top_repeated_substrings_finds_planted_block(spark):
+    """A block syndicated into 3 docs tops the list with the exact gram
+    text, occurrence count 3, doc count 3; nothing below min_docs leaks."""
+    block = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, "x1 " + block),
+            (2, block + " y1 y2"),
+            (3, "z1 z2 " + block),
+            (4, "only unique tokens here q w e r t y u i"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.top_repeated_substrings(df, k=8, top=5).collect()
+    assert len(rows) == 1
+    assert rows[0]["gram"] == block
+    assert rows[0]["n_occurrences"] == 3 and rows[0]["n_docs"] == 3
+
+
+def test_cross_source_duplication_shares(spark):
+    """Distinct-content semantics: internal re-posts count once; shares
+    are relative to each side's distinct contents."""
+    df = spark.createDataFrame(
+        [
+            (1, "shared one", "a"),
+            (2, "shared one", "a"),   # internal re-post: counts once
+            (3, "a only", "a"),
+            (4, "shared one", "b"),
+            (5, "b only", "b"),
+            (6, "b second", "b"),
+            (7, "c only", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in dedup.cross_source_duplication(df).collect()}
+    assert set(rows) == {("a", "b")}
+    r = rows[("a", "b")]
+    assert r["n_shared"] == 1
+    assert abs(r["share_of_a"] - 1 / 2) < 1e-6   # a has 2 distinct contents
+    assert abs(r["share_of_b"] - 1 / 3) < 1e-6   # b has 3
+
+
+def test_zipf_slope_known_distributions(spark):
+    """An exact Zipf corpus (freq = 60/rank) fits slope -1; a flat
+    corpus (all terms equally frequent) fits slope 0."""
+    zipf_rows = []
+    for rank, term in enumerate(["t1", "t2", "t3", "t4", "t5"], start=1):
+        zipf_rows.extend((i, term) for i in range(60 // rank))
+    df = spark.createDataFrame(
+        [("z", " ".join(t for _, t in zipf_rows))]
+        + [("f", "u1 u2 u3 u4 u1 u2 u3 u4")],
+        "source string, text string",
+    )
+    got = {r["grp"]: r for r in text.zipf_slope(df).collect()}
+    assert got["f"]["zipf_slope"] == 0.0
+    assert abs(got["z"]["zipf_slope"] + 1.0) < 0.02  # 60/rank rounds exactly
+    assert got["z"]["n_terms"] == 5

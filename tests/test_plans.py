@@ -902,3 +902,41 @@ def test_tokenizer_fertility_single_aggregate_no_explode(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange") == 1
     assert "Generate" not in plan
+
+
+def test_top_repeated_substrings_broadcasts_winners(spark):
+    """The k winners join back to the corpus via BROADCAST (never a
+    shuffle of window text); no cartesian, no sort-merge."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.top_repeated_substrings(docs), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_duplication_has_no_digest_self_join(spark):
+    """Pairs expand row-locally from the per-digest source set: the only
+    joins are broadcasts of the |sources|-row totals — a digest-keyed
+    self-join (the O(corpus) join) must not exist."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.cross_source_duplication(docs), "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_zipf_slope_windows_are_vocab_sized(spark):
+    """One wordcount shuffle + a rank window over the per-group VOCAB
+    frame; no join, no second scan."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.zipf_slope(docs), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan

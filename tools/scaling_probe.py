@@ -75,6 +75,14 @@ PROBES: dict[str, list[str]] = {
         # the id partitioning; replica docs grow position volume 10x and
         # the slope must track it (no pair space exists to explode)
         "token_window_dedup_docs",
+        # round-8: memorization audit — same fingerprint aggregate + a
+        # TakeOrdered top-k and a broadcast rejoin; slope must track the
+        # position volume like the coverage op
+        "top_repeated_substrings",
+        # round-8: syndication matrix — ONE digest aggregate with
+        # bounded collect_set state + row-local pair expansion; replica
+        # suffixes grow the digest space 10x, the aggregate must absorb it
+        "syndication_matrix",
     ],
     "similarity": [
         "embedding_topk",
@@ -112,6 +120,9 @@ PROBES: dict[str, list[str]] = {
         "nfkc_normalize_docs",
         "url_domain_rollup",
         "tokenizer_fertility_sources",
+        # round-8: Zipf fit — wordcount shuffle + vocab-frame rank window;
+        # replica token suffixes grow the vocab 10x, the harder case
+        "zipf_slope_sources",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
