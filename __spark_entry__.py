@@ -6918,6 +6918,70 @@ SELECT grp, count(*) AS n_terms,
 FROM xy GROUP BY grp
 """
 
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (`ops/text.py` lang_confusion):
+    labeled `documents.lang` vs the stopword-heuristic prediction, with
+    per-truth-row shares — the eval-governance view of the classifier
+    behind every language routing/filter decision.  The prediction is
+    computed in the same projection as the truth (no self-join); the
+    oracle reuses the lang_id replay as a CTE."""
+    return text.lang_confusion(read_table(spark, sf_dir, "documents"))
+
+
+def _lang_confusion_oracle_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_oracle_sql()})
+SELECT d.lang AS lang_true, p.lang_pred, count(*) AS n,
+       CAST(round(CAST(count(*) / sum(count(*)) OVER (PARTITION BY d.lang)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS row_frac
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def _q_dedup_loss_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship accounting (`ops/dedup.py` dedup_loss_by_source)
+    with the planted 'mirror' syndication feed (every 7th document
+    re-published under higher ids): the mirror must show loss_frac 1.0
+    with everything lost-to-other, while original sources lose nothing —
+    the who-pays-for-dedup complement of `q:syndication_matrix`.  The
+    oracle replays the keep-lowest-id winner window and both loss
+    splits."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirror = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return dedup.dedup_loss_by_source(docs.unionByName(mirror))
+
+
+_DEDUP_LOSS_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, 'mirror' FROM documents WHERE doc_id % 7 = 0
+), w AS (
+  SELECT source,
+         (doc_id = first_value(doc_id) OVER
+            (PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id)) AS kept,
+         (first_value(source) OVER
+            (PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id)
+          != source) AS ext
+  FROM all_docs
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN NOT kept AND ext THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lost_to_other,
+       CAST(round(CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) / count(*)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS loss_frac
+FROM w GROUP BY 1
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7018,6 +7082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_repeated_substrings"] = _q_top_repeated_substrings
     q["syndication_matrix"] = _q_syndication_matrix
     q["zipf_slope_sources"] = _q_zipf_slope
+    q["lang_confusion_docs"] = _q_lang_confusion
+    q["dedup_loss_by_source"] = _q_dedup_loss_by_source
     # --- planned r9 window: stale r04-anchored leftovers (8) ---
     q["mix_weights_sources"] = _q_mix_weights
     q["materialize_mix_docs"] = _q_materialize_mix
@@ -7356,6 +7422,8 @@ def oracle_sql() -> dict[str, str]:
     o["top_repeated_substrings"] = _TOP_REPEATED_SQL
     o["syndication_matrix"] = _SYNDICATION_SQL
     o["zipf_slope_sources"] = _ZIPF_SLOPE_SQL
+    o["lang_confusion_docs"] = _lang_confusion_oracle_sql()
+    o["dedup_loss_by_source"] = _DEDUP_LOSS_SQL
     o["jsonl_inference"] = _infer_table_sql("region")
     o["eval_sample_per_lang"] = _EVAL_SAMPLE_PER_LANG_SQL
     # the bloom prune must be answer-preserving: same oracle as the plain

@@ -1619,3 +1619,58 @@ def cross_source_duplication(
             snapped(F.col("n_shared") / F.col("nb")).alias("share_of_b"),
         )
     )
+
+
+def dedup_loss_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship report for exact dedup: under the keep-lowest-id rule,
+    what each source LOSES — ``(source, n_docs, n_kept, n_dropped,
+    n_lost_to_other, loss_frac)`` where ``n_lost_to_other`` counts rows
+    whose surviving copy lives in a DIFFERENT source (content the source
+    contributes nothing unique for) and ``loss_frac`` is snapped to 6
+    decimals.
+
+    The mixture-accounting complement of :func:`cross_source_duplication`:
+    the matrix says which source PAIRS overlap; this says who actually
+    pays when dedup runs — a syndicating mirror shows near-1.0 loss with
+    all of it lost-to-other, while a source with internal re-posts loses
+    to itself.  Source weights computed BEFORE dedup are wrong by exactly
+    these numbers.
+
+    Dataflow: one digest-partition window (a single 16-byte-key
+    exchange) marks each row's winner id and winner source
+    (lexicographic-first by id), then one hash aggregate to source
+    granularity — no join, no distinct, one scan."""
+    d = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy("__d").orderBy(F.col(id_col))
+    marked = df.select(
+        F.col(id_col), F.col(group_col).alias("src"), d.alias("__d")
+    ).select(
+        "src",
+        (F.col(id_col) == F.first(id_col).over(w)).alias("__kept"),
+        (F.first("src").over(w) != F.col("src")).alias("__ext"),
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        marked.groupBy(F.col("src").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+            F.sum((~F.col("__kept")).cast("long")).alias("n_dropped"),
+            F.sum((~F.col("__kept") & F.col("__ext")).cast("long")).alias(
+                "n_lost_to_other"
+            ),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_kept",
+            "n_dropped",
+            "n_lost_to_other",
+            snapped(F.col("n_dropped") / F.col("n_docs")).alias("loss_frac"),
+        )
+    )

@@ -1111,3 +1111,48 @@ def zipf_slope(
             )
         ).alias("zipf_slope"),
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    truth_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix: run the
+    :func:`language_id` heuristic inline against a ground-truth label
+    column and report ``(lang_true, lang_pred, n, row_frac)`` — the
+    per-truth-row share snapped to 6 decimals.  The eval-governance view
+    of the classifier every routing/filter decision depends on: a
+    falling diagonal share for one language is the first sign the
+    heuristic (or the corpus) drifted, long before downstream mixture
+    weights move.
+
+    The prediction is computed IN THE SAME PROJECTION as the truth
+    column — no self-join of corpus against predictions, which a naive
+    label-vs-model comparison would do.  One scan, one |langs|^2-row
+    hash aggregate, and the row-share window runs over that aggregate
+    frame."""
+    t = F.col(text_col)
+    hit_cols = {lang: stopword_hits(t, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hit_cols.values())
+    pred = None
+    for lang in sorted(STOPWORDS):  # alphabetical tie-break, as language_id
+        cond = hit_cols[lang] == best
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    counts = (
+        df.select(F.col(truth_col).alias("lang_true"), pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    row_total = F.sum("n").over(Window.partitionBy("lang_true"))
+    return counts.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        snapped(F.col("n") / row_total).alias("row_frac"),
+    )

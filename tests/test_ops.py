@@ -1282,3 +1282,46 @@ def test_zipf_slope_known_distributions(spark):
     assert got["f"]["zipf_slope"] == 0.0
     assert abs(got["z"]["zipf_slope"] + 1.0) < 0.02  # 60/rank rounds exactly
     assert got["z"]["n_terms"] == 5
+
+
+def test_lang_confusion_matrix_laws(spark, docs):
+    """Row shares sum to 1 per truth label; cell counts reconcile with
+    language_id's per-doc predictions exactly."""
+    from collections import Counter
+
+    rows = text.lang_confusion(docs).collect()
+    by_truth = {}
+    for r in rows:
+        by_truth.setdefault(r["lang_true"], []).append(r)
+    for grp in by_truth.values():
+        assert abs(sum(r["row_frac"] for r in grp) - 1.0) < 1e-4
+    truth = {
+        r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()
+    }
+    pred = {
+        r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()
+    }
+    expected = Counter((truth[i], pred[i]) for i in truth)
+    got = {(r["lang_true"], r["lang_pred"]): r["n"] for r in rows}
+    assert got == dict(expected)
+
+
+def test_dedup_loss_by_source_survivorship(spark):
+    """Keep-lowest-id accounting: internal re-posts lose to self, a
+    mirror loses everything to others, the originating source loses
+    nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", "a"),
+            (2, "alpha", "a"),    # internal re-post: a loses 1 to itself
+            (3, "beta", "a"),
+            (10, "alpha", "m"),   # mirror copies: lose to a
+            (11, "beta", "m"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in dedup.dedup_loss_by_source(df).collect()}
+    a, m = got["a"], got["m"]
+    assert (a["n_docs"], a["n_kept"], a["n_dropped"], a["n_lost_to_other"]) == (3, 2, 1, 0)
+    assert (m["n_docs"], m["n_kept"], m["n_dropped"], m["n_lost_to_other"]) == (2, 0, 2, 2)
+    assert m["loss_frac"] == 1.0 and abs(a["loss_frac"] - 1 / 3) < 1e-6

@@ -940,3 +940,29 @@ def test_zipf_slope_windows_are_vocab_sized(spark):
     plan = plan_of(text.zipf_slope(docs), "simple")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_lang_confusion_is_single_scan_no_join(spark):
+    """Truth and prediction live in ONE projection — no self-join of
+    corpus vs predictions; the share window runs on the |langs|^2
+    aggregate frame."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.lang_confusion(docs), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_dedup_loss_single_digest_window_no_join(spark):
+    """One digest-partition window exchange + one source aggregate: no
+    join, no distinct pass, one scan."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.dedup_loss_by_source(docs), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2

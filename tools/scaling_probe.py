@@ -83,6 +83,10 @@ PROBES: dict[str, list[str]] = {
         # bounded collect_set state + row-local pair expansion; replica
         # suffixes grow the digest space 10x, the aggregate must absorb it
         "syndication_matrix",
+        # round-8: dedup survivorship — one digest-partition window + one
+        # source aggregate; the winner window must track the digest
+        # volume, never pair anything
+        "dedup_loss_by_source",
     ],
     "similarity": [
         "embedding_topk",
@@ -123,6 +127,9 @@ PROBES: dict[str, list[str]] = {
         # round-8: Zipf fit — wordcount shuffle + vocab-frame rank window;
         # replica token suffixes grow the vocab 10x, the harder case
         "zipf_slope_sources",
+        # round-8: confusion matrix — regexp-count projection + |langs|^2
+        # aggregate; must be flat-linear like lang_id's family peers
+        "lang_confusion_docs",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
