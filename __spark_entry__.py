@@ -6467,7 +6467,10 @@ WITH g AS (
   FROM g
 )
 SELECT count(*) AS n_groups,
-       CAST(sum(w) AS BIGINT) AS total,
+       -- round() first: CAST(DOUBLE AS BIGINT) alone is half-to-EVEN in
+       -- DuckDB (2.5 -> 2) while Spark F.round is half-away (2.5 -> 3);
+       -- round(DOUBLE) here is half-away, matching the operator exactly
+       CAST(round(sum(w)) AS BIGINT) AS total,
        CAST(round(CAST(2.0 * sum(i * w) / (count(*) * sum(w))
             - (count(*) + 1.0) / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS gini,
        CAST(round(CAST(sum(CASE WHEN ri <= 1 THEN w ELSE 0 END) / sum(w)

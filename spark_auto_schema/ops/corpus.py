@@ -687,9 +687,10 @@ def gini_concentration(
     snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        # round() first: Spark's double->long cast truncates while the
-        # DuckDB oracle's CAST AS BIGINT rounds to nearest — identical for
-        # integral weights below 2^53, divergent for fractional ones
+        # round() first: Spark's double->long cast truncates, and DuckDB's
+        # bare CAST(DOUBLE AS BIGINT) is half-to-EVEN — both diverge from
+        # this half-away F.round, so the oracle rounds (half-away) before
+        # its cast too; identical for integral weights below 2^53
         F.round(F.sum("w")).cast("long").alias("total"),
         snapped(
             F.lit(2.0) * F.sum(F.col("i") * F.col("w"))

@@ -1403,6 +1403,39 @@ def cdc_dedup_stats(
     )
 
 
+def _split_words(text_col: str) -> "F.Column":
+    """Non-empty whitespace tokens of a (possibly NULL) text column —
+    the shared tokenization of the token-window operators; the DuckDB
+    oracles replay it as list_filter(string_split(coalesce(...)))."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
+
+
+def _window_positions(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, i, h): every overlapping k-token window's start position and
+    md5 fingerprint, generated ROW-LOCALLY from the split array
+    (sequence + slice + md5 — no token explode).  Documents shorter than
+    ``k`` tokens contribute one whole-document window (the
+    greatest(size-k+1, 1) clamp; slice clamps identically in Spark and
+    DuckDB).  Shared by token_window_dup_coverage and
+    top_repeated_substrings so the clamp, separator, and fingerprint
+    stay in lockstep with each other and with both oracle replays."""
+    words = _split_words(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1)))
+        ).alias("i"),
+        words.alias("__ws"),
+    ).select(
+        "id",
+        "i",
+        F.md5(F.array_join(F.slice(F.col("__ws"), F.col("i"), k), " ")).alias("h"),
+    )
+
+
 def token_window_dup_coverage(
     df: DataFrame,
     k: int = 8,
@@ -1434,19 +1467,7 @@ def token_window_dup_coverage(
     corpus size.  Documents shorter than ``k`` tokens contribute one
     whole-document window (slice clamps identically in Spark and the
     DuckDB oracle)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
-    pos = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1)))
-        ).alias("i"),
-        words.alias("__ws"),
-    ).select(
-        "id",
-        "i",
-        F.md5(F.array_join(F.slice(F.col("__ws"), F.col("i"), k), " ")).alias("h"),
-    )
+    pos = _window_positions(df, k, text_col, id_col)
     hw = Window.partitionBy("h")
     marked = pos.withColumn(
         "__rep", F.min("id").over(hw) != F.max("id").over(hw)
@@ -1503,19 +1524,7 @@ def top_repeated_substrings(
     rides the big shuffle).  Deterministic: ties cut by the fingerprint
     hex, and any exemplar reconstructs the same gram because the
     fingerprint pins the text."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
-    pos = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1)))
-        ).alias("i"),
-        words.alias("__ws"),
-    ).select(
-        "id",
-        "i",
-        F.md5(F.array_join(F.slice(F.col("__ws"), F.col("i"), k), " ")).alias("h"),
-    )
+    pos = _window_positions(df, k, text_col, id_col)
     winners = (
         pos.groupBy("h")
         .agg(
@@ -1527,7 +1536,9 @@ def top_repeated_substrings(
         .orderBy(F.col("n_occurrences").desc(), F.col("h"))
         .limit(top)
     )
-    corpus = df.select(F.col(id_col).alias("id"), words.alias("__ws"))
+    corpus = df.select(
+        F.col(id_col).alias("id"), _split_words(text_col).alias("__ws")
+    )
     return (
         F.broadcast(winners)
         .join(corpus, winners["ex"]["id"] == corpus["id"])
@@ -1545,7 +1556,6 @@ def cross_source_duplication(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Syndication matrix: for every unordered source pair (a < b), how
     many DISTINCT exact contents (md5 digests) appear in both —

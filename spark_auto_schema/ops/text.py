@@ -118,12 +118,12 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: stopword-profile hit counts, argmax with
-    deterministic alphabetical tie-break.
-
-    Returns (id, lang_pred, lang_hits).  One projection, no shuffle.
-    """
+def _lang_pred(text_col: str) -> tuple[Column, Column]:
+    """(prediction, best-hit-count) columns of the stopword-argmax
+    language heuristic, alphabetical tie-break — the ONE definition of
+    the classifier, shared by :func:`language_id` and
+    :func:`lang_confusion` so the confusion matrix can never silently
+    disagree with the classifier it evaluates."""
     t = F.col(text_col)
     hit_cols = {lang: stopword_hits(t, lang) for lang in sorted(STOPWORDS)}
     best = F.greatest(*hit_cols.values())
@@ -131,6 +131,16 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for lang in sorted(STOPWORDS):  # alphabetical order = tie-break
         cond = hit_cols[lang] == best
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return pred, best
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: stopword-profile hit counts, argmax with
+    deterministic alphabetical tie-break.
+
+    Returns (id, lang_pred, lang_hits).  One projection, no shuffle.
+    """
+    pred, best = _lang_pred(text_col)
     return df.select(
         F.col(id_col),
         pred.alias("lang_pred"),
@@ -1132,17 +1142,7 @@ def lang_confusion(
     label-vs-model comparison would do.  One scan, one |langs|^2-row
     hash aggregate, and the row-share window runs over that aggregate
     frame."""
-    t = F.col(text_col)
-    hit_cols = {lang: stopword_hits(t, lang) for lang in sorted(STOPWORDS)}
-    best = F.greatest(*hit_cols.values())
-    pred = None
-    for lang in sorted(STOPWORDS):  # alphabetical tie-break, as language_id
-        cond = hit_cols[lang] == best
-        pred = (
-            F.when(cond, F.lit(lang))
-            if pred is None
-            else pred.when(cond, F.lit(lang))
-        )
+    pred, _ = _lang_pred(text_col)
     counts = (
         df.select(F.col(truth_col).alias("lang_true"), pred.alias("lang_pred"))
         .groupBy("lang_true", "lang_pred")

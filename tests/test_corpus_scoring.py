@@ -521,15 +521,22 @@ def test_filter_funnel_rejects_empty_rules(spark):
 
 
 def test_gini_total_rounds_fractional_weights(spark):
-    """The total column rounds-to-nearest before the long cast (matching
-    the oracle's CAST AS BIGINT) instead of truncating: three 0.9 weights
-    must report total 3, not 2."""
+    """The total column rounds half-AWAY before the long cast (matching
+    the oracle's round()-then-CAST) instead of truncating: three 0.9
+    weights report 3, and an exact .5 tie (2.5, representable in binary)
+    rounds UP to 3 — the case where a bare DuckDB double cast would give
+    banker's 2."""
     from spark_auto_schema.ops import corpus
 
     df = spark.createDataFrame(
         [("a", 0.9), ("b", 0.9), ("c", 0.9)], "source string, w double"
     )
     (row,) = corpus.gini_concentration(df, "source", "w").collect()
+    assert row["total"] == 3
+    tie = spark.createDataFrame(
+        [("a", 1.25), ("b", 1.25)], "source string, w double"
+    )
+    (row,) = corpus.gini_concentration(tie, "source", "w").collect()
     assert row["total"] == 3
 
 

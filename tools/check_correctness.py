@@ -105,7 +105,13 @@ def main() -> int:
             risky = [
                 f.name for f in otbl.schema if pa.types.is_decimal(f.type)
             ]
-            orows = rel.fetchall()
+            # rows come off the SAME materialized Arrow table — rel is a
+            # lazy relation, and a second .fetchall() would re-execute the
+            # whole oracle (2x mirror runtime) and could even check the
+            # schema of one run against the rows of another
+            orows = [
+                tuple(d[c] for c in ocols) for d in otbl.to_pylist()
+            ]
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
             failures += 1
