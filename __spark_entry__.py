@@ -7001,82 +7001,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     silent environment drift (which the local mirror might share) is
     caught.
 
-    Round-8 window (amended per the round-7 verdict): the 21 remaining
-    never-anchored entries (the full r7 backlog tail — debt clears to
-    ZERO this round), the 5 queries whose oracles were fixed this round
-    and MUST re-anchor (fuzzy_match_customers, scd2_lookup_events,
-    mad_outliers_events, table_checksum_orders, text_roundtrip — their
-    r7 rows hash-failed on DuckDB HUGEINT vs Spark int64 result typing;
-    the pre-ordered plan would have deferred their re-anchor to r9+, so
-    they displace 5 stale-r04 entries, policy (b) code-changed), and 24
-    of the 32 stale r04-anchored entries.  Positions 51-100 are the
-    planned r9 window: queries ADDED this round (never-anchored, backlog
-    precedence) first, then the 8 r04 leftovers, then the oldest
-    r05-anchored entries.  Behind them: the r05 remainder, the
-    r06-anchored cohort, and the 45 entries freshly r07-anchored —
-    every query past the window is driver-green on current code r04-r07
-    and stays covered by the local mirror (tools/check_correctness.py)
-    and pytest every round."""
+    WINDOW-INELIGIBLE (per the round-8 verdict): queries with no DuckDB
+    oracle (ROWS_ONLY — the driver can only ever score them
+    ``err: no_oracle``) never occupy positions 1-100; they are parked at
+    the registry tail so every window slot buys a hash-checkable anchor.
+    Their semantics stay pinned by oracle-checked contract twins and the
+    local mirror.
+
+    Round-9 window: executes the pre-order committed in round 8 — the 10
+    round-8 operators (never-anchored, debt stays ZERO), the 8 stale-r04
+    leftovers, then the 32 oldest r05-anchored entries (including
+    ewma_user_values, whose r8 driver-bench flag re-anchors under a fresh
+    timing this round).  Positions 51-100 are the planned r10 window:
+    queries ADDED this round (never-anchored, backlog precedence) first,
+    then the r05-anchored remainder, then the oldest r06-anchored
+    entries.  Behind them: the r06 remainder, the r07 cohort, the 50
+    entries freshly r08-anchored, and finally the two rows-only terminal
+    queries — every query past the window is driver-green on current
+    code r05-r08 and stays covered by the local mirror
+    (tools/check_correctness.py) and pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r8 window: the 21-entry never-anchored backlog (r7 remainder; debt -> 0) ---
-    q["calibration_bins_docs"] = _q_calibration_bins
-    q["binned_roc_docs"] = _q_binned_roc
-    q["transition_matrix_events"] = _q_transition_matrix
-    q["token_entropy_sources"] = _q_token_entropy
-    q["conversation_assembly_events"] = _q_conversation_assembly
-    q["jsonl_inference"] = _q_jsonl_inference
-    q["eval_sample_per_lang"] = _q_eval_sample_per_lang
-    q["bloom_incremental_dedup"] = _q_bloom_incremental_dedup
-    q["bm25_topk_docs"] = _q_bm25_topk
-    q["pagerank_event_types"] = _q_pagerank_event_types
-    q["labeler_kappa_docs"] = _q_labeler_kappa
-    q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
-    q["cdc_dedup_stats"] = _q_cdc_dedup_stats
-    q["waterfill_sources"] = _q_waterfill_sources
-    q["fim_transform_docs"] = _q_fim_transform
-    q["contrastive_negatives"] = _q_contrastive_negatives
-    q["span_corruption_docs"] = _q_span_corruption
-    q["quantile_normalize_docs"] = _q_quantile_normalize
-    q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
-    q["filter_funnel_docs"] = _q_filter_funnel
-    q["gini_source_concentration"] = _q_gini_sources
-    # --- r8 window: re-anchor pins — policy (b), oracle typing fixed this
-    # round after their r7 rows hash-failed (HUGEINT/decimal128 oracle output
-    # vs Spark int64; values matched exactly).  Displace 5 stale-r04 slots. ---
-    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
-    q["scd2_lookup_events"] = _q_scd2_lookup
-    q["mad_outliers_events"] = _q_mad_outliers
-    q["table_checksum_orders"] = _q_table_checksum
-    q["text_roundtrip"] = _q_text_roundtrip
-    # --- r8 window: stale r04-anchored cohort (24 of 32; oldest anchors) ---
-    q["sessionize_events"] = _q_sessionize
-    q["ewma_value_check"] = _q_ewma_value_check
-    q["streaming_window_counts"] = _q_streaming_window_counts
-    q["embedding_quantize"] = _q_quantize_embeddings
-    q["label_centroids"] = _q_label_centroids
-    q["order_priority_check"] = _q_order_priority_check
-    q["volume_shipping"] = _q_volume_shipping
-    q["product_profit"] = _q_product_profit
-    q["returned_items"] = _q_returned_items
-    q["promo_revenue"] = _q_promo_revenue
-    q["top_supplier"] = _q_top_supplier
-    q["parts_supplier_count"] = _q_parts_supplier_count
-    q["small_qty_revenue"] = _q_small_qty_revenue
-    q["large_volume_orders"] = _q_large_volume_orders
-    q["discount_band_revenue"] = _q_discount_band_revenue
-    q["sales_opportunity"] = _q_sales_opportunity
-    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
-    q["simhash_signatures"] = _q_simhash_sigs
-    q["segment_dedup_docs"] = _q_segment_dedup
-    q["ngram_novelty_docs"] = _q_ngram_novelty
-    q["classifier_scores"] = _q_classifier_scores
-    q["profile_docs"] = _q_profile_docs
-    q["corpus_diff_docs"] = _q_corpus_diff
-    q["epoch_shuffle_docs"] = _q_epoch_shuffle
-    # ---- entries below are past the driver's 50-entry window ----
-    # --- planned r9 window head: added this round (never-anchored; backlog
-    # precedence over anchored entries) ---
-    # added round 8 (never-anchored; they head the planned r9 window):
+    # --- r9 window (positions 1-50; executes the pre-order committed in r8):
+    # the 10 round-8 operators (never-anchored), the 8 stale-r04 leftovers,
+    # then the 32 oldest r05-anchored entries ---
     q["nfkc_normalize_docs"] = _q_nfkc_normalize
     q["url_domain_rollup"] = _q_url_domain_rollup
     q["token_window_dedup_docs"] = _q_token_window_dedup
@@ -7087,7 +7034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zipf_slope_sources"] = _q_zipf_slope
     q["lang_confusion_docs"] = _q_lang_confusion
     q["dedup_loss_by_source"] = _q_dedup_loss_by_source
-    # --- planned r9 window: stale r04-anchored leftovers (8) ---
     q["mix_weights_sources"] = _q_mix_weights
     q["materialize_mix_docs"] = _q_materialize_mix
     q["select_token_budget_docs"] = _q_select_token_budget
@@ -7096,8 +7042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_prior_click"] = _q_asof_prior_click
     q["time_bucket_events"] = _q_time_bucket
     q["salted_join_segments"] = _q_salted_join_segments
-    # --- planned r9 window tail + r05-anchored remainder (incl. the
-    # inference flagship + schema core; oldest r05 anchors first) ---
     q["pricing_summary"] = _q_pricing_summary
     q["shipping_priority"] = _q_shipping_priority
     q["local_supplier_volume"] = _q_local_supplier_volume
@@ -7129,8 +7073,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _q_pack_sequences
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["ewma_user_values"] = _q_ewma_user_values
-    for t in _TABLE_KINDS:
-        q[f"infer_{t}"] = _infer_query(t)
+    q["infer_lineitem"] = _infer_query("lineitem")
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- planned r10 window head: queries added in round 9 (never-anchored;
+    # backlog precedence over anchored entries) ---
+    # --- planned r10 window: r05-anchored remainder (oldest anchors first;
+    # rows-only entries are window-INELIGIBLE and parked at the registry
+    # tail) ---
+    q["infer_orders"] = _infer_query("orders")
+    q["infer_events"] = _infer_query("events")
+    q["infer_documents"] = _infer_query("documents")
+    q["infer_customer"] = _infer_query("customer")
+    q["infer_embeddings"] = _infer_query("embeddings")
+    q["infer_part"] = _infer_query("part")
+    q["infer_supplier"] = _infer_query("supplier")
+    q["infer_nation"] = _infer_query("nation")
+    q["infer_region"] = _infer_query("region")
     q["infer_embeddings_native"] = _q_infer_embeddings_native
     q["schema_diff"] = _q_schema_diff
     q["column_ddl"] = _q_column_ddl
@@ -7140,9 +7098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
-    # --- r06-anchored cohort (green in CORRECTNESS_r06 on current code) ---
+    # --- planned r10 window tail + r06-anchored cohort ---
     q["dedup_exact"] = _q_hash_dedup
-    q["simhash_near_dup"] = _q_simhash_neardup
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["dedup_clusters"] = _q_dedup_clusters
     q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
@@ -7191,8 +7148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_pmi"] = _q_bigram_pmi
     q["merge_upsert_orders"] = _q_merge_upsert
     q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
-    # --- r07-anchored cohort (green in CORRECTNESS_r07 on current code;
-    # freshest anchors, so they queue last for rotation) ---
+    # --- r07-anchored cohort ---
     q["skew_profile_events"] = _q_skew_profile
     q["streaming_drift_monitor"] = _q_streaming_drift
     q["merge_insert_only_orders"] = _q_merge_insert_only
@@ -7238,6 +7194,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_ks_monitor"] = _q_streaming_ks_monitor
     q["dq_expectations_orders"] = _q_dq_expectations
     q["heavy_hitters_sketch"] = _q_heavy_hitters
+    # --- r08-anchored cohort (anchored in CORRECTNESS_r08; freshest, so they
+    # queue last for rotation) ---
+    q["calibration_bins_docs"] = _q_calibration_bins
+    q["binned_roc_docs"] = _q_binned_roc
+    q["transition_matrix_events"] = _q_transition_matrix
+    q["token_entropy_sources"] = _q_token_entropy
+    q["conversation_assembly_events"] = _q_conversation_assembly
+    q["jsonl_inference"] = _q_jsonl_inference
+    q["eval_sample_per_lang"] = _q_eval_sample_per_lang
+    q["bloom_incremental_dedup"] = _q_bloom_incremental_dedup
+    q["bm25_topk_docs"] = _q_bm25_topk
+    q["pagerank_event_types"] = _q_pagerank_event_types
+    q["labeler_kappa_docs"] = _q_labeler_kappa
+    q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
+    q["cdc_dedup_stats"] = _q_cdc_dedup_stats
+    q["waterfill_sources"] = _q_waterfill_sources
+    q["fim_transform_docs"] = _q_fim_transform
+    q["contrastive_negatives"] = _q_contrastive_negatives
+    q["span_corruption_docs"] = _q_span_corruption
+    q["quantile_normalize_docs"] = _q_quantile_normalize
+    q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
+    q["filter_funnel_docs"] = _q_filter_funnel
+    q["gini_source_concentration"] = _q_gini_sources
+    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
+    q["scd2_lookup_events"] = _q_scd2_lookup
+    q["mad_outliers_events"] = _q_mad_outliers
+    q["table_checksum_orders"] = _q_table_checksum
+    q["text_roundtrip"] = _q_text_roundtrip
+    q["sessionize_events"] = _q_sessionize
+    q["ewma_value_check"] = _q_ewma_value_check
+    q["streaming_window_counts"] = _q_streaming_window_counts
+    q["embedding_quantize"] = _q_quantize_embeddings
+    q["label_centroids"] = _q_label_centroids
+    q["order_priority_check"] = _q_order_priority_check
+    q["volume_shipping"] = _q_volume_shipping
+    q["product_profit"] = _q_product_profit
+    q["returned_items"] = _q_returned_items
+    q["promo_revenue"] = _q_promo_revenue
+    q["top_supplier"] = _q_top_supplier
+    q["parts_supplier_count"] = _q_parts_supplier_count
+    q["small_qty_revenue"] = _q_small_qty_revenue
+    q["large_volume_orders"] = _q_large_volume_orders
+    q["discount_band_revenue"] = _q_discount_band_revenue
+    q["sales_opportunity"] = _q_sales_opportunity
+    q["cheapest_part_per_type"] = _q_cheapest_part_per_type
+    q["segment_dedup_docs"] = _q_segment_dedup
+    q["ngram_novelty_docs"] = _q_ngram_novelty
+    q["classifier_scores"] = _q_classifier_scores
+    q["profile_docs"] = _q_profile_docs
+    q["corpus_diff_docs"] = _q_corpus_diff
+    q["epoch_shuffle_docs"] = _q_epoch_shuffle
+    # --- rows-only terminal queries (no DuckDB oracle possible: xxhash64
+    # signatures; driver scores them err:no_oracle, so they are permanently
+    # window-ineligible — semantics pinned by oracle-checked contract twins
+    # simhash_md5_near_dup / simhash_pigeonhole_check / simhash_determinism) ---
+    q["simhash_signatures"] = _q_simhash_sigs
+    q["simhash_near_dup"] = _q_simhash_neardup
     return q
 
 def oracle_sql() -> dict[str, str]:

@@ -40,32 +40,30 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r8 rotation (amended per the round-7 verdict): the 21-entry
-    # never-anchored backlog remainder (debt -> 0), the 5 re-anchor pins
-    # whose oracles' HUGEINT typing was fixed this round (policy (b) —
-    # their r7 rows hash-failed, so waiting for the pre-ordered rotation
-    # would defer the re-anchor to r9+), and 24 stale-r04 entries
+    # r9 rotation: executes the pre-order committed in round 8 — the 10
+    # round-8 operators (never-anchored), the 8 stale-r04 leftovers, then
+    # the 32 oldest r05-anchored entries
     for member in (
-        "calibration_bins_docs",      # backlog head
-        "token_entropy_sources",      # backlog + latent oracle fix
-        "filter_funnel_docs",         # backlog + latent oracle fix
-        "gini_source_concentration",  # 21st (last backlog slot)
-        "fuzzy_match_customers",      # re-anchor pin (r7 hash-fail)
-        "scd2_lookup_events",         # re-anchor pin (r7 hash-fail)
-        "mad_outliers_events",        # re-anchor pin (r7 hash-fail)
-        "table_checksum_orders",      # re-anchor pin (r7 hash-fail)
-        "text_roundtrip",             # re-anchor pin (r7 hash-fail)
-        "sessionize_events",          # stale-r04 cohort head
-        "epoch_shuffle_docs",         # 24th stale-r04 slot
+        "nfkc_normalize_docs",        # r8-op backlog head
+        "dedup_loss_by_source",       # 10th r8 op
+        "mix_weights_sources",        # stale-r04 leftover head
+        "salted_join_segments",       # 8th r04 leftover
+        "pricing_summary",            # oldest r05 cohort head
+        "ewma_user_values",           # r8 bench-flag re-anchor (pos 49)
+        "infer_lineitem",             # 32nd r05 slot
     ):
         assert member in window, member
-    # displaced by the 5 pins: the 8 youngest stale-r04 entries queue for
-    # r9 instead; freshly r07-anchored entries never re-enter
+    # freshly r08-anchored entries never re-enter; rows-only queries are
+    # permanently window-INELIGIBLE (driver can only score err:no_oracle)
     for rotated_out in (
-        "mix_weights_sources", "error_events", "salted_join_segments",
-        "skew_profile_events", "leakage_safe_split", "heavy_hitters_sketch",
+        "calibration_bins_docs", "fuzzy_match_customers",
+        "sessionize_events", "epoch_shuffle_docs",
     ):
         assert rotated_out not in window, rotated_out
+    assert not (ROWS_ONLY & set(qs[:100])), (
+        "rows-only queries burn a window slot the driver can only score "
+        "err:no_oracle — park them at the registry tail"
+    )
 
 
 def test_driver_window_utilization():
@@ -93,12 +91,14 @@ def test_driver_window_utilization():
     )
 
 
-def test_planned_r9_window_composition():
-    """Positions 51-100 are the PLANNED r9 window (see the queries()
-    docstring): every entry there must be never-driver-anchored (round-8
-    additions) or anchored no later than r05 (the stale cohort) — i.e.
-    next round's rotation is already encoded and a drive-by registry edit
-    can't silently push debt or stale anchors past it."""
+def test_planned_r10_window_composition():
+    """Positions 51-100 are the PLANNED r10 window (see the queries()
+    docstring): every entry there must be never-driver-anchored (round-9
+    additions) or anchored no later than r06 (the oldest remaining
+    cohorts) — i.e. next round's rotation is already encoded and a
+    drive-by registry edit can't silently push debt or stale anchors
+    past it.  Rows-only queries are excluded from positions 1-100
+    entirely (asserted in test_registry_size_and_window)."""
     import json
 
     root = Path(__file__).resolve().parent.parent
@@ -110,9 +110,9 @@ def test_planned_r9_window_composition():
     qs = list(entry.queries())
     planned = qs[50:100]
     assert len(planned) == 50
-    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "05"}
+    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "06"}
     assert not bad, (
-        f"planned r9 window holds fresh-anchored entries {bad} — move them "
+        f"planned r10 window holds fresh-anchored entries {bad} — move them "
         "behind position 100 and pull debt/stale entries forward"
     )
 
