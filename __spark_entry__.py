@@ -6591,7 +6591,7 @@ WITH dec AS (
              '{text._NFKC_EXPAND[0][0]}', '{text._NFKC_EXPAND[0][1]}', 'g'),
              '{text._NFKC_EXPAND[1][0]}', '{text._NFKC_EXPAND[1][1]}', 'g'),
              '{text._NFKC_EXPAND[2][0]}', '{text._NFKC_EXPAND[2][1]}', 'g'),
-           '\\s+', ' ', 'g')) AS tn
+           '{text._NFKC_WS_RUN_RE}', ' ', 'g')) AS tn
   FROM dec
 )
 SELECT doc_id, length(t) AS raw_len, length(tn) AS norm_len,

@@ -1493,7 +1493,9 @@ def token_window_dup_coverage(
     return per_run.groupBy("id").agg(
         F.sum("n_all").alias("n_windows"),
         F.sum("n_rep").alias("n_dup_windows"),
-        F.round(F.sum("n_rep") / F.sum("n_all"), 4).alias("dup_frac"),
+        F.round(
+            (F.sum("n_rep") / F.sum("n_all")).cast("decimal(18,12)"), 4
+        ).cast("double").alias("dup_frac"),
         F.max("n_rep").cast("long").alias("max_dup_run"),
     ).withColumnRenamed("id", id_col)
 

@@ -55,6 +55,11 @@ _NFKC_EXPAND: tuple[tuple[str, str], ...] = (
     ("\ufb01", "fi"),
     ("\ufb02", "fl"),
 )
+# whitespace-run collapse class, EXPLICIT rather than \s: Java \s includes
+# U+000B vertical tab while DuckDB's RE2 \s does not, so a \s-based oracle
+# match would be corpus-content-dependent (round-8 advice).  Both engines
+# interpret this exact class string identically.
+_NFKC_WS_RUN_RE = r"[ \t\n\f\r\x0B]+"
 
 # chars-per-BPE-token proxy for tokenizer_fertility: ceil(len(word)/4)
 # subword units per word — the published ~4-chars/token English heuristic
@@ -923,7 +928,7 @@ def normalize_text(
     t = F.translate(t, _NFKC_FROM, _NFKC_TO)
     for src, repl in _NFKC_EXPAND:
         t = F.regexp_replace(t, src, repl)
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    t = F.trim(F.regexp_replace(t, _NFKC_WS_RUN_RE, " "))
     return df.withColumn(out, t)
 
 
