@@ -2004,8 +2004,8 @@ WITH pos AS (
 ), rep AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT id) >= 2)
 SELECT id AS doc_id, count(*) AS n_grams,
        count(CASE WHEN rep.g IS NOT NULL THEN 1 END) AS n_dup_grams,
-       round(count(CASE WHEN rep.g IS NOT NULL THEN 1 END) / count(*), 4)
-           AS dup_frac
+       CAST(round(CAST(count(CASE WHEN rep.g IS NOT NULL THEN 1 END) / count(*)
+                       AS DECIMAL(18,12)), 4) AS DOUBLE) AS dup_frac
 FROM pos LEFT JOIN rep ON pos.g = rep.g
 GROUP BY id
 """
@@ -6174,14 +6174,14 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency query; the output contract is a frequency THRESHOLD, not a
     top-k cut, so boundary ties cannot depend on sketch ordering.
 
-    Scale ceiling of THIS call site: the op's error-bound guard raises
-    once min_count <= 3.5*T/max_items_tracked, i.e. min_count=500 with
-    the default 10k capacity stops being provable past T ~= 1.43M total
-    tokens (sf0.1 documents carry ~0.4M).  Growing sf_dir past that
-    needs max_items_tracked (or min_count) raised HERE, in proportion to
-    corpus size; the 3.5*T/M bound is conservative-approximate (Spark
-    sizes the sketch's internal map from maxItemsTracked with its own
-    rounding), so the guard fires early, never late."""
+    Capacity is DERIVED (max_items_tracked=None): the op sizes the
+    sketch as 2*ceil(3.5*T/min_count) from a cheap token count, so this
+    call site keeps its exactness guarantee at ANY sf_dir instead of
+    hard-erroring past the old fixed 10k capacity's ~1.43M-token ceiling
+    (round-8 verdict).  At 100 TB the extra counting pass is avoided by
+    passing corpus_tokens_hint from an already-profiled count; the
+    3.5*T/M bound stays conservative-approximate, so the in-plan guard
+    still fires early, never late."""
     return text.heavy_hitters_sketch(
         read_table(spark, sf_dir, "documents"), min_count=500
     )
@@ -6616,8 +6616,11 @@ def _q_url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://")
         ),
         F.col("source"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(".Example.CO.UK"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(".example.com"))
+        F.when(F.col("doc_id") % 6 == 0, F.lit(".Example.CO.UK"))
+        .when(F.col("doc_id") % 6 == 1, F.lit(".example.com"))
+        .when(F.col("doc_id") % 6 == 2, F.lit(".mysite.GitHub.IO"))
+        .when(F.col("doc_id") % 6 == 3, F.lit(".District.K12.CA.US"))
+        .when(F.col("doc_id") % 6 == 4, F.lit(".shop.example.COM.CN"))
         .otherwise(F.lit(".example.org")),
         F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/Docs/"),
@@ -6644,8 +6647,11 @@ _URL_ROLLUP_SQL = f"""
 WITH u AS (
   SELECT CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END
          || source ||
-         CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
-              WHEN doc_id % 3 = 1 THEN '.example.com'
+         CASE WHEN doc_id % 6 = 0 THEN '.Example.CO.UK'
+              WHEN doc_id % 6 = 1 THEN '.example.com'
+              WHEN doc_id % 6 = 2 THEN '.mysite.GitHub.IO'
+              WHEN doc_id % 6 = 3 THEN '.District.K12.CA.US'
+              WHEN doc_id % 6 = 4 THEN '.shop.example.COM.CN'
               ELSE '.example.org' END ||
          CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
          '/Docs/' || CAST(doc_id AS VARCHAR) ||
@@ -6676,7 +6682,11 @@ WITH u AS (
            q -> length(q) > 0 AND NOT starts_with(q, 'utm_'))), '&') AS params
   FROM hp
 ), reg AS (
-  SELECT CASE WHEN len(labels) >= 3
+  SELECT CASE WHEN len(labels) >= 4
+                   AND (labels[-3] || '.' || labels[-2] || '.' || labels[-1]) IN
+                       ({", ".join("'" + s + "'" for s in text.THREE_LEVEL_SUFFIXES)})
+              THEN labels[-4] || '.' || labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              WHEN len(labels) >= 3
                    AND (labels[-2] || '.' || labels[-1]) IN
                        ({", ".join("'" + s + "'" for s in text.TWO_LEVEL_SUFFIXES)})
               THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
@@ -6728,7 +6738,8 @@ WITH ws AS (
 )
 SELECT m.id AS doc_id, count(*) AS n_windows,
        CAST(sum(CASE WHEN m.rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-       round(sum(CASE WHEN m.rep THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac,
+       CAST(round(CAST(sum(CASE WHEN m.rep THEN 1 ELSE 0 END) / count(*)
+                       AS DECIMAL(18,12)), 4) AS DOUBLE) AS dup_frac,
        CAST(coalesce(max(r.max_run), 0) AS BIGINT) AS max_dup_run
 FROM marked m LEFT JOIN runs r ON m.id = r.id
 GROUP BY m.id
@@ -6783,15 +6794,19 @@ def _q_topic_share_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine assignment (the semantic_dedup quantizer), then the k-row
     rollup."""
     return similarity.topic_shares(
-        read_table(spark, sf_dir, "embeddings"), nlist=16
+        read_table(spark, sf_dir, "embeddings"), nlist=_TOPIC_SHARE_NLIST
     )
 
 
-_TOPIC_SHARE_SQL = """
+# single source of truth for the query AND its oracle (round-8 advice: the
+# oracle hardcoded 16 while the op took a parameter)
+_TOPIC_SHARE_NLIST = 16
+
+_TOPIC_SHARE_SQL = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
          embedding AS cvec
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_TOPIC_SHARE_NLIST}
 ), scored AS (
   SELECT e.vec_id, c.cid,
          list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
@@ -6807,7 +6822,7 @@ WITH cents AS (
 ), tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM counts)
 SELECT cluster, n_vecs,
        CAST(round(CAST(n_vecs / n_total AS DECIMAL(18,12)), 6) AS DOUBLE) AS share,
-       CAST(round(CAST(n_vecs * 16 / n_total AS DECIMAL(18,12)), 6) AS DOUBLE)
+       CAST(round(CAST(n_vecs * {_TOPIC_SHARE_NLIST} / n_total AS DECIMAL(18,12)), 6) AS DOUBLE)
          AS balance_ratio,
        CAST(row_number() OVER (ORDER BY n_vecs DESC, cluster) AS INT) AS share_rank
 FROM counts, tot
@@ -7010,9 +7025,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-9 window: executes the pre-order committed in round 8 — the 10
     round-8 operators (never-anchored, debt stays ZERO), the 8 stale-r04
-    leftovers, then the 32 oldest r05-anchored entries (including
+    leftovers, then the 30 oldest r05-anchored entries (including
     ewma_user_values, whose r8 driver-bench flag re-anchors under a fresh
-    timing this round).  Positions 51-100 are the planned r10 window:
+    timing this round), plus two policy-(b) pins whose code changed this
+    round: repeated_ngram_coverage (dup_frac snapped through decimal on
+    both sides) and heavy_hitters_sketch (capacity now corpus-derived) —
+    displacing the two youngest r05 slots (infer_lineitem,
+    minhash_dup_pairs).  Positions 51-100 are the planned r10 window:
     queries ADDED this round (never-anchored, backlog precedence) first,
     then the r05-anchored remainder, then the oldest r06-anchored
     entries.  Behind them: the r06 remainder, the r07 cohort, the 50
@@ -7071,15 +7090,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["salted_event_counts"] = _q_salted_event_counts
     q["weighted_sample_docs"] = _q_weighted_sample
     q["pack_sequences"] = _q_pack_sequences
-    q["minhash_dup_pairs"] = _q_minhash_pairs
     q["ewma_user_values"] = _q_ewma_user_values
-    q["infer_lineitem"] = _infer_query("lineitem")
+    # policy (b) re-anchor pins (code changed this round; displace the two
+    # youngest r05 slots, infer_lineitem + minhash_dup_pairs -> r05
+    # remainder head): dup_frac snapped through DECIMAL(18,12) on both
+    # sides (the round-8-advice latent divergence class), and the
+    # heavy-hitters sketch capacity now derived from corpus size
+    q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
+    q["heavy_hitters_sketch"] = _q_heavy_hitters
     # ---- entries below are past the driver's 50-entry window ----
     # --- planned r10 window head: queries added in round 9 (never-anchored;
     # backlog precedence over anchored entries) ---
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
+    q["infer_lineitem"] = _infer_query("lineitem")
+    q["minhash_dup_pairs"] = _q_minhash_pairs
     q["infer_orders"] = _infer_query("orders")
     q["infer_events"] = _infer_query("events")
     q["infer_documents"] = _infer_query("documents")
@@ -7102,7 +7128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _q_hash_dedup
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["dedup_clusters"] = _q_dedup_clusters
-    q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
     q["contamination_check"] = _q_contamination
     q["incremental_dedup"] = _q_incremental_dedup
     q["incremental_near_dedup"] = _q_incremental_near_dedup
@@ -7193,7 +7218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["correlation_matrix_lineitem"] = _q_correlation_matrix
     q["streaming_ks_monitor"] = _q_streaming_ks_monitor
     q["dq_expectations_orders"] = _q_dq_expectations
-    q["heavy_hitters_sketch"] = _q_heavy_hitters
     # --- r08-anchored cohort (anchored in CORRECTNESS_r08; freshest, so they
     # queue last for rotation) ---
     q["calibration_bins_docs"] = _q_calibration_bins

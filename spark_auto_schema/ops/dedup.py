@@ -537,8 +537,10 @@ def repeated_ngram_coverage(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.col("__rep").cast("long")).alias("n_dup_grams"),
             F.round(
-                F.sum(F.col("__rep").cast("long")) / F.count(F.lit(1)), 4
-            ).alias("dup_frac"),
+                (F.sum(F.col("__rep").cast("long")) / F.count(F.lit(1)))
+                .cast("decimal(18,12)"),
+                4,
+            ).cast("double").alias("dup_frac"),
         )
     rep = (
         pos.groupBy("g")
@@ -557,8 +559,10 @@ def repeated_ngram_coverage(
             "n_grams",
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
             F.round(
-                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 4
-            ).alias("dup_frac"),
+                (F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"))
+                .cast("decimal(18,12)"),
+                4,
+            ).cast("double").alias("dup_frac"),
         )
     )
 

@@ -1007,6 +1007,12 @@ def topic_shares(
         cents = [
             (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
         ]
+        if len(cents) != nlist:
+            raise ValueError(
+                f"topic_shares: table has only {len(cents)} rows, fewer "
+                f"than nlist={nlist} — pass trained `cents` or lower nlist "
+                "(silently sampling fewer would skew balance_ratio)"
+            )
     lit = _centroid_literal(cents)
     vn = norm(F.col(vec_col))
     scored = F.transform(

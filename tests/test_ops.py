@@ -1148,6 +1148,55 @@ def test_canonicalize_urls_semantics(spark):
     assert got[6]["url_canon"] == ""
 
 
+def test_canonicalize_urls_psl_edge_cases(spark):
+    """The widened public-suffix data (round-8 verdict): ccTLD
+    second-level registries, US state + k12 three-level suffixes
+    (longest suffix wins), PSL private-section hosts (each subdomain an
+    independent registrant), and the suffixes= injection parameter for
+    production PSL ingestion."""
+    cases = [
+        # (host, expected registered_domain)
+        ("shop.taobao.com.cn", "taobao.com.cn"),
+        ("news.naver.co.kr", "naver.co.kr"),
+        ("tienda.algo.com.mx", "algo.com.mx"),
+        ("a.b.co.jp", "b.co.jp"),
+        ("portal.gob.mx", "portal.gob.mx"),       # gob.mx needs 3 labels
+        ("foo.github.io", "foo.github.io"),        # private: subdomain = site
+        ("bar.github.io", "bar.github.io"),
+        ("github.io", "github.io"),                # bare suffix = itself
+        ("me.blogspot.com", "me.blogspot.com"),
+        ("x.herokuapp.com", "x.herokuapp.com"),
+        ("school.k12.ca.us", "school.k12.ca.us"),  # bare 3-level+1... 4 labels
+        ("www2.school.k12.ca.us", "school.k12.ca.us"),  # longest suffix wins
+        ("city.ca.us", "city.ca.us"),              # state 2-level suffix
+        ("a.city.ca.us", "city.ca.us"),
+        ("lib.tx.us", "lib.tx.us"),                # 3 labels < 4: falls to tx.us rule
+        ("deep.a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, (h, _) in enumerate(cases)],
+        "id long, url string",
+    )
+    got = {r["id"]: r["registered_domain"]
+           for r in text.canonicalize_urls(df).collect()}
+    for i, (host, want) in enumerate(cases):
+        assert got[i] == want, f"{host}: got {got[i]}, want {want}"
+    # suffixes= injection: a caller-supplied PSL replaces the module data
+    inj = text.canonicalize_urls(
+        spark.createDataFrame(
+            [(1, "https://a.b.custom.tld/"), (2, "https://x.github.io/")],
+            "id long, url string",
+        ),
+        suffixes=["custom.tld"],
+    ).collect()
+    by_id = {r["id"]: r["registered_domain"] for r in inj}
+    assert by_id[1] == "b.custom.tld"
+    # github.io is NOT in the injected list, so the generic 2-label rule
+    assert by_id[2] == "github.io"
+
+
 def test_canonicalize_urls_idempotent_on_canonical_form(spark):
     """Re-canonicalizing url_canon is a fixed point: host/domain/canon
     survive a second pass unchanged."""

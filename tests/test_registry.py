@@ -50,7 +50,7 @@ def test_registry_size_and_window():
         "salted_join_segments",       # 8th r04 leftover
         "pricing_summary",            # oldest r05 cohort head
         "ewma_user_values",           # r8 bench-flag re-anchor (pos 49)
-        "infer_lineitem",             # 32nd r05 slot
+        "repeated_ngram_coverage",    # policy-(b) pin: dup_frac snap changed
     ):
         assert member in window, member
     # freshly r08-anchored entries never re-enter; rows-only queries are

@@ -108,7 +108,15 @@ def main() -> int:
             # rows come off the SAME materialized Arrow table — rel is a
             # lazy relation, and a second .fetchall() would re-execute the
             # whole oracle (2x mirror runtime) and could even check the
-            # schema of one run against the rows of another
+            # schema of one run against the rows of another.  to_pylist()
+            # keys rows by column NAME, so a duplicate-named oracle column
+            # would silently compare one value twice — refuse it up front
+            # (the old positional fetchall path could not alias this way).
+            if len(set(ocols)) != len(ocols):
+                raise ValueError(
+                    f"oracle emits duplicate column names {ocols} — alias "
+                    "every column uniquely"
+                )
             orows = [
                 tuple(d[c] for c in ocols) for d in otbl.to_pylist()
             ]
