@@ -7000,6 +7000,62 @@ SELECT source, count(*) AS n_docs,
 FROM w GROUP BY 1
 """
 
+
+# ---------------------------------------------------------------------------
+# round-9 operators
+# ---------------------------------------------------------------------------
+
+
+def _q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure rollup (`ops/text.py` pii_density): plant
+    deterministic synthetic PII — an email on every 3rd document, a
+    formatted phone number on every 5th — then roll match counts,
+    documents-with-any-PII, and matches-per-1,000-chars up to source
+    granularity.  The oracle rebuilds the same decorated text and replays
+    both regexes via regexp_extract_all."""
+    d = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"), F.lpad(sid, 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return text.pii_density(d.select(F.col("source"), t.alias("text")))
+
+
+_PII_DENSITY_SQL = f"""
+WITH dec AS (
+  SELECT source,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+  FROM documents
+), m AS (
+  SELECT source AS grp,
+         len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS e,
+         len(regexp_extract_all(t, '{text.PHONE_RE}')) AS p,
+         length(t) AS c
+  FROM dec
+)
+SELECT grp, count(*) AS n_docs,
+       CAST(sum(CASE WHEN e + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(round(CAST(1000.0 * (sum(e) + sum(p)) / sum(c) AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS pii_per_kchar
+FROM m GROUP BY 1
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7101,6 +7157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- entries below are past the driver's 50-entry window ----
     # --- planned r10 window head: queries added in round 9 (never-anchored;
     # backlog precedence over anchored entries) ---
+    q["pii_density_sources"] = _q_pii_density
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7455,6 +7512,7 @@ def oracle_sql() -> dict[str, str]:
     o["conversation_assembly_events"] = _CONVERSATION_ASSEMBLY_SQL
     o["text_roundtrip"] = _TEXT_ROUNDTRIP_SQL
     o["nfkc_normalize_docs"] = _NFKC_NORMALIZE_SQL
+    o["pii_density_sources"] = _PII_DENSITY_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

@@ -1290,3 +1290,52 @@ def lang_confusion(
         "n",
         snapped(F.col("n") / row_total).alias("row_frac"),
     )
+
+
+def pii_density(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group PII exposure rollup over the :func:`redact_pii` regexes
+    (EMAIL_RE / PHONE_RE): ``(grp, n_docs, n_docs_with_pii, n_emails,
+    n_phones, pii_per_kchar)`` — match counts, the count of documents
+    carrying ANY match, and matches per 1,000 characters snapped to 6
+    decimals.
+
+    The governance dial that decides where redaction effort goes:
+    per-document redact_pii tells you WHAT to scrub, this tells you WHICH
+    SOURCES leak — a crawl slice whose pii_per_kchar ticks up across
+    snapshots is the first signal a new site template started exposing
+    contact data, long before any per-doc review.
+
+    Scale: the two regexp_count calls are per-row JVM projections
+    pipelined inside the scan (same profile as redact_pii — no Python,
+    no pre-shuffle); the only exchange is the |groups|-row hash
+    aggregate, map-side combined.  Output and state are O(sources)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ne = F.regexp_count(t, F.lit(EMAIL_RE))
+    np_ = F.regexp_count(t, F.lit(PHONE_RE))
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            ne.alias("__e"),
+            np_.alias("__p"),
+            F.length(t).alias("__c"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(((F.col("__e") + F.col("__p")) > 0).cast("long")).alias(
+                "n_docs_with_pii"
+            ),
+            F.sum("__e").cast("long").alias("n_emails"),
+            F.sum("__p").cast("long").alias("n_phones"),
+            snapped(
+                F.lit(1000.0)
+                * (F.sum("__e") + F.sum("__p"))
+                / F.sum("__c")
+            ).alias("pii_per_kchar"),
+        )
+    )

@@ -284,6 +284,31 @@ def test_redact_pii(spark):
     assert row["n_phones"] == 1
 
 
+def test_pii_density_rollup_law(spark):
+    """Per-source counts equal the hand-computed sums; a clean source
+    reports zero density; docs-with-pii counts documents, not matches."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", "mail bob@example.com and sue@example.com today"),
+            (2, "a", "call +1 (555) 123-4567 now"),
+            (3, "a", "nothing here"),
+            (4, "b", "clean text only"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["grp"]: r for r in text.pii_density(df).collect()}
+    a = got["a"]
+    assert (a["n_docs"], a["n_docs_with_pii"]) == (3, 2)
+    assert (a["n_emails"], a["n_phones"]) == (2, 1)
+    chars = sum(len(t) for t in
+                ("mail bob@example.com and sue@example.com today",
+                 "call +1 (555) 123-4567 now", "nothing here"))
+    assert a["pii_per_kchar"] == round(1000.0 * 3 / chars, 6)
+    b = got["b"]
+    assert (b["n_docs_with_pii"], b["n_emails"], b["n_phones"],
+            b["pii_per_kchar"]) == (0, 0, 0, 0.0)
+
+
 def test_repetition_ratio_bounds(spark):
     df = spark.createDataFrame(
         [

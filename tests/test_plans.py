@@ -966,3 +966,17 @@ def test_dedup_loss_single_digest_window_no_join(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_pii_density_single_scan_single_aggregate(spark):
+    """The regexp counts are per-row projections pipelined inside the
+    scan; the only exchange is the |sources|-row hash aggregate — no
+    join, no second scan (round-9 op)."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.pii_density(docs), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

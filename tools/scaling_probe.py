@@ -130,6 +130,9 @@ PROBES: dict[str, list[str]] = {
         # round-8: confusion matrix — regexp-count projection + |langs|^2
         # aggregate; must be flat-linear like lang_id's family peers
         "lang_confusion_docs",
+        # round-9: PII rollup — two regexp_count projections + one
+        # |sources|-row aggregate; must be flat-linear
+        "pii_density_sources",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
