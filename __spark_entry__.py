@@ -7056,6 +7056,48 @@ SELECT grp, count(*) AS n_docs,
 FROM m GROUP BY 1
 """
 
+
+def _q_lm_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source smoothed unigram-LM KL divergence vs the corpus
+    (`ops/text.py` lm_kl_divergence): the corpus-shape drift sentinel.
+    The oracle replays the identical seen/unseen closed-form split — the
+    full |sources| x |vocab| sum reduced to per-source scalars — from the
+    same (group, term) count frame."""
+    return text.lm_kl_divergence(read_table(spark, sf_dir, "documents"))
+
+
+_LM_KL_SQL = """
+WITH tk AS (
+  SELECT source AS grp, w
+  FROM (SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+), sc AS (
+  SELECT grp, w, count(*) AS cs FROM tk GROUP BY 1, 2
+), cc AS (
+  SELECT w, CAST(sum(cs) AS BIGINT) AS c FROM sc GROUP BY 1
+), scal AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n_corpus, CAST(count(*) AS DOUBLE) AS v,
+         sum(ln(c + 1)) AS l_corpus
+  FROM cc
+), per AS (
+  SELECT grp, CAST(sum(cs) AS DOUBLE) AS ns, CAST(count(*) AS DOUBLE) AS vs,
+         sum((cs + 1) * ln(cs + 1)) AS a,
+         sum((cs + 1) * ln(c + 1)) AS cterm,
+         sum(ln(c + 1)) AS e
+  FROM sc JOIN cc USING (w) GROUP BY 1
+)
+SELECT grp, CAST(ns AS BIGINT) AS n_tokens, CAST(vs AS BIGINT) AS vocab_seen,
+       CAST(round(CAST(
+         (a - (ns + vs) * ln(ns + v) - cterm + (ns + vs) * ln(n_corpus + v))
+           / (ns + v)
+         + (-(v - vs) * ln(ns + v)
+            - ((l_corpus - v * ln(n_corpus + v)) - (e - vs * ln(n_corpus + v))))
+           / (ns + v)
+       AS DECIMAL(18,10)), 4) AS DOUBLE) AS kl_nats
+FROM per, scal
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7158,6 +7200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- planned r10 window head: queries added in round 9 (never-anchored;
     # backlog precedence over anchored entries) ---
     q["pii_density_sources"] = _q_pii_density
+    q["lm_kl_sources"] = _q_lm_kl
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7513,6 +7556,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_roundtrip"] = _TEXT_ROUNDTRIP_SQL
     o["nfkc_normalize_docs"] = _NFKC_NORMALIZE_SQL
     o["pii_density_sources"] = _PII_DENSITY_SQL
+    o["lm_kl_sources"] = _LM_KL_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

@@ -1339,3 +1339,81 @@ def pii_density(
             ).alias("pii_per_kchar"),
         )
     )
+
+
+def lm_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus-shape drift: KL(source || corpus) between add-one
+    smoothed unigram language models, over the full corpus vocabulary —
+    ``(grp, n_tokens, vocab_seen, kl_nats)`` with the divergence snapped
+    to 4 decimals (ln involved).  With ``p_s(w) = (c_s(w)+1)/(N_s+V)``
+    and ``p_c(w) = (c(w)+1)/(N+V)``, a source whose KL ticks up between
+    snapshots changed its token DISTRIBUTION even if its volume and
+    entropy held still — the mixture-drift sentinel the DSIR importance
+    weights build on, per snapshot instead of per document.
+
+    The naive sum runs over |sources| x |vocab| pairs (every source must
+    account for vocabulary it never uses).  This implementation needs no
+    such expansion: splitting the sum into seen and unseen terms makes
+    the unseen part a CLOSED FORM of per-source scalars —
+
+        KL = [A - B*ln(D) - C + B*ln(N+V)] / D                  (seen)
+           + [-(V - V_s)*ln(D) - (S_all - S_seen)] / D          (unseen)
+
+    with A = sum (c_s+1)ln(c_s+1), B = N_s+V_s, C = sum (c_s+1)ln(c+1),
+    E = sum ln(c+1) over SEEN words only, D = N_s+V,
+    S_seen = E - V_s*ln(N+V), S_all = L - V*ln(N+V), and (N, V, L) one
+    broadcast corpus scalar row (L = sum ln(c+1) over the vocabulary).
+
+    Scale: one (group, term) wordcount shuffle; corpus term counts derive
+    from it by a second vocabulary-sized aggregate (no second corpus
+    scan); the join is vocabulary-sized on term; the scalar frame is one
+    broadcast row.  Nothing downstream of the first aggregate ever
+    touches corpus-sized data."""
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "w"
+        ),
+    ).where(F.length("w") > 0)
+    # persisted: the (group, term) frame feeds the per-source branch AND
+    # derives the corpus counts — without the cache Catalyst would re-run
+    # the corpus token scan once per consumer (3 scans of 100 TB)
+    sc = _persist(tok.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cs")))
+    cc = sc.groupBy("w").agg(F.sum("cs").alias("c"))
+    scalars = cc.agg(
+        F.sum("c").cast("double").alias("n_corpus"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(F.log(F.col("c") + 1)).alias("l_corpus"),
+    )
+    joined = sc.join(cc, "w")
+    per_src = joined.groupBy("grp").agg(
+        F.sum("cs").cast("double").alias("ns"),
+        F.count(F.lit(1)).cast("double").alias("vs"),
+        F.sum((F.col("cs") + 1) * F.log(F.col("cs") + 1)).alias("a"),
+        F.sum((F.col("cs") + 1) * F.log(F.col("c") + 1)).alias("cterm"),
+        F.sum(F.log(F.col("c") + 1)).alias("e"),
+    )
+    out = per_src.crossJoin(F.broadcast(scalars))
+    d = F.col("ns") + F.col("v")
+    b = F.col("ns") + F.col("vs")
+    ln_nv = F.log(F.col("n_corpus") + F.col("v"))
+    seen = (
+        F.col("a") - b * F.log(d) - F.col("cterm") + b * ln_nv
+    ) / d
+    s_seen = F.col("e") - F.col("vs") * ln_nv
+    s_all = F.col("l_corpus") - F.col("v") * ln_nv
+    unseen = (
+        -(F.col("v") - F.col("vs")) * F.log(d) - (s_all - s_seen)
+    ) / d
+    return out.select(
+        "grp",
+        F.col("ns").cast("long").alias("n_tokens"),
+        F.col("vs").cast("long").alias("vocab_seen"),
+        F.round((seen + unseen).cast("decimal(18,10)"), 4)
+        .cast("double")
+        .alias("kl_nats"),
+    )

@@ -1399,3 +1399,41 @@ def test_dedup_loss_by_source_survivorship(spark):
     assert (a["n_docs"], a["n_kept"], a["n_dropped"], a["n_lost_to_other"]) == (3, 2, 1, 0)
     assert (m["n_docs"], m["n_kept"], m["n_dropped"], m["n_lost_to_other"]) == (2, 0, 2, 2)
     assert m["loss_frac"] == 1.0 and abs(a["loss_frac"] - 1 / 3) < 1e-6
+
+
+def test_lm_kl_divergence_laws(spark):
+    """KL is ~0 for a source distributed like the corpus, positive for a
+    skewed one, and matches a brute-force |vocab|-sum reference computed
+    in Python on the same smoothed models."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = [
+        (1, "even", " ".join(["x y z w"] * 10)),
+        (2, "even", " ".join(["x y z w"] * 10)),
+        (3, "skew", " ".join(["x"] * 12)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["grp"]: r for r in text.lm_kl_divergence(df).collect()}
+
+    toks = [(s, w) for _, s, t in rows for w in t.split()]
+    cc = Counter(w for _, w in toks)
+    v, n = len(cc), sum(cc.values())
+    per = defaultdict(Counter)
+    for s, w in toks:
+        per[s][w] += 1
+
+    def brute(s):
+        cs = per[s]
+        d = sum(cs.values()) + v
+        return sum(
+            ((cs.get(w, 0) + 1) / d)
+            * math.log(((cs.get(w, 0) + 1) / d) / ((cc[w] + 1) / (n + v)))
+            for w in cc
+        )
+
+    for s in per:
+        assert got[s]["kl_nats"] == round(brute(s), 4), s
+        assert got[s]["n_tokens"] == sum(per[s].values())
+        assert got[s]["vocab_seen"] == len(per[s])
+    assert got["skew"]["kl_nats"] > got["even"]["kl_nats"] >= 0.0

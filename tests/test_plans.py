@@ -980,3 +980,24 @@ def test_pii_density_single_scan_single_aggregate(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_lm_kl_no_corpus_sized_join_or_expansion(spark):
+    """The join is vocabulary-sized (term counts x corpus counts) and the
+    scalar frame is one broadcast row — no |sources| x |vocab| expansion,
+    no second corpus scan (corpus counts derive from the per-source
+    aggregate), one FileScan total."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(text.lm_kl_divergence(docs), "simple")
+    # the persisted (group, term) frame is the single corpus read: all
+    # three consumers read InMemoryTableScan, and every FileScan string in
+    # the plan text is the one INSIDE an InMemoryRelation description
+    # (cache fill), so the file is scanned once
+    assert plan.count("InMemoryTableScan") == 3
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar frame
+    assert "CartesianProduct" not in plan
+    text.release_caches()

@@ -133,6 +133,10 @@ PROBES: dict[str, list[str]] = {
         # round-9: PII rollup — two regexp_count projections + one
         # |sources|-row aggregate; must be flat-linear
         "pii_density_sources",
+        # round-9: LM KL drift — one wordcount shuffle + vocab-sized join
+        # + closed-form per-source scalars; replica token suffixes grow
+        # the vocab 10x, the harder case
+        "lm_kl_sources",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
