@@ -7098,6 +7098,77 @@ SELECT grp, CAST(ns AS BIGINT) AS n_tokens, CAST(vs AS BIGINT) AS vocab_seen,
 FROM per, scal
 """
 
+
+def _q_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval harness (`ops/similarity.py` retrieval_recall_eval):
+    recall@10 of the IVF path (nlist=16, nprobe=5) vs brute-force exact
+    cosine for an 8-query panel, one distributed job — probe lists ranked
+    in-plan, no per-query driver loop.  The oracle replays the exact
+    truth, the md5-sampled centroids, the argmax assignment, the ranked
+    probe lists, and the per-query rerank."""
+    return similarity.retrieval_recall_eval(
+        read_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(8)),
+        k=10,
+        nlist=16,
+        nprobe=5,
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine-similarity SQL snippet between two embedding columns."""
+    d = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+    return f"{d} / ({na} * {nb})"
+
+
+_RETRIEVAL_RECALL_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8
+), sims AS (
+  SELECT q.qid, e.vec_id, {_cos_sql("e.embedding", "q.qvec")} AS sim
+  FROM embeddings e, qs q WHERE e.vec_id != q.qid
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+    FROM sims) WHERE rk <= 10
+), cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), cscore AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_cos_sql("e.embedding", "c.cvec")} AS csim
+  FROM embeddings e, cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM cscore) WHERE rk = 1
+), probes AS (
+  SELECT qid, qvec, cid FROM (
+    SELECT q.qid, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos_sql("q.qvec", "c.cvec")} DESC, c.cid) AS rk
+    FROM qs q, cents c) WHERE rk <= 5
+), approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, a.vec_id,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY {_cos_sql("a.embedding", "p.qvec")} DESC, a.vec_id) AS rk
+    FROM assigned a JOIN probes p ON a.cid = p.cid
+    WHERE a.vec_id != p.qid) WHERE rk <= 10
+), hits AS (
+  SELECT e.qid, count(*) AS n FROM exact e
+  JOIN approx x ON e.qid = x.qid AND e.vec_id = x.vec_id GROUP BY 1
+)
+SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(round(CAST(coalesce(h.n, 0) / 10.0 AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS recall_at_k
+FROM qs q LEFT JOIN hits h ON q.qid = h.qid
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7201,6 +7272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backlog precedence over anchored entries) ---
     q["pii_density_sources"] = _q_pii_density
     q["lm_kl_sources"] = _q_lm_kl
+    q["retrieval_recall_panel"] = _q_retrieval_recall
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7557,6 +7629,7 @@ def oracle_sql() -> dict[str, str]:
     o["nfkc_normalize_docs"] = _NFKC_NORMALIZE_SQL
     o["pii_density_sources"] = _PII_DENSITY_SQL
     o["lm_kl_sources"] = _LM_KL_SQL
+    o["retrieval_recall_panel"] = _RETRIEVAL_RECALL_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

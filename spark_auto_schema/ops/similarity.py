@@ -1042,3 +1042,138 @@ def topic_shares(
         .cast("int")
         .alias("share_rank"),
     )
+
+
+def retrieval_recall_eval(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retrieval eval harness: recall@k of the IVF approximate path
+    against brute-force exact cosine, for a PANEL of query vectors in one
+    distributed job — ``(qid, n_hits, recall_at_k)`` per query, recall
+    snapped to 6 decimals.  The quality dial for the nlist/nprobe
+    trade-off: ann_recall_ok pins one query's recall as a boolean
+    contract; this measures the full distribution so a probe-parameter
+    change shows up as a recall curve, not a flipped bit.
+
+    Unlike :func:`ivf_topk` (one query, driver-side probe collect), the
+    probe lists for ALL queries are computed in-plan with a rank window
+    over the |queries| x nlist scored frame — no per-query driver loop,
+    so evaluating 100 queries costs one job, not 100.
+
+    Scale: the exact-truth side is the deliberate eval cost —
+    |corpus| x |queries| broadcast fan-out (queries are a broadcast
+    k-row frame, so no shuffle); the IVF side is one |corpus| x nlist
+    assignment pass plus candidate rerank restricted to probed clusters
+    (|corpus| * nprobe / nlist rows per query).  Both top-k cuts are
+    rank windows partitioned by qid — each frame is per-query
+    candidate-sized, never corpus-global; the final join is k-row by
+    k-row per query."""
+    from pyspark.sql.window import Window
+
+    qs = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vn")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    sims = (
+        base.crossJoin(F.broadcast(qs))
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("qvec"))
+                / (F.col("vn") * F.col("qn"))
+            ).alias("sim"),
+        )
+    )
+    exact = (
+        sims.withColumn("__rk", F.row_number().over(wq))
+        .where(F.col("__rk") <= k)
+        .select("qid", id_col)
+    )
+    cents = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+    ).orderBy(F.md5(F.col("cid").cast("string")), F.col("cid")).limit(nlist)
+    cscore = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        (
+            dot(F.col(vec_col), F.col("cvec")) / (F.col("vn") * F.col("cn"))
+        ).alias("csim"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    assigned = (
+        cscore.withColumn("__rk", F.row_number().over(wa))
+        .where(F.col("__rk") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    # probe lists for every query in one frame: rank the query-x-centroid
+    # scores (|queries| x nlist rows) instead of collecting per query
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "qvec",
+            "qn",
+            "cid",
+            (
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+            ).alias("csim"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+        .where(F.col("__rk") <= nprobe)
+        .select("qid", "qvec", "qn", "cid")
+    )
+    approx = (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("qvec"))
+                / (norm(F.col(vec_col)) * F.col("qn"))
+            ).alias("sim"),
+        )
+        .withColumn("__rk", F.row_number().over(wq))
+        .where(F.col("__rk") <= k)
+        .select("qid", id_col)
+    )
+    # both sides are <= k * |queries| rows at runtime; plan-time stats
+    # cannot see through the rank windows, so hint the broadcast
+    hits = exact.join(F.broadcast(approx), ["qid", id_col]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        qs.select("qid")
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            snapped(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias(
+                "recall_at_k"
+            ),
+        )
+    )

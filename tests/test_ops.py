@@ -1437,3 +1437,31 @@ def test_lm_kl_divergence_laws(spark):
         assert got[s]["n_tokens"] == sum(per[s].values())
         assert got[s]["vocab_seen"] == len(per[s])
     assert got["skew"]["kl_nats"] > got["even"]["kl_nats"] >= 0.0
+
+
+def test_retrieval_recall_eval_laws(spark):
+    """Probing every cluster makes IVF search exhaustive, so recall@k
+    must be exactly 1.0 for every query; with a restricted probe set
+    recall stays in [0, 1] and n_hits/k always equals recall."""
+    from spark_auto_schema.ops import similarity
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        r["qid"]: r
+        for r in similarity.retrieval_recall_eval(
+            df, query_ids=[0, 1, 2], k=5, nlist=4, nprobe=4
+        ).collect()
+    }
+    assert set(full) == {0, 1, 2}
+    for r in full.values():
+        assert r["n_hits"] == 5 and r["recall_at_k"] == 1.0
+    part = similarity.retrieval_recall_eval(
+        df, query_ids=[0, 1, 2], k=5, nlist=4, nprobe=1
+    ).collect()
+    for r in part:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_at_k"] == round(r["n_hits"] / 5.0, 6)

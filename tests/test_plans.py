@@ -1001,3 +1001,25 @@ def test_lm_kl_no_corpus_sized_join_or_expansion(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar frame
     assert "CartesianProduct" not in plan
     text.release_caches()
+
+
+def test_retrieval_recall_probes_ranked_in_plan_no_driver_loop(spark):
+    """The probe lists for the whole query panel ride one rank window over
+    the |queries| x nlist frame — the query-side frames are broadcast (no
+    SortMergeJoin), there is no cartesian product, and building the plan
+    triggers no job (a per-query collect loop would)."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = similarity.retrieval_recall_eval(
+        emb, query_ids=list(range(8)), k=10, nlist=16, nprobe=5
+    )
+    plan = plan_of(df, "simple")
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "plan construction must not run driver-side jobs"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # query + centroid fan-outs

@@ -97,6 +97,9 @@ PROBES: dict[str, list[str]] = {
         # round-8: topic shares — zero-shuffle literal-centroid assignment
         # + k-row aggregate; must be flat-linear like jl_projection
         "topic_share_balance",
+        # round-9: recall eval — |corpus| x (|queries| + nlist) broadcast
+        # fan-outs + per-query rank windows; must track the corpus scan
+        "retrieval_recall_panel",
     ],
     "inference": ["infer_lineitem", "infer_events", "infer_documents"],
     "text": [
