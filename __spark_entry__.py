@@ -7169,6 +7169,62 @@ SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
 FROM qs q LEFT JOIN hits h ON q.qid = h.qid
 """
 
+
+def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (`ops/sampling.py` dsir_importance_sample,
+    Xie et al. 2023): hashed unigram+bigram features (1024 md5 buckets),
+    add-one-smoothed target (lang='en') vs raw bucket models, per-doc log
+    importance weights, Gumbel top-100 with reproducible md5 uniforms.
+    The oracle replays feature hashing, both models, the weight sum, and
+    the Gumbel draw constant-for-constant."""
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.dsir_importance_sample(
+        d, target=F.col("lang") == "en", n=100, num_buckets=1024
+    )
+
+
+_DSIR_SQL = """
+WITH ws AS (
+  SELECT doc_id AS id, lang,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> length(w) > 0) AS l
+  FROM documents
+), grams AS (
+  SELECT id, lang, l[i] AS f
+  FROM ws, UNNEST(generate_series(1, len(l))) AS t(i)
+  UNION ALL
+  SELECT id, lang, l[i] || ' ' || l[i + 1] AS f
+  FROM ws, UNNEST(generate_series(1, len(l) - 1)) AS t(i)
+), feats AS (
+  SELECT id, coalesce(lang = 'en', FALSE) AS is_t,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM grams
+), model AS (
+  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         count(*) AS cr
+  FROM feats GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr
+  FROM model
+), scored AS (
+  SELECT b, ln((ct + 1) / (nt + 1024)) - ln((cr + 1) / (nr + 1024)) AS lw
+  FROM model, totals
+), per_doc AS (
+  SELECT id, sum(lw) AS logw
+  FROM feats JOIN scored USING (b) GROUP BY 1
+), drawn AS (
+  SELECT id, logw,
+         -ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 1.0) / (4294967296.0 + 1.0))) AS g
+  FROM per_doc
+)
+SELECT id AS doc_id,
+       CAST(round(CAST(logw AS DECIMAL(18,10)), 4) AS DOUBLE) AS log_weight,
+       CAST(round(CAST(logw + g AS DECIMAL(18,10)), 4) AS DOUBLE) AS gumbel_score
+FROM drawn
+ORDER BY gumbel_score DESC, doc_id LIMIT 100
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7273,6 +7329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pii_density_sources"] = _q_pii_density
     q["lm_kl_sources"] = _q_lm_kl
     q["retrieval_recall_panel"] = _q_retrieval_recall
+    q["dsir_sample_docs"] = _q_dsir_sample
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7630,6 +7687,7 @@ def oracle_sql() -> dict[str, str]:
     o["pii_density_sources"] = _PII_DENSITY_SQL
     o["lm_kl_sources"] = _LM_KL_SQL
     o["retrieval_recall_panel"] = _RETRIEVAL_RECALL_SQL
+    o["dsir_sample_docs"] = _DSIR_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

@@ -100,6 +100,12 @@ def _release_op_caches() -> None:
         _text.release_caches()
     except Exception:
         pass
+    try:
+        from spark_auto_schema.ops import sampling as _sampling
+
+        _sampling.release_caches()
+    except Exception:
+        pass
 
 
 def main() -> None:

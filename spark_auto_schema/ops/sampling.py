@@ -37,6 +37,26 @@ _SPACE = 16**_HEX_DIGITS
 _UNIFORM_HEX_DIGITS = 8
 _UNIFORM_SPACE = 16**_UNIFORM_HEX_DIGITS
 
+# Frames persisted for intra-query reuse (dsir_importance_sample's feature
+# stream feeds model fitting AND per-doc scoring); release_caches drops
+# them — bench, the mirror, and the scaling probe call it between queries.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by this module's operators."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
 
 def _hash_prefix(key: Column) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS)
@@ -305,4 +325,107 @@ def contrastive_negatives(
         probe.join(F.broadcast(reps), on="bucket")
         .where(F.col("neg_id") != F.col("id"))
         .select(F.col("id").alias(id_col), "neg_rank", "neg_id")
+    )
+
+
+def dsir_importance_sample(
+    df: DataFrame,
+    target: Column,
+    n: int,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed-n-gram
+    bag-of-features unigram models over the TARGET slice (rows where the
+    ``target`` boolean column is true) and over the RAW pool (all rows),
+    weight every raw document by its log importance ratio
+    ``sum_f ln(p_target(h(f)) / p_raw(h(f)))``, and resample ``n``
+    documents by Gumbel top-k — ``score = logw + g`` with
+    ``g = -ln(-ln(u))`` and u a reproducible md5 uniform of the doc id,
+    so the draw is importance-weighted yet deterministic across engines,
+    runs, and partitionings (the repo's md5-draw convention).
+
+    Features are unigrams + adjacent bigrams hashed into ``num_buckets``
+    buckets via the md5-prefix integer (DuckDB-replayable); both models
+    are add-one smoothed over the bucket space, so the weight of a
+    feature unseen in either slice is defined and the ratio is bounded.
+
+    Returns the selected rows: ``(id, log_weight, gumbel_score)`` with
+    both snapped to 4 decimals (ln involved).
+
+    Scale: the feature stream is one explode (row-local bigram zip — no
+    self-join); BOTH models are ``num_buckets``-row aggregates off one
+    persisted pass of that stream (map-side combined, broadcast back);
+    per-doc weights ride one doc-keyed aggregate; the final cut is a
+    TakeOrdered k-heap, never a full sort.  Nothing downstream of the
+    feature aggregate touches corpus-sized data except the one weight
+    shuffle."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    # zip_with pads the shorter side with NULL and concat_ws would fold
+    # that into a spurious trailing unigram — slice the pair array to n-1
+    n_pairs = F.greatest(F.size(words) - 1, F.lit(0))
+    grams = F.concat(
+        words,
+        F.slice(
+            F.zip_with(
+                words,
+                F.slice(words, 2, n_pairs),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            1,
+            n_pairs,
+        ),
+    )
+    feats = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(target.cast("boolean"), F.lit(False)).alias("is_t"),
+            F.explode(grams).alias("f"),
+        ).select(
+            "id",
+            "is_t",
+            (_hash_prefix_int(F.col("f")) % num_buckets).alias("b"),
+        )
+    )
+    model = feats.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+    )
+    scored = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + num_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + num_buckets))
+        ).alias("lw"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(scored), "b")
+        .groupBy("id")
+        .agg(F.sum("lw").alias("logw"))
+    )
+    u = (
+        _hash_prefix_int(F.concat(F.lit("dsir:"), F.col("id").cast("string")))
+        + F.lit(1.0)
+    ) / F.lit(
+        float(_UNIFORM_SPACE) + 1.0
+    )
+    g = -F.log(-F.log(u))
+    snapped = lambda c: F.round(c.cast("decimal(18,10)"), 4).cast("double")
+    return (
+        per_doc.select(
+            F.col("id").alias(id_col),
+            snapped(F.col("logw")).alias("log_weight"),
+            snapped(F.col("logw") + g).alias("gumbel_score"),
+        )
+        .orderBy(F.col("gumbel_score").desc(), F.col(id_col))
+        .limit(n)
     )

@@ -1023,3 +1023,23 @@ def test_retrieval_recall_probes_ranked_in_plan_no_driver_loop(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # query + centroid fan-outs
+
+
+def test_dsir_single_feature_pass_takeordered_cut(spark):
+    """The persisted feature stream is the single corpus read (model fit
+    AND scoring read the cache), the bucket model is broadcast back, and
+    the final cut is a TakeOrdered k-heap, never a global Sort."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import sampling
+
+    docs = read_table(spark, SF_DIR, "documents")
+    df = sampling.dsir_importance_sample(
+        docs, target=F.col("lang") == "en", n=100
+    )
+    plan = plan_of(df, "simple")
+    sampling.release_caches()
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

@@ -612,3 +612,33 @@ def test_contrastive_negatives_laws(spark):
             # move => the original run must have produced this exact pair
             assert old_pairs[(r["doc_id"], r["neg_rank"])] == r["neg_id"]
     assert g_reps  # growth still elects representatives
+
+
+def test_dsir_importance_weights_favor_target_like_docs(spark):
+    """A raw doc written in the target slice's vocabulary must out-weigh a
+    raw doc written in off-target vocabulary; the draw is deterministic;
+    the cut returns min(n, |docs|) rows."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import sampling
+
+    rows = (
+        # target slice: vocabulary A
+        [(i, "t", "alpha beta gamma delta alpha beta") for i in range(10)]
+        # raw pool: one doc in vocabulary A, one in vocabulary B
+        + [(100, "r", "alpha beta gamma alpha beta gamma"),
+           (101, "r", "omega psi chi omega psi chi")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = sampling.dsir_importance_sample(
+        df, target=F.col("grp") == "t", n=50, num_buckets=256
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    sampling.release_caches()
+    assert len(got) == 12  # n exceeds the pool: everything selected
+    assert got[100]["log_weight"] > got[101]["log_weight"]
+    again = {r["doc_id"]: r["gumbel_score"] for r in sampling.dsir_importance_sample(
+        df, target=F.col("grp") == "t", n=50, num_buckets=256
+    ).collect()}
+    sampling.release_caches()
+    assert again == {k: v["gumbel_score"] for k, v in got.items()}

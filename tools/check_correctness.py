@@ -169,6 +169,12 @@ def main() -> int:
             _text.release_caches()
         except Exception:
             pass
+        try:
+            from spark_auto_schema.ops import sampling as _sampling
+
+            _sampling.release_caches()
+        except Exception:
+            pass
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

@@ -170,6 +170,10 @@ PROBES: dict[str, list[str]] = {
     # super-linear slope here implicates the operators, not the data);
     # group-quantile/HLL scale with events, zorder with lineitem.
     "curation": [
+        # round-9: DSIR — one persisted feature pass, bucket-model
+        # broadcast, TakeOrdered cut; replica token suffixes grow the raw
+        # feature space 10x while the bucket space stays 1024
+        "dsir_sample_docs",
         "leakage_safe_split",
         "canonical_docs",
         "group_quantile_filter",
@@ -333,10 +337,17 @@ def _build_dir(spark, src: str, out: str, replicas: int) -> None:
 
 
 def _release_caches() -> None:
-    try:
-        from spark_auto_schema.ops import dedup
+    for mod in ("dedup", "text", "similarity", "sampling"):
+        try:
+            import importlib
 
-        dedup.release_caches()
+            importlib.import_module(f"spark_auto_schema.ops.{mod}").release_caches()
+        except Exception:
+            pass
+    try:
+        from spark_auto_schema import io as _io
+
+        _io.release_caches()
     except Exception:
         pass
 
