@@ -7225,6 +7225,69 @@ FROM drawn
 ORDER BY gumbel_score DESC, doc_id LIMIT 100
 """
 
+
+def _q_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity MinHash near-dedup (`ops/dedup.py`
+    paragraph_minhash_pairs): 8-word segments, md5 MinHash (16 hashes, 4
+    bands, 3-gram shingles), Jaccard >= 0.8 verify, rolled up to
+    cross-document pairs — catches partial-overlap docs whose doc-level
+    Jaccard is tiny.  The oracle replays segmentation, shingling,
+    signatures, banding, the verify, and the doc rollup md5-for-md5."""
+    return dedup.paragraph_minhash_pairs(_spread_docs(spark, sf_dir))
+
+
+_PARAGRAPH_MINHASH_SQL = """
+WITH ws AS (
+  SELECT doc_id AS did, string_split(coalesce(text, ''), ' ') AS w
+  FROM documents
+), segs AS (
+  SELECT CAST(did AS VARCHAR) || ':' || CAST(s AS VARCHAR) AS id,
+         array_to_string(w[s*8+1 : s*8+8], ' ') AS seg
+  FROM ws, UNNEST(generate_series(0,
+         greatest(CAST(ceil(len(w) / 8.0) AS INT) - 1, 0))) AS t(s)
+), sh AS (
+  SELECT DISTINCT id, array_to_string(sw[i:i+2], ' ') AS shingle
+  FROM (SELECT id, string_split(seg, ' ') AS sw FROM segs),
+       UNNEST(generate_series(1, greatest(len(sw) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(sw[i:i+2], ' ')) > 0
+), hs AS (
+  SELECT id, hi, min(substr(md5(hi || ':' || shingle), 1, 16)) AS h
+  FROM sh, UNNEST(generate_series(0, 15)) AS t(hi)
+  GROUP BY id, hi
+), sig AS (
+  SELECT id, list(h ORDER BY hi) AS hl FROM hs GROUP BY id
+), bands AS (
+  SELECT id, bi, md5(array_to_string(hl[bi*4+1 : bi*4+4], '|')) AS bucket
+  FROM sig, UNNEST(generate_series(0, 3)) AS t(bi)
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bucket = y.bucket
+  WHERE x.id < y.id
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS c
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+), ver AS (
+  SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+), docs_pairs AS (
+  SELECT CAST(string_split(id_a, ':')[1] AS BIGINT) AS da,
+         CAST(string_split(id_b, ':')[1] AS BIGINT) AS db,
+         jaccard
+  FROM ver
+)
+SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+       count(*) AS n_seg_pairs, max(jaccard) AS max_jaccard
+FROM docs_pairs WHERE da != db GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7330,6 +7393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lm_kl_sources"] = _q_lm_kl
     q["retrieval_recall_panel"] = _q_retrieval_recall
     q["dsir_sample_docs"] = _q_dsir_sample
+    q["paragraph_minhash_pairs"] = _q_paragraph_minhash
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7688,6 +7752,7 @@ def oracle_sql() -> dict[str, str]:
     o["lm_kl_sources"] = _LM_KL_SQL
     o["retrieval_recall_panel"] = _RETRIEVAL_RECALL_SQL
     o["dsir_sample_docs"] = _DSIR_SQL
+    o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

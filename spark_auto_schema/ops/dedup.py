@@ -1690,3 +1690,75 @@ def dedup_loss_by_source(
             snapped(F.col("n_dropped") / F.col("n_docs")).alias("loss_frac"),
         )
     )
+
+
+def paragraph_minhash_pairs(
+    df: DataFrame,
+    seg_words: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granularity MinHash near-dedup: slice every document into
+    fixed ``seg_words``-word segments (the :func:`segment_dedup` boundary
+    rule — real corpora would split on paragraphs), run the md5
+    MinHash+LSH engine at SEGMENT granularity, and roll cross-document
+    segment near-dup pairs up to ``(doc_a, doc_b, n_seg_pairs,
+    max_jaccard)``.
+
+    Catches what document-level MinHash structurally misses: two long
+    documents sharing one plagiarized/syndicated paragraph have tiny
+    DOC-level Jaccard (the shared shingles drown in each doc's unique
+    text) but segment-level Jaccard ~1 on the shared slice.  Conversely
+    it localizes WHERE the overlap lives — n_seg_pairs counts the shared
+    region's extent.
+
+    Scale: identical shape to :func:`minhash_lsh_pairs_md5` one level
+    down — segment ids replace doc ids, so the signature aggregate and
+    band-bucket join carry |segments| keys (corpus words / seg_words,
+    linear in corpus size); pair generation stays bucket-local, never
+    all-pairs; the doc-pair rollup is one aggregate over the verified
+    segment pairs (each <= the near-dup volume, not the corpus)."""
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil(F.size(words) / F.lit(seg_words)).cast("int") - 1, F.lit(0)
+        ),
+    )
+    segs = df.select(
+        F.col(id_col).cast("string").alias("__d"),
+        F.explode(starts).alias("__s"),
+        words.alias("__w"),
+    ).select(
+        F.concat_ws(":", "__d", "__s").alias("sid"),
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), F.col("__s") * seg_words + 1, seg_words)
+        ).alias("seg"),
+    )
+    pairs = minhash_lsh_pairs_md5(
+        segs,
+        text_col="seg",
+        id_col="sid",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        verify_threshold=verify_threshold,
+    )
+    da = F.split(F.col("id_a"), ":").getItem(0).cast("long")
+    db = F.split(F.col("id_b"), ":").getItem(0).cast("long")
+    return (
+        pairs.select(da.alias("__da"), db.alias("__db"), "jaccard")
+        .where(F.col("__da") != F.col("__db"))
+        .groupBy(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_seg_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

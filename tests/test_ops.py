@@ -1465,3 +1465,28 @@ def test_retrieval_recall_eval_laws(spark):
     for r in part:
         assert 0 <= r["n_hits"] <= 5
         assert r["recall_at_k"] == round(r["n_hits"] / 5.0, 6)
+
+
+def test_paragraph_minhash_finds_shared_paragraph(spark):
+    """Two long documents sharing ONE verbatim 8-word block (doc-level
+    Jaccard tiny) must surface as a doc pair with max_jaccard 1.0; a
+    document with no shared segment stays absent."""
+    from spark_auto_schema.ops import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    a = " ".join(f"a{i}" for i in range(24)) + " " + shared
+    b = shared + " " + " ".join(f"b{i}" for i in range(24))
+    c = " ".join(f"c{i}" for i in range(32))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = dedup.paragraph_minhash_pairs(df).collect()
+    dedup.release_caches()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in got}
+    # doc-level sanity: the pair is invisible at document granularity
+    doc_level = dedup.minhash_lsh_pairs_md5(df, verify_threshold=0.8).collect()
+    dedup.release_caches()
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["max_jaccard"] == 1.0
+    assert all(3 not in k for k in pairs)
+    assert not doc_level, "doc-level MinHash should miss the partial overlap"

@@ -1043,3 +1043,17 @@ def test_dsir_single_feature_pass_takeordered_cut(spark):
     assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_minhash_bucket_local_no_cartesian(spark):
+    """Candidate generation stays band-bucket-local (equi-join on
+    (band, bucket)) at segment granularity — no cartesian product, no
+    corpus-wide nested loop."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.paragraph_minhash_pairs(docs), "simple")
+    dedup.release_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

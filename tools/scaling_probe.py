@@ -51,6 +51,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # not the operator, and they are sampled/bounded in-query.
 PROBES: dict[str, list[str]] = {
     "dedup": [
+        # round-9: paragraph-level MinHash — |segments| keys scale with
+        # corpus words; pair space must stay bucket-local
+        "paragraph_minhash_pairs",
         "dedup_exact",
         "ngram_jaccard_dups",
         "simhash_near_dup",
