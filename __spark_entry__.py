@@ -7288,6 +7288,37 @@ SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
 FROM docs_pairs WHERE da != db GROUP BY 1, 2
 """
 
+
+def _q_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type recency weighting (`ops/analytics.py`
+    recency_weighted_stats, 7-day half-life against the corpus max
+    timestamp): the freshness dial for per-domain mixing.  The oracle
+    replays the epoch-microsecond ages, the 2^(-age/hl) weights, and all
+    three weighted rollups."""
+    from spark_auto_schema.ops import analytics
+
+    return analytics.recency_weighted_stats(
+        read_table(spark, sf_dir, "events"), half_life_days=7.0
+    )
+
+
+_RECENCY_WEIGHTS_SQL = """
+WITH ref AS (SELECT max(epoch_ns(ts) // 1000) AS tmax FROM events),
+w AS (
+  SELECT event_type AS grp, value AS v,
+         pow(2.0, -((tmax - epoch_ns(ts) // 1000) / 86400000000.0) / 7.0) AS wt
+  FROM events, ref
+)
+SELECT grp, count(*) AS n_events,
+       CAST(round(CAST(sum(wt) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS weighted_count,
+       CAST(round(CAST(sum(v * wt) / sum(wt) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS weighted_value,
+       CAST(round(CAST(sum(wt) / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS effective_fraction
+FROM w GROUP BY 1
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7394,6 +7425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["retrieval_recall_panel"] = _q_retrieval_recall
     q["dsir_sample_docs"] = _q_dsir_sample
     q["paragraph_minhash_pairs"] = _q_paragraph_minhash
+    q["recency_weights_events"] = _q_recency_weights
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7753,6 +7785,7 @@ def oracle_sql() -> dict[str, str]:
     o["retrieval_recall_panel"] = _RETRIEVAL_RECALL_SQL
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
+    o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

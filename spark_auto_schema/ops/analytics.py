@@ -978,3 +978,55 @@ def pagerank(
         "node",
         F.round(F.col("rank").cast("decimal(18,12)"), 6).cast("double").alias("rank"),
     )
+
+
+def recency_weighted_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Per-group recency weighting with exponential half-life decay:
+    every row weighs ``w = 2^(-age_days / half_life)`` against the
+    corpus's newest timestamp (NOT wall-clock — deterministic and
+    replayable), rolled up to ``(grp, n_events, weighted_count,
+    weighted_value, effective_fraction)``; weighted_value is the
+    recency-weighted mean of ``value_col`` and effective_fraction =
+    weighted_count / n (1.0 = everything brand-new, ->0 = stale).  All
+    doubles snapped to 6 decimals.
+
+    The freshness dial for per-domain mixing: two sources with equal
+    volume but different recency profiles should NOT get equal mixture
+    weight when the objective favors current data — this is the
+    aggregate that turns "prefer recent" into a number per domain.
+
+    Scale: the reference timestamp is a single-row aggregate broadcast
+    back (no second pass logic on the driver); the decay weight is a
+    per-row JVM expression inside the scan; the only exchange is the
+    |groups|-row hash aggregate."""
+    ref = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__tmax"))
+    age_days = (F.col("__tmax") - F.unix_micros(F.col(ts_col))) / F.lit(
+        86400.0 * 1e6
+    )
+    w = F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("__v"),
+            w.alias("__w"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            snapped(F.sum("__w")).alias("weighted_count"),
+            snapped(
+                F.sum(F.col("__v") * F.col("__w")) / F.sum("__w")
+            ).alias("weighted_value"),
+            snapped(F.sum("__w") / F.count(F.lit(1))).alias(
+                "effective_fraction"
+            ),
+        )
+    )

@@ -616,3 +616,31 @@ def test_expectation_suite_verdict_survives_rounding_saturation(spark):
     assert uq["observed"] == 1.0 and uq["passed"] is False
     av = rows["accepted_values(st,[O])"]
     assert av["observed"] == 1.0 and av["passed"] is False
+
+
+def test_recency_weighted_stats_half_life_law(spark):
+    """A row exactly one half-life older than the newest weighs 0.5 and
+    the newest weighs 1.0; weighted_value is the weight-proportional
+    mean; an all-new group has effective_fraction 1.0."""
+    import datetime as dt
+
+    from spark_auto_schema.ops import analytics
+
+    t0 = dt.datetime(2024, 1, 15, 0, 0, 0)
+    rows = [
+        (1, t0, "a", 10.0),                          # newest: w = 1
+        (2, t0 - dt.timedelta(days=7), "a", 30.0),   # one half-life: w = 0.5
+        (3, t0, "b", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["grp"]: r for r in analytics.recency_weighted_stats(
+        df, half_life_days=7.0).collect()}
+    a = got["a"]
+    assert a["n_events"] == 2
+    assert a["weighted_count"] == 1.5
+    assert a["weighted_value"] == round((10.0 * 1 + 30.0 * 0.5) / 1.5, 6)
+    assert a["effective_fraction"] == 0.75
+    b = got["b"]
+    assert (b["weighted_count"], b["effective_fraction"]) == (1.0, 1.0)

@@ -1057,3 +1057,17 @@ def test_paragraph_minhash_bucket_local_no_cartesian(spark):
     dedup.release_caches()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recency_weights_single_agg_broadcast_ref(spark):
+    """The corpus-max reference timestamp is a 1-row broadcast; the decay
+    weight is a per-row expression inside the scan; the only exchange is
+    the |groups|-row aggregate."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import analytics
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = plan_of(analytics.recency_weighted_stats(ev), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -154,6 +154,9 @@ PROBES: dict[str, list[str]] = {
         # session-2: per-user burst islands (window family — scales with
         # events; replica-offset user ids grow the key space 10x too)
         "burst_collapse_events",
+        # round-9: recency weighting — per-row decay expression + 1-row
+        # broadcast reference + |types|-row aggregate; must be flat-linear
+        "recency_weights_events",
         # round-7: per-key winsorization — the |keys|-row band table is a
         # hash aggregate broadcast back onto the unshuffled fact stream;
         # replica-grown event volume AND key space must both leave the
