@@ -7319,6 +7319,81 @@ SELECT grp, count(*) AS n_events,
 FROM w GROUP BY 1
 """
 
+
+def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed novelty-rate monitor (`streaming.py` novelty_stream): the
+    stateful first-seen digest stream (keyed on md5(event_type:user_id),
+    one emission per novel digest, minimum event time within the batch)
+    plus a complete-mode windowed total, joined per hour window into
+    (window_start, n_events, n_novel, novelty_rate).  The oracle computes
+    first-seen via min(ts) per digest — exactly the semantics the
+    stateful operator guarantees."""
+    from spark_auto_schema.streaming import (
+        novelty_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    n1 = f"__novelty_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        novelty_stream(
+            read_event_stream(spark, _events_stream_dir(sf_dir)),
+            ["event_type", "user_id"],
+        ),
+        n1,
+        output_mode="update",
+        state_partitions=8,
+    )
+    n2 = f"__novelty_tot_{next(_STREAM_SEQ)}"
+    tot_stream = (
+        read_event_stream(spark, _events_stream_dir(sf_dir))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    run_to_memory(tot_stream, n2, output_mode="complete", state_partitions=8)
+    novel = (
+        spark.table(n1)
+        .groupBy(F.date_trunc("hour", "first_ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        spark.table(n2)
+        .join(novel, "window_start", "left")
+        .select(
+            "window_start",
+            "n_events",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            snapped(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_events")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+_STREAMING_NOVELTY_SQL = """
+WITH d AS (
+  SELECT md5(coalesce(event_type, '') || ':' ||
+             coalesce(CAST(user_id AS VARCHAR), '')) AS dg, ts
+  FROM events
+), tot AS (
+  SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events
+  FROM d GROUP BY 1
+), f AS (
+  SELECT dg, min(ts) AS first_ts FROM d GROUP BY 1
+), nov AS (
+  SELECT date_trunc('hour', first_ts) AS ws, count(*) AS n_novel
+  FROM f GROUP BY 1
+)
+SELECT t.window_start, t.n_events,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(round(CAST(coalesce(n.n_novel, 0) * 1.0 / t.n_events
+                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS novelty_rate
+FROM tot t LEFT JOIN nov n ON t.window_start = n.ws
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7426,6 +7501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsir_sample_docs"] = _q_dsir_sample
     q["paragraph_minhash_pairs"] = _q_paragraph_minhash
     q["recency_weights_events"] = _q_recency_weights
+    q["streaming_novelty_monitor"] = _q_streaming_novelty
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7786,6 +7862,7 @@ def oracle_sql() -> dict[str, str]:
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL
+    o["streaming_novelty_monitor"] = _STREAMING_NOVELTY_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

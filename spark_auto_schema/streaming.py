@@ -535,3 +535,73 @@ class DataDriftMonitor:
             .trigger(availableNow=True)
             .start()
         )
+
+
+NOVELTY_SCHEMA = T.StructType(
+    [
+        T.StructField("digest", T.StringType()),
+        T.StructField("first_ts", T.TimestampType()),
+    ]
+)
+
+_NOVELTY_STATE_SCHEMA = T.StructType([T.StructField("seen", T.IntegerType())])
+
+
+def novelty_stream(
+    events: DataFrame, content_cols: list[str], ts_col: str = "ts"
+) -> DataFrame:
+    """First-seen content monitor: emit ``(digest, first_ts)`` exactly once
+    per distinct content digest, the moment the stream first carries it —
+    the primitive under a windowed novelty-rate dashboard (a crawl or
+    event feed whose novelty rate collapses is re-sending old content; one
+    that spikes changed its source mix).
+
+    The digest is ``md5(concat_ws(':', coalesce(col, '') ...))`` — NULLs
+    fold to empty strings so the key is total, and the same expression is
+    replayable in any engine with md5.
+
+    Built on ``applyInPandasWithState`` keyed by digest: per-key state is
+    one "seen" flag; within a batch the emitted first_ts is the MINIMUM
+    event time across the key's Arrow batches (deterministic under
+    availableNow's single batch regardless of partition order — a
+    dropDuplicates-based variant would keep an arbitrary instance).
+    State is O(distinct digests) with NoTimeout — size state_partitions
+    to key cardinality; for unbounded digest spaces swap in a TTL timeout
+    at the cost of re-reporting expired keys as novel."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    digest = F.md5(
+        F.concat_ws(
+            ":",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in content_cols
+            ],
+        )
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        first = None
+        for pdf in pdfs:
+            m = pdf["__ts"].min()
+            if first is None or m < first:
+                first = m
+        if not state.exists and first is not None:
+            state.update((1,))
+            yield pd.DataFrame(
+                {"digest": [key[0]], "first_ts": [pd.Timestamp(first)]}
+            )
+
+    return (
+        events.select(digest.alias("digest"), F.col(ts_col).alias("__ts"))
+        .groupBy("digest")
+        .applyInPandasWithState(
+            update,
+            NOVELTY_SCHEMA,
+            _NOVELTY_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -368,3 +368,60 @@ def test_data_drift_monitor_ks_stat(spark):
     assert scores[1] == max(x["ks_term"] for x in rows[1])
     with pytest.raises(ValueError, match="stat"):
         DataDriftMonitor(baseline, "value", stat="chi2")
+
+
+def test_novelty_stream_emits_first_seen_once(spark, tmp_path):
+    """A digest recurring in a later window is novel only in its FIRST
+    window, and first_ts is the MINIMUM event time for the key — not an
+    arbitrary surviving instance; a batch re-delivery (second drop)
+    re-emits nothing."""
+    import datetime as dt
+
+    from spark_auto_schema.streaming import (
+        novelty_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0 + dt.timedelta(minutes=5), "click", 1.0),
+        (2, 1, t0 + dt.timedelta(minutes=1), "click", 1.0),   # earliest for key
+        (3, 1, t0 + dt.timedelta(hours=2), "click", 1.0),     # later window, same key
+        (4, 2, t0 + dt.timedelta(minutes=30), "view", 1.0),   # distinct key
+    ]
+    src = tmp_path / "novel_events"
+    src.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "w"))
+    shutil.copy(next((tmp_path / "w").glob("*.parquet")), src / "drop1.parquet")
+    stream = read_event_stream(spark, str(src), ts_unit="utc")
+    run_to_memory(
+        novelty_stream(stream, ["event_type", "user_id"]),
+        "novelty_first",
+        output_mode="update",
+        state_partitions=4,
+    )
+    got = spark.table("novelty_first").collect()
+    assert len(got) == 2  # two distinct digests, each exactly once
+    firsts = sorted(r["first_ts"] for r in got)
+    assert firsts == [
+        t0 + dt.timedelta(minutes=1),
+        t0 + dt.timedelta(minutes=30),
+    ]
+    # second drop of the same file: state says seen -> nothing new emitted
+    shutil.copy(next((tmp_path / "w").glob("*.parquet")), src / "drop2.parquet")
+    run_to_memory(
+        novelty_stream(
+            read_event_stream(spark, str(src), ts_unit="utc"),
+            ["event_type", "user_id"],
+        ),
+        "novelty_second",
+        output_mode="update",
+        state_partitions=4,
+    )
+    # fresh query (fresh state) sees both drops in ONE availableNow batch:
+    # still exactly one emission per digest
+    assert spark.table("novelty_second").count() == 2

@@ -208,6 +208,9 @@ PROBES: dict[str, list[str]] = {
     # with events (the lookup's dim also grows — every 10th event — so the
     # join is stressed on BOTH sides).
     "monitoring": [
+        # round-9: stateful first-seen digest stream + complete-mode window
+        # totals; state is O(distinct digests), emission O(novel)
+        "streaming_novelty_monitor",
         "psi_drift_events",
         "scd2_lookup_events",
         # session-3: KS shares PSI's binning; rank_transform is the
