@@ -7394,6 +7394,28 @@ SELECT t.window_start, t.n_events,
 FROM tot t LEFT JOIN nov n ON t.window_start = n.ws
 """
 
+
+def _q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter contract (`ops/dedup.py` lsh_s_curve): the analytic
+    detection curve 1-(1-s^r)^b for the (16 hashes, 4 bands) config the
+    md5 MinHash engine runs, plus the standard threshold s* =
+    (1/b)^(1/r) (where p = 1-(1-1/b)^b, the steep region).  The
+    oracle replays the closed form on the same grid — a banding change
+    anywhere in the engine diffs here first."""
+    return dedup.lsh_s_curve(spark, num_hashes=16, bands=4)
+
+
+_LSH_S_CURVE_SQL = """
+SELECT CAST(round(CAST(i / 20.0 AS DECIMAL(18,12)), 6) AS DOUBLE) AS s,
+       CAST(round(CAST(1 - pow(1 - pow(i / 20.0, 4.0), 4.0)
+                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS p_detect,
+       CAST(round(CAST(pow(0.25, 0.25) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS s_star,
+       CAST(4 AS INT) AS band_rows,
+       CAST(4 AS INT) AS n_bands
+FROM UNNEST(generate_series(1, 20)) AS t(i)
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7502,6 +7524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["paragraph_minhash_pairs"] = _q_paragraph_minhash
     q["recency_weights_events"] = _q_recency_weights
     q["streaming_novelty_monitor"] = _q_streaming_novelty
+    q["lsh_s_curve_contract"] = _q_lsh_s_curve
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7863,6 +7886,7 @@ def oracle_sql() -> dict[str, str]:
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL
     o["streaming_novelty_monitor"] = _STREAMING_NOVELTY_SQL
+    o["lsh_s_curve_contract"] = _LSH_S_CURVE_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

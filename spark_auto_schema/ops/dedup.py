@@ -1762,3 +1762,42 @@ def paragraph_minhash_pairs(
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def lsh_s_curve(
+    spark,
+    num_hashes: int = 16,
+    bands: int = 4,
+    grid_points: int = 20,
+) -> DataFrame:
+    """The analytic LSH detection S-curve for the banding the MinHash
+    engine actually runs: with r = num_hashes/bands rows per band and b
+    bands, a pair of Jaccard similarity s collides in at least one band
+    with ``p_detect = 1 - (1 - s^r)^b``.  Emits the curve over a
+    ``grid_points``-step similarity grid plus the standard threshold
+    similarity ``s* = (1/b)^(1/r)`` — the S-curve's steep region, where
+    ``p_detect(s*) = 1 - (1 - 1/b)^b`` (-> 1 - 1/e for large b) — the
+    parameter-choice CONTRACT, versioned next to the engine so a
+    num_hashes/bands change shows up as a diffable curve, not a silent
+    recall shift.
+
+    ``(s, p_detect, s_star, band_rows, n_bands)``, probabilities snapped
+    to 6 decimals.  Scale: a |grid|-row frame from ``spark.range`` — no
+    data read at all."""
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    s = F.round(
+        ((F.col("id") + 1) / F.lit(float(grid_points))).cast("decimal(18,12)"),
+        6,
+    ).cast("double")
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    p = 1 - F.pow(1 - F.pow(s, F.lit(float(r))), F.lit(float(bands)))
+    s_star = F.pow(F.lit(1.0 / bands), F.lit(1.0 / r))
+    return spark.range(grid_points).select(
+        s.alias("s"),
+        snapped(p).alias("p_detect"),
+        snapped(s_star).alias("s_star"),
+        F.lit(r).cast("int").alias("band_rows"),
+        F.lit(bands).cast("int").alias("n_bands"),
+    )

@@ -1490,3 +1490,30 @@ def test_paragraph_minhash_finds_shared_paragraph(spark):
     assert pairs[(1, 2)]["max_jaccard"] == 1.0
     assert all(3 not in k for k in pairs)
     assert not doc_level, "doc-level MinHash should miss the partial overlap"
+
+
+def test_lsh_s_curve_contract_pins_operating_point(spark):
+    """p_detect is monotone in s; at the standard threshold
+    s* = (1/b)^(1/r) the closed form gives exactly 1 - (1 - 1/b)^b; and
+    the engine's defaults detect a planted pair above the threshold."""
+    from spark_auto_schema.ops import dedup
+
+    rows = dedup.lsh_s_curve(spark, num_hashes=16, bands=4).collect()
+    curve = sorted((r["s"], r["p_detect"]) for r in rows)
+    ps = [p for _, p in curve]
+    assert all(a <= b for a, b in zip(ps, ps[1:]))  # monotone
+    s_star = rows[0]["s_star"]
+    assert s_star == round((1 / 4) ** (1 / 4), 6)
+    p_at_star = 1 - (1 - 0.25) ** 4  # 1 - (1 - 1/b)^b
+    below = max(p for s, p in curve if s < s_star)
+    above = min(p for s, p in curve if s > s_star)
+    assert below < p_at_star < above
+    # empirical tie-in: a pair above the crossover is caught by the engine
+    base = " ".join(f"w{i}" for i in range(30))
+    near = base + " extra"
+    df = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs_md5(df, verify_threshold=0.8).collect()
+    dedup.release_caches()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
