@@ -6604,7 +6604,10 @@ def _q_url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registered-domain rollup (`ops/text.py`
     canonicalize_urls): synthesize one URL per document covering every
     canonicalization hazard — mixed-case scheme/host, www. prefix,
-    two-level public suffix (co.uk), explicit port, trailing slash,
+    two-level ICANN suffix (co.uk, com.cn), a PSL private-section host
+    (github.io: every subdomain its own registrant), a THREE-level
+    suffix (k12.ca.us, where the longest rule must beat ca.us),
+    explicit port, trailing slash,
     utm_* tracking params in both leading and trailing position,
     unsorted params, fragments — then roll up to (registered_domain,
     n_urls, n_hosts, n_canon).  The oracle rebuilds the same URLs and
