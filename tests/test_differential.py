@@ -273,6 +273,22 @@ def test_differential_fuzz_csv(spark, reference_cls, col, id_name):
         values = [v.replace("|", " ").replace('"', " ") for v in values]
         if any(v.strip() == "" for v in values):
             return  # pandas reads empty cells as NaN, Spark as null/empty: config, not inference
+    if kind == "floats":
+        # pandas read_csv's default fast C float parser (xstrtod) is up to
+        # 1 ulp off and can round a non-integral literal to an exact
+        # integer (hypothesis found 900719925474.9999 -> 900719925475.0),
+        # flipping the reference's int-vs-float verdict; Spark parses
+        # round-trip-exact.  A PARSER artifact, not inference semantics —
+        # skip values whose integrality differs between the two parses,
+        # like the NaN-spelling guard above.
+        import io as _io
+
+        import pandas as _pd
+
+        for v in values:
+            fast = _pd.read_csv(_io.StringIO(f"c\n{v}\n"))["c"][0]
+            if float(fast).is_integer() != float(str(v)).is_integer():
+                return
     name = "fuzz_id" if id_name else "fuzz_col"
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/fuzz.csv"
