@@ -395,9 +395,16 @@ def main() -> None:
         dirs[n] = d
 
     queries = entrymod.queries()
+    # SCALE_ONLY=a,b,c probes just those entries and MERGES into the
+    # existing results file (incremental refresh for newly added ops)
+    only = {s for s in os.environ.get("SCALE_ONLY", "").split(",") if s}
     results: dict[str, dict] = {}
+    if only and os.path.exists(out_path):
+        results = json.loads(Path(out_path).read_text()).get("queries", {})
     for family, names in PROBES.items():
         for name in names:
+            if only and name not in only:
+                continue
             fn = queries[name]
             times = {}
             for n, d in dirs.items():
@@ -423,9 +430,13 @@ def main() -> None:
 
     fam_slopes = {
         fam: round(
-            sorted(results[n]["log_slope"] for n in names)[len(names) // 2], 3
+            sorted(results[n]["log_slope"] for n in names if n in results)[
+                sum(1 for n in names if n in results) // 2
+            ],
+            3,
         )
         for fam, names in PROBES.items()
+        if any(n in results for n in names)
     }
     payload = {
         "replicas": replicas,
