@@ -1758,15 +1758,33 @@ _STREAM_SEQ = iter(range(1, 1_000_000))
 _STREAM_DIRS: dict[str, str] = {}
 
 
+def _stage_events(src: str, d: str, tag: str) -> None:
+    """Copy the events table into a drop-dir as one or more parquet drops.
+    Handles both shapes the table arrives in: the driver testdata's single
+    file AND a Spark-written DIRECTORY of part files (the scaling probe's
+    replica corpora)."""
+    import glob
+    import os
+    import shutil
+
+    if os.path.isdir(src):
+        parts = sorted(glob.glob(f"{src}/part-*.parquet")) or sorted(
+            glob.glob(f"{src}/*.parquet")
+        )
+        for i, p in enumerate(parts):
+            shutil.copy(p, f"{d}/drop{tag}_{i}.parquet")
+    else:
+        shutil.copy(src, f"{d}/drop{tag}.parquet")
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """File-source streams need a *directory*; stage the events file into a
     temp drop-dir once per sf_dir."""
     if sf_dir not in _STREAM_DIRS:
-        import shutil
         import tempfile
 
         d = tempfile.mkdtemp(prefix="events_stream_")
-        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", f"{d}/drop1.parquet")
+        _stage_events(f"{sf_dir.rstrip('/')}/events.parquet", d, "1")
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
@@ -1776,13 +1794,12 @@ def _events_stream_dir_dup(sf_dir: str) -> str:
     that redelivers every record, for exercising streaming dedup."""
     key = f"{sf_dir}#dup"
     if key not in _STREAM_DIRS:
-        import shutil
         import tempfile
 
         d = tempfile.mkdtemp(prefix="events_stream_dup_")
         src = f"{sf_dir.rstrip('/')}/events.parquet"
-        shutil.copy(src, f"{d}/drop1.parquet")
-        shutil.copy(src, f"{d}/drop2.parquet")
+        _stage_events(src, d, "1")
+        _stage_events(src, d, "2")
         _STREAM_DIRS[key] = d
     return _STREAM_DIRS[key]
 
