@@ -7128,11 +7128,16 @@ def _q_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe lists, and the per-query rerank."""
     return similarity.retrieval_recall_eval(
         read_table(spark, sf_dir, "embeddings"),
-        query_ids=list(range(8)),
-        k=10,
-        nlist=16,
-        nprobe=5,
+        query_ids=list(range(_RECALL_PANEL)),
+        k=_RECALL_K,
+        nlist=_RECALL_NLIST,
+        nprobe=_RECALL_NPROBE,
     )
+
+
+# single source of truth for the query AND its oracle (the topic_shares
+# convention): a one-sided tuning edit becomes structurally impossible
+_RECALL_PANEL, _RECALL_K, _RECALL_NLIST, _RECALL_NPROBE = 8, 10, 16, 5
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -7145,7 +7150,8 @@ def _cos_sql(a: str, b: str) -> str:
 
 _RETRIEVAL_RECALL_SQL = f"""
 WITH qs AS (
-  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_RECALL_PANEL}
 ), sims AS (
   SELECT q.qid, e.vec_id, {_cos_sql("e.embedding", "q.qvec")} AS sim
   FROM embeddings e, qs q WHERE e.vec_id != q.qid
@@ -7153,10 +7159,10 @@ WITH qs AS (
   SELECT qid, vec_id FROM (
     SELECT qid, vec_id,
            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
-    FROM sims) WHERE rk <= 10
+    FROM sims) WHERE rk <= {_RECALL_K}
 ), cents AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_RECALL_NLIST}
 ), cscore AS (
   SELECT e.vec_id, e.embedding, c.cid,
          {_cos_sql("e.embedding", "c.cvec")} AS csim
@@ -7171,20 +7177,20 @@ WITH qs AS (
     SELECT q.qid, q.qvec, c.cid,
            row_number() OVER (PARTITION BY q.qid
              ORDER BY {_cos_sql("q.qvec", "c.cvec")} DESC, c.cid) AS rk
-    FROM qs q, cents c) WHERE rk <= 5
+    FROM qs q, cents c) WHERE rk <= {_RECALL_NPROBE}
 ), approx AS (
   SELECT qid, vec_id FROM (
     SELECT p.qid, a.vec_id,
            row_number() OVER (PARTITION BY p.qid
              ORDER BY {_cos_sql("a.embedding", "p.qvec")} DESC, a.vec_id) AS rk
     FROM assigned a JOIN probes p ON a.cid = p.cid
-    WHERE a.vec_id != p.qid) WHERE rk <= 10
+    WHERE a.vec_id != p.qid) WHERE rk <= {_RECALL_K}
 ), hits AS (
   SELECT e.qid, count(*) AS n FROM exact e
   JOIN approx x ON e.qid = x.qid AND e.vec_id = x.vec_id GROUP BY 1
 )
 SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-       CAST(round(CAST(coalesce(h.n, 0) / 10.0 AS DECIMAL(18,12)), 6)
+       CAST(round(CAST(coalesce(h.n, 0) / {float(_RECALL_K)} AS DECIMAL(18,12)), 6)
             AS DOUBLE) AS recall_at_k
 FROM qs q LEFT JOIN hits h ON q.qid = h.qid
 """
@@ -7199,11 +7205,17 @@ def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Gumbel draw constant-for-constant."""
     d = read_table(spark, sf_dir, "documents")
     return sampling.dsir_importance_sample(
-        d, target=F.col("lang") == "en", n=100, num_buckets=1024
+        d,
+        target=F.col("lang") == _DSIR_TARGET_LANG,
+        n=_DSIR_N,
+        num_buckets=_DSIR_BUCKETS,
     )
 
 
-_DSIR_SQL = """
+_DSIR_TARGET_LANG, _DSIR_N, _DSIR_BUCKETS = "en", 100, 1024
+
+
+_DSIR_SQL = f"""
 WITH ws AS (
   SELECT doc_id AS id, lang,
          list_filter(string_split(coalesce(text, ''), ' '),
@@ -7216,8 +7228,8 @@ WITH ws AS (
   SELECT id, lang, l[i] || ' ' || l[i + 1] AS f
   FROM ws, UNNEST(generate_series(1, len(l) - 1)) AS t(i)
 ), feats AS (
-  SELECT id, coalesce(lang = 'en', FALSE) AS is_t,
-         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+  SELECT id, coalesce(lang = '{_DSIR_TARGET_LANG}', FALSE) AS is_t,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
   FROM grams
 ), model AS (
   SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
@@ -7227,7 +7239,7 @@ WITH ws AS (
   SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr
   FROM model
 ), scored AS (
-  SELECT b, ln((ct + 1) / (nt + 1024)) - ln((cr + 1) / (nr + 1024)) AS lw
+  SELECT b, ln((ct + 1) / (nt + {_DSIR_BUCKETS})) - ln((cr + 1) / (nr + {_DSIR_BUCKETS})) AS lw
   FROM model, totals
 ), per_doc AS (
   SELECT id, sum(lw) AS logw
@@ -7242,7 +7254,7 @@ SELECT id AS doc_id,
        CAST(round(CAST(logw AS DECIMAL(18,10)), 4) AS DOUBLE) AS log_weight,
        CAST(round(CAST(logw + g AS DECIMAL(18,10)), 4) AS DOUBLE) AS gumbel_score
 FROM drawn
-ORDER BY gumbel_score DESC, doc_id LIMIT 100
+ORDER BY gumbel_score DESC, doc_id LIMIT {_DSIR_N}
 """
 
 
@@ -7318,19 +7330,23 @@ def _q_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_auto_schema.ops import analytics
 
     return analytics.recency_weighted_stats(
-        read_table(spark, sf_dir, "events"), half_life_days=7.0
+        read_table(spark, sf_dir, "events"), half_life_days=_RECENCY_HL_DAYS
     )
 
 
-_RECENCY_WEIGHTS_SQL = """
+_RECENCY_HL_DAYS = 7.0
+
+
+_RECENCY_WEIGHTS_SQL = f"""
 WITH ref AS (SELECT max(epoch_ns(ts) // 1000) AS tmax FROM events),
 w AS (
   SELECT event_type AS grp, value AS v,
-         pow(2.0, -((tmax - epoch_ns(ts) // 1000) / 86400000000.0) / 7.0) AS wt
+         pow(2.0, -((tmax - epoch_ns(ts) // 1000) / 86400000000.0)
+                  / {_RECENCY_HL_DAYS}) AS wt
   FROM events, ref
 )
 SELECT grp, count(*) AS n_events,
-       CAST(round(CAST(sum(wt) AS DECIMAL(18,12)), 6) AS DOUBLE)
+       CAST(round(CAST(sum(wt) AS DECIMAL(38,12)), 6) AS DOUBLE)
          AS weighted_count,
        CAST(round(CAST(sum(v * wt) / sum(wt) AS DECIMAL(18,12)), 6) AS DOUBLE)
          AS weighted_value,
@@ -7355,9 +7371,14 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n1 = f"__novelty_{next(_STREAM_SEQ)}"
+    # max_files_per_trigger=None: the whole drop backlog in ONE availableNow
+    # batch, so the stateful batch-min first_ts equals the oracle's global
+    # min(ts) even when the staged table arrives as many part files
     run_to_memory(
         novelty_stream(
-            read_event_stream(spark, _events_stream_dir(sf_dir)),
+            read_event_stream(
+                spark, _events_stream_dir(sf_dir), max_files_per_trigger=None
+            ),
             ["event_type", "user_id"],
         ),
         n1,
@@ -7422,18 +7443,25 @@ def _q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/b)^(1/r) (where p = 1-(1-1/b)^b, the steep region).  The
     oracle replays the closed form on the same grid — a banding change
     anywhere in the engine diffs here first."""
-    return dedup.lsh_s_curve(spark, num_hashes=16, bands=4)
+    return dedup.lsh_s_curve(
+        spark, num_hashes=_SCURVE_HASHES, bands=_SCURVE_BANDS
+    )
 
 
-_LSH_S_CURVE_SQL = """
-SELECT CAST(round(CAST(i / 20.0 AS DECIMAL(18,12)), 6) AS DOUBLE) AS s,
-       CAST(round(CAST(1 - pow(1 - pow(i / 20.0, 4.0), 4.0)
+_SCURVE_HASHES, _SCURVE_BANDS, _SCURVE_GRID = 16, 4, 20
+
+
+_LSH_S_CURVE_SQL = f"""
+SELECT CAST(round(CAST(i / {float(_SCURVE_GRID)} AS DECIMAL(18,12)), 6) AS DOUBLE) AS s,
+       CAST(round(CAST(1 - pow(1 - pow(i / {float(_SCURVE_GRID)},
+                                       {float(_SCURVE_HASHES // _SCURVE_BANDS)}),
+                               {float(_SCURVE_BANDS)})
                        AS DECIMAL(18,12)), 6) AS DOUBLE) AS p_detect,
-       CAST(round(CAST(pow(0.25, 0.25) AS DECIMAL(18,12)), 6) AS DOUBLE)
-         AS s_star,
-       CAST(4 AS INT) AS band_rows,
-       CAST(4 AS INT) AS n_bands
-FROM UNNEST(generate_series(1, 20)) AS t(i)
+       CAST(round(CAST(pow({1.0 / _SCURVE_BANDS}, {1.0 / (_SCURVE_HASHES // _SCURVE_BANDS)})
+                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS s_star,
+       CAST({_SCURVE_HASHES // _SCURVE_BANDS} AS INT) AS band_rows,
+       CAST({_SCURVE_BANDS} AS INT) AS n_bands
+FROM UNNEST(generate_series(1, {_SCURVE_GRID})) AS t(i)
 """
 
 # ---------------------------------------------------------------------------
@@ -7478,7 +7506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- r9 window (positions 1-50; executes the pre-order committed in r8):
     # the 10 round-8 operators (never-anchored), the 8 stale-r04 leftovers,
-    # then the 32 oldest r05-anchored entries ---
+    # then the 30 oldest r05-anchored entries + 2 policy-(b) pins ---
     q["nfkc_normalize_docs"] = _q_nfkc_normalize
     q["url_domain_rollup"] = _q_url_domain_rollup
     q["token_window_dedup_docs"] = _q_token_window_dedup

@@ -1011,6 +1011,11 @@ def recency_weighted_stats(
     )
     w = F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
     snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    # weighted_count is an UNBOUNDED corpus-growing sum (unlike the repo's
+    # usual decimal(18,12) fractions): 18,12 leaves 6 integer digits, so a
+    # group with >= 1e6 recent events would overflow — NULL on Spark's
+    # non-ANSI cast, an error on DuckDB's.  38,12 holds 26 integer digits.
+    snapped_sum = lambda c: F.round(c.cast("decimal(38,12)"), 6).cast("double")
     return (
         df.crossJoin(F.broadcast(ref))
         .select(
@@ -1021,7 +1026,7 @@ def recency_weighted_stats(
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            snapped(F.sum("__w")).alias("weighted_count"),
+            snapped_sum(F.sum("__w")).alias("weighted_count"),
             snapped(
                 F.sum(F.col("__v") * F.col("__w")) / F.sum("__w")
             ).alias("weighted_value"),

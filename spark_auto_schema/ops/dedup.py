@@ -1748,8 +1748,14 @@ def paragraph_minhash_pairs(
         shingle_n=shingle_n,
         verify_threshold=verify_threshold,
     )
-    da = F.split(F.col("id_a"), ":").getItem(0).cast("long")
-    db = F.split(F.col("id_b"), ":").getItem(0).cast("long")
+    # recover the doc id by stripping the ':<seg_idx>' suffix we appended
+    # (robust to ':' INSIDE the original id — split-on-':' would truncate
+    # it) and cast back to the source id type; a bare cast-to-long would
+    # NULL out string ids and the != filter would silently drop every pair
+    id_type = df.schema[id_col].dataType.simpleString()
+    doc_of = lambda c: F.regexp_replace(c, r":[0-9]+$", "").cast(id_type)
+    da = doc_of(F.col("id_a"))
+    db = doc_of(F.col("id_b"))
     return (
         pairs.select(da.alias("__da"), db.alias("__db"), "jaccard")
         .where(F.col("__da") != F.col("__db"))

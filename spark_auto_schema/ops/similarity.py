@@ -1076,10 +1076,33 @@ def retrieval_recall_eval(
     k-row per query."""
     from pyspark.sql.window import Window
 
-    qs = df.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qn"),
+    spark = df.sparkSession
+    panel = F.broadcast(
+        spark.createDataFrame([(int(q),) for q in query_ids], "qid long")
+    )
+    # a requested qid absent from df must FAIL, not silently shrink the
+    # panel (a recall average over fewer queries than configured reads as
+    # a quality shift) — same guard class as topic_shares' nlist check.
+    # raise_error lives in an in-plan filter so construction stays lazy.
+    qs = panel.join(
+        df.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qn"),
+        ),
+        "qid",
+        "left",
+    ).where(
+        F.when(F.col("qn").isNotNull(), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    " ",
+                    F.lit("retrieval_recall_eval: query id"),
+                    F.col("qid").cast("string"),
+                    F.lit("not present in the corpus — fix query_ids"),
+                )
+            ).cast("boolean")
+        )
     )
     base = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vn")

@@ -1125,10 +1125,13 @@ def canonicalize_urls(
     two- and three-label suffix strings (split by label count
     internally); default is the module's curated ICANN+private subset
     (TWO_LEVEL_SUFFIXES + THREE_LEVEL_SUFFIXES).  Production callers
-    inject the real PSL here — e.g.
-    ``canonicalize_urls(df, suffixes=load_psl_lines())``.  Longer
-    suffixes win: ``school.k12.ca.us`` rolls up under ``k12.ca.us``, not
-    ``ca.us``.
+    inject PSL-derived rules here; comment/blank lines are ignored and
+    single-label rules fold into the generic fallback, but wildcard
+    (``*.ck``), exception (``!www.ck``), and 4+-label rules RAISE —
+    this matcher honors plain two- and three-label rules only, and
+    silently dropping a rule would mis-bucket every host it governs.
+    Longer suffixes win: ``school.k12.ca.us`` rolls up under
+    ``k12.ca.us``, not ``ca.us``.
 
     The crawl-dedup prerequisite: the same page arrives as http/https,
     with and without www., with utm_ tracking junk, and with params in
@@ -1167,8 +1170,32 @@ def canonicalize_urls(
         two_level: tuple[str, ...] = TWO_LEVEL_SUFFIXES
         three_level: tuple[str, ...] = THREE_LEVEL_SUFFIXES
     else:
-        two_level = tuple(s for s in suffixes if s.count(".") == 1)
-        three_level = tuple(s for s in suffixes if s.count(".") == 2)
+        # comment/blank lines (raw PSL files carry them) are dropped;
+        # 1-label rules are implicit in the generic n >= 2 fallback;
+        # anything this matcher cannot honor (wildcard '*.', exception
+        # '!', 4+-label rules) FAILS instead of silently mis-bucketing
+        # every host it governs — the round-8 domain-cap hazard again
+        rules = [
+            s.strip().lower()
+            for s in suffixes
+            if s.strip() and not s.strip().startswith("//")
+        ]
+        unsupported = [
+            s
+            for s in rules
+            if s.startswith(("*", "!")) or s.count(".") > 2
+        ]
+        if unsupported:
+            raise ValueError(
+                "canonicalize_urls: unsupported public-suffix rules "
+                f"{unsupported[:5]}{'...' if len(unsupported) > 5 else ''} — "
+                "this matcher honors plain two- and three-label rules only "
+                "(wildcard/exception/deeper PSL rules need a dedicated "
+                "matcher); filter them out explicitly if folding them into "
+                "the generic fallback is acceptable"
+            )
+        two_level = tuple(s for s in rules if s.count(".") == 1)
+        three_level = tuple(s for s in rules if s.count(".") == 2)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # try_element_at, not element_at: codegen subexpression hoisting can

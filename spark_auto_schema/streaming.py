@@ -78,9 +78,17 @@ def _ts_unit(source_dir: str) -> str:
 
 
 def read_event_stream(
-    spark: SparkSession, source_dir: str, ts_unit: str | None = None
+    spark: SparkSession,
+    source_dir: str,
+    ts_unit: str | None = None,
+    max_files_per_trigger: int | None = 8,
 ) -> DataFrame:
     """File-source stream of event parquet drops in ``source_dir``.
+
+    ``max_files_per_trigger`` (default 8) bounds each microbatch; pass
+    None to let availableNow take every pending file in ONE batch —
+    required by consumers whose per-batch semantics must cover the whole
+    backlog (novelty_stream's batch-min first_ts).
 
     ``ts_unit`` (``'ns'`` | ``'ntz'`` | ``'utc'``) pins the ``ts`` encoding
     explicitly, skipping the footer probe — the escape hatch for starting a
@@ -114,25 +122,24 @@ def read_event_stream(
     if ts_unit is not None and ts_unit not in ("ns", "ntz", "utc"):
         raise ValueError(f"ts_unit must be 'ns', 'ntz' or 'utc', got {ts_unit!r}")
     unit = ts_unit if ts_unit is not None else _ts_unit(source_dir)
+    def _with_trigger(reader):
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(source_dir)
+
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
+        raw = _with_trigger(
             spark.readStream.schema(_events_stream_schema(T.LongType()))
-            .option("maxFilesPerTrigger", 8)
-            .parquet(source_dir)
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if unit == "utc":
         # isAdjustedToUTC=true microseconds: already an instant, no rebase.
-        return (
+        return _with_trigger(
             spark.readStream.schema(_events_stream_schema(T.TimestampType()))
-            .option("maxFilesPerTrigger", 8)
-            .parquet(source_dir)
         )
-    raw = (
+    raw = _with_trigger(
         spark.readStream.schema(_events_stream_schema(T.TimestampNTZType()))
-        .option("maxFilesPerTrigger", 8)
-        .parquet(source_dir)
     )
     return raw.withColumn(
         "ts",
@@ -561,10 +568,16 @@ def novelty_stream(
     replayable in any engine with md5.
 
     Built on ``applyInPandasWithState`` keyed by digest: per-key state is
-    one "seen" flag; within a batch the emitted first_ts is the MINIMUM
-    event time across the key's Arrow batches (deterministic under
-    availableNow's single batch regardless of partition order — a
-    dropDuplicates-based variant would keep an arbitrary instance).
+    one "seen" flag; the emitted first_ts is the MINIMUM event time across
+    the key's Arrow chunks IN THE EMITTING MICROBATCH (deterministic
+    regardless of partition order — a dropDuplicates-based variant would
+    keep an arbitrary instance).  Equality with a batch oracle's global
+    min(ts) requires each digest's earliest event to arrive no later than
+    its first batch — guaranteed when the whole backlog lands in one
+    availableNow batch (read the source with max_files_per_trigger=None,
+    as the registry query does) or when the source is event-time-ordered;
+    under out-of-order multi-batch delivery first_ts is "min ts of the
+    first batch that carried the key", the streaming-observable truth.
     State is O(distinct digests) with NoTimeout — size state_partitions
     to key cardinality; for unbounded digest spaces swap in a TTL timeout
     at the cost of re-reporting expired keys as novel."""
@@ -585,13 +598,20 @@ def novelty_stream(
 
         first = None
         for pdf in pdfs:
-            m = pdf["__ts"].min()
+            m = pdf["__ts"].min()  # pandas min skips NaT within a chunk
+            if pd.isna(m):
+                continue  # all-NaT chunk: NaT compares False to everything
             if first is None or m < first:
                 first = m
-        if not state.exists and first is not None:
+        if not state.exists:
             state.update((1,))
+            # first may be None (every row NULL-ts): emit a NULL first_ts,
+            # matching the oracle's min(ts) over an all-NULL key
             yield pd.DataFrame(
-                {"digest": [key[0]], "first_ts": [pd.Timestamp(first)]}
+                {
+                    "digest": [key[0]],
+                    "first_ts": [pd.Timestamp(first) if first is not None else None],
+                }
             )
 
     return (

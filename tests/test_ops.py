@@ -1517,3 +1517,54 @@ def test_lsh_s_curve_contract_pins_operating_point(spark):
     pairs = dedup.minhash_lsh_pairs_md5(df, verify_threshold=0.8).collect()
     dedup.release_caches()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_canonicalize_urls_rejects_unsupported_psl_rules(spark):
+    """Wildcard/exception/4+-label PSL rules raise (silently dropping one
+    would mis-bucket every host it governs); comments and blanks are
+    ignored; 1-label rules fold into the generic fallback."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "https://a.b.example.com/")],
+                               "id long, url string")
+    for bad in (["*.ck"], ["!www.ck"], ["a.b.c.d"]):
+        with pytest.raises(ValueError, match="unsupported public-suffix"):
+            text.canonicalize_urls(df, suffixes=bad)
+    ok = text.canonicalize_urls(
+        df, suffixes=["// a comment", "", "com", "example.com"]
+    ).collect()[0]
+    assert ok["registered_domain"] == "b.example.com"
+
+
+def test_retrieval_recall_eval_raises_on_missing_query_id(spark):
+    """A requested query id absent from the corpus fails loudly instead of
+    silently shrinking the eval panel (review finding, round 9)."""
+    import pytest
+
+    from spark_auto_schema.ops import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="not present in the corpus"):
+        similarity.retrieval_recall_eval(
+            df, query_ids=[0, 99], k=2, nlist=2, nprobe=2
+        ).collect()
+
+
+def test_paragraph_minhash_handles_string_and_colon_ids(spark):
+    """Doc ids that are strings — even containing ':' — survive the
+    segment-id round-trip (review finding: a bare cast-to-long NULLed
+    them and silently dropped every pair)."""
+    from spark_auto_schema.ops import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    a = " ".join(f"a{i}" for i in range(24)) + " " + shared
+    b = shared + " " + " ".join(f"b{i}" for i in range(24))
+    df = spark.createDataFrame(
+        [("urn:doc:1", a), ("urn:doc:2", b)], "doc_id string, text string"
+    )
+    got = dedup.paragraph_minhash_pairs(df).collect()
+    dedup.release_caches()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [("urn:doc:1", "urn:doc:2")]

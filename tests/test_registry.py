@@ -42,7 +42,7 @@ def test_registry_size_and_window():
     assert len(set(window)) == 50
     # r9 rotation: executes the pre-order committed in round 8 — the 10
     # round-8 operators (never-anchored), the 8 stale-r04 leftovers, then
-    # the 32 oldest r05-anchored entries
+    # the 30 oldest r05-anchored entries + 2 policy-(b) pins
     for member in (
         "nfkc_normalize_docs",        # r8-op backlog head
         "dedup_loss_by_source",       # 10th r8 op
@@ -169,3 +169,26 @@ def test_all_oracles_parse_in_duckdb():
         except Exception as exc:
             bad[name] = str(exc).splitlines()[0]
     assert not bad, f"oracles no longer valid DuckDB SQL: {bad}"
+
+
+def test_paragraph_minhash_defaults_match_oracle_constants():
+    """_PARAGRAPH_MINHASH_SQL hardcodes the op's DEFAULTS (seg_words=8,
+    16 hashes, 4 bands, 3-gram shingles, 0.8 verify) because the banded
+    SQL cannot be cleanly parameterized — pin the defaults so a drive-by
+    signature change fails here instead of hash-failing a driver round
+    later.  (The other round-9 oracles interpolate shared constants.)"""
+    import inspect
+
+    from spark_auto_schema.ops import dedup
+
+    sig = inspect.signature(dedup.paragraph_minhash_pairs)
+    got = {
+        k: v.default
+        for k, v in sig.parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+    assert got["seg_words"] == 8
+    assert got["num_hashes"] == 16
+    assert got["bands"] == 4
+    assert got["shingle_n"] == 3
+    assert got["verify_threshold"] == 0.8
