@@ -1080,28 +1080,34 @@ def retrieval_recall_eval(
     panel = F.broadcast(
         spark.createDataFrame([(int(q),) for q in query_ids], "qid long")
     )
-    # a requested qid absent from df must FAIL, not silently shrink the
-    # panel (a recall average over fewer queries than configured reads as
-    # a quality shift) — same guard class as topic_shares' nlist check.
-    # raise_error lives in an in-plan filter so construction stays lazy.
-    qs = panel.join(
-        df.select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qvec"),
-            norm(F.col(vec_col)).alias("qn"),
-        ),
-        "qid",
-        "left",
-    ).where(
-        F.when(F.col("qn").isNotNull(), F.lit(True)).otherwise(
-            F.raise_error(
-                F.concat_ws(
-                    " ",
-                    F.lit("retrieval_recall_eval: query id"),
-                    F.col("qid").cast("string"),
-                    F.lit("not present in the corpus — fix query_ids"),
-                )
-            ).cast("boolean")
+    # the isin filter PUSHES to the parquet scan (an earlier guard built
+    # qs as panel-join-corpus, which un-pushed the filter and re-scanned
+    # the full table once per consumer — measured 2.5x on this query);
+    # the absent-qid guard then left-joins the literal panel against the
+    # TINY filtered frame: a requested qid absent from df must FAIL, not
+    # silently shrink the panel (same guard class as topic_shares' nlist
+    # check).  raise_error lives in an in-plan filter so construction
+    # stays lazy.
+    qs_present = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    # persisted: the guarded panel frame (<= |query_ids| rows) feeds four
+    # consumers (exact fan-out, probe ranking, rerank, final join); without
+    # the cache each re-executes the scan+join subtree
+    qs = _persist(
+        panel.join(F.broadcast(qs_present), "qid", "left").where(
+            F.when(F.col("qn").isNotNull(), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit("retrieval_recall_eval: query id"),
+                        F.col("qid").cast("string"),
+                        F.lit("not present in the corpus — fix query_ids"),
+                    )
+                ).cast("boolean")
+            )
         )
     )
     base = df.select(
