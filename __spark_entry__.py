@@ -7464,6 +7464,50 @@ SELECT CAST(round(CAST(i / {float(_SCURVE_GRID)} AS DECIMAL(18,12)), 6) AS DOUBL
 FROM UNNEST(generate_series(1, {_SCURVE_GRID})) AS t(i)
 """
 
+
+def _q_lm_kl_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source snapshot-drift KL (`ops/text.py` lm_kl_between):
+    synthesize two snapshots of the documents table by doc_id parity and
+    score KL(even || odd) per source over the union vocabulary — the
+    re-crawl acceptance test.  The oracle replays the two wordcounts,
+    the full-outer union frame, and the smoothed sum."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.lm_kl_between(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+    )
+
+
+_LM_KL_SNAPSHOTS_SQL = """
+WITH tk AS (
+  SELECT doc_id % 2 AS half, source AS grp, w
+  FROM (SELECT doc_id, source,
+               unnest(string_split(coalesce(text, ''), ' ')) AS w
+        FROM documents)
+  WHERE length(w) > 0
+), wa AS (
+  SELECT grp, w, count(*) AS ca FROM tk WHERE half = 0 GROUP BY 1, 2
+), wb AS (
+  SELECT grp, w, count(*) AS cb FROM tk WHERE half = 1 GROUP BY 1, 2
+), both_c AS (
+  SELECT coalesce(wa.grp, wb.grp) AS grp,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM wa FULL OUTER JOIN wb ON wa.grp = wb.grp AND wa.w = wb.w
+), scal AS (
+  SELECT grp, CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM both_c GROUP BY 1
+)
+SELECT b.grp,
+       CAST(max(na) AS BIGINT) AS n_tokens_a,
+       CAST(max(nb) AS BIGINT) AS n_tokens_b,
+       count(*) AS vocab_union,
+       CAST(round(CAST(sum(((ca + 1) / (na + v))
+                 * (ln((ca + 1) / (na + v)) - ln((cb + 1) / (nb + v))))
+             AS DECIMAL(18,10)), 4) AS DOUBLE) AS kl_nats
+FROM both_c b JOIN scal s ON b.grp = s.grp
+GROUP BY 1
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7573,6 +7617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["recency_weights_events"] = _q_recency_weights
     q["streaming_novelty_monitor"] = _q_streaming_novelty
     q["lsh_s_curve_contract"] = _q_lsh_s_curve
+    q["lm_kl_snapshots"] = _q_lm_kl_snapshots
     # --- planned r10 window: r05-anchored remainder (oldest anchors first;
     # rows-only entries are window-INELIGIBLE and parked at the registry
     # tail) ---
@@ -7935,6 +7980,7 @@ def oracle_sql() -> dict[str, str]:
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL
     o["streaming_novelty_monitor"] = _STREAMING_NOVELTY_SQL
     o["lsh_s_curve_contract"] = _LSH_S_CURVE_SQL
+    o["lm_kl_snapshots"] = _LM_KL_SNAPSHOTS_SQL
     o["url_domain_rollup"] = _URL_ROLLUP_SQL
     o["token_window_dedup_docs"] = _TOKEN_WINDOW_DEDUP_SQL
     o["tokenizer_fertility_sources"] = _TOKENIZER_FERTILITY_SQL

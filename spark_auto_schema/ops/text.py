@@ -1444,3 +1444,74 @@ def lm_kl_divergence(
         .cast("double")
         .alias("kl_nats"),
     )
+
+
+def lm_kl_between(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence BETWEEN two corpus snapshots — the drift
+    companion of :func:`lm_kl_divergence` (that one scores a source
+    against the whole corpus; this one scores snapshot A of each source
+    against snapshot B of the same source): ``(grp, n_tokens_a,
+    n_tokens_b, vocab_union, kl_nats)``, KL(A||B) between add-one
+    smoothed unigram models over the source's UNION vocabulary, snapped
+    to 4 decimals.
+
+    The re-crawl acceptance test: a source whose week-over-week KL jumps
+    changed its content distribution (template swap, spam influx,
+    language shift) even when volume and dedup rates look flat.
+
+    With smoothing over the union vocab both distributions sum to
+    exactly 1 on the union frame (sum (c+1)/(N+V) = (N+V)/(N+V)), so —
+    unlike the source-vs-corpus variant — NO unseen-term closed form is
+    needed: the (group, term) full-outer count frame already carries
+    every union word, and KL is one aggregate over it.
+
+    Scale: one wordcount shuffle per snapshot, a vocabulary-sized
+    full-outer join on (group, term), a |groups|-row scalar aggregate
+    joined back (broadcast-sized), one final |groups|-row aggregate.
+    Nothing after the wordcounts touches corpus-sized data."""
+
+    def wc(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(group_col).alias("grp"),
+                F.explode(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                ).alias("w"),
+            )
+            .where(F.length("w") > 0)
+            .groupBy("grp", "w")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    both = (
+        wc(df_a, "ca")
+        .join(wc(df_b, "cb"), ["grp", "w"], "full_outer")
+        .select(
+            "grp",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    scalars = both.groupBy("grp").agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    j = both.join(F.broadcast(scalars), "grp")
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    return j.groupBy("grp").agg(
+        F.max("na").cast("long").alias("n_tokens_a"),
+        F.max("nb").cast("long").alias("n_tokens_b"),
+        F.count(F.lit(1)).alias("vocab_union"),
+        F.round(
+            F.sum(pa * (F.log(pa) - F.log(pb))).cast("decimal(18,10)"), 4
+        )
+        .cast("double")
+        .alias("kl_nats"),
+    )

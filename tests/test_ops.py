@@ -1568,3 +1568,40 @@ def test_paragraph_minhash_handles_string_and_colon_ids(spark):
     got = dedup.paragraph_minhash_pairs(df).collect()
     dedup.release_caches()
     assert [(r["doc_a"], r["doc_b"]) for r in got] == [("urn:doc:1", "urn:doc:2")]
+
+
+def test_lm_kl_between_snapshot_laws(spark):
+    """KL(A||A) == 0 exactly (identical snapshots); a distribution swap
+    is detected; the value matches a brute-force union-vocab reference."""
+    import math
+    from collections import Counter, defaultdict
+
+    a_rows = [(1, "s", "x x y z"), (2, "s", "x y")]
+    b_rows = [(3, "s", "z z z q")]
+    schema = "doc_id long, source string, text string"
+    dfa = spark.createDataFrame(a_rows, schema)
+    dfb = spark.createDataFrame(b_rows, schema)
+    same = text.lm_kl_between(dfa, dfa).collect()[0]
+    assert same["kl_nats"] == 0.0
+    assert same["n_tokens_a"] == same["n_tokens_b"] == 6
+
+    got = text.lm_kl_between(dfa, dfb).collect()[0]
+
+    def counts(rows):
+        d = defaultdict(Counter)
+        for _, s, t in rows:
+            for w in t.split():
+                d[s][w] += 1
+        return d
+
+    ca, cb = counts(a_rows), counts(b_rows)
+    union = set(ca["s"]) | set(cb["s"])
+    v, na, nb = len(union), sum(ca["s"].values()), sum(cb["s"].values())
+    kl = sum(
+        ((ca["s"][w] + 1) / (na + v))
+        * math.log(((ca["s"][w] + 1) / (na + v)) / ((cb["s"][w] + 1) / (nb + v)))
+        for w in union
+    )
+    assert got["kl_nats"] == round(kl, 4)
+    assert got["vocab_union"] == v
+    assert got["kl_nats"] > 0.0

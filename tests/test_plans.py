@@ -1071,3 +1071,22 @@ def test_recency_weights_single_agg_broadcast_ref(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_kl_between_vocab_sized_join_only(spark):
+    """The full-outer union join is vocabulary-sized (two wordcount
+    aggregates), the per-group scalar frame broadcasts back, and there is
+    no cartesian product or corpus-sized sort-merge downstream of the
+    wordcounts."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import text
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_DIR, "documents")
+    df = text.lm_kl_between(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the |groups|-row scalar rejoin

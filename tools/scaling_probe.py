@@ -143,6 +143,9 @@ PROBES: dict[str, list[str]] = {
         # + closed-form per-source scalars; replica token suffixes grow
         # the vocab 10x, the harder case
         "lm_kl_sources",
+        # round-9: snapshot KL — two wordcounts + vocab-sized full-outer
+        # union frame; same 10x-vocab hard case
+        "lm_kl_snapshots",
     ],
     # round-6 additions: event-log behavioral analytics (scale with events;
     # replica-offset user ids also grow the user dim 10x, the harder case)
