@@ -837,9 +837,9 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
-SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+SELECT id_a, id_b, CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= 0.8
 """
 
 _EMBEDDING_TOPK_SQL = """
@@ -2238,7 +2238,7 @@ WITH split AS (
   FROM inter
   JOIN sizes sa ON sa.id = inter.id_new
   JOIN sizes sb ON sb.id = inter.id_cor
-  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.5
+  WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= 0.5
 )
 SELECT doc_id FROM split
 WHERE is_batch AND doc_id NOT IN (SELECT id_new FROM dup)
@@ -2270,7 +2270,7 @@ inter AS (
 ), jac AS (
   SELECT id_a, id_b
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+  WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= 0.8
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM jac
   UNION SELECT id_b, id_a FROM jac
@@ -2819,11 +2819,11 @@ WITH sh AS (
   JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
   GROUP BY c.id_a, c.id_b
 )
-SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+SELECT id_a, id_b, CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= 0.8
 """
 
 
@@ -7304,14 +7304,17 @@ WITH ws AS (
   JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
   GROUP BY c.id_a, c.id_b
 ), ver AS (
-  SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+  SELECT id_a, id_b, CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) AS jaccard
   FROM inter
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b
-  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 4) >= 0.8
+  WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= 0.8
 ), docs_pairs AS (
-  SELECT CAST(string_split(id_a, ':')[1] AS BIGINT) AS da,
-         CAST(string_split(id_b, ':')[1] AS BIGINT) AS db,
+  -- strip only the trailing ':<digits>' segment suffix, exactly like the
+  -- op's rollup — string_split(...)[1] would corrupt string doc ids that
+  -- themselves contain ':' (e.g. 'urn:doc:1'), which the op supports
+  SELECT CAST(regexp_replace(id_a, ':[0-9]+$', '') AS BIGINT) AS da,
+         CAST(regexp_replace(id_b, ':[0-9]+$', '') AS BIGINT) AS db,
          jaccard
   FROM ver
 )
@@ -7371,6 +7374,11 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n1 = f"__novelty_{next(_STREAM_SEQ)}"
+    # ts IS NOT NULL on BOTH streams and in the oracle's d CTE: the window()
+    # rewrite + watermark silently drop NULL event-time rows while DuckDB's
+    # date_trunc GROUP BY would emit a NULL window_start row — filtering at
+    # the top keeps the twins identical under any NULL pattern (round-9
+    # advice; latent only because current testdata has no NULL ts)
     # max_files_per_trigger=None: the whole drop backlog in ONE availableNow
     # batch, so the stateful batch-min first_ts equals the oracle's global
     # min(ts) even when the staged table arrives as many part files
@@ -7378,7 +7386,7 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novelty_stream(
             read_event_stream(
                 spark, _events_stream_dir(sf_dir), max_files_per_trigger=None
-            ),
+            ).where(F.col("ts").isNotNull()),
             ["event_type", "user_id"],
         ),
         n1,
@@ -7388,6 +7396,7 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = f"__novelty_tot_{next(_STREAM_SEQ)}"
     tot_stream = (
         read_event_stream(spark, _events_stream_dir(sf_dir))
+        .where(F.col("ts").isNotNull())
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -7418,7 +7427,7 @@ _STREAMING_NOVELTY_SQL = """
 WITH d AS (
   SELECT md5(coalesce(event_type, '') || ':' ||
              coalesce(CAST(user_id AS VARCHAR), '')) AS dg, ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), tot AS (
   SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events
   FROM d GROUP BY 1

@@ -249,9 +249,17 @@ def _jaccard_from_shingles(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
+            # snapped through DECIMAL(18,12) before the 4-decimal round:
+            # plain round(double, 4) half-rounds differently from DuckDB on
+            # half-ulp boundaries (the dup_frac divergence class) — jaccard
+            # is a bounded fraction so 18,12 cannot overflow
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
-            ),
+                (
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).cast("decimal(18,12)"),
+                4,
+            ).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -346,10 +354,16 @@ def _cross_jaccard(sh_new: DataFrame, sh_cor: DataFrame) -> DataFrame:
         .select(
             "id_new",
             "id_cor",
+            # same DECIMAL(18,12) snap as _jaccard_from_shingles (bounded
+            # fraction; keeps the cross-relation path in lockstep with the
+            # oracle twins' rounding)
             F.round(
-                F.col("inter") / (F.col("sz_new") + F.col("sz_cor") - F.col("inter")),
+                (
+                    F.col("inter")
+                    / (F.col("sz_new") + F.col("sz_cor") - F.col("inter"))
+                ).cast("decimal(18,12)"),
                 4,
-            ).alias("jaccard"),
+            ).cast("double").alias("jaccard"),
         )
     )
 

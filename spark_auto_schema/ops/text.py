@@ -800,10 +800,21 @@ def heavy_hitters_sketch(
     ``max(4096, 2 * ceil(3.5 * T / min_count))`` where T is
     ``corpus_tokens_hint`` (the 100 TB path: pass the token count the
     pipeline already profiled, zero extra scans) or, absent a hint, one
-    cheap token-count aggregate over the same scan shape (a single extra
-    pass; fine at test scale, wasteful at 100 TB — pass the hint).  A
+    cheap token-count aggregate over the same scan shape (a single
+    EAGER extra pass AT CONSTRUCTION TIME — the None-hint path is not
+    lazy; fine at test scale, wasteful at 100 TB — pass the hint).  A
     fixed default capacity would instead make this call site hard-error
-    the day the corpus outgrows it."""
+    the day the corpus outgrows it.
+
+    The derived capacity is bounded by Spark's ``approx_top_k``
+    ``maxItemsTracked`` limit (1,000,000): beyond it the sketch cannot
+    guarantee ``min_count`` sits above the error bound at this corpus
+    size, so the derivation RAISES a descriptive ValueError (min_count
+    too low for the corpus) instead of letting approx_top_k fail
+    opaquely — raise ``min_count`` or pass an explicit capacity."""
+    # Spark's DataSketches frequent-items aggregate rejects capacities
+    # above this (approx_top_k maxItemsTracked limit)
+    _SPARK_MAX_ITEMS_TRACKED = 1_000_000
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
     if max_items_tracked is None:
         t_est = corpus_tokens_hint
@@ -812,6 +823,16 @@ def heavy_hitters_sketch(
         max_items_tracked = max(
             4096, 2 * -(-int(3.5 * t_est) // max(int(min_count), 1))
         )
+        if max_items_tracked > _SPARK_MAX_ITEMS_TRACKED:
+            raise ValueError(
+                "heavy_hitters_sketch: derived capacity "
+                f"{max_items_tracked} exceeds Spark approx_top_k's "
+                f"maxItemsTracked limit {_SPARK_MAX_ITEMS_TRACKED} — "
+                f"min_count {int(min_count)} is too low for a corpus of "
+                f"~{int(t_est)} tokens (need min_count > "
+                f"{int(7 * t_est / _SPARK_MAX_ITEMS_TRACKED)}); raise "
+                "min_count or pass max_items_tracked explicitly"
+            )
     sk = toks.agg(
         F.expr(
             f"approx_top_k(term, {int(max_items_tracked)}, {int(max_items_tracked)})"

@@ -1007,7 +1007,14 @@ def test_retrieval_recall_probes_ranked_in_plan_no_driver_loop(spark):
     """The probe lists for the whole query panel ride one rank window over
     the |queries| x nlist frame — the query-side frames are broadcast (no
     SortMergeJoin), there is no cartesian product, and building the plan
-    triggers no job (a per-query collect loop would)."""
+    triggers no job (a per-query collect loop would).
+
+    WINDOW-INPUT SHAPE (round-9 verdict): both the exact-truth and the
+    IVF top-k cuts must be TWO-PHASE — a partial rank over (qid, __salt)
+    with a __rk1 <= k filter feeding the final per-qid rank — so no
+    single sort partition is ever the corpus-sized candidate set of one
+    query.  A revert to a single row_number over partitionBy(qid) drops
+    the __salt windows / __rk1 filters from the plan and fails here."""
     from spark_auto_schema.io import read_table
     from spark_auto_schema.ops import similarity
 
@@ -1023,6 +1030,18 @@ def test_retrieval_recall_probes_ranked_in_plan_no_driver_loop(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # query + centroid fan-outs
+    # two phase-1 windows (exact + approx), each partitioned by the salt
+    salted_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "__salt" in ln
+    ]
+    assert len(salted_windows) >= 2, (
+        "both top-k cuts must rank over (qid, __salt) first — "
+        "single-phase corpus-sized qid partitions are the 100x skew killer"
+    )
+    # and each feeds through the partial-rank cut before the final window
+    assert plan.count("__rk1") >= 2
 
 
 def test_dsir_single_feature_pass_takeordered_cut(spark):
