@@ -7540,84 +7540,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Their semantics stay pinned by oracle-checked contract twins and the
     local mirror.
 
-    Round-9 window: executes the pre-order committed in round 8 — the 10
-    round-8 operators (never-anchored, debt stays ZERO), the 8 stale-r04
-    leftovers, then the 30 oldest r05-anchored entries (including
-    ewma_user_values, whose r8 driver-bench flag re-anchors under a fresh
-    timing this round), plus two policy-(b) pins whose code changed this
-    round: repeated_ngram_coverage (dup_frac snapped through decimal on
-    both sides) and heavy_hitters_sketch (capacity now corpus-derived) —
-    displacing the two youngest r05 slots (infer_lineitem,
-    minhash_dup_pairs).  Positions 51-100 are the planned r10 window:
-    queries ADDED this round (never-anchored, backlog precedence) first,
-    then the r05-anchored remainder, then the oldest r06-anchored
-    entries.  Behind them: the r06 remainder, the r07 cohort, the 50
-    entries freshly r08-anchored, and finally the two rows-only terminal
+    Round-10 window: executes the pre-order committed in round 9 — the 9
+    round-9 operators (never-anchored, debt stays ZERO), the 20
+    r05-anchored remainder entries, then the 18 oldest r06-anchored
+    entries, plus three policy-(b) pins whose code or oracle changed this
+    round: heavy_hitters_sketch (derived capacity now clamped to Spark's
+    approx_top_k maxItemsTracked limit), and canonical_docs +
+    leakage_safe_split (their shared _CLUSTER_CLOSURE_CTE oracle gained
+    the jaccard DECIMAL(18,12) snap in lockstep with
+    _jaccard_from_shingles) — displacing the three youngest pre-order
+    slots (fingerprint_docs, top_terms, clean_text -> r11 head).
+    Positions 51-100 are the planned r11 window: queries ADDED this
+    round (never-anchored, backlog precedence) first, then the displaced
+    trio and the r06-anchored remainder, then the oldest r07-anchored
+    entries.  Behind them: the r07 remainder, the r08 cohort, the 50
+    entries freshly r09-anchored, and finally the two rows-only terminal
     queries — every query past the window is driver-green on current
-    code r05-r08 and stays covered by the local mirror
+    code r06-r09 and stays covered by the local mirror
     (tools/check_correctness.py) and pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r9 window (positions 1-50; executes the pre-order committed in r8):
-    # the 10 round-8 operators (never-anchored), the 8 stale-r04 leftovers,
-    # then the 30 oldest r05-anchored entries + 2 policy-(b) pins ---
-    q["nfkc_normalize_docs"] = _q_nfkc_normalize
-    q["url_domain_rollup"] = _q_url_domain_rollup
-    q["token_window_dedup_docs"] = _q_token_window_dedup
-    q["tokenizer_fertility_sources"] = _q_tokenizer_fertility
-    q["topic_share_balance"] = _q_topic_share_balance
-    q["top_repeated_substrings"] = _q_top_repeated_substrings
-    q["syndication_matrix"] = _q_syndication_matrix
-    q["zipf_slope_sources"] = _q_zipf_slope
-    q["lang_confusion_docs"] = _q_lang_confusion
-    q["dedup_loss_by_source"] = _q_dedup_loss_by_source
-    q["mix_weights_sources"] = _q_mix_weights
-    q["materialize_mix_docs"] = _q_materialize_mix
-    q["select_token_budget_docs"] = _q_select_token_budget
-    q["session_windows"] = _q_session_windows
-    q["error_events"] = _q_error_events
-    q["asof_prior_click"] = _q_asof_prior_click
-    q["time_bucket_events"] = _q_time_bucket
-    q["salted_join_segments"] = _q_salted_join_segments
-    q["pricing_summary"] = _q_pricing_summary
-    q["shipping_priority"] = _q_shipping_priority
-    q["local_supplier_volume"] = _q_local_supplier_volume
-    q["top_customers"] = _q_top_customers
-    q["region_customers"] = _q_region_customers
-    q["customers_with_orders"] = _q_customers_with_orders
-    q["customers_no_orders"] = _q_customers_no_orders
-    q["rollup_orders"] = _q_rollup_orders
-    q["cube_events"] = _q_cube_events
-    q["grouping_sets_orders"] = _q_grouping_sets
-    q["nation_presence"] = _q_nation_presence
-    q["intersect_users"] = _q_intersect_users
-    q["pivot_event_counts"] = _q_pivot_event_counts
-    q["window_functions"] = _q_window_functions
-    q["top_events_per_user"] = _q_top_events_per_user
-    q["monthly_orders"] = _q_monthly_orders
-    q["distinct_status"] = _q_distinct_status
-    q["approx_distinct_ok"] = _q_approx_distinct_ok
-    q["hash_sample_docs"] = _q_hash_sample
-    q["stratified_sample_orders"] = _q_stratified_sample
-    q["train_eval_split"] = _q_train_eval_split
-    q["csv_roundtrip"] = _q_csv_roundtrip
-    q["json_roundtrip"] = _q_json_roundtrip
-    q["orc_roundtrip"] = _q_orc_roundtrip
-    q["csv_inference"] = _q_csv_inference
-    q["range_join_tiers"] = _q_range_join_tiers
-    q["salted_event_counts"] = _q_salted_event_counts
-    q["weighted_sample_docs"] = _q_weighted_sample
-    q["pack_sequences"] = _q_pack_sequences
-    q["ewma_user_values"] = _q_ewma_user_values
-    # policy (b) re-anchor pins (code changed this round; displace the two
-    # youngest r05 slots, infer_lineitem + minhash_dup_pairs -> r05
-    # remainder head): dup_frac snapped through DECIMAL(18,12) on both
-    # sides (the round-8-advice latent divergence class), and the
-    # heavy-hitters sketch capacity now derived from corpus size
-    q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
-    q["heavy_hitters_sketch"] = _q_heavy_hitters
-    # ---- entries below are past the driver's 50-entry window ----
-    # --- planned r10 window head: queries added in round 9 (never-anchored;
-    # backlog precedence over anchored entries) ---
+    # --- r10 window (positions 1-50; executes the pre-order committed in
+    # r9): the 9 round-9 operators (never-anchored), the r05-anchored
+    # remainder, the oldest r06-anchored entries + 3 policy-(b) pins ---
     q["pii_density_sources"] = _q_pii_density
     q["lm_kl_sources"] = _q_lm_kl
     q["retrieval_recall_panel"] = _q_retrieval_recall
@@ -7627,9 +7571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_novelty_monitor"] = _q_streaming_novelty
     q["lsh_s_curve_contract"] = _q_lsh_s_curve
     q["lm_kl_snapshots"] = _q_lm_kl_snapshots
-    # --- planned r10 window: r05-anchored remainder (oldest anchors first;
-    # rows-only entries are window-INELIGIBLE and parked at the registry
-    # tail) ---
     q["infer_lineitem"] = _infer_query("lineitem")
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["infer_orders"] = _infer_query("orders")
@@ -7650,7 +7591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
-    # --- planned r10 window tail + r06-anchored cohort ---
     q["dedup_exact"] = _q_hash_dedup
     q["ngram_jaccard_dups"] = _q_ngram_jaccard
     q["dedup_clusters"] = _q_dedup_clusters
@@ -7669,6 +7609,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_count"] = _q_token_count
     q["lang_id"] = _q_lang_id
     q["quality_score"] = _q_quality
+    # policy (b) re-anchor pins (code/oracle changed this round; displace
+    # the three youngest pre-order slots, fingerprint_docs + top_terms +
+    # clean_text -> r11 head): the heavy-hitters derived capacity is now
+    # clamped to approx_top_k's maxItemsTracked limit, and the cluster
+    # closure CTE both of these oracles share gained the jaccard
+    # DECIMAL(18,12) snap in lockstep with _jaccard_from_shingles
+    q["heavy_hitters_sketch"] = _q_heavy_hitters
+    q["canonical_docs"] = _q_canonical_docs
+    q["leakage_safe_split"] = _q_leakage_safe_split
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- planned r11 window head: queries added in round 10 go HERE
+    # (never-anchored; backlog precedence over anchored entries) ---
+    # --- planned r11 window: the three displaced pre-order slots + the
+    # r06-anchored remainder (oldest anchors first), then the oldest
+    # r07-anchored entries; rows-only entries are window-INELIGIBLE and
+    # parked at the registry tail ---
     q["fingerprint_docs"] = _q_fingerprint
     q["top_terms"] = _q_top_terms
     q["clean_text"] = _q_clean_text
@@ -7706,8 +7662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
     q["media_resize"] = _q_media_resize
     q["approx_percentile_ok"] = _q_approx_percentile_ok
-    q["leakage_safe_split"] = _q_leakage_safe_split
-    q["canonical_docs"] = _q_canonical_docs
+    # (canonical_docs + leakage_safe_split moved out of this cohort into
+    # the r10 window as policy-(b) oracle-change pins)
     q["group_quantile_filter"] = _q_group_quantile_filter
     q["hll_sharded_uniques"] = _q_hll_sharded_uniques
     q["zorder_roundtrip"] = _q_zorder_roundtrip
@@ -7795,6 +7751,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_docs"] = _q_profile_docs
     q["corpus_diff_docs"] = _q_corpus_diff
     q["epoch_shuffle_docs"] = _q_epoch_shuffle
+    # --- r09-anchored cohort (the round-9 driver window, anchored in
+    # CORRECTNESS_r09; freshest, so they queue last for rotation) ---
+    q["nfkc_normalize_docs"] = _q_nfkc_normalize
+    q["url_domain_rollup"] = _q_url_domain_rollup
+    q["token_window_dedup_docs"] = _q_token_window_dedup
+    q["tokenizer_fertility_sources"] = _q_tokenizer_fertility
+    q["topic_share_balance"] = _q_topic_share_balance
+    q["top_repeated_substrings"] = _q_top_repeated_substrings
+    q["syndication_matrix"] = _q_syndication_matrix
+    q["zipf_slope_sources"] = _q_zipf_slope
+    q["lang_confusion_docs"] = _q_lang_confusion
+    q["dedup_loss_by_source"] = _q_dedup_loss_by_source
+    q["mix_weights_sources"] = _q_mix_weights
+    q["materialize_mix_docs"] = _q_materialize_mix
+    q["select_token_budget_docs"] = _q_select_token_budget
+    q["session_windows"] = _q_session_windows
+    q["error_events"] = _q_error_events
+    q["asof_prior_click"] = _q_asof_prior_click
+    q["time_bucket_events"] = _q_time_bucket
+    q["salted_join_segments"] = _q_salted_join_segments
+    q["pricing_summary"] = _q_pricing_summary
+    q["shipping_priority"] = _q_shipping_priority
+    q["local_supplier_volume"] = _q_local_supplier_volume
+    q["top_customers"] = _q_top_customers
+    q["region_customers"] = _q_region_customers
+    q["customers_with_orders"] = _q_customers_with_orders
+    q["customers_no_orders"] = _q_customers_no_orders
+    q["rollup_orders"] = _q_rollup_orders
+    q["cube_events"] = _q_cube_events
+    q["grouping_sets_orders"] = _q_grouping_sets
+    q["nation_presence"] = _q_nation_presence
+    q["intersect_users"] = _q_intersect_users
+    q["pivot_event_counts"] = _q_pivot_event_counts
+    q["window_functions"] = _q_window_functions
+    q["top_events_per_user"] = _q_top_events_per_user
+    q["monthly_orders"] = _q_monthly_orders
+    q["distinct_status"] = _q_distinct_status
+    q["approx_distinct_ok"] = _q_approx_distinct_ok
+    q["hash_sample_docs"] = _q_hash_sample
+    q["stratified_sample_orders"] = _q_stratified_sample
+    q["train_eval_split"] = _q_train_eval_split
+    q["csv_roundtrip"] = _q_csv_roundtrip
+    q["json_roundtrip"] = _q_json_roundtrip
+    q["orc_roundtrip"] = _q_orc_roundtrip
+    q["csv_inference"] = _q_csv_inference
+    q["range_join_tiers"] = _q_range_join_tiers
+    q["salted_event_counts"] = _q_salted_event_counts
+    q["weighted_sample_docs"] = _q_weighted_sample
+    q["pack_sequences"] = _q_pack_sequences
+    q["ewma_user_values"] = _q_ewma_user_values
+    q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
     # --- rows-only terminal queries (no DuckDB oracle possible: xxhash64
     # signatures; driver scores them err:no_oracle, so they are permanently
     # window-ineligible — semantics pinned by oracle-checked contract twins

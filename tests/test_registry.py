@@ -40,24 +40,26 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r9 rotation: executes the pre-order committed in round 8 — the 10
-    # round-8 operators (never-anchored), the 8 stale-r04 leftovers, then
-    # the 30 oldest r05-anchored entries + 2 policy-(b) pins
+    # r10 rotation: executes the pre-order committed in round 9 — the 9
+    # round-9 operators (never-anchored), the 20 r05-anchored remainder
+    # entries, the 18 oldest r06-anchored entries + 3 policy-(b) pins
     for member in (
-        "nfkc_normalize_docs",        # r8-op backlog head
-        "dedup_loss_by_source",       # 10th r8 op
-        "mix_weights_sources",        # stale-r04 leftover head
-        "salted_join_segments",       # 8th r04 leftover
-        "pricing_summary",            # oldest r05 cohort head
-        "ewma_user_values",           # r8 bench-flag re-anchor (pos 49)
-        "repeated_ngram_coverage",    # policy-(b) pin: dup_frac snap changed
+        "pii_density_sources",        # r9-op backlog head
+        "lm_kl_snapshots",            # 9th r9 op
+        "infer_lineitem",             # r05 remainder head
+        "simhash_pigeonhole_check",   # 20th r05 remainder entry
+        "dedup_exact",                # oldest r06 cohort head
+        "quality_score",              # 18th r06 entry
+        "heavy_hitters_sketch",       # policy-(b) pin: capacity clamp
+        "canonical_docs",             # policy-(b) pin: closure-CTE snap
+        "leakage_safe_split",         # policy-(b) pin: closure-CTE snap
     ):
         assert member in window, member
-    # freshly r08-anchored entries never re-enter; rows-only queries are
+    # freshly r09-anchored entries never re-enter; rows-only queries are
     # permanently window-INELIGIBLE (driver can only score err:no_oracle)
     for rotated_out in (
-        "calibration_bins_docs", "fuzzy_match_customers",
-        "sessionize_events", "epoch_shuffle_docs",
+        "nfkc_normalize_docs", "dedup_loss_by_source",
+        "pricing_summary", "ewma_user_values", "repeated_ngram_coverage",
     ):
         assert rotated_out not in window, rotated_out
     assert not (ROWS_ONLY & set(qs[:100])), (
@@ -91,10 +93,10 @@ def test_driver_window_utilization():
     )
 
 
-def test_planned_r10_window_composition():
-    """Positions 51-100 are the PLANNED r10 window (see the queries()
-    docstring): every entry there must be never-driver-anchored (round-9
-    additions) or anchored no later than r06 (the oldest remaining
+def test_planned_r11_window_composition():
+    """Positions 51-100 are the PLANNED r11 window (see the queries()
+    docstring): every entry there must be never-driver-anchored (round-10
+    additions) or anchored no later than r07 (the oldest remaining
     cohorts) — i.e. next round's rotation is already encoded and a
     drive-by registry edit can't silently push debt or stale anchors
     past it.  Rows-only queries are excluded from positions 1-100
@@ -110,9 +112,9 @@ def test_planned_r10_window_composition():
     qs = list(entry.queries())
     planned = qs[50:100]
     assert len(planned) == 50
-    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "06"}
+    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "07"}
     assert not bad, (
-        f"planned r10 window holds fresh-anchored entries {bad} — move them "
+        f"planned r11 window holds fresh-anchored entries {bad} — move them "
         "behind position 100 and pull debt/stale entries forward"
     )
 
