@@ -108,6 +108,27 @@ def _release_op_caches() -> None:
         pass
 
 
+def _warm_python_workers(spark, cpus: str) -> None:
+    """Throwaway mapInPandas job: spin up (or revive) the Arrow Python
+    workers on every core so their cold start never lands inside a timed
+    rep.  The recurring >2x bench-flag class on mapInPandas queries
+    (ewma_user_values r7/r8, ewma_value_check r9 — each adjudicated as
+    noise with the same bimodal first-rep signature) is exactly this
+    spin-up: workers idle out between a query's warmup and its timed rep
+    hundreds of queries later.  One untimed ~0.1 s job per timed query
+    kills the class (round-9 verdict item #2)."""
+
+    def _ident(batches):
+        yield from batches
+
+    try:
+        spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+            _ident, "id long"
+        ).count()
+    except Exception:
+        pass  # worker warm-up is best-effort; the timed rep still runs
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -156,6 +177,10 @@ def main() -> None:
     failed: list[str] = []
     registry = entrymod.queries()
     for name, fn in registry.items():
+        # Untimed Arrow-worker revival before EVERY query's rep loop —
+        # see _warm_python_workers; ~0.1 s per query, buys flag-free
+        # mapInPandas timings.
+        _warm_python_workers(spark, cpus)
         samples: list[float] = []
         n = -1
         for _ in range(reps):
