@@ -7196,6 +7196,89 @@ FROM qs q LEFT JOIN hits h ON q.qid = h.qid
 """
 
 
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-path retrieval eval (`ops/similarity.py` lsh_recall_eval):
+    recall@10 and candidate-set size of the multi-table hyperplane LSH
+    path (3 planes, 6 tables — ann_lsh_topk's production config) vs
+    brute-force exact cosine for the same 8-query panel
+    retrieval_recall_panel scores the IVF path with.  The hyperplanes
+    are seeded driver constants, so the oracle embeds the SAME plane
+    literals and replays every signature, the bucket-collision candidate
+    sets, both top-k cuts, and the recall."""
+    return similarity.lsh_recall_eval(
+        read_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(_LSHR_PANEL)),
+        k=_LSHR_K,
+        num_planes=_LSHR_PLANES,
+        num_tables=_LSHR_TABLES,
+        seed=_LSHR_SEED,
+    )
+
+
+# single source of truth for the query AND its oracle; planes/tables/seed
+# deliberately equal ann_lsh_topk's config so this panel measures the
+# recall of the EXACT path the production query serves
+_LSHR_PANEL, _LSHR_K, _LSHR_PLANES, _LSHR_TABLES, _LSHR_SEED = 8, 10, 3, 6, 42
+
+
+def _lsh_recall_oracle_sql() -> str:
+    """Full DuckDB replay of lsh_recall_eval: plane literals interpolated
+    exactly like _ann_lsh_oracle_sql (repr() round-trips doubles; both
+    engines sum dot products sequentially, so sign tests agree
+    bit-for-bit), then the same exact-truth / bucket-collision /
+    rank / recall dataflow."""
+    from spark_auto_schema.ops.similarity import _hyperplanes
+
+    tables = [
+        _hyperplanes(64, _LSHR_PLANES, _LSHR_SEED + 1000 * t)
+        for t in range(_LSHR_TABLES)
+    ]
+    sig_cols = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql('embedding', p)} > 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        sig_cols.append(f"({bits}) AS sig{t}")
+    qsigs = ", ".join(f"sig{t} AS qsig{t}" for t in range(_LSHR_TABLES))
+    collide = " OR ".join(f"s.sig{t} = q.qsig{t}" for t in range(_LSHR_TABLES))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {', '.join(sig_cols)} FROM embeddings
+), qs AS (
+  SELECT vec_id AS qid, embedding AS qvec, {qsigs}
+  FROM sigs WHERE vec_id < {_LSHR_PANEL}
+), sims AS (
+  SELECT q.qid, s.vec_id, {_cos_sql("s.embedding", "q.qvec")} AS sim
+  FROM sigs s, qs q WHERE s.vec_id != q.qid
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+    FROM sims) WHERE rk <= {_LSHR_K}
+), cand AS (
+  SELECT q.qid, s.vec_id, {_cos_sql("s.embedding", "q.qvec")} AS sim
+  FROM sigs s JOIN qs q ON ({collide})
+  WHERE s.vec_id != q.qid
+), ncand AS (
+  SELECT qid, count(*) AS n FROM cand GROUP BY 1
+), approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+    FROM cand) WHERE rk <= {_LSHR_K}
+), hits AS (
+  SELECT e.qid, count(*) AS n FROM exact e
+  JOIN approx x ON e.qid = x.qid AND e.vec_id = x.vec_id GROUP BY 1
+)
+SELECT q.qid, CAST(coalesce(nc.n, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(round(CAST(coalesce(h.n, 0) / {float(_LSHR_K)} AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS recall_at_k
+FROM qs q LEFT JOIN ncand nc ON q.qid = nc.qid LEFT JOIN hits h ON q.qid = h.qid
+"""
+
+
 def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (`ops/sampling.py` dsir_importance_sample,
     Xie et al. 2023): hashed unigram+bigram features (1024 md5 buckets),
@@ -7619,8 +7702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["canonical_docs"] = _q_canonical_docs
     q["leakage_safe_split"] = _q_leakage_safe_split
     # ---- entries below are past the driver's 50-entry window ----
-    # --- planned r11 window head: queries added in round 10 go HERE
+    # --- planned r11 window head: queries added in round 10
     # (never-anchored; backlog precedence over anchored entries) ---
+    q["lsh_recall_panel"] = _q_lsh_recall
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -7991,6 +8075,7 @@ def oracle_sql() -> dict[str, str]:
     o["pii_density_sources"] = _PII_DENSITY_SQL
     o["lm_kl_sources"] = _LM_KL_SQL
     o["retrieval_recall_panel"] = _RETRIEVAL_RECALL_SQL
+    o["lsh_recall_panel"] = _lsh_recall_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

