@@ -2623,6 +2623,51 @@ GROUP BY doc_id
 """
 
 
+def _q_contamination_diff(spark, sf_dir):
+    """Cross-snapshot contamination diff (`ops/dedup.py`
+    contamination_diff): the same 3-gram probe overlap contamination_check
+    anchors, computed against two synthesized releases of the documents
+    table (overlapping thirds: A = doc_id % 3 != 0, B = doc_id % 3 != 1)
+    and classified per doc (new/gone/changed/stable).  The oracle replays
+    one shared shingle relation, both snapshot filters, and the
+    full-outer status CASE."""
+    d = _spread_docs(spark, sf_dir)
+    return dedup.contamination_diff(
+        d.where(F.col("doc_id") % 3 != 0),
+        d.where(F.col("doc_id") % 3 != 1),
+        d.where(F.col("doc_id").isin(list(_CONTAMINATION_PROBES))),
+        n=3,
+    )
+
+
+def _contamination_diff_oracle_sql() -> str:
+    probes = ", ".join(str(p) for p in _CONTAMINATION_PROBES)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+), probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id IN ({probes})),
+ha AS (
+  SELECT doc_id, count(*) AS c FROM sh JOIN probe USING (shingle)
+  WHERE doc_id % 3 != 0 AND doc_id NOT IN ({probes}) GROUP BY 1
+), hb AS (
+  SELECT doc_id, count(*) AS c FROM sh JOIN probe USING (shingle)
+  WHERE doc_id % 3 != 1 AND doc_id NOT IN ({probes}) GROUP BY 1
+)
+SELECT coalesce(ha.doc_id, hb.doc_id) AS doc_id,
+       CAST(coalesce(ha.c, 0) AS BIGINT) AS n_shared_a,
+       CAST(coalesce(hb.c, 0) AS BIGINT) AS n_shared_b,
+       CAST(coalesce(hb.c, 0) - coalesce(ha.c, 0) AS BIGINT) AS delta,
+       CASE WHEN coalesce(ha.c, 0) = 0 AND coalesce(hb.c, 0) > 0 THEN 'new'
+            WHEN coalesce(ha.c, 0) > 0 AND coalesce(hb.c, 0) = 0 THEN 'gone'
+            WHEN coalesce(ha.c, 0) = coalesce(hb.c, 0) THEN 'stable'
+            ELSE 'changed' END AS status
+FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
+"""
+
+
 # rows-only entries (Spark-side hashing / Arrow UDFs, not DuckDB-reproducible)
 
 
@@ -7705,6 +7750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- planned r11 window head: queries added in round 10
     # (never-anchored; backlog precedence over anchored entries) ---
     q["lsh_recall_panel"] = _q_lsh_recall
+    q["contamination_snapshot_diff"] = _q_contamination_diff
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8076,6 +8122,7 @@ def oracle_sql() -> dict[str, str]:
     o["lm_kl_sources"] = _LM_KL_SQL
     o["retrieval_recall_panel"] = _RETRIEVAL_RECALL_SQL
     o["lsh_recall_panel"] = _lsh_recall_oracle_sql()
+    o["contamination_snapshot_diff"] = _contamination_diff_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

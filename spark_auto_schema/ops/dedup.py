@@ -807,6 +807,65 @@ def contamination_check(
     return hits
 
 
+def contamination_diff(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-snapshot contamination diff: :func:`contamination_check`'s
+    probe-shingle overlap computed against TWO corpus releases and
+    compared per document — ``(doc_id, n_shared_a, n_shared_b, delta,
+    status)`` for every document contaminated in EITHER snapshot (probe
+    documents excluded).  ``status`` classifies the movement: ``new``
+    (contaminated only in B — the re-crawl re-introduced eval content),
+    ``gone`` (cleaned between releases), ``changed`` (overlap count
+    moved), ``stable``.  The release-acceptance view of contamination: a
+    nonempty ``new`` set is the signal to block a snapshot BEFORE it
+    trains.
+
+    A document absent from one snapshot and a document present-but-clean
+    both read 0 on that side — the diff tracks contamination exposure,
+    not snapshot membership.
+
+    Scale: the probe shingle set is |eval set|-sized and persisted once
+    (both sides broadcast-join against it — no re-scan of the probe
+    relation per side); each snapshot side is one explode +
+    broadcast-semi-join + groupBy(doc), exactly contamination_check's
+    cost; the final full-outer join is over the contaminated-doc frames
+    only (<= hits rows, not corpora)."""
+    probe_sh = _persist(
+        shingles(probe_df, text_col, id_col, n).select("shingle").distinct()
+    )
+    probe_ids = probe_df.select(F.col(id_col).alias("id")).distinct()
+
+    def hits(corpus: DataFrame, out: str) -> DataFrame:
+        return (
+            shingles(corpus, text_col, id_col, n)
+            .join(F.broadcast(probe_ids), on="id", how="left_anti")
+            .join(F.broadcast(probe_sh), on="shingle", how="inner")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a, b = hits(corpus_a, "n_shared_a"), hits(corpus_b, "n_shared_b")
+    na = F.coalesce("n_shared_a", F.lit(0)).cast("long")
+    nb = F.coalesce("n_shared_b", F.lit(0)).cast("long")
+    return a.join(b, on=id_col, how="full_outer").select(
+        id_col,
+        na.alias("n_shared_a"),
+        nb.alias("n_shared_b"),
+        (nb - na).alias("delta"),
+        F.when((na == 0) & (nb > 0), F.lit("new"))
+        .when((na > 0) & (nb == 0), F.lit("gone"))
+        .when(na == nb, F.lit("stable"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
 # ----------------------------------------------------------------- simhash
 # 64-bit signatures split into 4 chunks of 16 bits for the pigeonhole join:
 # hamming <= 3 still guarantees >= 1 equal chunk, but buckets number 2^16

@@ -1673,3 +1673,48 @@ def test_lsh_recall_eval_raises_on_missing_query_id(spark):
         similarity.lsh_recall_eval(
             df, query_ids=[0, 99], k=2, num_planes=2, num_tables=2, dim=2
         ).collect()
+
+
+def test_contamination_diff_statuses(spark):
+    """All four movement classes + the exclusions: a doc contaminated only
+    in B is 'new', only in A 'gone', equal overlap 'stable', moved overlap
+    'changed'; clean docs and the probe doc itself never appear."""
+    from spark_auto_schema.ops import dedup
+
+    probe_text = "the quick brown fox jumps over the lazy dog tonight"
+    clean = "completely different words without any overlap at all here"
+    partial = "quick brown fox jumps over something else entirely now"
+    probe = spark.createDataFrame(
+        [(0, probe_text)], "doc_id long, text string"
+    )
+    a = spark.createDataFrame(
+        [
+            (0, probe_text),   # probe doc present in the corpus: excluded
+            (10, probe_text),  # gone (absent from B)
+            (12, probe_text),  # stable
+            (13, probe_text),  # changed (B carries a reduced copy)
+            (14, clean),       # clean: never appears
+        ],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            (11, probe_text),  # new (absent from A)
+            (12, probe_text),
+            (13, partial),
+            (14, clean),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.contamination_diff(a, b, probe, n=3).collect()
+    }
+    dedup.release_caches()
+    assert set(got) == {10, 11, 12, 13}
+    assert got[10]["status"] == "gone" and got[10]["n_shared_b"] == 0
+    assert got[11]["status"] == "new" and got[11]["n_shared_a"] == 0
+    assert got[12]["status"] == "stable" and got[12]["delta"] == 0
+    assert got[13]["status"] == "changed"
+    assert got[13]["delta"] == got[13]["n_shared_b"] - got[13]["n_shared_a"]
+    assert got[13]["delta"] < 0

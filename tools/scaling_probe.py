@@ -54,6 +54,9 @@ PROBES: dict[str, list[str]] = {
         # round-9: paragraph-level MinHash — |segments| keys scale with
         # corpus words; pair space must stay bucket-local
         "paragraph_minhash_pairs",
+        # round-10: two contamination_check passes + a hits-sized diff
+        # join; must track the corpus shingle volume, never probe x corpus
+        "contamination_snapshot_diff",
         "dedup_exact",
         "ngram_jaccard_dups",
         "simhash_near_dup",
