@@ -781,7 +781,10 @@ def _lang_id_oracle_sql() -> str:
     )
 
 
-def _quality_oracle_sql() -> str:
+def _quality_expr_sql() -> str:
+    """The quality_score arithmetic as a DuckDB expression — the single
+    source both the quality_score oracle and the quality_drift_sources
+    oracle interpolate."""
     stop = f"len(regexp_extract_all(text, '{_stop_pat('en')}'))"
     punct = r"len(regexp_extract_all(text, '[^\w\s]'))"
     nw = "len(string_split(text, ' '))"
@@ -793,10 +796,75 @@ def _quality_oracle_sql() -> str:
         f"(1.0::DOUBLE - {punct} / length(text)) * 0.3::DOUBLE + "
         f"least(1.0::DOUBLE, {stop} / {nw} * 5.0::DOUBLE) * 0.2::DOUBLE"
     )
-    return (
-        f"SELECT doc_id, CAST(round(CAST({raw} AS DECIMAL(18,10)), 4) AS DOUBLE) "
-        "AS quality FROM documents"
+    return f"CAST(round(CAST({raw} AS DECIMAL(18,10)), 4) AS DOUBLE)"
+
+
+def _quality_oracle_sql() -> str:
+    return f"SELECT doc_id, {_quality_expr_sql()} AS quality FROM documents"
+
+
+def _q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score drift between snapshots (`ops/scoring.py`
+    score_drift over `ops/text.py` quality_score): the 11-point exact
+    percentile grid of the quality score per (source, snapshot) — the
+    snapshots are synthesized by an md5 hash split of doc_id (NOT id
+    arithmetic: the testdata assigns source by doc_id modulo, so any
+    mod/bit split is source-determined and would leave each source's
+    snapshot sets disjoint and the inner drift join empty) — compared
+    pointwise into (max_qdiff, avg_qdiff).  The oracle replays the score
+    arithmetic, the hash split, both quantile_cont grids, and the
+    pointwise list compare."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = text.quality_score(d, keep_cols=["source"])
+    half = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
     )
+    return scoring.score_drift(
+        scored.where(half == 0),
+        scored.where(half == 1),
+        value_col="quality",
+        group_col="source",
+        grid=_QDRIFT_GRID,
+    )
+
+
+_QDRIFT_GRID = 11
+
+
+def _quality_drift_oracle_sql() -> str:
+    grid = _QDRIFT_GRID
+    probs = ", ".join(repr(i / (grid - 1)) for i in range(grid))
+    snap = lambda e: (
+        f"CAST(round(CAST({e} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    )
+    return f"""
+WITH sc AS (
+  SELECT doc_id, source, {_quality_expr_sql()} AS quality FROM documents
+), h AS (
+  SELECT source, quality,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS half
+  FROM sc
+), g AS (
+  SELECT source AS grp,
+         count(*) FILTER (WHERE half = 0) AS n_a,
+         count(*) FILTER (WHERE half = 1) AS n_b,
+         quantile_cont(quality, [{probs}]) FILTER (WHERE half = 0) AS qa,
+         quantile_cont(quality, [{probs}]) FILTER (WHERE half = 1) AS qb
+  FROM h GROUP BY 1
+), d AS (
+  SELECT grp, n_a, n_b,
+         list_transform(range(1, {grid + 1}), i -> abs(qa[i] - qb[i])) AS ds
+  FROM g WHERE n_a > 0 AND n_b > 0
+)
+SELECT grp, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {snap("list_max(ds)")} AS max_qdiff,
+       {snap(f"list_sum(ds) / {float(grid)}")} AS avg_qdiff
+FROM d
+"""
 
 
 _TEXT_STATS_SQL = r"""
@@ -7751,6 +7819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never-anchored; backlog precedence over anchored entries) ---
     q["lsh_recall_panel"] = _q_lsh_recall
     q["contamination_snapshot_diff"] = _q_contamination_diff
+    q["quality_drift_sources"] = _q_quality_drift
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8123,6 +8192,7 @@ def oracle_sql() -> dict[str, str]:
     o["retrieval_recall_panel"] = _RETRIEVAL_RECALL_SQL
     o["lsh_recall_panel"] = _lsh_recall_oracle_sql()
     o["contamination_snapshot_diff"] = _contamination_diff_oracle_sql()
+    o["quality_drift_sources"] = _quality_drift_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -336,3 +336,57 @@ def quantile_normalize(
         snap(F.col("__p")).alias("p"),
         snap(interp).alias("normalized"),
     )
+
+
+def score_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_col: str,
+    grid: int = 11,
+) -> DataFrame:
+    """Per-group distribution drift of a score between two snapshots:
+    ``(grp, n_a, n_b, max_qdiff, avg_qdiff)`` — each snapshot's exact
+    percentile grid of ``value_col`` (``grid`` points, the
+    :func:`quantile_normalize` grid), compared pointwise; ``max_qdiff``
+    is a Kolmogorov-style distance on the quantile function.
+
+    The release-acceptance dial for score drift: two snapshots scored by
+    the same quality model should produce near-identical per-source
+    quantile grids — a source whose max_qdiff jumps changed its content
+    mix (or the upstream site template changed), even when its mean
+    score held still.  Only groups present in BOTH snapshots are scored
+    (appearing/disappearing sources are corpus-membership drift —
+    corpus_diff territory, not score drift).
+
+    Scale: one exact-percentile aggregate per snapshot — |groups|-row
+    outputs, map-side partials; the grid join is |groups| x |groups|
+    equi-join on the group key; the pointwise compare runs in array
+    built-ins on the |groups|-row frame.  At extreme scale swap
+    ``F.percentile`` for ``approx_percentile`` (sketch merge instead of
+    per-group value buffers) without touching the comparison."""
+    probs = [i / (grid - 1) for i in range(grid)]
+    parr = F.array(*[F.lit(p) for p in probs])
+
+    def grids(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).alias(f"n_{side}"),
+            F.percentile(value_col, parr).alias(f"q_{side}"),
+        )
+
+    diffs = F.zip_with("q_a", "q_b", lambda x, y: F.abs(x - y))
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        grids(df_a, "a")
+        .join(grids(df_b, "b"), "grp")
+        .select(
+            "grp",
+            "n_a",
+            "n_b",
+            snap(F.array_max(diffs)).alias("max_qdiff"),
+            snap(
+                F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+                / F.lit(float(grid))
+            ).alias("avg_qdiff"),
+        )
+    )

@@ -153,10 +153,19 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: "list[str] | None" = None,
+) -> DataFrame:
     """Composite quality score in [0,1]: length saturation, low punctuation,
     stopword density.  The exact arithmetic (and its evaluation order) is
     mirrored in the DuckDB oracle, rounded to 4 decimals.
+
+    ``keep_cols`` passes extra columns through unchanged (e.g. ``source``
+    for per-group rollups like quality_drift_sources) — the score stays a
+    per-row projection either way.
     """
     t = F.col(text_col)
     n_words = _n_words(t).cast("double")
@@ -172,7 +181,8 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     # doubles sitting one ulp below a half boundary (e.g. 0.49124999...96);
     # snapping to 10 decimal digits first makes the 4-digit round portable
     quality = F.round(score.cast("decimal(18,10)"), 4).cast("double")
-    return df.select(F.col(id_col), quality.alias("quality"))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(F.col(id_col), *extra, quality.alias("quality"))
 
 
 def top_terms(

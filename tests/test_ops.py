@@ -1718,3 +1718,35 @@ def test_contamination_diff_statuses(spark):
     assert got[13]["status"] == "changed"
     assert got[13]["delta"] == got[13]["n_shared_b"] - got[13]["n_shared_a"]
     assert got[13]["delta"] < 0
+
+
+def test_score_drift_laws(spark):
+    """Identical snapshots drift 0 at every grid point; a constant shift c
+    moves EVERY quantile by exactly c (so max_qdiff == avg_qdiff == c);
+    groups present in only one snapshot are excluded (membership drift is
+    not score drift)."""
+    from spark_auto_schema.ops import scoring
+
+    rows_a = [(i, "g1" if i < 40 else "g2", float(i % 10)) for i in range(80)]
+    a = spark.createDataFrame(rows_a, "id long, grp0 string, v double")
+    same = {
+        r["grp"]: r
+        for r in scoring.score_drift(a, a, "v", "grp0", grid=5).collect()
+    }
+    assert set(same) == {"g1", "g2"}
+    for r in same.values():
+        assert r["max_qdiff"] == 0.0 and r["avg_qdiff"] == 0.0
+        assert r["n_a"] == r["n_b"]
+    b = a.select("id", "grp0", (F.col("v") + 2.5).alias("v"))
+    only_b = spark.createDataFrame(
+        [(999, "g3", 1.0)], "id long, grp0 string, v double"
+    )
+    shifted = {
+        r["grp"]: r
+        for r in scoring.score_drift(
+            a, b.unionByName(only_b), "v", "grp0", grid=5
+        ).collect()
+    }
+    assert set(shifted) == {"g1", "g2"}  # g3 has no snapshot-A rows
+    for r in shifted.values():
+        assert r["max_qdiff"] == 2.5 and r["avg_qdiff"] == 2.5

@@ -116,6 +116,10 @@ PROBES: dict[str, list[str]] = {
         "text_stats",
         "token_count",
         "fingerprint_docs",
+        # round-10: per-(source, snapshot) exact-percentile grids + a
+        # |groups|-row compare; must track the score scan, with per-group
+        # percentile buffers the only stateful part
+        "quality_drift_sources",
         # session-3: bigram model shuffles carry the vocabulary; replica
         # token suffixes grow the vocab 10x too — the harder case
         "bigram_logprob_docs",
