@@ -6837,6 +6837,111 @@ FROM reg GROUP BY 1
 """
 
 
+def _q_domain_cap_psl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PSL -> capping audit (`ops/text.py` canonicalize_urls x
+    `ops/corpus.py` domain_cap): synthesize URLs whose hosts exercise
+    every public-suffix branch (two-level ICANN co.uk/com.cn, private
+    github.io, THREE-level k12.ca.us, generic .org/.com), canonicalize,
+    extract registered_domain, then apply the per-domain frequency cap AT
+    THE REGISTERED-DOMAIN level — (registered_domain, n_urls, n_kept,
+    capped).  The domain assignment is deliberately skewed (half the
+    corpus lands on example.org) so BOTH domain_cap branches execute:
+    the over-cap window path and the sort-free broadcast-anti
+    pass-through.  Proves the round-9 PSL widening flows through capping:
+    a suffix-matching regression would re-bucket hosts, shift the counts,
+    and hash-fail here.  The oracle replays URL synthesis, the canon
+    chain, the suffix CASE (same module constants), and the md5-ordered
+    cap window."""
+    d = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(".Example.CO.UK"))
+        .when(F.col("doc_id") % 10 == 1, F.lit(".example.com"))
+        .when(F.col("doc_id") % 10 == 2, F.lit(".mysite.GitHub.IO"))
+        .when(F.col("doc_id") % 10 == 3, F.lit(".District.K12.CA.US"))
+        .when(F.col("doc_id") % 10 == 4, F.lit(".shop.example.COM.CN"))
+        .otherwise(F.lit(".example.org")),
+        F.lit("/d/"),
+        sid,
+    )
+    canon = text.canonicalize_urls(d.select(F.col("doc_id"), url.alias("url")))
+    kept = corpus.domain_cap(
+        canon, "registered_domain", cap=_DCAP_AUDIT_CAP, id_col="doc_id"
+    )
+    tot = canon.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    kc = kept.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return tot.join(kc, "registered_domain").select(
+        "registered_domain",
+        "n_urls",
+        "n_kept",
+        (F.col("n_urls") > F.col("n_kept")).alias("capped"),
+    )
+
+
+_DCAP_AUDIT_CAP = 100
+
+
+def _domain_cap_psl_audit_oracle_sql() -> str:
+    two = ", ".join("'" + s + "'" for s in text.TWO_LEVEL_SUFFIXES)
+    three = ", ".join("'" + s + "'" for s in text.THREE_LEVEL_SUFFIXES)
+    return f"""
+WITH u AS (
+  SELECT doc_id, 'https://' || source ||
+         CASE WHEN doc_id % 10 = 0 THEN '.Example.CO.UK'
+              WHEN doc_id % 10 = 1 THEN '.example.com'
+              WHEN doc_id % 10 = 2 THEN '.mysite.GitHub.IO'
+              WHEN doc_id % 10 = 3 THEN '.District.K12.CA.US'
+              WHEN doc_id % 10 = 4 THEN '.shop.example.COM.CN'
+              ELSE '.example.org' END ||
+         '/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u2
+  FROM u
+), hp AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(u2, '^([^/?]+)', 1)), ':[0-9]+$', ''),
+           '^www\\.', '') AS host
+  FROM s
+), c AS (
+  SELECT doc_id, host, string_split(host, '.') AS labels FROM hp
+), reg AS (
+  SELECT doc_id,
+         CASE WHEN len(labels) >= 4
+                   AND (labels[-3] || '.' || labels[-2] || '.' || labels[-1]) IN ({three})
+              THEN labels[-4] || '.' || labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              WHEN len(labels) >= 3
+                   AND (labels[-2] || '.' || labels[-1]) IN ({two})
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+              ELSE host END AS registered_domain
+  FROM c
+), capd AS (
+  SELECT doc_id, registered_domain,
+         row_number() OVER (PARTITION BY registered_domain
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM reg
+), tot AS (
+  SELECT registered_domain, count(*) AS n_urls FROM reg GROUP BY 1
+), k AS (
+  SELECT registered_domain, count(*) AS n_kept FROM capd
+  WHERE rk <= {_DCAP_AUDIT_CAP} GROUP BY 1
+)
+SELECT t.registered_domain, t.n_urls, k.n_kept,
+       t.n_urls > k.n_kept AS capped
+FROM tot t JOIN k USING (registered_domain)
+"""
+
+
 def _q_token_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level rolling-window exact-substring dedup (`ops/dedup.py`
     token_window_dup_coverage, k=8): per doc, the count/fraction of
@@ -7820,6 +7925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_recall_panel"] = _q_lsh_recall
     q["contamination_snapshot_diff"] = _q_contamination_diff
     q["quality_drift_sources"] = _q_quality_drift
+    q["domain_cap_psl_audit"] = _q_domain_cap_psl_audit
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8193,6 +8299,7 @@ def oracle_sql() -> dict[str, str]:
     o["lsh_recall_panel"] = _lsh_recall_oracle_sql()
     o["contamination_snapshot_diff"] = _contamination_diff_oracle_sql()
     o["quality_drift_sources"] = _quality_drift_oracle_sql()
+    o["domain_cap_psl_audit"] = _domain_cap_psl_audit_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

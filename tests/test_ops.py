@@ -1750,3 +1750,33 @@ def test_score_drift_laws(spark):
     assert set(shifted) == {"g1", "g2"}  # g3 has no snapshot-A rows
     for r in shifted.values():
         assert r["max_qdiff"] == 2.5 and r["avg_qdiff"] == 2.5
+
+
+def test_domain_cap_psl_audit_branches(spark):
+    """The audit must exercise BOTH domain_cap branches (the skewed
+    example.org group caps at exactly _DCAP_AUDIT_CAP; every PSL-branch
+    group passes through uncapped) and every suffix rule must have
+    resolved to its correct registered domain — a PSL regression would
+    re-bucket hosts and break these exact counts."""
+    import __spark_entry__ as entry
+
+    got = {
+        r["registered_domain"]: r
+        for r in entry._q_domain_cap_psl_audit(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == {
+        "example.co.uk",        # two-level ICANN
+        "example.com",          # generic fallback
+        "mysite.github.io",     # PSL private section
+        "district.k12.ca.us",   # three-level beats ca.us
+        "example.com.cn",       # two-level ICANN (cn)
+        "example.org",          # generic fallback, skew target
+    }
+    org = got["example.org"]
+    assert org["capped"] and org["n_kept"] == entry._DCAP_AUDIT_CAP
+    assert org["n_urls"] > entry._DCAP_AUDIT_CAP
+    for dom, r in got.items():
+        if dom != "example.org":
+            assert not r["capped"] and r["n_kept"] == r["n_urls"]

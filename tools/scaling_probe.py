@@ -204,6 +204,10 @@ PROBES: dict[str, list[str]] = {
         # session-2: domain capping — the split design (only over-cap
         # domains pay the window) is exactly what this probe must verify
         "domain_cap_docs",
+        # round-10: canonicalize (in-scan regexp chain) -> registered
+        # domain -> cap; slope must track the scan + the skewed domain's
+        # window, never a global sort
+        "domain_cap_psl_audit",
         # session-5: FIM is a pure projection (slope ~1 at worst);
         # contrastive negatives join a broadcast 64-row representative
         # table, so the slope must track the corpus scan, not any
