@@ -2336,7 +2336,8 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ), jac AS (
-  SELECT id_a, id_b
+  SELECT id_a, id_b,
+         CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
   WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= 0.8
 ), edges AS (
@@ -2354,6 +2355,32 @@ inter AS (
 # the closure's canonical projection (cc accumulates every label reachable
 # from each node over symmetric edges; min = component min)
 _DEDUP_CLUSTERS_SQL = _CLUSTER_CLOSURE_CTE + "SELECT id, cluster_id FROM clusters"
+
+
+def _q_dedup_cluster_stats(spark, sf_dir):
+    """Cluster-cohesion audit (`ops/dedup.py` cluster_stats) over the
+    n-gram Jaccard pair set and its connected components: per cluster the
+    member count, within-cluster edge count, graph density 2E/(m(m-1)),
+    and mean edge Jaccard — the chain-formation sentinel guarding
+    canonical collapse.  The oracle extends the shared closure CTE with
+    the same two |clusters|-row aggregates."""
+    pairs = dedup.ngram_jaccard_pairs(_spread_docs(spark, sf_dir), threshold=0.8)
+    return dedup.cluster_stats(pairs, dedup.dedup_clusters(pairs))
+
+
+_DEDUP_CLUSTER_STATS_SQL = _CLUSTER_CLOSURE_CTE + """
+, e AS (
+  SELECT c.cluster_id, count(*) AS n_edges, avg(j.jaccard) AS aj
+  FROM jac j JOIN clusters c ON c.id = j.id_a GROUP BY 1
+), mm AS (
+  SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY 1
+)
+SELECT mm.cluster_id, mm.n_members, e.n_edges,
+       CAST(round(CAST(2.0 * e.n_edges / (mm.n_members * (mm.n_members - 1))
+                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS density,
+       CAST(round(CAST(e.aj AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_jaccard
+FROM mm JOIN e USING (cluster_id)
+"""
 
 
 def _q_streaming_window_counts(spark, sf_dir):
@@ -7926,6 +7953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["contamination_snapshot_diff"] = _q_contamination_diff
     q["quality_drift_sources"] = _q_quality_drift
     q["domain_cap_psl_audit"] = _q_domain_cap_psl_audit
+    q["dedup_cluster_stats"] = _q_dedup_cluster_stats
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8300,6 +8328,7 @@ def oracle_sql() -> dict[str, str]:
     o["contamination_snapshot_diff"] = _contamination_diff_oracle_sql()
     o["quality_drift_sources"] = _quality_drift_oracle_sql()
     o["domain_cap_psl_audit"] = _domain_cap_psl_audit_oracle_sql()
+    o["dedup_cluster_stats"] = _DEDUP_CLUSTER_STATS_SQL
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -807,6 +807,50 @@ def contamination_check(
     return hits
 
 
+def cluster_stats(pairs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Per-cluster cohesion audit over a near-dup pair set and its
+    connected-component assignment: ``(cluster_id, n_members, n_edges,
+    density, avg_jaccard)`` with ``density = 2E / (m(m-1))`` — 1.0 for a
+    clique, approaching 0 for a transitive-closure CHAIN.  The quality
+    gate on the dedup graph itself: canonical collapse (canonical_docs)
+    keeps ONE survivor per component, which is only safe when the
+    component is cohesive — a low-density cluster means A~B~C chained
+    through pairwise overlaps while A and C share almost nothing, so
+    collapsing it destroys non-duplicate content.  Watching the density
+    distribution per release catches a threshold or shingle regression
+    as chain formation, before any content is lost.
+
+    Scale: edges join the (tiny) cluster map on one endpoint —
+    pairs-sized, bucket-local upstream; both aggregates are
+    |clusters|-row.  Nothing here touches row data."""
+    cid = clusters.select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("cluster_id")
+    )
+    e = (
+        pairs.join(cid, "id_a")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.avg("jaccard").alias("__aj"),
+        )
+    )
+    m = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return m.join(e, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_edges",
+        snap(
+            F.lit(2.0)
+            * F.col("n_edges")
+            / (F.col("n_members") * (F.col("n_members") - F.lit(1)))
+        ).alias("density"),
+        snap(F.col("__aj")).alias("avg_jaccard"),
+    )
+
+
 def contamination_diff(
     corpus_a: DataFrame,
     corpus_b: DataFrame,

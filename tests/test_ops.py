@@ -1780,3 +1780,34 @@ def test_domain_cap_psl_audit_branches(spark):
     for dom, r in got.items():
         if dom != "example.org":
             assert not r["capped"] and r["n_kept"] == r["n_urls"]
+
+
+def test_cluster_stats_density_laws(spark):
+    """A triangle (3 members, 3 edges) has density exactly 1.0; a 3-chain
+    (A-B, B-C, no A-C edge) has density 2/3; avg_jaccard is the mean of
+    the member edges; singletons never appear (clusters come from edges)."""
+    from spark_auto_schema.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9), (2, 3, 0.9), (1, 3, 0.8),   # triangle 1-2-3
+            (10, 11, 0.85), (11, 12, 0.95),           # chain 10-11-12
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)],
+        "id long, cluster_id long",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in dedup.cluster_stats(pairs, clusters).collect()
+    }
+    assert set(got) == {1, 10}
+    tri, chain = got[1], got[10]
+    assert tri["n_members"] == 3 and tri["n_edges"] == 3
+    assert tri["density"] == 1.0
+    assert tri["avg_jaccard"] == round((0.9 + 0.9 + 0.8) / 3, 6)
+    assert chain["n_members"] == 3 and chain["n_edges"] == 2
+    assert chain["density"] == round(2 * 2 / (3 * 2), 6)
+    assert chain["avg_jaccard"] == 0.9
