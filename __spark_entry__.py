@@ -7322,6 +7322,65 @@ FROM m GROUP BY 1
 """
 
 
+def _q_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction effectiveness audit (`ops/text.py` redaction_audit): the
+    same synthetic PII decoration pii_density_sources plants (email on
+    every 3rd doc, formatted phone on every 5th), scrubbed by
+    redact_pii's replacement chain and re-counted — per source the
+    before/after match totals, the all-clean verdict, and residual
+    matches per 1,000 chars.  The oracle rebuilds the decoration and
+    replays redact + both recounts regex-for-regex."""
+    d = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"), F.lpad(sid, 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return text.redaction_audit(d.select(F.col("source"), t.alias("text")))
+
+
+_REDACTION_AUDIT_SQL = f"""
+WITH dec AS (
+  SELECT source,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+  FROM documents
+), r AS (
+  SELECT source AS grp,
+         len(regexp_extract_all(t, '{text.EMAIL_RE}'))
+           + len(regexp_extract_all(t, '{text.PHONE_RE}')) AS b,
+         regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{text.PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM dec
+), m AS (
+  SELECT grp, b,
+         len(regexp_extract_all(red, '{text.EMAIL_RE}'))
+           + len(regexp_extract_all(red, '{text.PHONE_RE}')) AS a,
+         length(red) AS c
+  FROM r
+)
+SELECT grp, count(*) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS n_matches_before,
+       CAST(sum(a) AS BIGINT) AS n_matches_after,
+       sum(a) = 0 AS all_clean,
+       CAST(round(CAST(1000.0 * sum(a) / sum(c) AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS residual_per_kchar
+FROM m GROUP BY 1
+"""
+
+
 def _q_lm_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source smoothed unigram-LM KL divergence vs the corpus
     (`ops/text.py` lm_kl_divergence): the corpus-shape drift sentinel.
@@ -7954,6 +8013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_drift_sources"] = _q_quality_drift
     q["domain_cap_psl_audit"] = _q_domain_cap_psl_audit
     q["dedup_cluster_stats"] = _q_dedup_cluster_stats
+    q["redaction_audit_sources"] = _q_redaction_audit
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8329,6 +8389,7 @@ def oracle_sql() -> dict[str, str]:
     o["quality_drift_sources"] = _quality_drift_oracle_sql()
     o["domain_cap_psl_audit"] = _domain_cap_psl_audit_oracle_sql()
     o["dedup_cluster_stats"] = _DEDUP_CLUSTER_STATS_SQL
+    o["redaction_audit_sources"] = _REDACTION_AUDIT_SQL
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -1399,6 +1399,56 @@ def pii_density(
     )
 
 
+def redaction_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end redaction effectiveness: apply :func:`redact_pii`'s
+    exact replacement chain, then re-run :func:`pii_density`'s match
+    counting ON THE REDACTED TEXT — ``(grp, n_docs, n_matches_before,
+    n_matches_after, all_clean, residual_per_kchar)`` per group.  The
+    governance closing-of-the-loop: pii_density says which sources leak,
+    redact_pii scrubs, and this proves the two compose — a regex drift
+    between the detector and the scrubber (or a replacement that itself
+    re-matches, e.g. a phone pattern absorbing digits around a
+    placeholder) shows up as ``n_matches_after > 0`` on a source that
+    should read clean.
+
+    Scale: one pass — the redacted text is a per-row JVM regexp
+    projection pipelined inside the scan, both match counts run on the
+    same row, and the only exchange is the |groups|-row aggregate."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    before = F.regexp_count(t, F.lit(EMAIL_RE)) + F.regexp_count(
+        t, F.lit(PHONE_RE)
+    )
+    after = F.regexp_count(red, F.lit(EMAIL_RE)) + F.regexp_count(
+        red, F.lit(PHONE_RE)
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            before.alias("__b"),
+            after.alias("__a"),
+            F.length(red).alias("__c"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__b").cast("long").alias("n_matches_before"),
+            F.sum("__a").cast("long").alias("n_matches_after"),
+            (F.sum("__a") == 0).alias("all_clean"),
+            snapped(F.lit(1000.0) * F.sum("__a") / F.sum("__c")).alias(
+                "residual_per_kchar"
+            ),
+        )
+    )
+
+
 def lm_kl_divergence(
     df: DataFrame,
     group_col: str = "source",

@@ -1811,3 +1811,25 @@ def test_cluster_stats_density_laws(spark):
     assert chain["n_members"] == 3 and chain["n_edges"] == 2
     assert chain["density"] == round(2 * 2 / (3 * 2), 6)
     assert chain["avg_jaccard"] == 0.9
+
+
+def test_redaction_audit_laws(spark):
+    """Clean text audits clean (before == after == 0, all_clean); planted
+    PII is fully counted before and fully scrubbed after (redact_pii and
+    the recount use the same regexes, so after == 0 and all_clean holds);
+    residual_per_kchar is 0 exactly when clean."""
+    from spark_auto_schema.ops import text as t
+
+    df = spark.createDataFrame(
+        [
+            ("a", "nothing sensitive here at all"),
+            ("b", "mail bob@example.com or sue@test.org today"),
+            ("b", "call +1 (555) 123-4567 now"),
+        ],
+        "source string, text string",
+    )
+    got = {r["grp"]: r for r in t.redaction_audit(df).collect()}
+    assert got["a"]["n_matches_before"] == 0
+    assert got["a"]["all_clean"] and got["a"]["residual_per_kchar"] == 0.0
+    assert got["b"]["n_matches_before"] == 3  # 2 emails + 1 phone
+    assert got["b"]["n_matches_after"] == 0 and got["b"]["all_clean"]
