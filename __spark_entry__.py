@@ -834,26 +834,22 @@ def _q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QDRIFT_GRID = 11
 
 
-def _quality_drift_oracle_sql() -> str:
-    grid = _QDRIFT_GRID
+def _score_drift_tail_sql(base_cte: str, grid: int) -> str:
+    """Shared DuckDB replay of ops/scoring.score_drift: ``base_cte`` must
+    be a WITH prefix ending in a relation ``h(grp, v, half)``; this
+    appends the two FILTERed quantile_cont grids, the pointwise list
+    compare, and the snapped max/avg — interpolated identically by every
+    drift oracle (quality_drift_sources, embedding_norm_drift)."""
     probs = ", ".join(repr(i / (grid - 1)) for i in range(grid))
-    snap = lambda e: (
-        f"CAST(round(CAST({e} AS DECIMAL(18,12)), 6) AS DOUBLE)"
-    )
-    return f"""
-WITH sc AS (
-  SELECT doc_id, source, {_quality_expr_sql()} AS quality FROM documents
-), h AS (
-  SELECT source, quality,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
-           AS half
-  FROM sc
-), g AS (
-  SELECT source AS grp,
+    snap = lambda e: f"CAST(round(CAST({e} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    return (
+        base_cte
+        + f""", g AS (
+  SELECT grp,
          count(*) FILTER (WHERE half = 0) AS n_a,
          count(*) FILTER (WHERE half = 1) AS n_b,
-         quantile_cont(quality, [{probs}]) FILTER (WHERE half = 0) AS qa,
-         quantile_cont(quality, [{probs}]) FILTER (WHERE half = 1) AS qb
+         quantile_cont(v, [{probs}]) FILTER (WHERE half = 0) AS qa,
+         quantile_cont(v, [{probs}]) FILTER (WHERE half = 1) AS qb
   FROM h GROUP BY 1
 ), d AS (
   SELECT grp, n_a, n_b,
@@ -865,6 +861,67 @@ SELECT grp, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        {snap(f"list_sum(ds) / {float(grid)}")} AS avg_qdiff
 FROM d
 """
+    )
+
+
+def _quality_drift_oracle_sql() -> str:
+    return _score_drift_tail_sql(
+        f"""
+WITH sc AS (
+  SELECT doc_id, source, {_quality_expr_sql()} AS quality FROM documents
+), h AS (
+  SELECT source AS grp, quality AS v,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS half
+  FROM sc
+)""",
+        _QDRIFT_GRID,
+    )
+
+
+def _q_embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health drift (`ops/scoring.py` score_drift over L2
+    norms): per label, the 11-point percentile grid of vector norms
+    compared between two md5-hash-split snapshots of the embeddings
+    table — (max_qdiff, avg_qdiff) per label.  The embedding analogue of
+    quality_drift_sources: a label whose norm distribution moves between
+    encoder releases signals a drifted encoder or a content shift, long
+    before recall metrics react.  The oracle replays the norm
+    (list_dot_product sums in the same sequential order as the Spark
+    fold), the hash split, and the shared drift tail."""
+    e = read_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.col("vec_id"),
+        F.col("label"),
+        similarity.norm(F.col("embedding")).alias("nrm"),
+    )
+    half = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    return scoring.score_drift(
+        scored.where(half == 0),
+        scored.where(half == 1),
+        value_col="nrm",
+        group_col="label",
+        grid=_QDRIFT_GRID,
+    )
+
+
+def _norm_drift_oracle_sql() -> str:
+    ldp = "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+    return _score_drift_tail_sql(
+        f"""
+WITH h AS (
+  SELECT label AS grp, sqrt({ldp}) AS v,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS half
+  FROM embeddings
+)""",
+        _QDRIFT_GRID,
+    )
 
 
 _TEXT_STATS_SQL = r"""
@@ -8014,6 +8071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["domain_cap_psl_audit"] = _q_domain_cap_psl_audit
     q["dedup_cluster_stats"] = _q_dedup_cluster_stats
     q["redaction_audit_sources"] = _q_redaction_audit
+    q["embedding_norm_drift"] = _q_embedding_norm_drift
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8390,6 +8448,7 @@ def oracle_sql() -> dict[str, str]:
     o["domain_cap_psl_audit"] = _domain_cap_psl_audit_oracle_sql()
     o["dedup_cluster_stats"] = _DEDUP_CLUSTER_STATS_SQL
     o["redaction_audit_sources"] = _REDACTION_AUDIT_SQL
+    o["embedding_norm_drift"] = _norm_drift_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL
