@@ -7026,6 +7026,55 @@ FROM tot t JOIN k USING (registered_domain)
 """
 
 
+def _q_band_occupancy(spark, sf_dir):
+    """LSH bucket-occupancy guard (`ops/dedup.py` band_occupancy): per
+    band the bucket count, the hottest bucket, the singleton fraction,
+    and the EXACT candidate-pair mass sum(sz*(sz-1)/2) the LSH self-join
+    would generate — the pre-join quadratic-cost meter for the md5
+    MinHash engine (16 hashes, 4 bands, 3-gram shingles — the
+    minhash_md5_dup_pairs config, interpolated from shared constants).
+    The oracle replays shingling, signatures, banding, and both
+    occupancy aggregates."""
+    return dedup.band_occupancy(
+        _spread_docs(spark, sf_dir),
+        num_hashes=_BOCC_HASHES,
+        bands=_BOCC_BANDS,
+        shingle_n=_BOCC_SHINGLE,
+    )
+
+
+_BOCC_HASHES, _BOCC_BANDS, _BOCC_SHINGLE = 16, 4, 3
+
+
+def _band_occupancy_oracle_sql() -> str:
+    rpb = _BOCC_HASHES // _BOCC_BANDS
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+{_BOCC_SHINGLE - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - {_BOCC_SHINGLE - 1}, 1))) AS t(i)
+  WHERE length(array_to_string(w[i:i+{_BOCC_SHINGLE - 1}], ' ')) > 0
+), hs AS (
+  SELECT id, hi, min(substr(md5(hi || ':' || shingle), 1, 16)) AS h
+  FROM sh, UNNEST(generate_series(0, {_BOCC_HASHES - 1})) AS t(hi)
+  GROUP BY id, hi
+), sig AS (
+  SELECT id, list(h ORDER BY hi) AS hl FROM hs GROUP BY id
+), bands AS (
+  SELECT id, bi, md5(array_to_string(hl[bi*{rpb}+1 : bi*{rpb}+{rpb}], '|')) AS bucket
+  FROM sig, UNNEST(generate_series(0, {_BOCC_BANDS - 1})) AS t(bi)
+), occ AS (
+  SELECT bi AS band, bucket, count(*) AS sz FROM bands GROUP BY 1, 2
+)
+SELECT band, count(*) AS n_buckets,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(round(CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS singleton_frac,
+       CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+FROM occ GROUP BY 1
+"""
+
+
 def _q_token_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level rolling-window exact-substring dedup (`ops/dedup.py`
     token_window_dup_coverage, k=8): per doc, the count/fraction of
@@ -8072,6 +8121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_cluster_stats"] = _q_dedup_cluster_stats
     q["redaction_audit_sources"] = _q_redaction_audit
     q["embedding_norm_drift"] = _q_embedding_norm_drift
+    q["minhash_band_occupancy"] = _q_band_occupancy
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8449,6 +8499,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_cluster_stats"] = _DEDUP_CLUSTER_STATS_SQL
     o["redaction_audit_sources"] = _REDACTION_AUDIT_SQL
     o["embedding_norm_drift"] = _norm_drift_oracle_sql()
+    o["minhash_band_occupancy"] = _band_occupancy_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -807,6 +807,48 @@ def contamination_check(
     return hits
 
 
+def band_occupancy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH bucket-occupancy health for the md5 MinHash banding: per band
+    ``(band, n_buckets, max_bucket, singleton_frac, n_candidate_pairs)``
+    where ``n_candidate_pairs = sum over buckets of sz*(sz-1)/2`` — the
+    EXACT join fan-out the candidate self-join would generate.
+
+    The pre-join quadratic guard: bucketed LSH is linear only while
+    buckets stay small, and a degenerate banding (too few hashes per
+    band, boilerplate-dominated shingles, a broken bucket hash) shows up
+    here as one hot bucket whose sz^2/2 pair mass dwarfs the corpus —
+    measured by two aggregates BEFORE any pair is materialized.  Run it
+    on a new corpus (or after any banding change) to price the LSH join;
+    :func:`lsh_s_curve` prices recall, this prices cost.
+
+    Scale: the signature/banding stages are exactly
+    :func:`minhash_lsh_pairs_md5`'s; the occupancy is one
+    (band, bucket)-keyed count (map-side combined) and one |bands|-row
+    rollup — no pairs, no joins."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sig = _minhash_sig(sh, num_hashes, md5_grade=True)
+    b = _band_buckets(sig, num_hashes, bands, md5_grade=True)
+    sz = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return sz.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        snap(
+            F.sum((F.col("sz") == 1).cast("long")) / F.count(F.lit(1))
+        ).alias("singleton_frac"),
+        F.sum(F.expr("(sz * (sz - 1)) div 2")).cast("long").alias(
+            "n_candidate_pairs"
+        ),
+    )
+
+
 def cluster_stats(pairs: DataFrame, clusters: DataFrame) -> DataFrame:
     """Per-cluster cohesion audit over a near-dup pair set and its
     connected-component assignment: ``(cluster_id, n_members, n_edges,

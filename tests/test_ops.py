@@ -1833,3 +1833,34 @@ def test_redaction_audit_laws(spark):
     assert got["a"]["all_clean"] and got["a"]["residual_per_kchar"] == 0.0
     assert got["b"]["n_matches_before"] == 3  # 2 emails + 1 phone
     assert got["b"]["n_matches_after"] == 0 and got["b"]["all_clean"]
+
+
+def test_band_occupancy_prices_the_lsh_join(spark):
+    """The candidate-pair mass must equal the ACTUAL distinct-pair fanout
+    of the LSH candidate join summed over bands (the meter prices the
+    join it guards), exact duplicates land in one bucket per band
+    (max_bucket == clone count), and an all-distinct corpus reads
+    all-singleton with zero candidate pairs."""
+    from spark_auto_schema.ops import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)]
+        + [(10 + i, " ".join(f"u{i}_{j}" for j in range(30))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    occ = dedup.band_occupancy(df).collect()
+    assert {r["band"] for r in occ} == {0, 1, 2, 3}
+    for r in occ:
+        # the three clones share every minhash -> one 3-doc bucket/band
+        assert r["max_bucket"] == 3
+        assert r["n_candidate_pairs"] == 3  # C(3,2) per band
+        assert r["n_buckets"] == 5  # 1 clone bucket + 4 singletons
+        assert r["singleton_frac"] == round(4 / 5, 6)
+    clean = spark.createDataFrame(
+        [(i, " ".join(f"v{i}_{j}" for j in range(30))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    for r in dedup.band_occupancy(clean).collect():
+        assert r["max_bucket"] == 1 and r["n_candidate_pairs"] == 0
+        assert r["singleton_frac"] == 1.0

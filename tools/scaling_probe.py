@@ -57,6 +57,9 @@ PROBES: dict[str, list[str]] = {
         # round-10: two contamination_check passes + a hits-sized diff
         # join; must track the corpus shingle volume, never probe x corpus
         "contamination_snapshot_diff",
+        # round-10: signature/banding stages + (band, bucket) count — the
+        # pre-join occupancy meter must itself stay join-free linear
+        "minhash_band_occupancy",
         "dedup_exact",
         "ngram_jaccard_dups",
         "simhash_near_dup",
