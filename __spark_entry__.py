@@ -7428,6 +7428,51 @@ FROM m GROUP BY 1
 """
 
 
+def _q_lang_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix drift (`ops/corpus.py` mix_drift): the L1
+    distance between each source's within-snapshot language shares,
+    snapshots synthesized by the md5 hash split of doc_id (the
+    quality_drift_sources convention — id arithmetic is source-determined
+    in the testdata).  The categorical complement of lm_kl_sources: KL
+    watches the token distribution, this watches the composition the
+    mixing weights are computed from.  The oracle replays the hash
+    split, both count grids, and the share-difference sum."""
+    d = read_table(spark, sf_dir, "documents")
+    half = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    return corpus.mix_drift(
+        d.where(half == 0), d.where(half == 1), "source", "lang"
+    )
+
+
+_LANG_MIX_DRIFT_SQL = """
+WITH h AS (
+  SELECT source AS grp, lang AS cat,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS half
+  FROM documents
+), c AS (
+  SELECT grp, cat,
+         count(*) FILTER (WHERE half = 0) AS ca,
+         count(*) FILTER (WHERE half = 1) AS cb
+  FROM h GROUP BY 1, 2
+), t AS (
+  SELECT grp, sum(ca) AS na, sum(cb) AS nb FROM c GROUP BY 1
+)
+SELECT c.grp, CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       count(*) AS n_cats,
+       CAST(round(CAST(sum(abs(c.ca * 1.0 / t.na - c.cb * 1.0 / t.nb))
+                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS l1_distance
+FROM c JOIN t ON c.grp = t.grp
+WHERE t.na > 0 AND t.nb > 0
+GROUP BY c.grp, t.na, t.nb
+"""
+
+
 def _q_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redaction effectiveness audit (`ops/text.py` redaction_audit): the
     same synthetic PII decoration pii_density_sources plants (email on
@@ -7938,6 +7983,75 @@ FROM tot t LEFT JOIN nov n ON t.window_start = n.ws
 """
 
 
+def _q_lsh_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH detection curve (`ops/dedup.py`
+    lsh_empirical_detection): per 0.05 Jaccard bin, the fraction of
+    exact-truth pairs (uncapped n-gram Jaccard >= 0.5) the md5 MinHash
+    banding's candidate stage recovered, next to the analytic
+    1-(1-s^r)^b at the bin's lower edge — the measured twin of
+    lsh_s_curve_contract (16 hashes / 4 bands, the same shared
+    constants).  The oracle replays truth, signatures, banding,
+    candidates, the integer-exact binning, and both rates."""
+    return dedup.lsh_empirical_detection(
+        _spread_docs(spark, sf_dir),
+        num_hashes=_SCURVE_HASHES,
+        bands=_SCURVE_BANDS,
+        min_jaccard=_LSH_EMP_MINJ,
+        bin_width=_LSH_EMP_BIN,
+    )
+
+
+_LSH_EMP_MINJ, _LSH_EMP_BIN = 0.5, 0.05
+
+
+def _lsh_empirical_oracle_sql() -> str:
+    units = int(round(_LSH_EMP_BIN * 10_000))
+    r = _SCURVE_HASHES // _SCURVE_BANDS
+    rpb = r
+    snap = lambda e: f"CAST(round(CAST({e} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b,
+         CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= {_LSH_EMP_MINJ}
+), hs AS (
+  SELECT id, hi, min(substr(md5(hi || ':' || shingle), 1, 16)) AS h
+  FROM sh, UNNEST(generate_series(0, {_SCURVE_HASHES - 1})) AS t(hi)
+  GROUP BY id, hi
+), sig AS (
+  SELECT id, list(h ORDER BY hi) AS hl FROM hs GROUP BY id
+), bands AS (
+  SELECT id, bi, md5(array_to_string(hl[bi*{rpb}+1 : bi*{rpb}+{rpb}], '|')) AS bucket
+  FROM sig, UNNEST(generate_series(0, {_SCURVE_BANDS - 1})) AS t(bi)
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b, 1 AS det
+  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bucket = y.bucket
+  WHERE x.id < y.id
+), binned AS (
+  SELECT CAST(round(jaccard * 10000) AS BIGINT) // {units} AS bin,
+         coalesce(cand.det, 0) AS det
+  FROM jac LEFT JOIN cand USING (id_a, id_b)
+)
+SELECT {snap(f"bin * {units} / 10000.0")} AS bin_lo,
+       count(*) AS n_truth,
+       CAST(sum(det) AS BIGINT) AS n_detected,
+       {snap("sum(det) * 1.0 / count(*)")} AS detect_rate,
+       {snap(f"1.0 - pow(1.0 - pow(bin * {units} / 10000.0, {float(r)}), {float(_SCURVE_BANDS)})")} AS p_analytic
+FROM binned GROUP BY bin
+"""
+
+
 def _q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH parameter contract (`ops/dedup.py` lsh_s_curve): the analytic
     detection curve 1-(1-s^r)^b for the (16 hashes, 4 bands) config the
@@ -8122,6 +8236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["redaction_audit_sources"] = _q_redaction_audit
     q["embedding_norm_drift"] = _q_embedding_norm_drift
     q["minhash_band_occupancy"] = _q_band_occupancy
+    q["lsh_empirical_detection"] = _q_lsh_empirical
+    q["lang_mix_drift"] = _q_lang_mix_drift
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8500,6 +8616,8 @@ def oracle_sql() -> dict[str, str]:
     o["redaction_audit_sources"] = _REDACTION_AUDIT_SQL
     o["embedding_norm_drift"] = _norm_drift_oracle_sql()
     o["minhash_band_occupancy"] = _band_occupancy_oracle_sql()
+    o["lsh_empirical_detection"] = _lsh_empirical_oracle_sql()
+    o["lang_mix_drift"] = _LANG_MIX_DRIFT_SQL
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

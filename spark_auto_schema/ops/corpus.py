@@ -706,3 +706,62 @@ def gini_concentration(
             / F.sum("w")
         ).alias("top5_share"),
     )
+
+
+def mix_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group categorical-mix drift between two snapshots: ``(grp,
+    n_a, n_b, n_cats, l1_distance)`` where ``l1_distance = sum over
+    categories |share_a - share_b|`` (= 2x total-variation distance) of
+    the within-group category shares.  The categorical sibling of
+    ``scoring.score_drift``: a source whose language (or license, or
+    format) mix moves between releases changed WHAT it contributes even
+    if its volume held still — the dial mix_weights/materialize_mix
+    consumers watch before retraining the sampling weights.  Only groups
+    present in both snapshots are scored.
+
+    Scale: one (group, category)-keyed count per snapshot (map-side
+    combined), a full-outer join on that |groups| x |cats| frame, a
+    |groups|-row totals rejoin — nothing downstream of the first
+    aggregates touches row data."""
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(
+            F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+        ).agg(F.count(F.lit(1)).alias(f"c_{side}"))
+
+    j = (
+        counts(df_a, "a")
+        .join(counts(df_b, "b"), ["grp", "cat"], "full_outer")
+        .select(
+            "grp",
+            "cat",
+            F.coalesce("c_a", F.lit(0)).alias("ca"),
+            F.coalesce("c_b", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.groupBy("grp").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        j.join(tot, "grp")
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy("grp")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.count(F.lit(1)).alias("n_cats"),
+            snap(
+                F.sum(
+                    F.abs(
+                        F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
+                    )
+                )
+            ).alias("l1_distance"),
+        )
+    )

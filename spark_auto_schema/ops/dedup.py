@@ -849,6 +849,85 @@ def band_occupancy(
     )
 
 
+def lsh_empirical_detection(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    bin_width: float = 0.05,
+) -> DataFrame:
+    """Empirical LSH detection curve: the MEASURED counterpart of
+    :func:`lsh_s_curve`'s analytic ``1-(1-s^r)^b`` — per Jaccard bin,
+    how many exact-truth pairs the banded md5 MinHash candidate stage
+    actually recovered: ``(bin_lo, n_truth, n_detected, detect_rate,
+    p_analytic)``.  The truth side is the UNCAPPED exact n-gram Jaccard
+    pair set at ``min_jaccard``; the candidate side is the banding with
+    NO verify step (detection is the banding's job; verification would
+    mask its misses).  A banding regression (wrong rows-per-band, broken
+    bucket hash, dropped shingles) shows up as an empirical curve
+    sagging below the analytic one at matching s.
+
+    Binning is integer-exact on both engines: the 4-decimal-snapped
+    jaccard is scaled to integer ten-thousandths BEFORE the bin floor,
+    so no pair ever straddles a bin boundary by a double ulp.
+
+    Scale: both sides are the production pipelines (shingle equi-join
+    truth, bucket-local candidates); the overlay join is truth-pair
+    sized; the rollup is |bins|-row."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    truth = _jaccard_from_shingles(sh, threshold=min_jaccard)
+    sig = _minhash_sig(sh, num_hashes, md5_grade=True)
+    buckets = _band_buckets(sig, num_hashes, bands, md5_grade=True)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .withColumn("__det", F.lit(1))
+    )
+    units = int(round(bin_width * 10_000))
+    bin_idx = (
+        F.round(F.col("jaccard") * F.lit(10_000)).cast("long") / F.lit(units)
+    ).cast("long")
+    r = num_hashes // bands
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(bin_idx.alias("__bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce("__det", F.lit(0))).cast("long").alias(
+                "n_detected"
+            ),
+        )
+        .select(
+            snap(F.col("__bin") * F.lit(units) / F.lit(10_000.0)).alias(
+                "bin_lo"
+            ),
+            "n_truth",
+            "n_detected",
+            snap(F.col("n_detected") / F.col("n_truth")).alias("detect_rate"),
+            # analytic detection probability at the bin's LOWER edge — a
+            # conservative floor for every pair in the bin
+            snap(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0)
+                    - F.pow(
+                        F.col("__bin") * F.lit(units) / F.lit(10_000.0),
+                        F.lit(float(r)),
+                    ),
+                    F.lit(float(bands)),
+                )
+            ).alias("p_analytic"),
+        )
+    )
+
+
 def cluster_stats(pairs: DataFrame, clusters: DataFrame) -> DataFrame:
     """Per-cluster cohesion audit over a near-dup pair set and its
     connected-component assignment: ``(cluster_id, n_members, n_edges,

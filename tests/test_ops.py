@@ -1864,3 +1864,47 @@ def test_band_occupancy_prices_the_lsh_join(spark):
     for r in dedup.band_occupancy(clean).collect():
         assert r["max_bucket"] == 1 and r["n_candidate_pairs"] == 0
         assert r["singleton_frac"] == 1.0
+
+
+def test_lsh_empirical_detection_laws(spark):
+    """Exact clones (jaccard 1.0) collide in every band, so the 1.0 bin
+    must read detect_rate == 1.0 == p_analytic; every bin satisfies
+    n_detected <= n_truth and detect_rate == n_detected/n_truth; and no
+    bin sits below the min_jaccard cut."""
+    from spark_auto_schema.ops import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, base), (2, base), (3, base)] + [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(30))) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.lsh_empirical_detection(df, min_jaccard=0.5).collect()
+    dedup.release_caches()
+    assert got, "the clone pairs must produce at least the 1.0 bin"
+    by_bin = {r["bin_lo"]: r for r in got}
+    top = by_bin[1.0]
+    assert top["n_truth"] == 3  # C(3,2) clone pairs
+    assert top["detect_rate"] == 1.0 and top["p_analytic"] == 1.0
+    for r in got:
+        assert r["bin_lo"] >= 0.5
+        assert 0 <= r["n_detected"] <= r["n_truth"]
+        assert r["detect_rate"] == round(r["n_detected"] / r["n_truth"], 6)
+
+
+def test_mix_drift_laws(spark):
+    """Identical snapshots drift 0; a complete category swap drifts the
+    maximum L1 of 2.0; a group present in only one snapshot is excluded."""
+    from spark_auto_schema.ops import corpus
+
+    a = spark.createDataFrame(
+        [("g", "x")] * 10 + [("solo", "x")] * 3,
+        "src string, lang0 string",
+    )
+    same = {r["grp"]: r for r in corpus.mix_drift(a, a, "src", "lang0").collect()}
+    assert same["g"]["l1_distance"] == 0.0 and same["g"]["n_cats"] == 1
+    b = spark.createDataFrame([("g", "y")] * 10, "src string, lang0 string")
+    swap = {r["grp"]: r for r in corpus.mix_drift(a, b, "src", "lang0").collect()}
+    assert set(swap) == {"g"}  # 'solo' has no snapshot-B rows
+    assert swap["g"]["l1_distance"] == 2.0
+    assert swap["g"]["n_cats"] == 2
+    assert swap["g"]["n_a"] == 10 and swap["g"]["n_b"] == 10

@@ -60,6 +60,10 @@ PROBES: dict[str, list[str]] = {
         # round-10: signature/banding stages + (band, bucket) count — the
         # pre-join occupancy meter must itself stay join-free linear
         "minhash_band_occupancy",
+        # round-10: truth (shingle equi-join) + banding candidates +
+        # pair-sized overlay; slope must track the two production
+        # pipelines it overlays, never a bins x corpus blowup
+        "lsh_empirical_detection",
         "dedup_exact",
         "ngram_jaccard_dups",
         "simhash_near_dup",
