@@ -35,13 +35,13 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("dedup", ("dedup_", "minhash_", "simhash_", "ngram_", "contamination_",
                "incremental_", "repeated_", "segment_dedup", "fuzzy_",
                "containment_", "token_window", "top_repeated",
-               "syndication")),
+               "syndication", "lsh_empirical", "lsh_s_curve")),
     ("corpus", ("profile_", "corpus_diff", "epoch_shuffle", "mix_weights",
                 "classifier_", "materialize_", "select_token_budget",
                 "pipeline_", "domain_cap", "table_checksum",
                 "calibration_", "binned_roc")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming",
-                    "semantic_", "jl_", "topic_")),
+                    "semantic_", "jl_", "topic_", "lsh_recall")),
     ("analytics", ("user_retention", "event_funnel", "value_histogram",
                    "zscore_", "mad_outliers", "equidepth_", "psi_drift",
                    "burst_collapse", "ks_drift", "interval_overlap",
@@ -49,8 +49,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("governance", ("key_suggestions", "fk_profile", "scd2_",
                     "merge_", "tombstone_", "csv_quarantine")),
     ("text", ("text_", "token_", "lang_", "quality_", "fingerprint_",
-              "top_terms", "clean_", "redact_", "repetition_", "gopher_",
-              "unigram_", "vocab_", "tfidf_", "bigram_", "nfkc_",
+              "top_terms", "clean_", "redact_", "redaction_", "repetition_",
+              "gopher_", "unigram_", "vocab_", "tfidf_", "bigram_", "nfkc_",
               "url_domain", "tokenizer_", "zipf_")),
     ("multimodal", ("multimodal_", "media_", "frame_")),
     ("streaming", ("streaming_",)),
