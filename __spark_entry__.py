@@ -7032,22 +7032,24 @@ def _q_band_occupancy(spark, sf_dir):
     and the EXACT candidate-pair mass sum(sz*(sz-1)/2) the LSH self-join
     would generate — the pre-join quadratic-cost meter for the md5
     MinHash engine (16 hashes, 4 bands, 3-gram shingles — the
-    minhash_md5_dup_pairs config, interpolated from shared constants).
-    The oracle replays shingling, signatures, banding, and both
-    occupancy aggregates."""
+    minhash_md5_dup_pairs config — num_hashes/bands reuse the
+    _SCURVE_HASHES/_SCURVE_BANDS shared constants so the meter, the
+    analytic curve, and the empirical curve can never price different
+    bandings).  The oracle replays shingling, signatures, banding, and
+    both occupancy aggregates."""
     return dedup.band_occupancy(
         _spread_docs(spark, sf_dir),
-        num_hashes=_BOCC_HASHES,
-        bands=_BOCC_BANDS,
+        num_hashes=_SCURVE_HASHES,
+        bands=_SCURVE_BANDS,
         shingle_n=_BOCC_SHINGLE,
     )
 
 
-_BOCC_HASHES, _BOCC_BANDS, _BOCC_SHINGLE = 16, 4, 3
+_BOCC_SHINGLE = 3
 
 
 def _band_occupancy_oracle_sql() -> str:
-    rpb = _BOCC_HASHES // _BOCC_BANDS
+    rpb = _SCURVE_HASHES // _SCURVE_BANDS
     return f"""
 WITH sh AS (
   SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+{_BOCC_SHINGLE - 1}], ' ') AS shingle
@@ -7056,13 +7058,13 @@ WITH sh AS (
   WHERE length(array_to_string(w[i:i+{_BOCC_SHINGLE - 1}], ' ')) > 0
 ), hs AS (
   SELECT id, hi, min(substr(md5(hi || ':' || shingle), 1, 16)) AS h
-  FROM sh, UNNEST(generate_series(0, {_BOCC_HASHES - 1})) AS t(hi)
+  FROM sh, UNNEST(generate_series(0, {_SCURVE_HASHES - 1})) AS t(hi)
   GROUP BY id, hi
 ), sig AS (
   SELECT id, list(h ORDER BY hi) AS hl FROM hs GROUP BY id
 ), bands AS (
   SELECT id, bi, md5(array_to_string(hl[bi*{rpb}+1 : bi*{rpb}+{rpb}], '|')) AS bucket
-  FROM sig, UNNEST(generate_series(0, {_BOCC_BANDS - 1})) AS t(bi)
+  FROM sig, UNNEST(generate_series(0, {_SCURVE_BANDS - 1})) AS t(bi)
 ), occ AS (
   SELECT bi AS band, bucket, count(*) AS sz FROM bands GROUP BY 1, 2
 )
@@ -8151,8 +8153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-9 operators (never-anchored, debt stays ZERO), the 20
     r05-anchored remainder entries, then the 18 oldest r06-anchored
     entries, plus three policy-(b) pins whose code or oracle changed this
-    round: heavy_hitters_sketch (derived capacity now clamped to Spark's
-    approx_top_k maxItemsTracked limit), and canonical_docs +
+    round: heavy_hitters_sketch (the derived capacity now fails loudly —
+    a descriptive ValueError — when it would exceed Spark's approx_top_k
+    maxItemsTracked limit), and canonical_docs +
     leakage_safe_split (their shared _CLUSTER_CLOSURE_CTE oracle gained
     the jaccard DECIMAL(18,12) snap in lockstep with
     _jaccard_from_shingles) — displacing the three youngest pre-order
@@ -8218,8 +8221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = _q_quality
     # policy (b) re-anchor pins (code/oracle changed this round; displace
     # the three youngest pre-order slots, fingerprint_docs + top_terms +
-    # clean_text -> r11 head): the heavy-hitters derived capacity is now
-    # clamped to approx_top_k's maxItemsTracked limit, and the cluster
+    # clean_text -> r11 head): the heavy-hitters derived capacity now
+    # RAISES descriptively past approx_top_k's maxItemsTracked limit
+    # (min_count too low for the corpus), and the cluster
     # closure CTE both of these oracles share gained the jaccard
     # DECIMAL(18,12) snap in lockstep with _jaccard_from_shingles
     q["heavy_hitters_sketch"] = _q_heavy_hitters

@@ -877,7 +877,10 @@ def lsh_empirical_detection(
     Scale: both sides are the production pipelines (shingle equi-join
     truth, bucket-local candidates); the overlay join is truth-pair
     sized; the rollup is |bins|-row."""
-    sh = shingles(df, text_col, id_col, shingle_n)
+    # persisted: the shingle relation feeds FOUR consumers (truth sizes,
+    # both truth self-join sides, the minhash signatures) — without the
+    # cache the split/explode lineage re-executes per consumer
+    sh = _persist(shingles(df, text_col, id_col, shingle_n))
     truth = _jaccard_from_shingles(sh, threshold=min_jaccard)
     sig = _minhash_sig(sh, num_hashes, md5_grade=True)
     buckets = _band_buckets(sig, num_hashes, bands, md5_grade=True)

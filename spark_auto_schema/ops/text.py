@@ -219,6 +219,16 @@ def clean_text(
     return df.select(F.col(id_col), F.trim(squeezed).alias("clean_text"))
 
 
+def _redact_expr(t: Column) -> Column:
+    """The redaction replacement chain — the single source both
+    :func:`redact_pii` (the scrubber) and :func:`redaction_audit` (the
+    audit that proves the scrubber) apply, so the audit can never
+    silently drift onto an older chain than production runs."""
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -229,9 +239,7 @@ def redact_pii(
     Same scale profile as :func:`clean_text` — per-row regexps, no Python,
     no shuffle."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    redacted = _redact_expr(t)
     return df.select(
         F.col(id_col),
         redacted.alias("redacted"),
@@ -1419,9 +1427,7 @@ def redaction_audit(
     projection pipelined inside the scan, both match counts run on the
     same row, and the only exchange is the |groups|-row aggregate."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    red = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    red = _redact_expr(t)
     before = F.regexp_count(t, F.lit(EMAIL_RE)) + F.regexp_count(
         t, F.lit(PHONE_RE)
     )

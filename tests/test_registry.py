@@ -50,7 +50,7 @@ def test_registry_size_and_window():
         "simhash_pigeonhole_check",   # 20th r05 remainder entry
         "dedup_exact",                # oldest r06 cohort head
         "quality_score",              # 18th r06 entry
-        "heavy_hitters_sketch",       # policy-(b) pin: capacity clamp
+        "heavy_hitters_sketch",       # policy-(b) pin: capacity limit guard
         "canonical_docs",             # policy-(b) pin: closure-CTE snap
         "leakage_safe_split",         # policy-(b) pin: closure-CTE snap
     ):

@@ -21,6 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -43,16 +46,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     fn = entrymod.queries()[name]
-    fn(spark, "/root/testdata/sf0.001").collect()  # untimed warmup
-    _release_op_caches()
+    # same warmup convention as bench.py: SPARK_GRAFT_WARM_DIR overrides,
+    # a missing fixture warns and runs cold instead of crashing
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        try:
+            fn(spark, warm_dir).collect()
+        except Exception as exc:
+            print(f"WARN warmup failed for {name}: {exc}", file=sys.stderr)
+        finally:
+            _release_op_caches()
     _warm_python_workers(spark, cpus)
 
     samples: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        try:
+            fn(spark, sf_dir).collect()
+        finally:
+            # INSIDE the timed window, exactly like bench.py's finally
+            # before samples.append — adjudicated medians must include the
+            # same cache-release cost the flagged bench medians did
+            _release_op_caches()
         samples.append(time.perf_counter() - t0)
-        _release_op_caches()
     spark.stop()
     print(
         json.dumps(
