@@ -7736,6 +7736,65 @@ FROM qs q LEFT JOIN ncand nc ON q.qid = nc.qid LEFT JOIN hits h ON q.qid = h.qid
 """
 
 
+def _q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-search eval (`ops/similarity.py` quantized_recall_eval):
+    recall@10 of asymmetric cosine over the int8-dequantized corpus
+    (quantize_embeddings' exact per-dimension code arithmetic) vs float
+    exact, same 8-query panel as the IVF and LSH panels — the
+    compression member of the retrieval-eval triptych.  The oracle
+    replays the per-dimension stats, the half-up code rounding, the
+    dequantization, and both ranked sides."""
+    return similarity.quantized_recall_eval(
+        read_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(_RECALL_PANEL)),
+        k=_RECALL_K,
+        levels=_QREC_LEVELS,
+    )
+
+
+_QREC_LEVELS = 256
+
+
+def _quantized_recall_oracle_sql() -> str:
+    lv = _QREC_LEVELS - 1
+    return f"""
+WITH ex AS (
+  SELECT vec_id, t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), stats AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM ex GROUP BY 1),
+dv AS (
+  SELECT vec_id,
+         list(CASE WHEN hi > lo
+                   THEN lo + CAST(floor((v - lo) / (hi - lo) * {lv} + 0.5) AS INT)
+                        / {lv}::DOUBLE * (hi - lo)
+                   ELSE lo END ORDER BY pos) AS dvec
+  FROM ex JOIN stats USING (pos) GROUP BY vec_id
+), qs AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {_RECALL_PANEL}
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos_sql("e.embedding", "q.qvec")} DESC, e.vec_id) AS rk
+    FROM embeddings e, qs q WHERE e.vec_id != q.qid) WHERE rk <= {_RECALL_K}
+), approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, d.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos_sql("d.dvec", "q.qvec")} DESC, d.vec_id) AS rk
+    FROM dv d, qs q WHERE d.vec_id != q.qid) WHERE rk <= {_RECALL_K}
+), hits AS (
+  SELECT e.qid, count(*) AS n FROM exact e
+  JOIN approx x ON e.qid = x.qid AND e.vec_id = x.vec_id GROUP BY 1
+)
+SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(round(CAST(coalesce(h.n, 0) / {float(_RECALL_K)} AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS recall_at_k
+FROM qs q LEFT JOIN hits h ON q.qid = h.qid
+"""
+
+
 def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (`ops/sampling.py` dsir_importance_sample,
     Xie et al. 2023): hashed unigram+bigram features (1024 md5 buckets),
@@ -8242,6 +8301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_band_occupancy"] = _q_band_occupancy
     q["lsh_empirical_detection"] = _q_lsh_empirical
     q["lang_mix_drift"] = _q_lang_mix_drift
+    q["quantized_recall_panel"] = _q_quantized_recall
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8622,6 +8682,7 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_band_occupancy"] = _band_occupancy_oracle_sql()
     o["lsh_empirical_detection"] = _lsh_empirical_oracle_sql()
     o["lang_mix_drift"] = _LANG_MIX_DRIFT_SQL
+    o["quantized_recall_panel"] = _quantized_recall_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -1403,3 +1403,150 @@ def lsh_recall_eval(
             ),
         )
     )
+
+
+def quantized_recall_eval(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    levels: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of cosine over the SCALAR-QUANTIZED corpus
+    (:func:`quantize_embeddings`' per-dimension int codes, dequantized)
+    against float exact, asymmetric ADC-style — float query x
+    dequantized corpus, the standard compressed-index search — for a
+    panel of query vectors in one job: ``(qid, n_hits, recall_at_k)``.
+    Completes the retrieval-eval triptych: retrieval_recall_eval prices
+    the IVF pruning, lsh_recall_eval the hyperplane bucketing, this the
+    int8 compression — the three dials a compressed ANN index actually
+    turns.
+
+    Scale: dequantization is ONE posexplode scan + a d-row broadcast of
+    per-dimension stats + one id-keyed reassembly shuffle (exactly
+    quantize_embeddings' dataflow); both recall sides are the
+    |corpus| x |panel| broadcast fan-out the eval contract pays, cut by
+    :func:`_salted_topk_per_qid` two-phase ranks."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    code = (
+        F.when(
+            span > 0,
+            F.floor(
+                (F.col("v") - F.col("lo")) / span * (levels - 1) + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    deq = F.when(
+        span > 0, F.col("lo") + F.col("code") / (levels - 1) * span
+    ).otherwise(F.col("lo"))
+    dv = (
+        ex.join(F.broadcast(stats), "pos")
+        .withColumn("code", code)
+        .withColumn("dq", deq)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dq"))),
+                lambda s: s["dq"],
+            ).alias("dvec")
+        )
+    )
+    spark = df.sparkSession
+    panel = F.broadcast(
+        spark.createDataFrame([(int(q),) for q in query_ids], "qid long")
+    )
+    qs_present = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.lit(True).alias("__present"),
+    )
+    diag = (
+        F.when(
+            F.col("__present").isNull(),
+            F.lit("not present in the corpus — fix query_ids"),
+        )
+        .when(
+            F.col("qn").isNull(),
+            F.lit("has a NULL embedding — cosine is undefined for it"),
+        )
+        .otherwise(
+            F.lit("has a zero-norm embedding — cosine is undefined for it")
+        )
+    )
+    qs = _persist(
+        panel.join(F.broadcast(qs_present), "qid", "left")
+        .where(
+            F.when(
+                F.col("__present").isNotNull()
+                & F.col("qn").isNotNull()
+                & (F.col("qn") > 0),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit("quantized_recall_eval: query id"),
+                        F.col("qid").cast("string"),
+                        diag,
+                    )
+                ).cast("boolean")
+            )
+        )
+        .drop("__present")
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vn")
+    )
+    exact = _salted_topk_per_qid(
+        base.crossJoin(F.broadcast(qs))
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("qvec"))
+                / (F.col("vn") * F.col("qn"))
+            ).alias("sim"),
+        ),
+        id_col,
+        k,
+    )
+    approx = _salted_topk_per_qid(
+        dv.crossJoin(F.broadcast(qs))
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            (
+                dot(F.col("dvec"), F.col("qvec"))
+                / (norm(F.col("dvec")) * F.col("qn"))
+            ).alias("sim"),
+        ),
+        id_col,
+        k,
+    )
+    hits = exact.join(F.broadcast(approx), ["qid", id_col]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        qs.select("qid")
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            snapped(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias(
+                "recall_at_k"
+            ),
+        )
+    )

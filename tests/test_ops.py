@@ -1908,3 +1908,44 @@ def test_mix_drift_laws(spark):
     assert swap["g"]["l1_distance"] == 2.0
     assert swap["g"]["n_cats"] == 2
     assert swap["g"]["n_a"] == 10 and swap["g"]["n_b"] == 10
+
+
+def test_quantized_recall_eval_laws(spark):
+    """On a corpus whose values are exactly representable by the code grid
+    (binary dims: lo=0, hi=1, codes 0/255 dequantize losslessly) the
+    quantized ranking equals the exact one, so recall@k == 1.0 for every
+    query; on arbitrary data recall stays in [0,1] with
+    recall == n_hits/k; a missing panel id raises loudly."""
+    import random
+
+    import pytest
+
+    from spark_auto_schema.ops import similarity
+
+    rng = random.Random(13)
+    binary = spark.createDataFrame(
+        [(i, [float(rng.randint(0, 1)) for _ in range(16)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    lossless = similarity.quantized_recall_eval(
+        binary, query_ids=[0, 1, 2], k=5
+    ).collect()
+    similarity.release_caches()
+    assert {r["qid"] for r in lossless} == {0, 1, 2}
+    for r in lossless:
+        assert r["n_hits"] == 5 and r["recall_at_k"] == 1.0
+    lossy = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    coarse = similarity.quantized_recall_eval(
+        lossy, query_ids=[0, 1], k=5, levels=2
+    ).collect()
+    similarity.release_caches()
+    for r in coarse:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_at_k"] == round(r["n_hits"] / 5.0, 6)
+    with pytest.raises(Exception, match="not present in the corpus"):
+        similarity.quantized_recall_eval(
+            binary, query_ids=[0, 999], k=2
+        ).collect()

@@ -117,6 +117,10 @@ PROBES: dict[str, list[str]] = {
         # bucket-collision candidate fan-out + salted two-phase ranks;
         # must track the corpus scan like the IVF panel
         "lsh_recall_panel",
+        # round-10: quantized-search eval — one posexplode + d-row
+        # broadcast + id-keyed reassembly, then the same panel fan-outs;
+        # must track the corpus scan, never d x corpus x panel
+        "quantized_recall_panel",
     ],
     "inference": ["infer_lineitem", "infer_events", "infer_documents"],
     "text": [
