@@ -2028,6 +2028,48 @@ WHERE length(array_to_string(w[t.i + 1 : t.i + 64], ' ')) > 0
 """
 
 
+def _q_chunk_reconstruction(spark, sf_dir):
+    """Chunking losslessness contract (`ops/text.py`
+    chunk_reconstruction_check, 64/16 — chunk_documents' registry
+    config): every document reassembled from its actual chunk output
+    must equal its own token stream, with the exact overlap overhead
+    accounted.  The oracle replays the chunk windows, the
+    keep-first-step / full-last-chunk reassembly, and the compare."""
+    return text.chunk_reconstruction_check(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+_CHUNK_RECON_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id, t.i // 48 AS chunk_id,
+         array_to_string(w[t.i + 1 : t.i + 64], ' ') AS chunk_text,
+         least(len(w) - t.i, 64) AS n_tokens
+  FROM w, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 48)) AS t(i)
+  WHERE length(array_to_string(w[t.i + 1 : t.i + 64], ' ')) > 0
+), mx AS (SELECT doc_id, max(chunk_id) AS m FROM ch GROUP BY 1),
+parts AS (
+  SELECT ch.doc_id, chunk_id, n_tokens,
+         CASE WHEN chunk_id < m
+              THEN array_to_string(string_split(chunk_text, ' ')[1:48], ' ')
+              ELSE chunk_text END AS part
+  FROM ch JOIN mx USING (doc_id)
+), rb AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens_total,
+         string_agg(part, ' ' ORDER BY chunk_id) AS rebuilt
+  FROM parts GROUP BY 1
+)
+SELECT w.doc_id, rb.n_chunks,
+       CAST(len(w.w) AS BIGINT) AS doc_tokens,
+       rb.chunk_tokens_total,
+       rb.chunk_tokens_total - CAST(len(w.w) AS BIGINT) AS overhead_tokens,
+       rb.rebuilt = array_to_string(w.w, ' ') AS ok
+FROM w JOIN rb ON w.doc_id = rb.doc_id
+"""
+
+
 def _q_label_centroids(spark, sf_dir):
     """Element-wise mean embedding per label (class prototypes); oracle
     recomputes via UNNEST + per-position averages.  The gate output is the
@@ -8302,6 +8344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_empirical_detection"] = _q_lsh_empirical
     q["lang_mix_drift"] = _q_lang_mix_drift
     q["quantized_recall_panel"] = _q_quantized_recall
+    q["chunk_reconstruction_check"] = _q_chunk_reconstruction
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8683,6 +8726,7 @@ def oracle_sql() -> dict[str, str]:
     o["lsh_empirical_detection"] = _lsh_empirical_oracle_sql()
     o["lang_mix_drift"] = _LANG_MIX_DRIFT_SQL
     o["quantized_recall_panel"] = _quantized_recall_oracle_sql()
+    o["chunk_reconstruction_check"] = _CHUNK_RECON_SQL
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -523,6 +523,81 @@ def chunk_documents(
     )
 
 
+def chunk_reconstruction_check(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Losslessness contract for :func:`chunk_documents`: reassemble each
+    document from its ACTUAL chunk output — every chunk contributes its
+    first ``chunk_tokens - overlap`` tokens, the final chunk contributes
+    everything — and compare against the document's own token stream:
+    ``(doc_id, n_chunks, doc_tokens, chunk_tokens_total,
+    overhead_tokens, ok)``.  ``ok`` proves no token is lost or
+    reordered by the windowing; ``overhead_tokens`` (= total chunk
+    tokens minus document tokens) is the exact storage/compute tax the
+    overlap buys — the number a RAG/packing pipeline budgets against.
+
+    Run it after any chunking-parameter change: an off-by-one in the
+    window start arithmetic silently drops or duplicates boundary tokens
+    in every document, which this flips to ``ok = false`` corpus-wide.
+
+    Scale: consumes the chunk relation as produced (one map stage), one
+    per-doc max window (partition = that doc's chunk count, bounded by
+    doc length / step), one id-keyed reassembly aggregate, and a join
+    back to the |docs|-row token-stream projection."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    chunks = chunk_documents(df, chunk_tokens, overlap, text_col, id_col)
+    w_doc = Window.partitionBy(id_col)
+    contrib = F.when(
+        F.col("chunk_id") < F.max("chunk_id").over(w_doc),
+        F.concat_ws(" ", F.slice(F.split("chunk_text", " "), 1, step)),
+    ).otherwise(F.col("chunk_text"))
+    rebuilt = (
+        chunks.select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.col("n_tokens"),
+            contrib.alias("__part"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("chunk_tokens_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "__part"))
+                    ),
+                    lambda s: s["__part"],
+                ),
+                " ",
+            ).alias("__rebuilt"),
+        )
+    )
+    doc = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias(
+            "doc_tokens"
+        ),
+        F.concat_ws(" ", F.split(F.col(text_col), " ")).alias("__stream"),
+    )
+    return doc.join(rebuilt, id_col).select(
+        id_col,
+        "n_chunks",
+        "doc_tokens",
+        "chunk_tokens_total",
+        (F.col("chunk_tokens_total") - F.col("doc_tokens")).alias(
+            "overhead_tokens"
+        ),
+        (F.col("__rebuilt") == F.col("__stream")).alias("ok"),
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",

