@@ -2028,6 +2028,42 @@ WHERE length(array_to_string(w[t.i + 1 : t.i + 64], ' ')) > 0
 """
 
 
+def _q_sample_bias_audit(spark, sf_dir):
+    """Stratification audit (`ops/sampling.py` sample_bias_audit): per
+    source, the realized hash_sample rate at fraction 0.15 vs target,
+    with relative deviation — the one-pass check that the deterministic
+    sampler is not silently biased against any source.  The oracle
+    replays the shared md5-prefix threshold and both rate columns."""
+    return sampling.sample_bias_audit(
+        read_table(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        group_col="source",
+        fraction=_SBIAS_FRACTION,
+    )
+
+
+_SBIAS_FRACTION = 0.15
+
+
+def _sample_bias_oracle_sql() -> str:
+    thr = sampling.fraction_threshold(_SBIAS_FRACTION)
+    f = _SBIAS_FRACTION
+    snap = lambda e: f"CAST(round(CAST({e} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    return f"""
+WITH k AS (
+  SELECT source AS grp,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thr}'
+              THEN 1 ELSE 0 END AS kp
+  FROM documents
+)
+SELECT grp, count(*) AS n_corpus,
+       CAST(sum(kp) AS BIGINT) AS n_sampled,
+       {snap("sum(kp) * 1.0 / count(*)")} AS rate,
+       {snap(f"(sum(kp) * 1.0 / count(*) - {f}) / {f}")} AS rel_deviation
+FROM k GROUP BY 1
+"""
+
+
 def _q_chunk_reconstruction(spark, sf_dir):
     """Chunking losslessness contract (`ops/text.py`
     chunk_reconstruction_check, 64/16 — chunk_documents' registry
@@ -8345,6 +8381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_mix_drift"] = _q_lang_mix_drift
     q["quantized_recall_panel"] = _q_quantized_recall
     q["chunk_reconstruction_check"] = _q_chunk_reconstruction
+    q["sample_bias_audit"] = _q_sample_bias_audit
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8727,6 +8764,7 @@ def oracle_sql() -> dict[str, str]:
     o["lang_mix_drift"] = _LANG_MIX_DRIFT_SQL
     o["quantized_recall_panel"] = _quantized_recall_oracle_sql()
     o["chunk_reconstruction_check"] = _CHUNK_RECON_SQL
+    o["sample_bias_audit"] = _sample_bias_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

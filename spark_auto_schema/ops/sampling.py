@@ -429,3 +429,43 @@ def dsir_importance_sample(
         .orderBy(F.col("gumbel_score").desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def sample_bias_audit(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Stratification audit for :func:`hash_sample`: per group, the
+    corpus count, the count the hash threshold actually kept, the
+    realized rate, and the relative deviation from the target fraction —
+    ``(grp, n_corpus, n_sampled, rate, rel_deviation)``.  Hash
+    thresholding only hits ``fraction`` in expectation; a group whose
+    realized rate sits far off target is either small (binomial noise —
+    read it next to ``n_corpus``) or, the failure this audit exists to
+    catch, carries NON-UNIFORM KEYS: sequential ids fed through a broken
+    key cast, duplicated keys, or a key column correlated with the group
+    all bias md5 prefixes and silently over/under-sample that group.
+
+    One pass: the keep flag is the same in-scan md5-prefix comparison
+    hash_sample applies (threshold from the shared
+    :func:`fraction_threshold`), aggregated per group — no join against
+    a separately-materialized sample, so the audit can never disagree
+    with the sampler about who was kept."""
+    thr = fraction_threshold(fraction)
+    keep = (_hash_prefix(F.col(key_col)) < F.lit(thr)).cast("long")
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        df.select(F.col(group_col).alias("grp"), keep.alias("__k"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus"),
+            F.sum("__k").cast("long").alias("n_sampled"),
+            snap(F.sum("__k") / F.count(F.lit(1))).alias("rate"),
+            snap(
+                (F.sum("__k") / F.count(F.lit(1)) - F.lit(fraction))
+                / F.lit(fraction)
+            ).alias("rel_deviation"),
+        )
+    )

@@ -1985,3 +1985,33 @@ def test_chunk_reconstruction_check_laws(spark):
             df, chunk_tokens=ct, overlap=ov
         ).collect():
             assert r["ok"], (ct, ov, r)
+
+
+def test_sample_bias_audit_laws(spark):
+    """The audit's kept-count per group must equal what hash_sample
+    actually keeps (same threshold expression — they can never disagree);
+    fraction 1.0 keeps everything (rate 1, deviation 0); rate always
+    equals n_sampled/n_corpus."""
+    from spark_auto_schema.ops import sampling
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(300)],
+        "id long, src string",
+    )
+    audit = {
+        r["grp"]: r
+        for r in sampling.sample_bias_audit(df, "id", "src", 0.2).collect()
+    }
+    kept = (
+        sampling.hash_sample(df, "id", 0.2)
+        .groupBy("src")
+        .count()
+        .collect()
+    )
+    actual = {r["src"]: r["count"] for r in kept}
+    for g, r in audit.items():
+        assert r["n_sampled"] == actual.get(g, 0)
+        assert r["rate"] == round(r["n_sampled"] / r["n_corpus"], 6)
+    full = sampling.sample_bias_audit(df, "id", "src", 1.0).collect()
+    for r in full:
+        assert r["rate"] == 1.0 and r["rel_deviation"] == 0.0
