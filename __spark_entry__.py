@@ -2574,6 +2574,52 @@ def _q_streaming_user_stats(spark, sf_dir):
     )
 
 
+def _q_streaming_domain_cap(spark, sf_dir):
+    """Streaming frequency-cap monitor (`streaming.py` domain_cap_stream,
+    cap 2000 on event_type): the ingest-time twin of domain_cap — per
+    key the final running count, the admitted count min(n, cap), and the
+    over-cap flag (the rare 'error' type stays under cap at sf0.01, the
+    hot types trip it — both branches live).  Final state per key = the
+    max-n_seen emission; the oracle is the batch group-by the stream
+    must agree with."""
+    from spark_auto_schema.streaming import (
+        domain_cap_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    name = f"__dcap_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        domain_cap_stream(
+            read_event_stream(spark, _events_stream_dir(sf_dir)),
+            key_col="event_type",
+            cap=_SCAP_CAP,
+        ),
+        name,
+        output_mode="update",
+        state_partitions=8,
+    )
+    t = spark.table(name)
+    w = Window.partitionBy("key").orderBy(F.col("n_seen").desc())
+    return (
+        t.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("key", "n_seen", "n_admitted", "capped")
+    )
+
+
+_SCAP_CAP = 2000
+
+
+def _streaming_domain_cap_oracle_sql() -> str:
+    return f"""
+SELECT event_type AS key, count(*) AS n_seen,
+       CAST(least(count(*), {_SCAP_CAP}) AS BIGINT) AS n_admitted,
+       count(*) > {_SCAP_CAP} AS capped
+FROM events GROUP BY 1
+"""
+
+
 def _q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming schema-drift monitor through the gate: the events stream
     is inferred per microbatch (the same single-pass aggregate as the
@@ -8382,6 +8428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quantized_recall_panel"] = _q_quantized_recall
     q["chunk_reconstruction_check"] = _q_chunk_reconstruction
     q["sample_bias_audit"] = _q_sample_bias_audit
+    q["streaming_domain_cap"] = _q_streaming_domain_cap
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8765,6 +8812,7 @@ def oracle_sql() -> dict[str, str]:
     o["quantized_recall_panel"] = _quantized_recall_oracle_sql()
     o["chunk_reconstruction_check"] = _CHUNK_RECON_SQL
     o["sample_bias_audit"] = _sample_bias_oracle_sql()
+    o["streaming_domain_cap"] = _streaming_domain_cap_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

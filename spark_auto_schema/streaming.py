@@ -625,3 +625,65 @@ def novelty_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CAP_MONITOR_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_admitted", T.LongType()),
+        T.StructField("capped", T.BooleanType()),
+    ]
+)
+
+_CAP_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def domain_cap_stream(
+    events: DataFrame, key_col: str, cap: int
+) -> DataFrame:
+    """Streaming per-key frequency cap: the ingest-time face of
+    ``ops/corpus.domain_cap`` — per key a running arrival count, the
+    number the cap admits (``min(n_seen, cap)``), and the over-cap flag,
+    emitted once per key per microbatch (``update`` mode).  An ingesting
+    crawler uses the flag to stop PULLING an over-represented domain
+    while the batch job caps what already landed; the two agree on
+    counts by construction, which is what the oracle verifies (final
+    per-key state == the batch group-by).
+
+    State is ONE long per key (``applyInPandasWithState``, NoTimeout) —
+    O(distinct keys), the smallest stateful footprint possible; at an
+    unbounded key space swap in a TTL timeout at the cost of the count
+    restarting for expired keys."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n],
+                "n_admitted": [min(n, cap)],
+                "capped": [n > cap],
+            }
+        )
+
+    return (
+        events.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            CAP_MONITOR_SCHEMA,
+            _CAP_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -7,6 +7,7 @@ import shutil
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_auto_schema.io import read_table
 from spark_auto_schema.streaming import (
@@ -425,3 +426,53 @@ def test_novelty_stream_emits_first_seen_once(spark, tmp_path):
     # fresh query (fresh state) sees both drops in ONE availableNow batch:
     # still exactly one emission per digest
     assert spark.table("novelty_second").count() == 2
+
+
+def test_domain_cap_stream_counts_and_flag(spark, tmp_path):
+    """The cap monitor's final per-key state equals the batch group-by
+    (count, min(count, cap), over-cap flag) and the running count
+    SURVIVES across microbatches — two file drops processed one per
+    trigger must accumulate, not restart."""
+    import datetime as dt
+
+    from spark_auto_schema.streaming import (
+        domain_cap_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [(i, 1, t0, "hot" if i < 4 else "cold", 1.0) for i in range(6)]
+    rows2 = [(10 + i, 1, t0, "hot", 1.0) for i in range(3)]
+    src = tmp_path / "cap_events"
+    src.mkdir()
+    schema = (
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double"
+    )
+    for n, rows in (("d1", rows1), ("d2", rows2)):
+        w = tmp_path / f"w_{n}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(w))
+        shutil.copy(next(w.glob("*.parquet")), src / f"{n}.parquet")
+    stream = read_event_stream(
+        spark, str(src), ts_unit="utc", max_files_per_trigger=1
+    )
+    run_to_memory(
+        domain_cap_stream(stream, "event_type", cap=5),
+        "cap_monitor",
+        output_mode="update",
+        state_partitions=4,
+    )
+    t = spark.table("cap_monitor")
+    w = Window.partitionBy("key").orderBy(F.col("n_seen").desc())
+    final = {
+        r["key"]: r
+        for r in t.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .collect()
+    }
+    # hot: 4 + 3 = 7 across two batches -> capped at 5; cold: 2, under
+    assert final["hot"]["n_seen"] == 7
+    assert final["hot"]["n_admitted"] == 5 and final["hot"]["capped"]
+    assert final["cold"]["n_seen"] == 2
+    assert final["cold"]["n_admitted"] == 2 and not final["cold"]["capped"]
