@@ -2492,6 +2492,56 @@ inter AS (
 _DEDUP_CLUSTERS_SQL = _CLUSTER_CLOSURE_CTE + "SELECT id, cluster_id FROM clusters"
 
 
+def _q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-pressure curve (`ops/dedup.py` dedup_threshold_sweep): pair
+    and implicated-doc counts at candidate Jaccard cuts 0.7/0.8/0.9 from
+    ONE pair pipeline at the loosest threshold — the production-cut
+    tuning dial.  The oracle replays the shared shingle/jaccard CTEs and
+    the per-threshold rollups (uncapped max_df at test scale so the SQL
+    twin is exact)."""
+    return dedup.dedup_threshold_sweep(
+        _spread_docs(spark, sf_dir),
+        thresholds=_SWEEP_THRESHOLDS,
+        max_df=None,
+    )
+
+
+_SWEEP_THRESHOLDS = (0.7, 0.8, 0.9)
+
+
+def _dedup_threshold_sweep_oracle_sql() -> str:
+    tlist = ", ".join(repr(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b,
+         CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4) AS DOUBLE) >= {min(_SWEEP_THRESHOLDS)!r}
+), ts AS (SELECT CAST(x AS DOUBLE) AS threshold FROM UNNEST([{tlist}]) AS u(x)),
+h AS (
+  SELECT ts.threshold, j.id_a, j.id_b
+  FROM jac j JOIN ts ON j.jaccard >= ts.threshold
+), np AS (SELECT threshold, count(*) AS c FROM h GROUP BY 1),
+nd AS (
+  SELECT threshold, count(DISTINCT id) AS c
+  FROM (SELECT threshold, unnest([id_a, id_b]) AS id FROM h) GROUP BY 1
+)
+SELECT ts.threshold,
+       CAST(coalesce(np.c, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(nd.c, 0) AS BIGINT) AS n_docs
+FROM ts LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+"""
+
+
 def _q_dedup_cluster_stats(spark, sf_dir):
     """Cluster-cohesion audit (`ops/dedup.py` cluster_stats) over the
     n-gram Jaccard pair set and its connected components: per cluster the
@@ -8429,6 +8479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_reconstruction_check"] = _q_chunk_reconstruction
     q["sample_bias_audit"] = _q_sample_bias_audit
     q["streaming_domain_cap"] = _q_streaming_domain_cap
+    q["dedup_threshold_sweep"] = _q_dedup_threshold_sweep
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8813,6 +8864,7 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_reconstruction_check"] = _CHUNK_RECON_SQL
     o["sample_bias_audit"] = _sample_bias_oracle_sql()
     o["streaming_domain_cap"] = _streaming_domain_cap_oracle_sql()
+    o["dedup_threshold_sweep"] = _dedup_threshold_sweep_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -849,6 +849,62 @@ def band_occupancy(
     )
 
 
+def dedup_threshold_sweep(
+    df: DataFrame,
+    thresholds: "tuple[float, ...] | list[float]" = (0.7, 0.8, 0.9),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Dedup-pressure curve: for each candidate Jaccard threshold, how
+    many near-dup pairs and how many distinct documents the cut would
+    implicate — ``(threshold, n_pairs, n_docs)`` — computed from ONE
+    n-gram Jaccard pair pipeline at ``min(thresholds)`` instead of one
+    rerun per threshold.  The tuning dial for picking the production
+    cut: too low and boilerplate-heavy sources collapse wholesale, too
+    high and syndicated near-copies survive; the sweep shows where the
+    pair count elbows.
+
+    Scale: the pair pipeline is the shingle equi-join (hashed keys,
+    hot-shingle ``max_df`` cap — :func:`ngram_jaccard_pairs`' engine)
+    run ONCE at the loosest threshold; the per-threshold rollup is a
+    broadcast |thresholds|-row inequality join over the persisted
+    pair set, and the doc count explodes pairs 2x — all pair-sized,
+    nothing rescans the corpus."""
+    ts = sorted(float(t) for t in thresholds)
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    sh = shingles(df, text_col, id_col, 3, hashed=True)
+    pairs = _persist(
+        _jaccard_from_shingles(sh, threshold=ts[0], max_df=max_df)
+    )
+    spark = df.sparkSession
+    tf = F.broadcast(
+        spark.createDataFrame([(t,) for t in ts], "threshold double")
+    )
+    hits = pairs.join(tf, F.col("jaccard") >= F.col("threshold"))
+    n_pairs = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        hits.select(
+            "threshold",
+            F.explode(F.array("id_a", "id_b")).alias("id"),
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("id").alias("n_docs"))
+    )
+    return (
+        tf.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
 def lsh_empirical_detection(
     df: DataFrame,
     text_col: str = "text",

@@ -2015,3 +2015,38 @@ def test_sample_bias_audit_laws(spark):
     full = sampling.sample_bias_audit(df, "id", "src", 1.0).collect()
     for r in full:
         assert r["rate"] == 1.0 and r["rel_deviation"] == 0.0
+
+
+def test_dedup_threshold_sweep_laws(spark):
+    """Counts are monotone non-increasing in the threshold, the sweep
+    agrees exactly with per-threshold ngram_jaccard_pairs reruns, and
+    exact clones survive every cut."""
+    from spark_auto_schema.ops import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = base + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8"
+    rows = [(1, base), (2, base), (3, near)] + [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(30))) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sweep = {
+        r["threshold"]: r
+        for r in dedup.dedup_threshold_sweep(
+            df, thresholds=(0.5, 0.8, 0.95), max_df=None
+        ).collect()
+    }
+    dedup.release_caches()
+    ps = [sweep[t]["n_pairs"] for t in (0.5, 0.8, 0.95)]
+    ds = [sweep[t]["n_docs"] for t in (0.5, 0.8, 0.95)]
+    assert ps == sorted(ps, reverse=True)
+    assert ds == sorted(ds, reverse=True)
+    for t in (0.5, 0.8, 0.95):
+        direct = dedup.ngram_jaccard_pairs(
+            df, threshold=t, max_df=None
+        ).collect()
+        dedup.release_caches()
+        assert sweep[t]["n_pairs"] == len(direct), t
+        assert sweep[t]["n_docs"] == len(
+            {r["id_a"] for r in direct} | {r["id_b"] for r in direct}
+        ), t
+    assert sweep[0.95]["n_pairs"] >= 1  # the clone pair survives every cut
