@@ -64,6 +64,10 @@ PROBES: dict[str, list[str]] = {
         # pair-sized overlay; slope must track the two production
         # pipelines it overlays, never a bins x corpus blowup
         "lsh_empirical_detection",
+        # round-10: one pair pipeline at the loosest cut + broadcast
+        # |thresholds|-row inequality rollups; must track the pair
+        # pipeline, never |thresholds| x corpus
+        "dedup_threshold_sweep",
         "dedup_exact",
         "ngram_jaccard_dups",
         "simhash_near_dup",
@@ -131,6 +135,9 @@ PROBES: dict[str, list[str]] = {
         # |groups|-row compare; must track the score scan, with per-group
         # percentile buffers the only stateful part
         "quality_drift_sources",
+        # round-10: chunk relation + per-doc reassembly aggregate + token
+        # stream join; must track chunk volume (docs x chunks/doc)
+        "chunk_reconstruction_check",
         # session-3: bigram model shuffles carry the vocabulary; replica
         # token suffixes grow the vocab 10x too — the harder case
         "bigram_logprob_docs",
