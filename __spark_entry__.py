@@ -879,6 +879,111 @@ WITH sc AS (
     )
 
 
+def _q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-LENGTH drift (`ops/scoring.py` score_drift
+    over whitespace token counts): the 11-point percentile grid of doc
+    token counts per (source, snapshot), hash-split like
+    quality_drift_sources — the extraction-regression sentinel: a
+    source whose length distribution collapses between crawls lost its
+    article bodies to a template change even when its doc count held.
+    The oracle replays the token count, the hash split, and the shared
+    drift tail."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("double")
+        .alias("n_tokens"),
+    )
+    half = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    return scoring.score_drift(
+        scored.where(half == 0),
+        scored.where(half == 1),
+        value_col="n_tokens",
+        group_col="source",
+        grid=_QDRIFT_GRID,
+    )
+
+
+def _length_drift_oracle_sql() -> str:
+    return _score_drift_tail_sql(
+        """
+WITH h AS (
+  SELECT source AS grp,
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS DOUBLE) AS v,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS half
+  FROM documents
+)""",
+        _QDRIFT_GRID,
+    )
+
+
+def _q_embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding drift: the top-k dimensions whose mean
+    value moved most between two hash-split snapshots — ``(pos, mean_a,
+    mean_b, abs_diff)`` — the fine-grained encoder-health view under
+    embedding_norm_drift (a whole-norm drift localizes to WHICH
+    dimensions moved).  One posexplode pass, a d-row (pos, half)
+    aggregate, a d-row pivot compare, and a TakeOrdered top-k — nothing
+    after the first aggregate is corpus-sized.  The oracle replays the
+    unnest, the conditional means, and the ranked cut."""
+    e = read_table(spark, sf_dir, "embeddings")
+    half = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    ex = e.select(
+        half.alias("half"), F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    g = ex.groupBy("pos").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("v"))).alias("__ma"),
+        F.avg(F.when(F.col("half") == 1, F.col("v"))).alias("__mb"),
+    )
+    return (
+        g.select(
+            "pos",
+            snap(F.col("__ma")).alias("mean_a"),
+            snap(F.col("__mb")).alias("mean_b"),
+            snap(F.abs(F.col("__ma") - F.col("__mb"))).alias("abs_diff"),
+        )
+        .orderBy(F.col("abs_diff").desc(), F.col("pos"))
+        .limit(_DIMDRIFT_TOPK)
+    )
+
+
+_DIMDRIFT_TOPK = 5
+
+
+def _embedding_dim_drift_oracle_sql() -> str:
+    snap = lambda e: f"CAST(round(CAST({e} AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    return f"""
+WITH ex AS (
+  SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS half,
+         t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), g AS (
+  SELECT pos,
+         avg(v) FILTER (WHERE half = 0) AS ma,
+         avg(v) FILTER (WHERE half = 1) AS mb
+  FROM ex GROUP BY 1
+)
+SELECT pos, {snap("ma")} AS mean_a, {snap("mb")} AS mean_b,
+       {snap("abs(ma - mb)")} AS abs_diff
+FROM g ORDER BY {snap("abs(ma - mb)")} DESC, pos LIMIT {_DIMDRIFT_TOPK}
+"""
+
+
 def _q_embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-health drift (`ops/scoring.py` score_drift over L2
     norms): per label, the 11-point percentile grid of vector norms
@@ -8480,6 +8585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_bias_audit"] = _q_sample_bias_audit
     q["streaming_domain_cap"] = _q_streaming_domain_cap
     q["dedup_threshold_sweep"] = _q_dedup_threshold_sweep
+    q["length_drift_sources"] = _q_length_drift
+    q["embedding_dim_drift"] = _q_embedding_dim_drift
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8865,6 +8972,8 @@ def oracle_sql() -> dict[str, str]:
     o["sample_bias_audit"] = _sample_bias_oracle_sql()
     o["streaming_domain_cap"] = _streaming_domain_cap_oracle_sql()
     o["dedup_threshold_sweep"] = _dedup_threshold_sweep_oracle_sql()
+    o["length_drift_sources"] = _length_drift_oracle_sql()
+    o["embedding_dim_drift"] = _embedding_dim_drift_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -2050,3 +2050,60 @@ def test_dedup_threshold_sweep_laws(spark):
             {r["id_a"] for r in direct} | {r["id_b"] for r in direct}
         ), t
     assert sweep[0.95]["n_pairs"] >= 1  # the clone pair survives every cut
+
+
+def test_embedding_dim_drift_detects_planted_dimension(spark):
+    """Planting a +10 shift on ONE dimension exactly along the md5 hash
+    split makes that dimension the top drifted one with abs_diff == 10;
+    rows come back k-sized, descending, with abs_diff == |mean_a-mean_b|."""
+    import hashlib
+
+    import __spark_entry__ as entry
+
+    def half(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+
+    rows = []
+    for i in range(80):
+        v = [0.5] * 8
+        v[3] = 10.0 if half(i) else 0.0
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    df.createOrReplaceTempView("__dim_drift_probe")
+    # drive the registry query body against the planted frame
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = entry._q_embedding_dim_drift(spark, d).collect()
+    assert len(got) == entry._DIMDRIFT_TOPK
+    top = got[0]
+    assert top["pos"] == 3 and top["abs_diff"] == 10.0
+    diffs = [r["abs_diff"] for r in got]
+    assert diffs == sorted(diffs, reverse=True)
+    for r in got:
+        assert r["abs_diff"] == round(abs(r["mean_a"] - r["mean_b"]), 6)
+
+
+def test_length_drift_sources_zero_on_uniform_lengths(spark):
+    """A corpus whose every document has the same token count cannot
+    drift: every source reads max_qdiff == avg_qdiff == 0."""
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (i, f"s{i % 4}", " ".join(f"w{j}" for j in range(12)), "en")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, lang string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = entry._q_length_drift(spark, d).collect()
+    assert got, "every source has both hash halves at n=120"
+    for r in got:
+        assert r["max_qdiff"] == 0.0 and r["avg_qdiff"] == 0.0
