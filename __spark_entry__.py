@@ -2422,6 +2422,65 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
+def _q_packing_length_sweep(spark, sf_dir):
+    """Packing-efficiency curve (`ops/packing.py` packing_length_sweep):
+    pack counts and wasted-token fractions at budgets 128/256/512 from
+    one budget-independent cumsum over the pack_sequences ordering
+    (BPE-ish token counts, 8 hash buckets — the pack_sequences registry
+    config).  The oracle replays the bucket/order/cumsum machinery and
+    the per-budget projections."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(text.BPE_TOKEN_RE)).alias("tokens"),
+    )
+    return packing.packing_length_sweep(
+        toks,
+        budgets=_PACK_SWEEP_BUDGETS,
+        id_col="doc_id",
+        token_col="tokens",
+        n_buckets=8,
+    )
+
+
+_PACK_SWEEP_BUDGETS = (128, 256, 512)
+
+
+def _packing_length_sweep_oracle_sql() -> str:
+    blist = ", ".join(str(b) for b in _PACK_SWEEP_BUDGETS)
+    return r"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+  FROM documents
+), b AS (
+  SELECT doc_id, tokens, h,
+         CAST(('0x' || h8) AS BIGINT) % 8 AS bucket
+  FROM d
+), c AS (
+  SELECT tokens, bucket,
+         CAST(sum(tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM b
+), e AS (
+  SELECT tokens, bucket, cum, u.budget
+  FROM c, UNNEST([""" + blist + r"""]) AS u(budget)
+), packs AS (
+  SELECT budget, bucket, (cum - tokens) // budget AS pack_local,
+         sum(tokens) AS pt
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT CAST(budget AS INT) AS budget, count(*) AS n_packs,
+       CAST(sum(pt) AS BIGINT) AS total_tokens,
+       CAST(round(CAST(sum(greatest(budget - pt, 0)) * 1.0
+                       / (count(*) * budget) AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS waste_pct
+FROM packs GROUP BY budget
+"""
+
+
 _PACK_SEQUENCES_SQL = r"""
 WITH d AS (
   SELECT doc_id,
@@ -8587,6 +8646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_threshold_sweep"] = _q_dedup_threshold_sweep
     q["length_drift_sources"] = _q_length_drift
     q["embedding_dim_drift"] = _q_embedding_dim_drift
+    q["packing_length_sweep"] = _q_packing_length_sweep
     # --- planned r11 window: the three displaced pre-order slots + the
     # r06-anchored remainder (oldest anchors first), then the oldest
     # r07-anchored entries; rows-only entries are window-INELIGIBLE and
@@ -8974,6 +9034,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_threshold_sweep"] = _dedup_threshold_sweep_oracle_sql()
     o["length_drift_sources"] = _length_drift_oracle_sql()
     o["embedding_dim_drift"] = _embedding_dim_drift_oracle_sql()
+    o["packing_length_sweep"] = _packing_length_sweep_oracle_sql()
     o["dsir_sample_docs"] = _DSIR_SQL
     o["paragraph_minhash_pairs"] = _PARAGRAPH_MINHASH_SQL
     o["recency_weights_events"] = _RECENCY_WEIGHTS_SQL

@@ -431,3 +431,63 @@ def span_corruption(
     return assembled.select(
         F.col("id").alias(id_col), "input", "target", "n_spans"
     )
+
+
+def packing_length_sweep(
+    df: DataFrame,
+    budgets: "tuple[int, ...] | list[int]" = (256, 512, 1024),
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Packing-efficiency curve: for each candidate sequence budget, the
+    pack count and the wasted-token fraction the greedy
+    :func:`pack_sequences` policy would produce — ``(budget, n_packs,
+    total_tokens, waste_pct)`` — from ONE window pass.  The
+    sequence-length tuning dial: shorter budgets waste less per pack but
+    fragment documents more (pair this with chunk_reconstruction_check's
+    overhead number); the sweep shows where waste elbows without running
+    the packer once per candidate.
+
+    ``waste_pct = sum over packs of max(budget - pack_tokens, 0) /
+    (n_packs * budget)`` — overflow packs (the straddler semantics) count
+    as zero waste, matching how a hard-truncating trainer treats them.
+
+    Scale: the running cumsum over (bucket, hash-order) is computed ONCE
+    (it is budget-independent); each budget is then a pure projection
+    ``floor((cum - tokens)/budget)`` — the explode is |budgets| x the
+    |docs|-row token frame, never token- or corpus-sized; two hash
+    aggregates roll it up."""
+    bs = sorted(int(b) for b in budgets)
+    if not bs or bs[0] <= 0:
+        raise ValueError("budgets must be positive and non-empty")
+    key = F.col(id_col)
+    bucket = (_hash_prefix_int(key) % F.lit(n_buckets)).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(_hash_prefix(key), key)
+    base = (
+        df.select(key, F.col(token_col), bucket)
+        .withColumn("cum", F.sum(token_col).over(w))
+        .select(
+            F.col(token_col),
+            "bucket",
+            "cum",
+            F.explode(F.array(*[F.lit(b) for b in bs])).alias("budget"),
+        )
+    )
+    packs = (
+        base.withColumn(
+            "local",
+            F.floor((F.col("cum") - F.col(token_col)) / F.col("budget")),
+        )
+        .groupBy("budget", "bucket", "local")
+        .agg(F.sum(token_col).alias("pt"))
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return packs.groupBy("budget").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pt").cast("long").alias("total_tokens"),
+        snap(
+            F.sum(F.greatest(F.col("budget") - F.col("pt"), F.lit(0)))
+            / (F.count(F.lit(1)) * F.first("budget"))
+        ).alias("waste_pct"),
+    )

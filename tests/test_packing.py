@@ -342,3 +342,37 @@ def test_span_corruption_laws(spark):
 
     again = packing.span_corruption(docs.repartition(5)).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_packing_length_sweep_matches_packer_and_monotonicity(spark):
+    """For every budget, the sweep's pack count and per-pack token totals
+    must equal what pack_sequences + pack_stats actually produce (the
+    sweep prices the real packer, not an approximation of it); waste is
+    in [0, 1); and pack counts are non-increasing in the budget."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.ops import packing
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(120)]
+    toks = spark.createDataFrame(rows, "doc_id long, tokens int")
+    sweep = {
+        r["budget"]: r
+        for r in packing.packing_length_sweep(
+            toks, budgets=(64, 128, 256), n_buckets=4
+        ).collect()
+    }
+    assert set(sweep) == {64, 128, 256}
+    counts = [sweep[b]["n_packs"] for b in (64, 128, 256)]
+    assert counts == sorted(counts, reverse=True)
+    for b in (64, 128, 256):
+        packed = packing.pack_sequences(
+            toks, id_col="doc_id", token_col="tokens", budget=b, n_buckets=4
+        )
+        stats = packing.pack_stats(packed, "tokens").collect()
+        assert sweep[b]["n_packs"] == len(stats)
+        assert sweep[b]["total_tokens"] == sum(r["pack_tokens"] for r in stats)
+        waste = sum(max(b - r["pack_tokens"], 0) for r in stats) / (
+            len(stats) * b
+        )
+        assert sweep[b]["waste_pct"] == round(waste, 6)
+        assert 0 <= sweep[b]["waste_pct"] < 1
