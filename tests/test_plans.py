@@ -1139,3 +1139,62 @@ def test_lm_kl_between_vocab_sized_join_only(spark):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the |groups|-row scalar rejoin
+
+
+def test_round10_new_ops_plan_shapes(spark):
+    """Scale-shape pins for the round-10 additions that carry real
+    dataflow: no cartesian products anywhere; the threshold sweep joins
+    its tiny threshold frame by broadcast (inequality join must not
+    degenerate to CartesianProduct); the quantized panel's top-k cuts are
+    two-phase salted; the empirical-detection shingle frame is persisted
+    (one corpus scan feeds its four consumers); the occupancy meter and
+    the packing sweep never sort-merge-join at all, and the packing
+    sweep runs exactly ONE window pass (the cumsum is budget-independent
+    — a per-budget window would re-shuffle once per budget)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup, packing, similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    docs = read_table(spark, SF_DIR, "documents")
+
+    qr = similarity.quantized_recall_eval(emb, query_ids=list(range(4)), k=5)
+    plan = plan_of(qr, "simple")
+    assert "CartesianProduct" not in plan
+    salted = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "__salt" in ln
+    ]
+    assert len(salted) >= 2 and plan.count("__rk1") >= 2
+    similarity.release_caches()
+
+    sweep = dedup.dedup_threshold_sweep(docs, thresholds=(0.7, 0.8, 0.9))
+    plan = plan_of(sweep, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # jaccard >= threshold join
+    dedup.release_caches()
+
+    emp = dedup.lsh_empirical_detection(docs)
+    plan = plan_of(emp, "simple")
+    assert "CartesianProduct" not in plan
+    # persisted shingle relation: every FileScan string sits inside an
+    # InMemoryRelation description (cache fill), consumers read the cache
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+    dedup.release_caches()
+
+    occ = dedup.band_occupancy(docs)
+    plan = plan_of(occ, "simple")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("tokens")
+    )
+    ps = packing.packing_length_sweep(toks, budgets=(128, 256, 512))
+    plan = plan_of(ps, "simple")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("windowspecdefinition") == 1, (
+        "the cumsum must be computed once, not once per budget"
+    )
