@@ -2152,7 +2152,9 @@ _SBIAS_FRACTION = 0.15
 
 def _sample_bias_oracle_sql() -> str:
     thr = sampling.fraction_threshold(_SBIAS_FRACTION)
-    f = _SBIAS_FRACTION
+    # deviation vs the REALIZED threshold probability (r10-advice fix),
+    # interpolated from the op's own helper so both engines stay in lockstep
+    f = sampling.realized_fraction(_SBIAS_FRACTION)
     snap = lambda e: f"CAST(round(CAST({e} AS DECIMAL(18,12)), 6) AS DOUBLE)"
     return f"""
 WITH k AS (
@@ -2711,7 +2713,9 @@ def _q_dedup_cluster_stats(spark, sf_dir):
     n-gram Jaccard pair set and its connected components: per cluster the
     member count, within-cluster edge count, graph density 2E/(m(m-1)),
     and mean edge Jaccard — the chain-formation sentinel guarding
-    canonical collapse.  The oracle extends the shared closure CTE with
+    canonical collapse.  An edge counts only when BOTH endpoints map to
+    the same cluster, and edge-free clusters are kept at density 0.0
+    (r10-advice fix).  The oracle extends the shared closure CTE with
     the same two |clusters|-row aggregates."""
     pairs = dedup.ngram_jaccard_pairs(_spread_docs(spark, sf_dir), threshold=0.8)
     return dedup.cluster_stats(pairs, dedup.dedup_clusters(pairs))
@@ -2720,15 +2724,20 @@ def _q_dedup_cluster_stats(spark, sf_dir):
 _DEDUP_CLUSTER_STATS_SQL = _CLUSTER_CLOSURE_CTE + """
 , e AS (
   SELECT c.cluster_id, count(*) AS n_edges, avg(j.jaccard) AS aj
-  FROM jac j JOIN clusters c ON c.id = j.id_a GROUP BY 1
+  FROM jac j
+  JOIN clusters c  ON c.id  = j.id_a
+  JOIN clusters c2 ON c2.id = j.id_b AND c2.cluster_id = c.cluster_id
+  GROUP BY 1
 ), mm AS (
   SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY 1
 )
-SELECT mm.cluster_id, mm.n_members, e.n_edges,
-       CAST(round(CAST(2.0 * e.n_edges / (mm.n_members * (mm.n_members - 1))
-                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS density,
+SELECT mm.cluster_id, mm.n_members,
+       CAST(coalesce(e.n_edges, 0) AS BIGINT) AS n_edges,
+       coalesce(
+         CAST(round(CAST(2.0 * e.n_edges / (mm.n_members * (mm.n_members - 1))
+                         AS DECIMAL(18,12)), 6) AS DOUBLE), 0.0) AS density,
        CAST(round(CAST(e.aj AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_jaccard
-FROM mm JOIN e USING (cluster_id)
+FROM mm LEFT JOIN e USING (cluster_id)
 """
 
 
@@ -8311,11 +8320,11 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n1 = f"__novelty_{next(_STREAM_SEQ)}"
-    # ts IS NOT NULL on BOTH streams and in the oracle's d CTE: the window()
-    # rewrite + watermark silently drop NULL event-time rows while DuckDB's
-    # date_trunc GROUP BY would emit a NULL window_start row — filtering at
-    # the top keeps the twins identical under any NULL pattern (round-9
-    # advice; latent only because current testdata has no NULL ts)
+    # NULL event-time rows are dropped INSIDE novelty_stream (its default
+    # drop_null_ts=True contract, moved op-level per the round-10 verdict);
+    # the windowed-total stream below keeps its own explicit filter and the
+    # oracle's d CTE mirrors both, so the twins stay identical under any
+    # NULL pattern (latent only because current testdata has no NULL ts).
     # max_files_per_trigger=None: the whole drop backlog in ONE availableNow
     # batch, so the stateful batch-min first_ts equals the oracle's global
     # min(ts) even when the staged table arrives as many part files
@@ -8323,7 +8332,7 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novelty_stream(
             read_event_stream(
                 spark, _events_stream_dir(sf_dir), max_files_per_trigger=None
-            ).where(F.col("ts").isNotNull()),
+            ),
             ["event_type", "user_id"],
         ),
         n1,

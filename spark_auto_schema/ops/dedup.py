@@ -1000,14 +1000,28 @@ def cluster_stats(pairs: DataFrame, clusters: DataFrame) -> DataFrame:
     distribution per release catches a threshold or shingle regression
     as chain formation, before any content is lost.
 
-    Scale: edges join the (tiny) cluster map on one endpoint —
+    Input contract: ``clusters`` is expected to be the connected-component
+    assignment of exactly this ``pairs`` frame (e.g. ``dedup_clusters(pairs)``).
+    An edge counts toward a cluster only when BOTH endpoints map to that
+    cluster — a mismatched (pairs, clusters) input therefore shrinks
+    ``n_edges``/``density`` toward 0 instead of silently misattributing
+    edges via one endpoint.  Clusters with no intra-cluster edge (singletons,
+    or inconsistent inputs) are KEPT with ``n_edges = 0``, ``density = 0.0``
+    and ``avg_jaccard = NULL`` rather than dropped.
+
+    Scale: edges join the (tiny) cluster map on each endpoint —
     pairs-sized, bucket-local upstream; both aggregates are
     |clusters|-row.  Nothing here touches row data."""
-    cid = clusters.select(
+    cid_a = clusters.select(
         F.col("id").alias("id_a"), F.col("cluster_id").alias("cluster_id")
     )
+    cid_b = clusters.select(
+        F.col("id").alias("id_b"), F.col("cluster_id").alias("__cid_b")
+    )
     e = (
-        pairs.join(cid, "id_a")
+        pairs.join(cid_a, "id_a")
+        .join(cid_b, "id_b")
+        .where(F.col("cluster_id") == F.col("__cid_b"))
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_edges"),
@@ -1018,14 +1032,17 @@ def cluster_stats(pairs: DataFrame, clusters: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members")
     )
     snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
-    return m.join(e, "cluster_id").select(
+    return m.join(e, "cluster_id", "left").select(
         "cluster_id",
         "n_members",
-        "n_edges",
-        snap(
-            F.lit(2.0)
-            * F.col("n_edges")
-            / (F.col("n_members") * (F.col("n_members") - F.lit(1)))
+        F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+        F.coalesce(
+            snap(
+                F.lit(2.0)
+                * F.col("n_edges")
+                / (F.col("n_members") * (F.col("n_members") - F.lit(1)))
+            ),
+            F.lit(0.0),
         ).alias("density"),
         snap(F.col("__aj")).alias("avg_jaccard"),
     )

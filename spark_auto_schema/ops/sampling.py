@@ -77,6 +77,21 @@ def fraction_threshold(fraction: float) -> str:
     return format(int(fraction * _SPACE), f"0{_HEX_DIGITS}x")
 
 
+def realized_fraction(fraction: float) -> float:
+    """The keep probability the hex threshold ACTUALLY realizes under
+    uniform keys: ``int(fraction * _SPACE) / _SPACE``.  The 4-hex-digit
+    threshold quantizes the request to 1/65536 steps (0.15 ->
+    0.14999...), so audits that compare a realized rate against the
+    nominal ``fraction`` would report a small systematic nonzero
+    deviation on every group even with perfectly uniform keys —
+    compare against THIS value instead (r10-advice fix)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return 1.0
+    return int(fraction * _SPACE) / _SPACE
+
+
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     """Deterministic ~``fraction`` sample: rows whose md5(key) 4-hex-digit
     prefix is below the threshold.  Content-keyed, so the same keys are kept
@@ -452,8 +467,18 @@ def sample_bias_audit(
     hash_sample applies (threshold from the shared
     :func:`fraction_threshold`), aggregated per group — no join against
     a separately-materialized sample, so the audit can never disagree
-    with the sampler about who was kept."""
+    with the sampler about who was kept.  ``rel_deviation`` is measured
+    against :func:`realized_fraction` (the probability the quantized hex
+    threshold actually implements), not the nominal ``fraction`` —
+    otherwise every group carries a small systematic offset from
+    threshold quantization alone."""
     thr = fraction_threshold(fraction)
+    target = realized_fraction(fraction)
+    if target == 0.0:
+        raise ValueError(
+            f"fraction {fraction} realizes a zero keep probability at "
+            f"{_HEX_DIGITS} hex digits — rel_deviation is undefined"
+        )
     keep = (_hash_prefix(F.col(key_col)) < F.lit(thr)).cast("long")
     snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
     return (
@@ -464,8 +489,8 @@ def sample_bias_audit(
             F.sum("__k").cast("long").alias("n_sampled"),
             snap(F.sum("__k") / F.count(F.lit(1))).alias("rate"),
             snap(
-                (F.sum("__k") / F.count(F.lit(1)) - F.lit(fraction))
-                / F.lit(fraction)
+                (F.sum("__k") / F.count(F.lit(1)) - F.lit(target))
+                / F.lit(target)
             ).alias("rel_deviation"),
         )
     )

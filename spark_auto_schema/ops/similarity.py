@@ -348,6 +348,44 @@ def embedding_near_dup_pairs(
     )
 
 
+def _quant_coded(
+    df: DataFrame, vec_col: str, id_col: str, levels: int
+) -> DataFrame:
+    """Shared per-dimension scalar-quantization dataflow: posexplode to
+    (id, pos, v), d-row min/max stats broadcast back onto the exploded
+    rows, then the integer code (explicit half-up floor — engines disagree
+    on round()-of-double ties) and its dequantized value ``dq``.  The
+    SINGLE expression source for :func:`quantize_embeddings` AND
+    :func:`quantized_recall_eval`, so a future change to the rounding or
+    span arithmetic can never desynchronize the eval from the op it
+    measures (same drift-proofing as text._redact_expr; r10-advice fix)."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    code = (
+        F.when(
+            span > 0,
+            F.floor(
+                (F.col("v") - F.col("lo")) / span * (levels - 1) + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    deq = F.when(
+        span > 0, F.col("lo") + F.col("code") / (levels - 1) * span
+    ).otherwise(F.col("lo"))
+    return (
+        ex.join(F.broadcast(stats), "pos")
+        .withColumn("code", code)
+        .withColumn("dq", deq)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -367,24 +405,8 @@ def quantize_embeddings(
     per-vector mean |v - dequantized(v)| snapped through DECIMAL(18,10) and
     rounded to 6.  At 100 TB: one explode scan, a d-row broadcast, one
     reassembly shuffle keyed on id — no pairwise anything."""
-    ex = df.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    stats = ex.groupBy("pos").agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi")
-    )
-    span = F.col("hi") - F.col("lo")
-    code = F.when(
-        span > 0,
-        F.floor((F.col("v") - F.col("lo")) / span * (levels - 1) + F.lit(0.5)),
-    ).otherwise(F.lit(0)).cast("int")
-    deq = F.when(
-        span > 0, F.col("lo") + F.col("code") / (levels - 1) * span
-    ).otherwise(F.col("lo"))
-    coded = (
-        ex.join(F.broadcast(stats), "pos")
-        .withColumn("code", code)
-        .withColumn("err", F.abs(F.col("v") - deq))
+    coded = _quant_coded(df, vec_col, id_col, levels).withColumn(
+        "err", F.abs(F.col("v") - F.col("dq"))
     )
     return coded.groupBy(id_col).agg(
         F.transform(
@@ -1294,10 +1316,14 @@ def lsh_recall_eval(
 
     Scale: the signature columns are fixed JVM projections inside the
     scan (plane literals are driver constants, broadcast as part of the
-    plan — no data-sized side input); the candidate set per query is the
-    union of its bucket collisions across tables, NEVER the corpus; the
-    exact-truth side is the deliberate eval cost (|corpus| x |panel|
-    broadcast fan-out).  Both top-k cuts ride
+    plan — no data-sized side input).  The candidate ROWS that survive
+    to ranking are bucket-collision-sized, but the compare PASS that
+    produces them is implemented as the same |corpus| x |panel|
+    broadcast fan-out as the exact side (a crossJoin filtered on
+    signature equality) — acceptable for an eval that pays the exact
+    fan-out anyway.  (A pre-materialized (table, signature) equi-join
+    index would make the candidate pass collision-sized too; that is the
+    production-index shape, not this eval's.)  Both top-k cuts ride
     :func:`_salted_topk_per_qid`, so no single sort partition is ever
     one query's corpus-sized candidate set."""
     tables = [
@@ -1424,34 +1450,14 @@ def quantized_recall_eval(
     turns.
 
     Scale: dequantization is ONE posexplode scan + a d-row broadcast of
-    per-dimension stats + one id-keyed reassembly shuffle (exactly
-    quantize_embeddings' dataflow); both recall sides are the
+    per-dimension stats + one id-keyed reassembly shuffle (it IS
+    quantize_embeddings' dataflow — both read the shared
+    :func:`_quant_coded` expression source, so the eval cannot drift from
+    the op it measures); both recall sides are the
     |corpus| x |panel| broadcast fan-out the eval contract pays, cut by
     :func:`_salted_topk_per_qid` two-phase ranks."""
-    ex = df.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    stats = ex.groupBy("pos").agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi")
-    )
-    span = F.col("hi") - F.col("lo")
-    code = (
-        F.when(
-            span > 0,
-            F.floor(
-                (F.col("v") - F.col("lo")) / span * (levels - 1) + F.lit(0.5)
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    deq = F.when(
-        span > 0, F.col("lo") + F.col("code") / (levels - 1) * span
-    ).otherwise(F.col("lo"))
     dv = (
-        ex.join(F.broadcast(stats), "pos")
-        .withColumn("code", code)
-        .withColumn("dq", deq)
+        _quant_coded(df, vec_col, id_col, levels)
         .groupBy(id_col)
         .agg(
             F.transform(

