@@ -8555,89 +8555,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Their semantics stay pinned by oracle-checked contract twins and the
     local mirror.
 
-    Round-10 window: executes the pre-order committed in round 9 — the 9
-    round-9 operators (never-anchored, debt stays ZERO), the 20
-    r05-anchored remainder entries, then the 18 oldest r06-anchored
-    entries, plus three policy-(b) pins whose code or oracle changed this
-    round: heavy_hitters_sketch (the derived capacity now fails loudly —
-    a descriptive ValueError — when it would exceed Spark's approx_top_k
-    maxItemsTracked limit), and canonical_docs +
-    leakage_safe_split (their shared _CLUSTER_CLOSURE_CTE oracle gained
-    the jaccard DECIMAL(18,12) snap in lockstep with
-    _jaccard_from_shingles) — displacing the three youngest pre-order
-    slots (fingerprint_docs, top_terms, clean_text -> r11 head).
-    Positions 51-100 are the planned r11 window: queries ADDED this
-    round (never-anchored, backlog precedence) first, then the displaced
-    trio and the r06-anchored remainder, then the oldest r07-anchored
-    entries.  Behind them: the r07 remainder, the r08 cohort, the 50
-    entries freshly r09-anchored, and finally the two rows-only terminal
-    queries — every query past the window is driver-green on current
-    code r06-r09 and stays covered by the local mirror
-    (tools/check_correctness.py) and pytest every round."""
+    Round-11 window: executes the pre-order committed in round 10 — the
+    18 round-10 operators (never-anchored, debt back to ZERO), then the
+    displaced trio (fingerprint_docs, top_terms, clean_text) and the
+    entire r06-anchored remainder (27 entries — after this round no
+    oracle-checked entry's newest anchor is older than r07), plus two
+    policy-(b) pins whose code changed this round:
+    streaming_novelty_monitor (the NULL-event-time guard moved INSIDE
+    novelty_stream — drop_null_ts contract — per the round-10 verdict)
+    and embedding_quantize (quantize_embeddings now reads the shared
+    _quant_coded expression source extracted for quantized_recall_eval)
+    — displacing the two youngest pre-order slots (skew_profile_events,
+    streaming_drift_monitor -> r12 head).  Positions 51-100 are the
+    planned r12 window: queries ADDED this round (never-anchored,
+    backlog precedence) first, then the displaced pair and the
+    r07-anchored remainder.  Behind them: the r08 cohort, the r09
+    cohort, the 49 entries freshly r10-anchored, and finally the two
+    rows-only terminal queries — every query past the window is
+    driver-green on current code r07-r10 and stays covered by the local
+    mirror (tools/check_correctness.py) and pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r10 window (positions 1-50; executes the pre-order committed in
-    # r9): the 9 round-9 operators (never-anchored), the r05-anchored
-    # remainder, the oldest r06-anchored entries + 3 policy-(b) pins ---
-    q["pii_density_sources"] = _q_pii_density
-    q["lm_kl_sources"] = _q_lm_kl
-    q["retrieval_recall_panel"] = _q_retrieval_recall
-    q["dsir_sample_docs"] = _q_dsir_sample
-    q["paragraph_minhash_pairs"] = _q_paragraph_minhash
-    q["recency_weights_events"] = _q_recency_weights
-    q["streaming_novelty_monitor"] = _q_streaming_novelty
-    q["lsh_s_curve_contract"] = _q_lsh_s_curve
-    q["lm_kl_snapshots"] = _q_lm_kl_snapshots
-    q["infer_lineitem"] = _infer_query("lineitem")
-    q["minhash_dup_pairs"] = _q_minhash_pairs
-    q["infer_orders"] = _infer_query("orders")
-    q["infer_events"] = _infer_query("events")
-    q["infer_documents"] = _infer_query("documents")
-    q["infer_customer"] = _infer_query("customer")
-    q["infer_embeddings"] = _infer_query("embeddings")
-    q["infer_part"] = _infer_query("part")
-    q["infer_supplier"] = _infer_query("supplier")
-    q["infer_nation"] = _infer_query("nation")
-    q["infer_region"] = _infer_query("region")
-    q["infer_embeddings_native"] = _q_infer_embeddings_native
-    q["schema_diff"] = _q_schema_diff
-    q["column_ddl"] = _q_column_ddl
-    q["ddl_strings"] = _q_ddl_strings
-    q["catalog_checks"] = _q_catalog_checks
-    q["column_list_lineitem"] = _q_column_list
-    q["minhash_md5_dup_pairs"] = _q_minhash_md5
-    q["simhash_md5_near_dup"] = _q_simhash_md5
-    q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
-    q["dedup_exact"] = _q_hash_dedup
-    q["ngram_jaccard_dups"] = _q_ngram_jaccard
-    q["dedup_clusters"] = _q_dedup_clusters
-    q["contamination_check"] = _q_contamination
-    q["incremental_dedup"] = _q_incremental_dedup
-    q["incremental_near_dedup"] = _q_incremental_near_dedup
-    q["simhash_determinism"] = _q_simhash_determinism
-    q["embedding_topk"] = _q_embedding_topk
-    q["ann_lsh_topk"] = _q_ann_lsh
-    q["ann_recall_ok"] = _q_ann_recall_ok
-    q["ivf_topk"] = _q_ivf_topk
-    q["embedding_label_neardup"] = _q_label_neardup
-    q["embedding_dim_stats"] = _q_embedding_dim_stats
-    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
-    q["text_stats"] = _q_text_stats
-    q["token_count"] = _q_token_count
-    q["lang_id"] = _q_lang_id
-    q["quality_score"] = _q_quality
-    # policy (b) re-anchor pins (code/oracle changed this round; displace
-    # the three youngest pre-order slots, fingerprint_docs + top_terms +
-    # clean_text -> r11 head): the heavy-hitters derived capacity now
-    # RAISES descriptively past approx_top_k's maxItemsTracked limit
-    # (min_count too low for the corpus), and the cluster
-    # closure CTE both of these oracles share gained the jaccard
-    # DECIMAL(18,12) snap in lockstep with _jaccard_from_shingles
-    q["heavy_hitters_sketch"] = _q_heavy_hitters
-    q["canonical_docs"] = _q_canonical_docs
-    q["leakage_safe_split"] = _q_leakage_safe_split
-    # ---- entries below are past the driver's 50-entry window ----
-    # --- planned r11 window head: queries added in round 10
-    # (never-anchored; backlog precedence over anchored entries) ---
+    # --- r11 window (positions 1-50; executes the pre-order committed in
+    # r10): the 18 round-10 operators (never-anchored), the displaced
+    # trio + the entire r06-anchored remainder, + 2 policy-(b) pins ---
     q["lsh_recall_panel"] = _q_lsh_recall
     q["contamination_snapshot_diff"] = _q_contamination_diff
     q["quality_drift_sources"] = _q_quality_drift
@@ -8656,10 +8596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["length_drift_sources"] = _q_length_drift
     q["embedding_dim_drift"] = _q_embedding_dim_drift
     q["packing_length_sweep"] = _q_packing_length_sweep
-    # --- planned r11 window: the three displaced pre-order slots + the
-    # r06-anchored remainder (oldest anchors first), then the oldest
-    # r07-anchored entries; rows-only entries are window-INELIGIBLE and
-    # parked at the registry tail ---
+    # the trio displaced from the r10 pre-order + the r06-anchored
+    # remainder (oldest anchors first; after this round no oracle-checked
+    # entry's newest anchor predates r07)
     q["fingerprint_docs"] = _q_fingerprint
     q["top_terms"] = _q_top_terms
     q["clean_text"] = _q_clean_text
@@ -8690,7 +8629,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_pmi"] = _q_bigram_pmi
     q["merge_upsert_orders"] = _q_merge_upsert
     q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
-    # --- r07-anchored cohort ---
+    # policy (b) re-anchor pins (code changed this round; displace the two
+    # youngest pre-order slots, skew_profile_events +
+    # streaming_drift_monitor -> r12 head): novelty_stream's NULL-ts guard
+    # moved op-level (drop_null_ts contract, r10-verdict fix) and
+    # quantize_embeddings now reads the shared _quant_coded expression
+    # source extracted for quantized_recall_eval (r10-advice fix)
+    q["streaming_novelty_monitor"] = _q_streaming_novelty
+    q["embedding_quantize"] = _q_quantize_embeddings
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- planned r12 window head: queries added in round 11
+    # (never-anchored; backlog precedence over anchored entries) ---
+    # (round-11 additions are inserted HERE as they land)
+    # --- the two pre-order slots displaced by this round's pins, then
+    # the r07-anchored remainder (oldest anchors first) ---
     q["skew_profile_events"] = _q_skew_profile
     q["streaming_drift_monitor"] = _q_streaming_drift
     q["merge_insert_only_orders"] = _q_merge_insert_only
@@ -8766,7 +8718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = _q_sessionize
     q["ewma_value_check"] = _q_ewma_value_check
     q["streaming_window_counts"] = _q_streaming_window_counts
-    q["embedding_quantize"] = _q_quantize_embeddings
+    # (embedding_quantize moved into the r11 window as a policy-(b) pin)
     q["label_centroids"] = _q_label_centroids
     q["order_priority_check"] = _q_order_priority_check
     q["volume_shipping"] = _q_volume_shipping
@@ -8837,6 +8789,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _q_pack_sequences
     q["ewma_user_values"] = _q_ewma_user_values
     q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
+    # --- r10-anchored cohort (the round-10 driver window, anchored in
+    # CORRECTNESS_r10; freshest, so they queue last for rotation;
+    # streaming_novelty_monitor moved into the r11 window as a
+    # policy-(b) pin) ---
+    q["pii_density_sources"] = _q_pii_density
+    q["lm_kl_sources"] = _q_lm_kl
+    q["retrieval_recall_panel"] = _q_retrieval_recall
+    q["dsir_sample_docs"] = _q_dsir_sample
+    q["paragraph_minhash_pairs"] = _q_paragraph_minhash
+    q["recency_weights_events"] = _q_recency_weights
+    q["lsh_s_curve_contract"] = _q_lsh_s_curve
+    q["lm_kl_snapshots"] = _q_lm_kl_snapshots
+    q["infer_lineitem"] = _infer_query("lineitem")
+    q["minhash_dup_pairs"] = _q_minhash_pairs
+    q["infer_orders"] = _infer_query("orders")
+    q["infer_events"] = _infer_query("events")
+    q["infer_documents"] = _infer_query("documents")
+    q["infer_customer"] = _infer_query("customer")
+    q["infer_embeddings"] = _infer_query("embeddings")
+    q["infer_part"] = _infer_query("part")
+    q["infer_supplier"] = _infer_query("supplier")
+    q["infer_nation"] = _infer_query("nation")
+    q["infer_region"] = _infer_query("region")
+    q["infer_embeddings_native"] = _q_infer_embeddings_native
+    q["schema_diff"] = _q_schema_diff
+    q["column_ddl"] = _q_column_ddl
+    q["ddl_strings"] = _q_ddl_strings
+    q["catalog_checks"] = _q_catalog_checks
+    q["column_list_lineitem"] = _q_column_list
+    q["minhash_md5_dup_pairs"] = _q_minhash_md5
+    q["simhash_md5_near_dup"] = _q_simhash_md5
+    q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
+    q["dedup_exact"] = _q_hash_dedup
+    q["ngram_jaccard_dups"] = _q_ngram_jaccard
+    q["dedup_clusters"] = _q_dedup_clusters
+    q["contamination_check"] = _q_contamination
+    q["incremental_dedup"] = _q_incremental_dedup
+    q["incremental_near_dedup"] = _q_incremental_near_dedup
+    q["simhash_determinism"] = _q_simhash_determinism
+    q["embedding_topk"] = _q_embedding_topk
+    q["ann_lsh_topk"] = _q_ann_lsh
+    q["ann_recall_ok"] = _q_ann_recall_ok
+    q["ivf_topk"] = _q_ivf_topk
+    q["embedding_label_neardup"] = _q_label_neardup
+    q["embedding_dim_stats"] = _q_embedding_dim_stats
+    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
+    q["text_stats"] = _q_text_stats
+    q["token_count"] = _q_token_count
+    q["lang_id"] = _q_lang_id
+    q["quality_score"] = _q_quality
+    q["heavy_hitters_sketch"] = _q_heavy_hitters
+    q["canonical_docs"] = _q_canonical_docs
+    q["leakage_safe_split"] = _q_leakage_safe_split
     # --- rows-only terminal queries (no DuckDB oracle possible: xxhash64
     # signatures; driver scores them err:no_oracle, so they are permanently
     # window-ineligible — semantics pinned by oracle-checked contract twins

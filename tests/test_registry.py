@@ -40,26 +40,28 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r10 rotation: executes the pre-order committed in round 9 — the 9
-    # round-9 operators (never-anchored), the 20 r05-anchored remainder
-    # entries, the 18 oldest r06-anchored entries + 3 policy-(b) pins
+    # r11 rotation: executes the pre-order committed in round 10 — the 18
+    # round-10 operators (never-anchored), the displaced trio + the whole
+    # r06-anchored remainder, and 2 policy-(b) pins for this round's code
+    # changes
     for member in (
-        "pii_density_sources",        # r9-op backlog head
-        "lm_kl_snapshots",            # 9th r9 op
-        "infer_lineitem",             # r05 remainder head
-        "simhash_pigeonhole_check",   # 20th r05 remainder entry
-        "dedup_exact",                # oldest r06 cohort head
-        "quality_score",              # 18th r06 entry
-        "heavy_hitters_sketch",       # policy-(b) pin: capacity limit guard
-        "canonical_docs",             # policy-(b) pin: closure-CTE snap
-        "leakage_safe_split",         # policy-(b) pin: closure-CTE snap
+        "lsh_recall_panel",           # r10-op backlog head
+        "packing_length_sweep",       # 18th r10 op
+        "fingerprint_docs",           # displaced-trio head
+        "clean_text",                 # 3rd displaced entry
+        "redact_pii",                 # r06 remainder head
+        "schema_evolution_roundtrip", # last r06 remainder entry
+        "streaming_novelty_monitor",  # policy-(b) pin: op-level NULL-ts guard
+        "embedding_quantize",         # policy-(b) pin: shared _quant_coded
     ):
         assert member in window, member
-    # freshly r09-anchored entries never re-enter; rows-only queries are
-    # permanently window-INELIGIBLE (driver can only score err:no_oracle)
+    # freshly r09/r10-anchored entries never re-enter (except explicit
+    # policy-(b) pins); rows-only queries are permanently
+    # window-INELIGIBLE (driver can only score err:no_oracle)
     for rotated_out in (
-        "nfkc_normalize_docs", "dedup_loss_by_source",
-        "pricing_summary", "ewma_user_values", "repeated_ngram_coverage",
+        "pii_density_sources", "lm_kl_snapshots", "infer_lineitem",
+        "quality_score", "heavy_hitters_sketch", "canonical_docs",
+        "leakage_safe_split", "ewma_user_values",
     ):
         assert rotated_out not in window, rotated_out
     assert not (ROWS_ONLY & set(qs[:100])), (
@@ -93,14 +95,18 @@ def test_driver_window_utilization():
     )
 
 
-def test_planned_r11_window_composition():
-    """Positions 51-100 are the PLANNED r11 window (see the queries()
-    docstring): every entry there must be never-driver-anchored (round-10
-    additions) or anchored no later than r07 (the oldest remaining
-    cohorts) — i.e. next round's rotation is already encoded and a
-    drive-by registry edit can't silently push debt or stale anchors
-    past it.  Rows-only queries are excluded from positions 1-100
-    entirely (asserted in test_registry_size_and_window)."""
+def test_planned_r12_window_composition():
+    """Positions 51-100 are the PLANNED r12 window (see the queries()
+    docstring): never-driver-anchored round-11 additions first, then the
+    two displaced pre-order slots and the r07-anchored remainder — i.e.
+    next round's rotation is already encoded and a drive-by registry
+    edit can't silently push debt or stale anchors past it.  Slots not
+    yet claimed by round-11 additions tail-fill from the r08 cohort head
+    and are pushed out as additions land, so the block must be ORDERED:
+    never-anchored, then <= r07, then r08 tail-fill — and nothing newer
+    than r08 ever appears.  Rows-only queries are excluded from
+    positions 1-100 entirely (asserted in
+    test_registry_size_and_window)."""
     import json
 
     root = Path(__file__).resolve().parent.parent
@@ -112,10 +118,22 @@ def test_planned_r11_window_composition():
     qs = list(entry.queries())
     planned = qs[50:100]
     assert len(planned) == 50
-    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "07"}
+    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "08"}
     assert not bad, (
-        f"planned r11 window holds fresh-anchored entries {bad} — move them "
+        f"planned r12 window holds fresh-anchored entries {bad} — move them "
         "behind position 100 and pull debt/stale entries forward"
+    )
+    # ordered: never-anchored additions, then the <= r07 cohort, then any
+    # r08 tail-fill — monotone by (is-anchored, anchor round >= 08)
+    phases = [
+        0 if newest.get(n, "00") == "00"
+        else (1 if newest[n] <= "07" else 2)
+        for n in planned
+    ]
+    assert phases == sorted(phases), (
+        "planned r12 window is mis-ordered: never-anchored additions must "
+        "precede the r07 cohort, r08 tail-fill must come last — got "
+        f"{list(zip(planned, phases))}"
     )
 
 
