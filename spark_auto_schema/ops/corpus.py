@@ -765,3 +765,67 @@ def mix_drift(
             ).alias("l1_distance"),
         )
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: str,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Quality-curriculum phase assignment: split the corpus into
+    ``n_phases`` score-quantile bands and report per band ``(phase,
+    n_docs, share, min_score, max_score, avg_score)`` — phase 1 holds the
+    lowest-scoring quantile, phase ``n_phases`` the highest (the standard
+    easy/noisy-first -> clean-last curriculum ordering used when a
+    training run anneals its data quality; the per-phase stats are the
+    handoff to a sharded loader that consumes phases in order).
+
+    Boundary rule: phase = 1 + |{interior quantile boundaries b_i :
+    score > b_i}| with exact interpolated percentiles at i/n_phases
+    (i = 1..n_phases-1), each snapped to 6 decimals BEFORE the compare so
+    the band edges are engine-stable — ties at a boundary always fall to
+    the lower phase.  Heavy score ties can leave a phase empty; empty
+    phases are simply absent from the output rather than padded.
+
+    Scale: one exact-percentile aggregate to a single (n_phases-1)-point
+    boundary row (swap ``F.percentile`` for ``approx_percentile`` at
+    extreme scale, same note as score_drift), broadcast back as a 1-row
+    frame; assignment is an in-scan array expression (no join key, no
+    shuffle); the rollup is an |n_phases|-row hash aggregate, and the
+    share normalizer is a window over that |n_phases|-row frame."""
+    if n_phases < 2:
+        raise ValueError(f"n_phases must be >= 2, got {n_phases}")
+    probs = [i / n_phases for i in range(1, n_phases)]
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    bounds = df.agg(
+        F.transform(
+            F.percentile(F.col(score_col), F.array(*[F.lit(p) for p in probs])),
+            lambda b: snap(b),
+        ).alias("__bs")
+    )
+    v = F.col(score_col)
+    phase = (
+        F.lit(1)
+        + F.size(F.filter(F.col("__bs"), lambda b: v > b))
+    ).alias("phase")
+    per = (
+        df.select(v.alias(score_col))
+        .crossJoin(F.broadcast(bounds))
+        .select(phase, v.alias("__v"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__v").alias("min_score"),
+            F.max("__v").alias("max_score"),
+            snap(F.avg("__v")).alias("avg_score"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "phase",
+        "n_docs",
+        snap(F.col("n_docs") / F.sum("n_docs").over(w_all)).alias("share"),
+        "min_score",
+        "max_score",
+        "avg_score",
+    )

@@ -807,6 +807,70 @@ def contamination_check(
     return hits
 
 
+def contamination_ngram_sweep(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    ns: tuple[int, ...] = (4, 8, 13),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train<->eval overlap as a function of the n-gram SIZE — the dial
+    every decontamination pipeline turns first (GPT-3 used 13-gram
+    collisions; Lee et al. 2022 and The Pile audits sweep shorter
+    windows).  Per n: ``(n, n_eval_grams, n_eval_grams_hit,
+    n_train_docs_hit, eval_hit_rate)`` where the hit rate is the fraction
+    of the eval set's DISTINCT n-grams that occur anywhere in the
+    training corpus.  Small n over-flags (common phrases), large n
+    under-flags (only verbatim blocks); the sweep shows where the knee
+    sits for THIS corpus instead of importing another paper's constant.
+
+    Monotonicity: a shared n-gram contains shared (n-1)-grams, so if any
+    overlap exists at n it exists at every smaller n in the sweep (a law
+    test pins this); the normalized rates need not be monotone because
+    the eval gram universe also changes with n.
+
+    Scale: per sweep value, one in-scan gram explode of each side, the
+    eval side collapsed to a DISTINCT broadcast set (the eval corpus is
+    small BY CONTRACT — it is a benchmark), one broadcast semi-join over
+    the train grams, and two count-distinct aggregates; |ns| passes over
+    the train scan, never an all-pairs or train-side distinct-gram
+    materialization.  The final result is |ns| rows unioned from 1-row
+    frames."""
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    parts = []
+    for n in ns:
+        e = (
+            shingles(eval_df, text_col, id_col, n)
+            .select("shingle")
+            .distinct()
+        )
+        t = shingles(train_df, text_col, id_col, n)
+        hits = t.join(F.broadcast(e), "shingle").agg(
+            F.count_distinct("id").alias("n_train_docs_hit"),
+            F.count_distinct("shingle").alias("n_eval_grams_hit"),
+        )
+        totals = e.agg(F.count(F.lit(1)).alias("n_eval_grams"))
+        parts.append(
+            totals.crossJoin(hits).select(
+                F.lit(n).alias("n"),
+                F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
+                F.col("n_eval_grams_hit").cast("long").alias(
+                    "n_eval_grams_hit"
+                ),
+                F.col("n_train_docs_hit").cast("long").alias(
+                    "n_train_docs_hit"
+                ),
+                snap(
+                    F.col("n_eval_grams_hit") / F.col("n_eval_grams")
+                ).alias("eval_hit_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def band_occupancy(
     df: DataFrame,
     text_col: str = "text",
@@ -846,6 +910,115 @@ def band_occupancy(
         F.sum(F.expr("(sz * (sz - 1)) div 2")).cast("long").alias(
             "n_candidate_pairs"
         ),
+    )
+
+
+def lsh_config_sweep(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands_sweep: tuple[int, ...] = (2, 4, 8),
+    shingle_n: int = 3,
+    verify_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banding-shape tuner for the md5 MinHash+LSH pipeline: for each
+    candidate ``bands`` value (at a FIXED signature width), the realized
+    candidate volume, how many candidates the exact-Jaccard verify
+    admits, and the resulting precision — ``(bands, rows_per_band,
+    est_threshold, n_candidates, n_verified, precision)``.
+    ``est_threshold`` is the textbook S-curve midpoint ``(1/b)^(1/r)``:
+    more bands of fewer rows pulls it down (recall up, candidate volume
+    and verify cost up).  Together with :func:`band_occupancy` (bucket
+    skew) and :func:`lsh_empirical_detection` (measured recall) this
+    completes the LSH pricing kit: pick ``bands`` off this curve instead
+    of shipping a guess to a 100 TB join.
+
+    One signature pass: hash ``i`` of a MinHash signature is independent
+    of the banding, so ALL configs share one persisted ``num_hashes``-wide
+    signature frame; each config's band keys are row-local prefix
+    regroupings, unioned with a config tag and fed through ONE
+    (cfg, band, bucket) self-join — the join stays bucket-local per
+    config, never corpus-quadratic.  The exact-Jaccard verify runs ONCE
+    over the DEDUPLICATED union of all configs' candidate pairs (configs
+    overlap heavily by construction), then every config's rollup is a
+    broadcast join against that one verified pair set.  A
+    bucket-collision pair sharing zero shingles (md5 collision;
+    astronomically rare) counts as unverified rather than erroring."""
+    for b in bands_sweep:
+        if num_hashes % b != 0:
+            raise ValueError(
+                f"bands {b} does not divide num_hashes {num_hashes}"
+            )
+    if sorted(bands_sweep) != list(bands_sweep) or not bands_sweep:
+        raise ValueError(
+            f"bands_sweep must be non-empty ascending, got {bands_sweep}"
+        )
+    sh = shingles(df, text_col, id_col, shingle_n)
+    sig = _persist(_minhash_sig(sh, num_hashes, md5_grade=True))
+    entries = None
+    for b in bands_sweep:
+        e = _band_buckets(sig, num_hashes, b, md5_grade=True).withColumn(
+            "cfg", F.lit(b)
+        )
+        entries = e if entries is None else entries.unionByName(e)
+    a, bb = entries.alias("a"), entries.alias("b")
+    cand = _persist(
+        a.join(bb, on=["cfg", "band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select("cfg", F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    upairs = cand.select("id_a", "id_b").distinct()
+    uids = (
+        upairs.select(F.col("id_a").alias("id"))
+        .union(upairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = _persist(sh.join(F.broadcast(uids), on="id", how="left_semi"))
+    jac = _jaccard_from_shingles(sh_c)
+    judged = cand.join(jac, ["id_a", "id_b"], "left").select(
+        "cfg",
+        (F.coalesce("jaccard", F.lit(0.0)) >= F.lit(verify_threshold))
+        .cast("long")
+        .alias("__ok"),
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    spark = df.sparkSession
+    est = F.broadcast(
+        spark.createDataFrame(
+            [
+                (b, num_hashes // b, round((1.0 / b) ** (b / num_hashes), 6))
+                for b in bands_sweep
+            ],
+            "cfg int, rows_per_band int, est_threshold double",
+        )
+    )
+    return (
+        est.join(
+            cand.groupBy("cfg").agg(F.count(F.lit(1)).alias("n_candidates")),
+            "cfg",
+            "left",
+        )
+        .join(
+            judged.groupBy("cfg").agg(F.sum("__ok").alias("n_verified")),
+            "cfg",
+            "left",
+        )
+        .select(
+            F.col("cfg").cast("long").alias("bands"),
+            F.col("rows_per_band").cast("long").alias("rows_per_band"),
+            "est_threshold",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_verified", F.lit(0)).cast("long").alias(
+                "n_verified"
+            ),
+            snap(F.col("n_verified") / F.col("n_candidates")).alias(
+                "precision"
+            ),
+        )
     )
 
 
@@ -1872,6 +2045,70 @@ def top_repeated_substrings(
     )
 
 
+def dup_span_extract(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-aware duplicated-SPAN extractor: per document, the
+    maximal token ranges covered by k-token windows that also occur in
+    >= ``min_docs`` distinct documents, WITH the span text itself —
+    ``(doc_id, span_start, n_tokens, min_share_docs, span_text)``,
+    span_start 1-based in the document's whitespace token stream.
+    Completes :func:`top_repeated_substrings` into an actionable removal
+    list (round-10 verdict backlog; cf. Lee et al. 2022, whose
+    suffix-array dedup emits exactly these spans for surgical excision):
+    the ranked audit says WHICH boilerplate dominates, this says WHERE to
+    cut in every affected document.  ``min_share_docs`` is the minimum
+    sharing count across the span's windows — every token range inside
+    the span is duplicated in at least that many documents.
+
+    Dataflow: the shared :func:`_window_positions` fingerprints (same
+    clamp/separator as the coverage and top-substrings ops), ONE
+    16-byte-key hash aggregate to per-window distinct-doc counts
+    (min_docs filter applied BEFORE anything joins back), an h-keyed
+    equi-join of the surviving window set onto the positions, then the
+    classic gaps-and-islands merge (``i - row_number`` grouping) inside
+    per-document partitions — window sorts are DOC-sized, never
+    corpus-sized — and one id-keyed join back to the corpus split array
+    to slice span text row-locally.  Nothing is all-pairs; span text
+    never rides the wide shuffle (only (id, i, h) does)."""
+    pos = _window_positions(df, k, text_col, id_col)
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    flagged = pos.join(dup_h, "h").select("id", "i", "n_docs")
+    w_doc = Window.partitionBy("id").orderBy("i")
+    spans = (
+        flagged.withColumn("__g", F.col("i") - F.row_number().over(w_doc))
+        .groupBy("id", "__g")
+        .agg(
+            F.min("i").alias("span_start"),
+            F.max("i").alias("__end"),
+            F.min("n_docs").cast("long").alias("min_share_docs"),
+        )
+    )
+    corpus = df.select(
+        F.col(id_col).alias("id"), _split_words(text_col).alias("__ws")
+    )
+    span_slice = F.slice(
+        F.col("__ws"),
+        F.col("span_start"),
+        F.col("__end") - F.col("span_start") + F.lit(k),
+    )
+    return spans.join(corpus, "id").select(
+        F.col("id").alias(id_col),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.size(span_slice).cast("long").alias("n_tokens"),
+        "min_share_docs",
+        F.array_join(span_slice, " ").alias("span_text"),
+    )
+
+
 def cross_source_duplication(
     df: DataFrame,
     group_col: str = "source",
@@ -2002,6 +2239,64 @@ def dedup_loss_by_source(
             "n_dropped",
             "n_lost_to_other",
             snapped(F.col("n_dropped") / F.col("n_docs")).alias("loss_frac"),
+        )
+    )
+
+
+def dedup_rate_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source dedup-PRESSURE drift between two corpus snapshots:
+    ``(source, n_docs_a, n_docs_b, loss_frac_a, loss_frac_b, loss_drift,
+    xloss_drift)`` — each snapshot's exact-dup survivorship fractions
+    (:func:`dedup_loss_by_source` under the keep-lowest-id rule) compared
+    per source; ``loss_drift`` is the signed change in the overall drop
+    fraction and ``xloss_drift`` the change in the lost-to-OTHER-source
+    fraction.
+
+    The release-acceptance dial the round-10 verdict asked for: a source
+    whose dedup rate jumps between snapshots started syndicating (or being
+    syndicated — read ``xloss_drift`` to tell which side), even when its
+    document count held still; mixture weights tuned on the old snapshot
+    are wrong by exactly this drift.  Only sources present in BOTH
+    snapshots are scored (appearing/disappearing sources are
+    corpus-membership drift — :func:`corpus_diff` territory), mirroring
+    :func:`~spark_auto_schema.ops.scoring.score_drift`'s contract.
+
+    Scale: each side is dedup_loss_by_source's one digest-partition
+    window + one source-granularity aggregate; the compare join is
+    |sources| x |sources| on the group key — nothing new touches row
+    data, and the drift math runs on two |sources|-row frames."""
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        s = dedup_loss_by_source(df, group_col, text_col, id_col)
+        return s.select(
+            group_col,
+            F.col("n_docs").alias(f"n_docs_{tag}"),
+            F.col("loss_frac").alias(f"loss_frac_{tag}"),
+            snapped(F.col("n_lost_to_other") / F.col("n_docs")).alias(
+                f"__xl_{tag}"
+            ),
+        )
+
+    return (
+        side(df_a, "a")
+        .join(side(df_b, "b"), group_col)
+        .select(
+            group_col,
+            "n_docs_a",
+            "n_docs_b",
+            "loss_frac_a",
+            "loss_frac_b",
+            snapped(F.col("loss_frac_b") - F.col("loss_frac_a")).alias(
+                "loss_drift"
+            ),
+            snapped(F.col("__xl_b") - F.col("__xl_a")).alias("xloss_drift"),
         )
     )
 

@@ -723,6 +723,40 @@ def semantic_dedup(
     production composition: train once, reuse the quantizer across
     snapshots so cluster ids stay comparable between runs.
     """
+    assigned, pairs = _semantic_cluster_pairs(
+        df, nlist, vec_col, id_col, decimals, cents, threshold
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.select(F.col(id_col), F.col("cluster"))
+        .join(drops.withColumn("__drop", F.lit(True)), [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("__drop").isNull().alias("kept"),
+        )
+    )
+
+
+def _semantic_cluster_pairs(
+    df: DataFrame,
+    nlist: int,
+    vec_col: str,
+    id_col: str,
+    decimals: int,
+    cents: list[tuple[int, list[float]]] | None,
+    min_cos: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared SemDeDup pair stage: deterministic hash-sample centroids
+    (or the ``cents`` provided), row-local argmax-cosine assignment
+    (PERSISTED — both pair-join sides and the caller's survivor join read
+    it), then the cluster-local pair equi-join (``id_a < id_b``) with
+    cosine rounded to ``decimals`` and filtered to ``>= min_cos``.
+    Returns ``(assigned, pairs)`` where assigned = (id, vector, cluster)
+    and pairs = (id_a, id_b, cos).  The SINGLE expression source for
+    :func:`semantic_dedup` AND :func:`semantic_threshold_sweep`, so the
+    sweep can never drift from the dedup rule it prices (same
+    drift-proofing as :func:`_quant_coded`)."""
     if cents is None:
         init = (
             df.select(F.col(id_col), F.col(vec_col))
@@ -746,8 +780,7 @@ def semantic_dedup(
             s["cid"].alias("cid"),
         ),
     )
-    # persisted: referenced three times below (both pair-join sides + the
-    # survivor join) — one assignment scan instead of three corpus scans
+    # persisted: referenced by both pair-join sides plus the caller
     assigned = _persist(
         df.select(
             F.col(id_col),
@@ -770,22 +803,80 @@ def semantic_dedup(
     cos = F.round(
         dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), decimals
     )
-    drops = (
+    pairs = (
         a.join(b, ["blk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cos >= F.lit(threshold))
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(min_cos))
     )
-    return (
-        assigned.select(F.col(id_col), F.col("cluster"))
-        .join(drops.withColumn("__drop", F.lit(True)), [id_col], "left")
-        .select(
-            F.col(id_col),
-            F.col("cluster"),
-            F.col("__drop").isNull().alias("kept"),
+    return assigned, pairs
+
+
+def semantic_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.7, 0.8, 0.9),
+    nlist: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 4,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup pressure curve: how many near-dup pairs, involved vectors,
+    and dropped vectors each candidate cosine THRESHOLD would produce —
+    ``(threshold, n_pairs, n_docs_involved, n_dropped)`` per sweep value.
+    The embedding-path twin of ``dedup.dedup_threshold_sweep``: the
+    threshold is THE SemDeDup knob (Abbas et al. sweep 0.5-0.95 and pick
+    by downstream perf), and this prices each setting on the real corpus
+    before a full dedup runs.
+
+    One pass: the cluster-local pair set is generated ONCE at the LOOSEST
+    threshold through the shared :func:`_semantic_cluster_pairs` stage
+    (identical centroids, assignment, rounding as :func:`semantic_dedup` —
+    the sweep cannot disagree with the op it prices), persisted, and each
+    tighter threshold is a filtered rollup of that one pair set —
+    |thresholds| aggregate passes over a pairs-sized cached frame, the
+    corpus is scanned exactly once for assignment.  ``n_dropped`` counts
+    distinct higher-id endpoints (the keep-lowest-id rule), so
+    ``semantic_dedup(threshold=t)`` drops exactly ``n_dropped(t)`` rows —
+    a law test pins this equality.  Monotone non-increasing in the
+    threshold by construction."""
+    if not thresholds or sorted(thresholds) != list(thresholds):
+        raise ValueError(
+            f"thresholds must be non-empty ascending, got {thresholds}"
         )
+    _, pairs = _semantic_cluster_pairs(
+        df, nlist, vec_col, id_col, decimals, cents, min(thresholds)
     )
+    pairs = _persist(pairs)
+    parts = []
+    for t in thresholds:
+        sel = pairs.where(F.col("cos") >= F.lit(t))
+        both = sel.select(F.col("id_a").alias("id")).unionAll(
+            sel.select(F.col("id_b").alias("id"))
+        )
+        parts.append(
+            sel.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(
+                both.agg(F.count_distinct("id").alias("n_docs_involved"))
+            )
+            .crossJoin(
+                sel.select("id_b")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n_dropped"))
+            )
+            .select(
+                F.lit(float(t)).alias("threshold"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_docs_involved").cast("long").alias(
+                    "n_docs_involved"
+                ),
+                F.col("n_dropped").cast("long").alias("n_dropped"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def incremental_semantic_dedup(
@@ -990,6 +1081,77 @@ def rrf_fuse(
         fused.orderBy(F.col("rrf").desc(), F.col("id"))
         .limit(topk)
         .select(F.col("id").alias(id_col), "rrf", "n_lists")
+    )
+
+
+def cross_rerank(
+    pool: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    pool_score_col: str = "rrf",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    scorer=None,
+) -> DataFrame:
+    """Cross-encoder-style rerank harness over a retrieval candidate pool
+    (the :func:`rrf_fuse` output): re-score every pooled candidate
+    against the query with a scorer that sees BOTH texts, and report the
+    rank movement — ``(id, pool_rank, ce_score, ce_rank, rank_delta)``
+    with ``rank_delta = pool_rank - ce_rank`` (positive = promoted by the
+    reranker).  Closes the retrieval triptych's last seam (round-10
+    verdict backlog): retrievers build the pool cheaply, RRF fuses it,
+    and the expensive pairwise model only ever sees k candidates.
+
+    ``scorer`` is the injection seam for a real cross-encoder (a
+    Pandas-UDF column builder ``text_column -> score_column`` — the same
+    seam pattern as the multimodal codec stubs, but with a REAL
+    deterministic default): when None, the score is the lexical overlap
+    F1 between the query terms and the candidate's distinct tokens,
+    ``2 * |Q ∩ D| / (|Q| + |D|)`` snapped to 6 decimals — monotone in
+    term coverage, length-normalized, and replayable in any engine with
+    list intersection.
+
+    Scale: the pool is k-sized BY CONTRACT (it already survived the
+    retrievers' TakeOrdered cuts), so it broadcasts into the document
+    scan — the join prunes the corpus to k rows before any scoring, the
+    reranker never touches the corpus, and the rank windows run on k
+    rows (single-partition by design, same justification as
+    :func:`rrf_fuse`).  Ranks are longs on both engines."""
+    from pyspark.sql.window import Window
+
+    q = sorted(set(query_terms))
+    if not q:
+        raise ValueError("query_terms must be non-empty")
+    w_pool = Window.orderBy(F.col(pool_score_col).desc(), F.col(id_col))
+    ranked = pool.select(
+        F.col(id_col).alias("id"),
+        F.row_number().over(w_pool).cast("long").alias("pool_rank"),
+    )
+    joined = docs.select(
+        F.col(doc_id_col).alias("id"), F.col(text_col).alias("__t")
+    ).join(F.broadcast(ranked), "id")
+    if scorer is not None:
+        ce = scorer(F.col("__t"))
+    else:
+        toks = F.array_distinct(F.split(F.col("__t"), " "))
+        m = F.size(F.array_intersect(toks, F.array(*[F.lit(t) for t in q])))
+        ce = (
+            F.lit(2.0) * m / (F.lit(len(q)) + F.size(toks))
+        )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    scored = joined.select(
+        "id", "pool_rank", snap(ce).alias("ce_score")
+    )
+    w_ce = Window.orderBy(F.col("ce_score").desc(), F.col("id"))
+    return scored.select(
+        F.col("id").alias(id_col),
+        "pool_rank",
+        "ce_score",
+        F.row_number().over(w_ce).cast("long").alias("ce_rank"),
+        (F.col("pool_rank") - F.row_number().over(w_ce).cast("long")).alias(
+            "rank_delta"
+        ),
     )
 
 
@@ -1290,6 +1452,209 @@ def retrieval_recall_eval(
             ),
         )
     )
+
+
+def ivf_nprobe_sweep(
+    df: DataFrame,
+    query_ids: list[int],
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 10,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall/cost curve of the IVF path as a function of ``nprobe`` —
+    ``(nprobe, n_queries, avg_candidates, avg_recall_at_k)`` per sweep
+    value, averaged over the query panel.  The tuning view behind
+    :func:`retrieval_recall_eval`: that harness scores ONE (nlist,
+    nprobe) setting per query; this prices the whole dial in one job so
+    the operator choosing nprobe for a 100 TB index reads a curve, not a
+    point.  ``avg_candidates`` is the cost axis (fraction of corpus
+    scanned per query ~= nprobe/nlist); recall is monotone non-decreasing
+    in nprobe BY CONSTRUCTION (candidate sets are nested, and any
+    candidate that displaces a true hit from a larger pool's top-k has
+    higher similarity and is therefore itself a true top-k member — a law
+    test pins this monotonicity).
+
+    One pass: exact truth and the corpus->centroid assignment are
+    computed ONCE; probe lists are ranked in-plan up to max(nprobes) and
+    the candidate similarities (with their probe RANK attached) are
+    persisted, so each sweep value is a rank-filtered rollup of the same
+    cached frame — the dedup_threshold_sweep pattern.  Both top-k cuts
+    ride :func:`_salted_topk_per_qid`; the final result is |nprobes|
+    rows unioned from 1-row aggregates."""
+    from pyspark.sql.window import Window
+
+    if not nprobes or sorted(nprobes) != list(nprobes):
+        raise ValueError(f"nprobes must be non-empty ascending, got {nprobes}")
+    if nprobes[-1] > nlist:
+        raise ValueError(
+            f"max nprobe {nprobes[-1]} exceeds nlist {nlist} — probing more "
+            "lists than exist"
+        )
+    spark = df.sparkSession
+    panel = F.broadcast(
+        spark.createDataFrame([(int(q),) for q in query_ids], "qid long")
+    )
+    qs_present = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.lit(True).alias("__present"),
+    )
+    diag = (
+        F.when(
+            F.col("__present").isNull(),
+            F.lit("not present in the corpus — fix query_ids"),
+        )
+        .when(
+            F.col("qn").isNull(),
+            F.lit("has a NULL embedding — cosine is undefined for it"),
+        )
+        .otherwise(
+            F.lit("has a zero-norm embedding — cosine is undefined for it")
+        )
+    )
+    qs = _persist(
+        panel.join(F.broadcast(qs_present), "qid", "left")
+        .where(
+            F.when(
+                F.col("__present").isNotNull()
+                & F.col("qn").isNotNull()
+                & (F.col("qn") > 0),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit("ivf_nprobe_sweep: query id"),
+                        F.col("qid").cast("string"),
+                        diag,
+                    )
+                ).cast("boolean")
+            )
+        )
+        .drop("__present")
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vn")
+    )
+    # exact truth: persisted — every sweep value's hit join reads it
+    exact = _persist(
+        _salted_topk_per_qid(
+            base.crossJoin(F.broadcast(qs))
+            .where(F.col(id_col) != F.col("qid"))
+            .select(
+                "qid",
+                F.col(id_col),
+                (
+                    dot(F.col(vec_col), F.col("qvec"))
+                    / (F.col("vn") * F.col("qn"))
+                ).alias("sim"),
+            ),
+            id_col,
+            k,
+        )
+    )
+    cents = (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("cn"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(nlist)
+    )
+    cscore = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        (
+            dot(F.col(vec_col), F.col("cvec")) / (F.col("vn") * F.col("cn"))
+        ).alias("csim"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    assigned = (
+        cscore.withColumn("__rk", F.row_number().over(wa))
+        .where(F.col("__rk") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    # probe lists ranked once up to max(nprobes); crank = the list's probe
+    # rank for that query, carried into the candidate frame so every
+    # sweep value is a filter, not a re-rank
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "qvec",
+            "qn",
+            "cid",
+            (
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+            ).alias("csim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+        .where(F.col("crank") <= nprobes[-1])
+        .select("qid", "qvec", "qn", "cid", "crank")
+    )
+    # persisted: |nprobes| filtered rollups + |nprobes| top-k cuts all
+    # read this one candidate fan-out (cluster-pruned, never the corpus)
+    cand = _persist(
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("qvec"))
+                / (norm(F.col(vec_col)) * F.col("qn"))
+            ).alias("sim"),
+            "crank",
+        )
+    )
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    parts = []
+    for p in nprobes:
+        sel = cand.where(F.col("crank") <= p)
+        approx = _salted_topk_per_qid(sel.select("qid", id_col, "sim"), id_col, k)
+        hits = (
+            exact.join(F.broadcast(approx), ["qid", id_col])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("__h"))
+        )
+        ncand = sel.groupBy("qid").agg(F.count(F.lit(1)).alias("__c"))
+        per_q = (
+            qs.select("qid")
+            .join(F.broadcast(hits), "qid", "left")
+            .join(F.broadcast(ncand), "qid", "left")
+        )
+        parts.append(
+            per_q.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                snapped(F.avg(F.coalesce("__c", F.lit(0)))).alias(
+                    "avg_candidates"
+                ),
+                snapped(
+                    F.avg(F.coalesce("__h", F.lit(0)) / F.lit(float(k)))
+                ).alias("avg_recall_at_k"),
+            ).select(
+                F.lit(p).alias("nprobe"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                "avg_candidates",
+                "avg_recall_at_k",
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def lsh_recall_eval(
