@@ -805,9 +805,10 @@ def curriculum_phases(
     )
     v = F.col(score_col)
     phase = (
-        F.lit(1)
-        + F.size(F.filter(F.col("__bs"), lambda b: v > b))
-    ).alias("phase")
+        (F.lit(1) + F.size(F.filter(F.col("__bs"), lambda b: v > b)))
+        .cast("long")
+        .alias("phase")
+    )
     per = (
         df.select(v.alias(score_col))
         .crossJoin(F.broadcast(bounds))

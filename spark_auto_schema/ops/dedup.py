@@ -852,7 +852,7 @@ def contamination_ngram_sweep(
         totals = e.agg(F.count(F.lit(1)).alias("n_eval_grams"))
         parts.append(
             totals.crossJoin(hits).select(
-                F.lit(n).alias("n"),
+                F.lit(n).cast("long").alias("n"),
                 F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
                 F.col("n_eval_grams_hit").cast("long").alias(
                     "n_eval_grams_hit"

@@ -1645,7 +1645,7 @@ def ivf_nprobe_sweep(
                     F.avg(F.coalesce("__h", F.lit(0)) / F.lit(float(k)))
                 ).alias("avg_recall_at_k"),
             ).select(
-                F.lit(p).alias("nprobe"),
+                F.lit(p).cast("long").alias("nprobe"),
                 F.col("n_queries").cast("long").alias("n_queries"),
                 "avg_candidates",
                 "avg_recall_at_k",

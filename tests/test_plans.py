@@ -1198,3 +1198,77 @@ def test_round10_new_ops_plan_shapes(spark):
     assert plan.count("windowspecdefinition") == 1, (
         "the cumsum must be computed once, not once per budget"
     )
+
+
+def test_round11_new_ops_plan_shapes(spark):
+    """Scale-shape pins for the round-11 additions: no cartesian product
+    anywhere; the nprobe sweep's top-k cuts are two-phase salted and its
+    candidate fan-out is persisted (one pass feeds every sweep value);
+    the banding sweep persists the signature frame and candidate union;
+    the semantic sweep reads ONE persisted pair set per rollup; the
+    rerank pool and the eval-gram set reach the corpus scan as broadcast
+    joins; span extraction joins flags by hash equi-join only."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import corpus, dedup, similarity, text
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    docs = read_table(spark, SF_DIR, "documents")
+
+    nps = similarity.ivf_nprobe_sweep(
+        emb, query_ids=[0, 1], nprobes=(1, 2), k=5, nlist=16
+    )
+    plan = plan_of(nps, "simple")
+    assert "CartesianProduct" not in plan
+    salted = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "__salt" in ln
+    ]
+    assert len(salted) >= 2 and plan.count("__rk1") >= 2
+    assert "InMemoryTableScan" in plan  # persisted candidate fan-out
+    similarity.release_caches()
+
+    cs = dedup.lsh_config_sweep(docs)
+    plan = plan_of(cs, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # sig + candidate frames
+    dedup.release_caches()
+
+    st = similarity.semantic_threshold_sweep(emb, thresholds=(0.2, 0.3))
+    plan = plan_of(st, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2  # one pair set, N rollups
+    similarity.release_caches()
+
+    sp = dedup.dup_span_extract(docs, k=8, min_docs=2)
+    plan = plan_of(sp, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # h/id equi-joins only
+
+    cw = dedup.contamination_ngram_sweep(docs, docs.limit(5), ns=(4, 8))
+    plan = plan_of(cw, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # eval grams broadcast to train scan
+
+    pool = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8)], "vec_id long, rrf double"
+    )
+    rr = similarity.cross_rerank(pool, docs, ["merge", "window"])
+    plan = plan_of(rr, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # k-sized pool broadcast into docs
+
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    dr = dedup.dedup_rate_drift(docs.where(half == 0), docs.where(half == 1))
+    assert "CartesianProduct" not in plan_of(dr, "simple")
+
+    cp = corpus.curriculum_phases(
+        text.quality_score(docs), "quality", 4
+    )
+    plan = plan_of(cp, "simple")
+    assert "CartesianProduct" not in plan
+    # assignment is one in-scan expression against a 1-row broadcast:
+    # a per-phase join/shuffle would show as extra exchanges
+    assert "SortMergeJoin" not in plan

@@ -104,6 +104,20 @@ PROBES: dict[str, list[str]] = {
         # source aggregate; the winner window must track the digest
         # volume, never pair anything
         "dedup_loss_by_source",
+        # round-11: per-source dedup-rate drift — two survivorship windows
+        # + a |sources|-row compare; must inherit dedup_loss_by_source's slope
+        "dedup_rate_drift_sources",
+        # round-11: span extraction — window-hash agg + h-keyed flag join +
+        # per-doc islands; replica suffixes keep dup structure within-replica,
+        # so flagged-window volume (and spans) scale linearly
+        "dup_spans",
+        # round-11: n-gram-size sweep — |ns| in-scan gram passes against a
+        # broadcast eval set; must track the train gram volume per n
+        "contamination_ngram_sweep",
+        # round-11: banding-shape sweep — ONE signature pass + one tagged
+        # (cfg,band,bucket) self-join + one union verify; must track the
+        # md5 signature volume like minhash_md5_dup_pairs, never cfg x corpus
+        "lsh_config_sweep",
     ],
     "similarity": [
         "embedding_topk",
@@ -125,6 +139,18 @@ PROBES: dict[str, list[str]] = {
         # broadcast + id-keyed reassembly, then the same panel fan-outs;
         # must track the corpus scan, never d x corpus x panel
         "quantized_recall_panel",
+        # round-11: SemDeDup pressure curve — one cluster-local pair set at
+        # the loosest cut + |thresholds| rollups; must track semantic_dedup's
+        # cluster-quadratic term, never |thresholds| x corpus
+        "semantic_threshold_sweep",
+        # round-11: nprobe sweep — one assignment pass + one persisted
+        # candidate fan-out, rank-filtered per sweep value; must track the
+        # corpus scan like the recall panels
+        "ivf_nprobe_sweep",
+        # round-11: rerank harness — pool build (bm25 + cosine top-k) is the
+        # corpus-sized part, rerank itself is k-sized; must track the
+        # retrievers' scans
+        "rerank_cross_encoder",
     ],
     "inference": ["infer_lineitem", "infer_events", "infer_documents"],
     "text": [
@@ -208,6 +234,9 @@ PROBES: dict[str, list[str]] = {
     # super-linear slope here implicates the operators, not the data);
     # group-quantile/HLL scale with events, zorder with lineitem.
     "curation": [
+        # round-11: curriculum bands — one percentile agg + in-scan
+        # assignment + |phases|-row rollup; must be flat-linear
+        "curriculum_phases",
         # round-9: DSIR — one persisted feature pass, bucket-model
         # broadcast, TakeOrdered cut; replica token suffixes grow the raw
         # feature space 10x while the bucket space stays 1024
