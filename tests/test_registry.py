@@ -212,3 +212,31 @@ def test_paragraph_minhash_defaults_match_oracle_constants():
     assert got["bands"] == 4
     assert got["shingle_n"] == 3
     assert got["verify_threshold"] == 0.8
+
+
+def test_family_split_entry_stays_thin():
+    """Round-11 refactor (r10 verdict item 6): every query/oracle pair lives
+    in spark_auto_schema/registry/<family>.py; __spark_entry__.py holds only
+    entry(), the re-export block, and the queries()/oracle_sql() assembly.
+    Pin that so new operators land in a family module, not back in the
+    monolith — and so each family module stays independently importable."""
+    import ast
+    import importlib
+
+    src = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    tree = ast.parse(src.read_text())
+    top_defs = [
+        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+    ]
+    assert sorted(top_defs) == ["entry", "oracle_sql", "queries"], (
+        "new helpers belong in spark_auto_schema/registry/<family>.py, "
+        f"found in __spark_entry__.py: {top_defs}"
+    )
+
+    families = [
+        "inference", "schema_ddl", "relational", "extensions", "analytics",
+        "tpch", "lifecycle", "curation", "pipeline_r9", "pipeline_r11",
+    ]
+    for fam in families:
+        mod = importlib.import_module(f"spark_auto_schema.registry.{fam}")
+        assert mod.__doc__, fam
