@@ -738,6 +738,34 @@ def semantic_dedup(
     )
 
 
+def suggest_nlist(
+    df: DataFrame, target_cluster_size: int = 2000, max_nlist: int = 1 << 20
+) -> int:
+    """The SemDeDup deployment rule as code: ``nlist`` such that the
+    EXPECTED cluster size stays ``target_cluster_size`` as the corpus
+    grows — ``ceil(n / target)``, clamped to ``[1, max_nlist]``.
+
+    Why this exists: with ``nlist`` FIXED, the cluster-local pair join in
+    :func:`semantic_dedup` / :func:`semantic_threshold_sweep` is
+    quadratic in the corpus (30x probe log-slope 1.112 at the registry's
+    pinned nlist=16 — see BASELINE.md round-11).  Scaling ``nlist`` with
+    the corpus holds per-cluster pair work constant, and the measured 30x
+    slope collapses to 0.73 (sublinear, no knee).  This is the knob the
+    paper itself turns (Abbas et al. use k=50k on LAION-440M ~ 9k-row
+    clusters); assignment stays one row-local argmax over a broadcast
+    centroid literal, O(n * nlist) dot products.
+
+    Costs ONE count() job; pass the result as ``nlist=`` so repeated
+    calls (and their DuckDB oracles) see an explicit, pinned value.
+    """
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
+    n = df.count()
+    return max(1, min(max_nlist, -(-n // target_cluster_size)))
+
+
 def _semantic_cluster_pairs(
     df: DataFrame,
     nlist: int,

@@ -262,3 +262,25 @@ def test_lsh_config_sweep_matches_md5_pipeline(spark):
     assert rows[2]["rows_per_band"] == 8 and rows[8]["rows_per_band"] == 2
     with pytest.raises(ValueError, match="divide"):
         dedup.lsh_config_sweep(docs, num_hashes=16, bands_sweep=(3,))
+
+
+# ------------------------------------------------------------ suggest_nlist
+def test_suggest_nlist_laws(spark):
+    """The SemDeDup scale rule (nlist = ceil(n / target), clamped): exact
+    ceil arithmetic on the real corpus count, floor of 1, max_nlist
+    clamp, and a rejected degenerate target.  Holding target fixed while
+    the corpus grows is what keeps the cluster-local pair join linear
+    (measured: 30x slope 1.112 at pinned nlist -> 0.73 config-scaled;
+    BASELINE.md round-11)."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import similarity
+
+    embs = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = embs.count()
+    for target in (1, 7, n, n + 1):
+        assert similarity.suggest_nlist(embs, target) == max(
+            1, -(-n // target)
+        ), target
+    assert similarity.suggest_nlist(embs, 1, max_nlist=8) == 8
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        similarity.suggest_nlist(embs, 0)
