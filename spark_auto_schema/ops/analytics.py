@@ -697,7 +697,14 @@ def rank_transform(
     reads 0, and the transform is invariant to any monotone rescaling of
     the values.  One shuffle (the per-key window sort); nothing else wide.
     For heavy-tailed KEY cardinality the window partitions are key-sized,
-    not data-sized — skew in one key is bounded by that key's rows."""
+    not data-sized — skew in one key is bounded by that key's rows.
+    (30x probe slope 0.718, BASELINE.md r11.)  The ceiling is LOW key
+    cardinality at extreme scale: with a handful of keys each partition
+    sorts ~n/|keys| rows on one task.  Past that, compute the rank via a
+    per-(key, value) count aggregate + a distinct-values-sized cumsum
+    window joined back (exact for tied-heavy values), or a range-partition
+    sort with per-partition offsets (the global-sort machinery) for
+    near-unique values — both keep every task's slice bounded."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key_col).orderBy(F.col(value_col))
