@@ -240,3 +240,54 @@ def test_family_split_entry_stays_thin():
     for fam in families:
         mod = importlib.import_module(f"spark_auto_schema.registry.{fam}")
         assert mod.__doc__, fam
+
+
+def test_family_modules_define_disjoint_names():
+    """The entry file re-exports EVERY top-level name from every family
+    module; two modules defining the same name would silently shadow one
+    another there (import order wins) — exactly the failure a flat module
+    could never have.  Pin disjointness, and pin that the cross-module
+    import graph stays acyclic so the package keeps importing."""
+    import ast
+    import collections
+
+    pkg = Path(__file__).resolve().parent.parent / "spark_auto_schema" / "registry"
+    owners: dict[str, str] = {}
+    dups = collections.defaultdict(set)
+    edges = collections.defaultdict(set)
+    mods = sorted(p.stem for p in pkg.glob("*.py") if p.stem != "__init__")
+    for m in mods:
+        tree = ast.parse((pkg / f"{m}.py").read_text())
+        for node in tree.body:
+            names = []
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                names = [node.name]
+            elif isinstance(node, ast.Assign):
+                names = [
+                    n.id
+                    for t in node.targets
+                    for n in ast.walk(t)
+                    if isinstance(n, ast.Name)
+                ]
+            for nm in names:
+                if nm in owners:
+                    dups[nm] = {owners[nm], m}
+                owners[nm] = m
+            if isinstance(node, ast.ImportFrom) and node.module and (
+                node.module.startswith("spark_auto_schema.registry.")
+            ):
+                edges[m].add(node.module.rsplit(".", 1)[1])
+    assert not dups, f"name defined in two family modules: {dict(dups)}"
+
+    seen: set[str] = set()
+
+    def visit(m, path):
+        assert m not in path, f"registry import cycle: {path + [m]}"
+        if m in seen:
+            return
+        seen.add(m)
+        for dep in edges[m]:
+            visit(dep, path + [m])
+
+    for m in mods:
+        visit(m, [])
