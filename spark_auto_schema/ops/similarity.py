@@ -739,7 +739,7 @@ def semantic_dedup(
 
 
 def suggest_nlist(
-    df: DataFrame, target_cluster_size: int = 2000, max_nlist: int = 1 << 20
+    df: DataFrame, target_cluster_size: int = 2000, max_nlist: int = 1 << 16
 ) -> int:
     """The SemDeDup deployment rule as code: ``nlist`` such that the
     EXPECTED cluster size stays ``target_cluster_size`` as the corpus
@@ -757,6 +757,15 @@ def suggest_nlist(
 
     Costs ONE count() job; pass the result as ``nlist=`` so repeated
     calls (and their DuckDB oracles) see an explicit, pinned value.
+
+    ``max_nlist`` defaults to 2^16 because the default assignment path
+    carries the centroids as a broadcast row-local LITERAL — fine at
+    the paper's k=50k operating point, not at millions of centroids.
+    Past the clamp (corpus > ~130M rows at the default target), train
+    centroids with :func:`kmeans_lloyd` and pass ``cents=`` (the
+    documented production composition), or raise ``target_cluster_size``
+    — the clamp makes the pair term degrade gradually instead of the
+    assignment plan failing outright.
     """
     if target_cluster_size < 1:
         raise ValueError(
