@@ -202,9 +202,13 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = _persist(  # candidate-doc shingles: small, used by sizes + both join sides
+    # No broadcast hint on cand_ids: the candidate set scales with the
+    # corpus's near-dup fraction (~30% on web crawls), so a hard hint would
+    # force a multi-GB driver broadcast at 100 TB.  AQE converts the
+    # semi-join to broadcast at runtime when the side is actually small.
+    sh = _persist(  # candidate-doc shingles: used by sizes + both join sides
         shingles(df, text_col, id_col, shingle_n, hashed=True)
-        .join(F.broadcast(cand_ids), on="id", how="left_semi")
+        .join(cand_ids, on="id", how="left_semi")
     )
     jac = _jaccard_from_shingles(sh)
     return cand.join(jac, on=["id_a", "id_b"], how="inner").where(
@@ -328,7 +332,9 @@ def minhash_lsh_pairs_md5(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = _persist(sh.join(F.broadcast(cand_ids), on="id", how="left_semi"))
+    # Unhinted semi-join: candidate ids scale with the near-dup fraction, so
+    # boundedness is NOT known by construction — AQE decides at runtime.
+    sh_c = _persist(sh.join(cand_ids, on="id", how="left_semi"))
     jac = _jaccard_from_shingles(sh_c)
     return cand.join(jac, on=["id_a", "id_b"], how="inner").where(
         F.col("jaccard") >= verify_threshold
@@ -487,8 +493,11 @@ def incremental_near_dedup(
                 if idx_verify_sh is not None
                 else shingles(corpus_df, text_col, id_col, shingle_n, hashed=True)
             )
-        vn = vn.join(F.broadcast(cand.select(F.col("id_new").alias("id")).distinct()), "id", "left_semi")
-        vc = vc.join(F.broadcast(cand.select(F.col("id_cor").alias("id")).distinct()), "id", "left_semi")
+        # Unhinted semi-joins: the candidate-id sets grow with the batch's
+        # overlap against the corpus (unbounded at 100 TB) — AQE converts
+        # to broadcast at runtime only when a side is actually small.
+        vn = vn.join(cand.select(F.col("id_new").alias("id")).distinct(), "id", "left_semi")
+        vc = vc.join(cand.select(F.col("id_cor").alias("id")).distinct(), "id", "left_semi")
         jac = _cross_jaccard(vn, vc)
         dup_ids = (
             cand.join(jac, on=["id_new", "id_cor"], how="inner")
@@ -975,7 +984,9 @@ def lsh_config_sweep(
         .union(upairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = _persist(sh.join(F.broadcast(uids), on="id", how="left_semi"))
+    # Unhinted semi-join on the union of all configs' candidate ids — the
+    # worst-scaling relation in the sweep; AQE decides the join strategy.
+    sh_c = _persist(sh.join(uids, on="id", how="left_semi"))
     jac = _jaccard_from_shingles(sh_c)
     judged = cand.join(jac, ["id_a", "id_b"], "left").select(
         "cfg",

@@ -771,6 +771,8 @@ def suggest_nlist(
         raise ValueError(
             f"target_cluster_size must be >= 1, got {target_cluster_size}"
         )
+    if max_nlist < 1:
+        raise ValueError(f"max_nlist must be >= 1, got {max_nlist}")
     n = df.count()
     return max(1, min(max_nlist, -(-n // target_cluster_size)))
 

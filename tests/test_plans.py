@@ -1272,3 +1272,43 @@ def test_round11_new_ops_plan_shapes(spark):
     # assignment is one in-scan expression against a 1-row broadcast:
     # a per-phase join/shuffle would show as extra exchanges
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- round-12 additions
+def test_candidate_verify_paths_have_no_unbounded_broadcast_hint(spark):
+    """The MinHash/LSH verify family must NOT hard-hint a broadcast on its
+    candidate-id sets: candidate volume scales with the corpus's near-dup
+    fraction (~30% on web crawls), so an unconditional ``F.broadcast``
+    would push a multi-GB relation through the driver at 100 TB.  The
+    analyzed plans must carry zero ResolvedHint nodes except the bounded
+    literal frames (lsh_config_sweep's |configs|-row expectation table) —
+    AQE converts the semi-joins to broadcast at runtime when small.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    assert hints(dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)) == 0
+    assert hints(dedup.minhash_lsh_pairs_md5(docs, verify_threshold=0.5)) == 0
+    assert (
+        hints(
+            dedup.incremental_near_dedup(
+                docs.where(half == 0), docs.where(half == 1)
+            )
+        )
+        == 0
+    )
+    # the only surviving hint is the |configs|-row expected-candidate
+    # literal frame (bounded by construction)
+    cs = dedup.lsh_config_sweep(docs, bands_sweep=(2, 4))
+    assert hints(cs) <= 1
+    dedup.release_caches()

@@ -284,3 +284,5 @@ def test_suggest_nlist_laws(spark):
     assert similarity.suggest_nlist(embs, 1, max_nlist=8) == 8
     with pytest.raises(ValueError, match="target_cluster_size"):
         similarity.suggest_nlist(embs, 0)
+    with pytest.raises(ValueError, match="max_nlist"):
+        similarity.suggest_nlist(embs, 1, max_nlist=0)
