@@ -599,6 +599,17 @@ from spark_auto_schema.registry.pipeline_r9 import (  # noqa: F401
     _q_streaming_novelty,
     _quantized_recall_oracle_sql,
 )
+from spark_auto_schema.registry.pipeline_r12 import (  # noqa: F401
+    _LATE_DATA_AUDIT_SQL,
+    _SCORE_DRIFT_APPROX_SQL,
+    _SEMANTIC_DEDUP_SCALED_SQL,
+    _TOKEN_SURVIVORSHIP_SQL,
+    _events_stream_dir_late,
+    _q_late_data_audit,
+    _q_score_drift_approx_ok,
+    _q_semantic_dedup_scaled,
+    _q_token_survivorship,
+)
 from spark_auto_schema.registry.pipeline_r11 import (  # noqa: F401
     _CSWEEP_NS,
     _CURR_PHASES,
@@ -652,98 +663,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Their semantics stay pinned by oracle-checked contract twins and the
     local mirror.
 
-    Round-11 window: executes the pre-order committed in round 10 — the
-    18 round-10 operators (never-anchored, debt back to ZERO), then the
-    displaced trio (fingerprint_docs, top_terms, clean_text) and the
-    entire r06-anchored remainder (27 entries — after this round no
-    oracle-checked entry's newest anchor is older than r07), plus two
-    policy-(b) pins whose code changed this round:
-    streaming_novelty_monitor (the NULL-event-time guard moved INSIDE
-    novelty_stream — drop_null_ts contract — per the round-10 verdict)
-    and embedding_quantize (quantize_embeddings now reads the shared
-    _quant_coded expression source extracted for quantized_recall_eval)
-    — displacing the two youngest pre-order slots (skew_profile_events,
-    streaming_drift_monitor -> r12 head).  Positions 51-100 are the
-    planned r12 window: queries ADDED this round (never-anchored,
-    backlog precedence) first, then the displaced pair and the
-    r07-anchored remainder.  Behind them: the r08 cohort, the r09
-    cohort, the 49 entries freshly r10-anchored, and finally the two
+    Round-12 window: executes the pre-order committed in round 11 — the
+    8 round-11 operators (never-anchored, debt back to ZERO:
+    dedup_rate_drift_sources through lsh_config_sweep), semantic_dedup
+    (the shared-pair-stage re-anchor queued at the r12 head last round),
+    the displaced pair (skew_profile_events, streaming_drift_monitor)
+    and the r07-anchored remainder — plus three policy-(b) pins whose
+    code changed this round: minhash_dup_pairs, minhash_md5_dup_pairs
+    and incremental_near_dedup (the round-11 verdict's broadcast-hint
+    removal — the unconditional F.broadcast on candidate-id sets in the
+    MinHash/LSH verify paths is gone; AQE now picks the join strategy;
+    lsh_config_sweep is the fourth changed path and already sits in the
+    window as a never-anchored entry).  The pins displace the three
+    youngest pre-order slots (correlation_matrix_lineitem,
+    streaming_ks_monitor, dq_expectations_orders -> r13 head).
+    Positions 51-100 are the planned r13 window: the four round-12
+    additions (never-anchored, backlog precedence) first —
+    dedup_token_survivorship, quality_drift_approx_ok,
+    streaming_late_audit, semantic_dedup_scaled — then the displaced
+    trio and the r08-anchored cohort head as tail-fill.  Behind them:
+    the r08 remainder, the r09 cohort, the r10 cohort (minus the three
+    pins), the 50 entries freshly r11-anchored, and finally the two
     rows-only terminal queries — every query past the window is
-    driver-green on current code r07-r10 and stays covered by the local
-    mirror (tools/check_correctness.py) and pytest every round.
-
-    Round-11 addendum: the family split (spark_auto_schema/registry/) is a
-    MECHANICAL move of this file's query/oracle bodies — byte-identical
-    section text, verified by a full post-split mirror re-run (248/248
-    green) and pytest — so it does not trigger the policy-(b) "code
-    changed" re-anchor rule for the moved entries; the window composition
-    above is unchanged."""
+    driver-green on current code r08-r11 and stays covered by the local
+    mirror (tools/check_correctness.py) and pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r11 window (positions 1-50; executes the pre-order committed in
-    # r10): the 18 round-10 operators (never-anchored), the displaced
-    # trio + the entire r06-anchored remainder, + 2 policy-(b) pins ---
-    q["lsh_recall_panel"] = _q_lsh_recall
-    q["contamination_snapshot_diff"] = _q_contamination_diff
-    q["quality_drift_sources"] = _q_quality_drift
-    q["domain_cap_psl_audit"] = _q_domain_cap_psl_audit
-    q["dedup_cluster_stats"] = _q_dedup_cluster_stats
-    q["redaction_audit_sources"] = _q_redaction_audit
-    q["embedding_norm_drift"] = _q_embedding_norm_drift
-    q["minhash_band_occupancy"] = _q_band_occupancy
-    q["lsh_empirical_detection"] = _q_lsh_empirical
-    q["lang_mix_drift"] = _q_lang_mix_drift
-    q["quantized_recall_panel"] = _q_quantized_recall
-    q["chunk_reconstruction_check"] = _q_chunk_reconstruction
-    q["sample_bias_audit"] = _q_sample_bias_audit
-    q["streaming_domain_cap"] = _q_streaming_domain_cap
-    q["dedup_threshold_sweep"] = _q_dedup_threshold_sweep
-    q["length_drift_sources"] = _q_length_drift
-    q["embedding_dim_drift"] = _q_embedding_dim_drift
-    q["packing_length_sweep"] = _q_packing_length_sweep
-    # the trio displaced from the r10 pre-order + the r06-anchored
-    # remainder (oldest anchors first; after this round no oracle-checked
-    # entry's newest anchor predates r07)
-    q["fingerprint_docs"] = _q_fingerprint
-    q["top_terms"] = _q_top_terms
-    q["clean_text"] = _q_clean_text
-    q["redact_pii"] = _q_redact_pii
-    q["repetition_ratio"] = _q_repetition_ratio
-    q["gopher_filter"] = _q_gopher_filter
-    q["unigram_logprob"] = _q_unigram_logprob
-    q["vocab_coverage"] = _q_vocab_coverage
-    q["tfidf_pairs"] = _q_tfidf_pairs
-    q["chunk_documents"] = _q_chunk_documents
-    q["corpus_mix"] = _q_corpus_mix
-    q["multimodal_bytes"] = _q_multimodal_bytes
-    q["media_features"] = _q_media_features
-    q["frame_sample"] = _q_frame_sample
-    q["streaming_user_stats"] = _q_streaming_user_stats
-    q["streaming_dedup"] = _q_streaming_dedup
-    q["streaming_enriched_counts"] = _q_streaming_enriched_counts
-    q["moving_avg_orders"] = _q_moving_avg_orders
-    q["value_percentiles"] = _q_value_percentiles
-    q["json_props_agg"] = _q_json_props
-    q["except_custkeys"] = _q_except_custkeys
-    q["bucketed_roundtrip"] = _q_bucketed_roundtrip
-    q["partitioned_roundtrip"] = _q_partitioned_roundtrip
-    q["user_retention_cohorts"] = _q_user_retention
-    q["event_funnel"] = _q_event_funnel
-    q["value_histogram"] = _q_value_histogram
-    q["zscore_outliers"] = _q_zscore_outliers
-    q["bigram_pmi"] = _q_bigram_pmi
-    q["merge_upsert_orders"] = _q_merge_upsert
-    q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
-    # policy (b) re-anchor pins (code changed this round; displace the two
-    # youngest pre-order slots, skew_profile_events +
-    # streaming_drift_monitor -> r12 head): novelty_stream's NULL-ts guard
-    # moved op-level (drop_null_ts contract, r10-verdict fix) and
-    # quantize_embeddings now reads the shared _quant_coded expression
-    # source extracted for quantized_recall_eval (r10-advice fix)
-    q["streaming_novelty_monitor"] = _q_streaming_novelty
-    q["embedding_quantize"] = _q_quantize_embeddings
-    # ---- entries below are past the driver's 50-entry window ----
-    # --- planned r12 window head: queries added in round 11
-    # (never-anchored; backlog precedence over anchored entries) ---
+    # --- r12 window (positions 1-50; executes the pre-order committed in
+    # r11): the 8 round-11 operators (never-anchored, debt back to zero),
+    # semantic_dedup (shared-pair-stage re-anchor), the displaced pair +
+    # the r07-anchored remainder, and 3 policy-(b) pins for this round's
+    # broadcast-hint removal in the MinHash/LSH verify family
+    # (ops/dedup.py minhash_lsh_pairs[_md5] / incremental_near_dedup --
+    # lsh_config_sweep is the fourth changed path and is already in the
+    # window as a never-anchored entry); the pins displace the three
+    # youngest pre-order slots (correlation_matrix_lineitem,
+    # streaming_ks_monitor, dq_expectations_orders -> r13 head) ---
     q["dedup_rate_drift_sources"] = _q_dedup_rate_drift
     q["curriculum_phases"] = _q_curriculum_phases
     q["contamination_ngram_sweep"] = _q_contamination_sweep
@@ -752,23 +706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semantic_threshold_sweep"] = _q_semantic_tsweep
     q["ivf_nprobe_sweep"] = _q_ivf_nprobe_sweep
     q["lsh_config_sweep"] = _q_lsh_config_sweep
-    # semantic_dedup's pair stage was factored into the shared
-    # _semantic_cluster_pairs expression source this round (output
-    # identical, mirror-verified).  It re-anchors at the r12 head rather
-    # than as an in-window pin because displacing an r06-cohort entry
-    # would break this round's no-anchor-older-than-r07 goal; it is
-    # r07-anchored and already inside the planned window either way.
     q["semantic_dedup"] = _q_semantic_dedup
-    # --- the two pre-order slots displaced by this round's pins, then
-    # the r07-anchored remainder (oldest anchors first) ---
     q["skew_profile_events"] = _q_skew_profile
     q["streaming_drift_monitor"] = _q_streaming_drift
     q["merge_insert_only_orders"] = _q_merge_insert_only
     q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
     q["media_resize"] = _q_media_resize
     q["approx_percentile_ok"] = _q_approx_percentile_ok
-    # (canonical_docs + leakage_safe_split moved out of this cohort into
-    # the r10 window as policy-(b) oracle-change pins)
     q["group_quantile_filter"] = _q_group_quantile_filter
     q["hll_sharded_uniques"] = _q_hll_sharded_uniques
     q["zorder_roundtrip"] = _q_zorder_roundtrip
@@ -783,7 +727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["burst_collapse_events"] = _q_burst_collapse_events
     q["scd2_order_status"] = _q_scd2_order_status
     q["zone_map_events"] = _q_zone_map_events
-    # (semantic_dedup moved to the r12 head: shared-pair-stage refactor)
     q["psi_drift_events"] = _q_psi_drift
     q["csv_quarantine"] = _q_csv_quarantine
     q["key_suggestions"] = _q_key_suggestions
@@ -802,11 +745,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["containment_docs"] = _q_containment
     q["bigram_logprob_docs"] = _q_bigram_logprob
     q["rank_transform_events"] = _q_rank_transform
+    q["minhash_dup_pairs"] = _q_minhash_pairs
+    q["minhash_md5_dup_pairs"] = _q_minhash_md5
+    q["incremental_near_dedup"] = _q_incremental_near_dedup
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- planned r13 window head: queries added in round 12
+    # (never-anchored; backlog precedence over anchored entries) ---
+    q["dedup_token_survivorship"] = _q_token_survivorship
+    q["quality_drift_approx_ok"] = _q_score_drift_approx_ok
+    q["streaming_late_audit"] = _q_late_data_audit
+    q["semantic_dedup_scaled"] = _q_semantic_dedup_scaled
+    # --- the three pre-order slots displaced by this round's pins,
+    # then the r08-anchored cohort head as tail-fill (oldest anchors
+    # first; pushed out as r13 additions land) ---
     q["correlation_matrix_lineitem"] = _q_correlation_matrix
     q["streaming_ks_monitor"] = _q_streaming_ks_monitor
     q["dq_expectations_orders"] = _q_dq_expectations
-    # --- r08-anchored cohort (anchored in CORRECTNESS_r08; freshest, so they
-    # queue last for rotation) ---
     q["calibration_bins_docs"] = _q_calibration_bins
     q["binned_roc_docs"] = _q_binned_roc
     q["transition_matrix_events"] = _q_transition_matrix
@@ -836,7 +790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = _q_sessionize
     q["ewma_value_check"] = _q_ewma_value_check
     q["streaming_window_counts"] = _q_streaming_window_counts
-    # (embedding_quantize moved into the r11 window as a policy-(b) pin)
     q["label_centroids"] = _q_label_centroids
     q["order_priority_check"] = _q_order_priority_check
     q["volume_shipping"] = _q_volume_shipping
@@ -851,13 +804,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sales_opportunity"] = _q_sales_opportunity
     q["cheapest_part_per_type"] = _q_cheapest_part_per_type
     q["segment_dedup_docs"] = _q_segment_dedup
+    # --- r08-anchored cohort remainder (behind the planned window) ---
     q["ngram_novelty_docs"] = _q_ngram_novelty
     q["classifier_scores"] = _q_classifier_scores
     q["profile_docs"] = _q_profile_docs
     q["corpus_diff_docs"] = _q_corpus_diff
     q["epoch_shuffle_docs"] = _q_epoch_shuffle
-    # --- r09-anchored cohort (the round-9 driver window, anchored in
-    # CORRECTNESS_r09; freshest, so they queue last for rotation) ---
+    # --- r09-anchored cohort (freshest after r08; queue for r14+) ---
     q["nfkc_normalize_docs"] = _q_nfkc_normalize
     q["url_domain_rollup"] = _q_url_domain_rollup
     q["token_window_dedup_docs"] = _q_token_window_dedup
@@ -907,10 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _q_pack_sequences
     q["ewma_user_values"] = _q_ewma_user_values
     q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
-    # --- r10-anchored cohort (the round-10 driver window, anchored in
-    # CORRECTNESS_r10; freshest, so they queue last for rotation;
-    # streaming_novelty_monitor moved into the r11 window as a
-    # policy-(b) pin) ---
+    # --- r10-anchored cohort (minus the three policy-(b) pins moved
+    # into the r12 window) ---
     q["pii_density_sources"] = _q_pii_density
     q["lm_kl_sources"] = _q_lm_kl
     q["retrieval_recall_panel"] = _q_retrieval_recall
@@ -920,7 +871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_s_curve_contract"] = _q_lsh_s_curve
     q["lm_kl_snapshots"] = _q_lm_kl_snapshots
     q["infer_lineitem"] = _infer_query("lineitem")
-    q["minhash_dup_pairs"] = _q_minhash_pairs
     q["infer_orders"] = _infer_query("orders")
     q["infer_events"] = _infer_query("events")
     q["infer_documents"] = _infer_query("documents")
@@ -936,7 +886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ddl_strings"] = _q_ddl_strings
     q["catalog_checks"] = _q_catalog_checks
     q["column_list_lineitem"] = _q_column_list
-    q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["simhash_md5_near_dup"] = _q_simhash_md5
     q["simhash_pigeonhole_check"] = _q_simhash_pigeonhole_check
     q["dedup_exact"] = _q_hash_dedup
@@ -944,7 +893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = _q_dedup_clusters
     q["contamination_check"] = _q_contamination
     q["incremental_dedup"] = _q_incremental_dedup
-    q["incremental_near_dedup"] = _q_incremental_near_dedup
     q["simhash_determinism"] = _q_simhash_determinism
     q["embedding_topk"] = _q_embedding_topk
     q["ann_lsh_topk"] = _q_ann_lsh
@@ -960,9 +908,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["heavy_hitters_sketch"] = _q_heavy_hitters
     q["canonical_docs"] = _q_canonical_docs
     q["leakage_safe_split"] = _q_leakage_safe_split
+    # --- r11-anchored cohort (the round-11 driver window; freshest, so
+    # they queue last for rotation) ---
+    q["lsh_recall_panel"] = _q_lsh_recall
+    q["contamination_snapshot_diff"] = _q_contamination_diff
+    q["quality_drift_sources"] = _q_quality_drift
+    q["domain_cap_psl_audit"] = _q_domain_cap_psl_audit
+    q["dedup_cluster_stats"] = _q_dedup_cluster_stats
+    q["redaction_audit_sources"] = _q_redaction_audit
+    q["embedding_norm_drift"] = _q_embedding_norm_drift
+    q["minhash_band_occupancy"] = _q_band_occupancy
+    q["lsh_empirical_detection"] = _q_lsh_empirical
+    q["lang_mix_drift"] = _q_lang_mix_drift
+    q["quantized_recall_panel"] = _q_quantized_recall
+    q["chunk_reconstruction_check"] = _q_chunk_reconstruction
+    q["sample_bias_audit"] = _q_sample_bias_audit
+    q["streaming_domain_cap"] = _q_streaming_domain_cap
+    q["dedup_threshold_sweep"] = _q_dedup_threshold_sweep
+    q["length_drift_sources"] = _q_length_drift
+    q["embedding_dim_drift"] = _q_embedding_dim_drift
+    q["packing_length_sweep"] = _q_packing_length_sweep
+    q["fingerprint_docs"] = _q_fingerprint
+    q["top_terms"] = _q_top_terms
+    q["clean_text"] = _q_clean_text
+    q["redact_pii"] = _q_redact_pii
+    q["repetition_ratio"] = _q_repetition_ratio
+    q["gopher_filter"] = _q_gopher_filter
+    q["unigram_logprob"] = _q_unigram_logprob
+    q["vocab_coverage"] = _q_vocab_coverage
+    q["tfidf_pairs"] = _q_tfidf_pairs
+    q["chunk_documents"] = _q_chunk_documents
+    q["corpus_mix"] = _q_corpus_mix
+    q["multimodal_bytes"] = _q_multimodal_bytes
+    q["media_features"] = _q_media_features
+    q["frame_sample"] = _q_frame_sample
+    q["streaming_user_stats"] = _q_streaming_user_stats
+    q["streaming_dedup"] = _q_streaming_dedup
+    q["streaming_enriched_counts"] = _q_streaming_enriched_counts
+    q["moving_avg_orders"] = _q_moving_avg_orders
+    q["value_percentiles"] = _q_value_percentiles
+    q["json_props_agg"] = _q_json_props
+    q["except_custkeys"] = _q_except_custkeys
+    q["bucketed_roundtrip"] = _q_bucketed_roundtrip
+    q["partitioned_roundtrip"] = _q_partitioned_roundtrip
+    q["user_retention_cohorts"] = _q_user_retention
+    q["event_funnel"] = _q_event_funnel
+    q["value_histogram"] = _q_value_histogram
+    q["zscore_outliers"] = _q_zscore_outliers
+    q["bigram_pmi"] = _q_bigram_pmi
+    q["merge_upsert_orders"] = _q_merge_upsert
+    q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
+    q["streaming_novelty_monitor"] = _q_streaming_novelty
+    q["embedding_quantize"] = _q_quantize_embeddings
     # --- rows-only terminal queries (no DuckDB oracle possible: xxhash64
     # signatures; driver scores them err:no_oracle, so they are permanently
-    # window-ineligible — semantics pinned by oracle-checked contract twins
+    # window-ineligible -- semantics pinned by oracle-checked contract twins
     # simhash_md5_near_dup / simhash_pigeonhole_check / simhash_determinism) ---
     q["simhash_signatures"] = _q_simhash_sigs
     q["simhash_near_dup"] = _q_simhash_neardup
@@ -1254,4 +1254,8 @@ def oracle_sql() -> dict[str, str]:
     o["semantic_threshold_sweep"] = _semantic_tsweep_oracle_sql()
     o["ivf_nprobe_sweep"] = _ivf_nprobe_sweep_oracle_sql()
     o["lsh_config_sweep"] = _lsh_config_sweep_oracle_sql()
+    o["dedup_token_survivorship"] = _TOKEN_SURVIVORSHIP_SQL
+    o["quality_drift_approx_ok"] = _SCORE_DRIFT_APPROX_SQL
+    o["streaming_late_audit"] = _LATE_DATA_AUDIT_SQL
+    o["semantic_dedup_scaled"] = _SEMANTIC_DEDUP_SCALED_SQL
     return o

@@ -2254,6 +2254,117 @@ def dedup_loss_by_source(
     )
 
 
+def token_survivorship(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """TOKEN-granular dedup survivorship per source: what the standard
+    exact-then-near dedup pipeline costs each source in TOKENS —
+    ``(source, n_docs, n_tokens, tokens_kept_exact,
+    tokens_lost_to_other_exact, tokens_kept_near, token_loss_frac)``.
+
+    Mixture weights and training budgets are set in tokens, not
+    documents, but :func:`dedup_loss_by_source` accounts only docs — a
+    syndicated source of LONG documents under-reports its dedup loss
+    there by exactly the length skew this fixes.  ``n_tokens`` is the
+    whitespace token count (the ``ws_tokens`` definition of
+    ``text.token_count``), ``tokens_kept_exact`` the tokens of exact-dup
+    survivors (keep-lowest-id per md5 digest),
+    ``tokens_lost_to_other_exact`` the tokens of rows whose surviving
+    copy lives in a DIFFERENT source, ``tokens_kept_near`` the tokens
+    surviving the full pipeline — exact dedup, then n-gram-Jaccard near
+    dedup among the exact survivors under the keep-lowest-id-per-pair
+    rule (a survivor is dropped iff it has a verified near-dup partner
+    with a smaller id) — and ``token_loss_frac`` is
+    ``1 - tokens_kept_near / n_tokens`` snapped to 6 decimals.
+
+    Dataflow: token counts are ROW-LOCAL (size over the split array — no
+    explode); exact survivorship is the one digest-partition window of
+    :func:`dedup_loss_by_source`; the near stage is
+    :func:`ngram_jaccard_pairs` over the exact survivors (bucketed
+    shingle equi-join, ``max_df`` hot-shingle cap — never all-pairs)
+    collapsed to a drop-id set joined back with an unhinted left
+    semi/anti pattern (AQE picks the strategy; the drop set scales with
+    the near-dup fraction, so no hard broadcast).  One final hash
+    aggregate to |sources| rows."""
+    d = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    tk = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda w: F.length(w) > 0,
+        )
+    ).cast("long")
+    w = Window.partitionBy("__d").orderBy(F.col(id_col))
+    marked = _persist(
+        df.select(
+            F.col(id_col),
+            F.col(group_col).alias("src"),
+            F.col(text_col),
+            d.alias("__d"),
+            tk.alias("__tk"),
+        ).select(
+            F.col(id_col),
+            "src",
+            F.col(text_col),
+            "__tk",
+            (F.col(id_col) == F.first(id_col).over(w)).alias("__kept"),
+            (F.first("src").over(w) != F.col("src")).alias("__ext"),
+        )
+    )
+    survivors = marked.where(F.col("__kept"))
+    near_drop = (
+        ngram_jaccard_pairs(
+            survivors,
+            text_col=text_col,
+            id_col=id_col,
+            n=shingle_n,
+            threshold=threshold,
+            hashed=True,
+            max_df=max_df,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__near_dropped", F.lit(True))
+    )
+    flagged = marked.join(near_drop, on=id_col, how="left")
+    snapped = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    kept_near = F.col("__kept") & F.col("__near_dropped").isNull()
+    return (
+        flagged.groupBy(F.col("src").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tk").alias("n_tokens"),
+            F.sum(F.when(F.col("__kept"), F.col("__tk")).otherwise(F.lit(0))).alias(
+                "tokens_kept_exact"
+            ),
+            F.sum(
+                F.when(~F.col("__kept") & F.col("__ext"), F.col("__tk")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("tokens_lost_to_other_exact"),
+            F.sum(F.when(kept_near, F.col("__tk")).otherwise(F.lit(0))).alias(
+                "tokens_kept_near"
+            ),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "tokens_kept_exact",
+            "tokens_lost_to_other_exact",
+            "tokens_kept_near",
+            snapped(
+                F.lit(1.0) - F.col("tokens_kept_near") / F.col("n_tokens")
+            ).alias("token_loss_frac"),
+        )
+    )
+
+
 def dedup_rate_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -390,3 +390,67 @@ def score_drift(
             ).alias("avg_qdiff"),
         )
     )
+
+
+def quantile_sketch_contract(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    grid: int = 11,
+    accuracy: int = 1000,
+    eps: float = 0.05,
+) -> DataFrame:
+    """Error-bound contract for the 100 TB percentile swap: per group,
+    the ``approx_percentile`` sketch grid must land inside the EXACT
+    quantile envelope ``[percentile(p - eps), percentile(p + eps)]`` at
+    every grid point — ``(grp, n, grid_within_bound)``.
+
+    :func:`score_drift` and :func:`quantile_normalize` document "swap
+    ``F.percentile`` for ``approx_percentile`` at extreme scale" as the
+    path that replaces per-group value buffers with mergeable
+    Greenwald-Khanna sketches; this makes that claim a CHECKED contract
+    rather than a docstring.  GK guarantees rank error <= n/accuracy, so
+    any sketch value must sit between the exact quantiles at probs
+    ``p -/+ eps`` whenever ``eps >= 1/accuracy`` (the default leaves a
+    50x margin for interpolation-vs-nearest-rank semantics and tiny
+    groups, while still pinning the sketch to the right 5% rank band) —
+    a violation means the sketch path would silently bend every drift /
+    normalization threshold built on it.
+
+    Scale: ONE hash aggregate to |groups| rows computing the exact
+    envelope and the sketch side by side (both map-side partial, both
+    mergeable); the array compare runs in built-ins on the |groups|-row
+    frame.  In production only the sketch agg runs — the exact envelope
+    exists to certify the swap on sampled slices."""
+    if not 0 < eps < 1:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    if eps < 1.0 / accuracy:
+        raise ValueError(
+            f"eps {eps} is below the sketch's rank-error bound "
+            f"1/accuracy = {1.0 / accuracy}; the contract would flag "
+            "correct sketches"
+        )
+    probs = [i / (grid - 1) for i in range(grid)]
+    lo = F.array(*[F.lit(max(0.0, p - eps)) for p in probs])
+    hi = F.array(*[F.lit(min(1.0, p + eps)) for p in probs])
+    v = value_col
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(v, lo).alias("__ql"),
+        F.percentile(v, hi).alias("__qh"),
+        F.expr(
+            f"approx_percentile({v}, array({', '.join(map(str, probs))}), {accuracy})"
+        ).alias("__qa"),
+    )
+    tol = F.lit(1e-9)  # float slack: envelope ends are interpolated values
+    ok = F.forall(
+        F.zip_with(
+            F.zip_with("__qa", "__ql", lambda a, l: a >= l - tol),
+            F.zip_with("__qa", "__qh", lambda a, h: a <= h + tol),
+            lambda x, y: x & y,
+        ),
+        lambda b: b,
+    )
+    return agg.select("grp", "n", ok.alias("grid_within_bound"))

@@ -732,11 +732,17 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMANTIC_DEDUP_SQL = """
+def _semantic_dedup_sql(nlist: int, threshold: float) -> str:
+    """DuckDB replay of ``similarity.semantic_dedup`` parameterized by the
+    two knobs the scale rule turns: centroid count and cosine cut.
+    ``_SEMANTIC_DEDUP_SQL`` below is this builder at the registry's pinned
+    (16, 0.3); ``semantic_dedup_scaled`` interpolates the
+    ``suggest_nlist`` composition's expected value instead."""
+    return f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
          embedding AS cvec
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}
 ), scored AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
@@ -752,11 +758,14 @@ WITH cents AS (
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.3
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= {threshold}
 )
 SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
 FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
 """
+
+
+_SEMANTIC_DEDUP_SQL = _semantic_dedup_sql(16, 0.3)
 
 
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -703,3 +703,53 @@ def domain_cap_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def late_data_monitor(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    delay: str = "1 hour",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-window late-data accounting: the operational twin of the
+    watermark contract.  Returns two streams over the same source —
+    ``admitted`` = the watermarked windowed count (exactly what a
+    production watermarked aggregation admits) and ``total`` = the
+    unwatermarked windowed count; their per-window difference is the
+    volume the watermark dropped, which is otherwise INVISIBLE until a
+    manual batch/stream reconciliation is run by hand.
+
+    Drain ``admitted`` in update mode (take max per window — counts are
+    monotone) and ``total`` in complete mode, then left-join to
+    ``(window_start, n_events, n_admitted, n_late_dropped)``.
+
+    Replay semantics (measured on Spark 4.1.2, pinned by
+    ``tests/test_round12_ops.py`` — the oracle depends on them): with one
+    file per micro-batch, the late-row filter of a streaming aggregation
+    admits a row iff its window END is strictly ABOVE the watermark that
+    was current during the PREVIOUS batch — i.e. the filter watermark
+    for batch k is ``max(event ts over batches 0..k-2, ms floor) -
+    delay`` — while the progress line's ``eventTime.watermark`` (the
+    eviction watermark) is the one-batch-lagged value.  Batches 0 and 1
+    therefore admit everything.
+
+    Scale: both branches are plain windowed aggregations — map-side
+    partial, |windows| state rows, no custom state code; the monitor
+    costs one extra pass over the stream.  State for ``total`` is
+    O(windows seen) since it never evicts — bound the monitoring window
+    (run it over a rolling slice) or use the admitted stream's own
+    ``numRowsDroppedByWatermark`` progress metric when per-window
+    attribution isn't needed."""
+    e = events.where(F.col(ts_col).isNotNull())
+    admitted = (
+        e.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .select(F.col("w.start").alias("window_start"), "n_admitted")
+    )
+    total = (
+        e.groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return admitted, total

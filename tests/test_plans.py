@@ -1312,3 +1312,51 @@ def test_candidate_verify_paths_have_no_unbounded_broadcast_hint(spark):
     cs = dedup.lsh_config_sweep(docs, bands_sweep=(2, 4))
     assert hints(cs) <= 1
     dedup.release_caches()
+
+
+def test_token_survivorship_plan_shape(spark):
+    """Token survivorship: no cartesian products anywhere (the near stage
+    is the bucketed shingle equi-join), no Python evaluation (all JVM
+    built-ins), and no broadcast hint on the candidate-derived drop set
+    (same rule as the verify family — AQE decides)."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    ts = dedup.token_survivorship(docs)
+    plan = plan_of(ts, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only hints are the bounded hot-shingle caps INHERITED from
+    # ngram_jaccard_pairs — the survivorship op itself adds none (its
+    # candidate-derived drop-set join is unhinted, AQE decides)
+    hints = ts._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    base = (
+        dedup.ngram_jaccard_pairs(docs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+        .count("ResolvedHint")
+    )
+    assert hints == base
+    dedup.release_caches()
+
+
+def test_quantile_sketch_contract_is_one_aggregate(spark):
+    """The sketch contract is ONE hash aggregate to |groups| rows — no
+    window, no join, a single group-key exchange; both the exact envelope
+    and the sketch ride the same partial/final aggregation."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import scoring, text
+
+    d = read_table(spark, SF_DIR, "documents")
+    scored = text.quality_score(d, keep_cols=["source"])
+    out = scoring.quantile_sketch_contract(scored, "quality", "source")
+    plan = plan_of(out, "simple")
+    assert "Join" not in plan and "Window" not in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 1, plan
+    assert plan.count("Scan parquet") == 1

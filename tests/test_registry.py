@@ -40,28 +40,33 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r11 rotation: executes the pre-order committed in round 10 — the 18
-    # round-10 operators (never-anchored), the displaced trio + the whole
-    # r06-anchored remainder, and 2 policy-(b) pins for this round's code
-    # changes
+    # r12 rotation: executes the pre-order committed in round 11 — the 8
+    # round-11 operators (never-anchored), semantic_dedup, the displaced
+    # pair + the r07-anchored remainder, and 3 policy-(b) pins for this
+    # round's broadcast-hint removal in the MinHash/LSH verify paths
     for member in (
-        "lsh_recall_panel",           # r10-op backlog head
-        "packing_length_sweep",       # 18th r10 op
-        "fingerprint_docs",           # displaced-trio head
-        "clean_text",                 # 3rd displaced entry
-        "redact_pii",                 # r06 remainder head
-        "schema_evolution_roundtrip", # last r06 remainder entry
-        "streaming_novelty_monitor",  # policy-(b) pin: op-level NULL-ts guard
-        "embedding_quantize",         # policy-(b) pin: shared _quant_coded
+        "dedup_rate_drift_sources",   # r11-op backlog head
+        "lsh_config_sweep",           # 8th r11 op (also a changed path)
+        "semantic_dedup",             # shared-pair-stage re-anchor
+        "skew_profile_events",        # displaced-pair head
+        "streaming_drift_monitor",    # 2nd displaced entry
+        "merge_insert_only_orders",   # r07 remainder head
+        "rank_transform_events",      # last surviving r07 remainder entry
+        "minhash_dup_pairs",          # policy-(b) pin: unhinted verify join
+        "minhash_md5_dup_pairs",      # policy-(b) pin: unhinted verify join
+        "incremental_near_dedup",     # policy-(b) pin: unhinted verify joins
     ):
         assert member in window, member
-    # freshly r09/r10-anchored entries never re-enter (except explicit
+    # freshly r10/r11-anchored entries never re-enter (except explicit
     # policy-(b) pins); rows-only queries are permanently
     # window-INELIGIBLE (driver can only score err:no_oracle)
     for rotated_out in (
-        "pii_density_sources", "lm_kl_snapshots", "infer_lineitem",
-        "quality_score", "heavy_hitters_sketch", "canonical_docs",
-        "leakage_safe_split", "ewma_user_values",
+        "lsh_recall_panel", "packing_length_sweep", "fingerprint_docs",
+        "streaming_novelty_monitor", "embedding_quantize",
+        "pii_density_sources", "infer_lineitem", "canonical_docs",
+        # the three pre-order slots the pins displaced -> r13 head
+        "correlation_matrix_lineitem", "streaming_ks_monitor",
+        "dq_expectations_orders",
     ):
         assert rotated_out not in window, rotated_out
     assert not (ROWS_ONLY & set(qs[:100])), (
@@ -95,18 +100,17 @@ def test_driver_window_utilization():
     )
 
 
-def test_planned_r12_window_composition():
-    """Positions 51-100 are the PLANNED r12 window (see the queries()
-    docstring): never-driver-anchored round-11 additions first, then the
-    two displaced pre-order slots and the r07-anchored remainder — i.e.
-    next round's rotation is already encoded and a drive-by registry
-    edit can't silently push debt or stale anchors past it.  Slots not
-    yet claimed by round-11 additions tail-fill from the r08 cohort head
-    and are pushed out as additions land, so the block must be ORDERED:
-    never-anchored, then <= r07, then r08 tail-fill — and nothing newer
-    than r08 ever appears.  Rows-only queries are excluded from
-    positions 1-100 entirely (asserted in
-    test_registry_size_and_window)."""
+def test_planned_r13_window_composition():
+    """Positions 51-100 are the PLANNED r13 window (see the queries()
+    docstring): never-driver-anchored round-12 additions first, then the
+    three displaced pre-order slots (r07-anchored) and the r08-anchored
+    cohort head as tail-fill — i.e. next round's rotation is already
+    encoded and a drive-by registry edit can't silently push debt or
+    stale anchors past it.  Tail-fill entries are pushed out as r13
+    additions land, so the block must be ORDERED: never-anchored, then
+    <= r07, then r08 tail-fill — and nothing newer than r08 ever
+    appears.  Rows-only queries are excluded from positions 1-100
+    entirely (asserted in test_registry_size_and_window)."""
     import json
 
     root = Path(__file__).resolve().parent.parent
@@ -120,19 +124,19 @@ def test_planned_r12_window_composition():
     assert len(planned) == 50
     bad = {n: newest[n] for n in planned if newest.get(n, "00") > "08"}
     assert not bad, (
-        f"planned r12 window holds fresh-anchored entries {bad} — move them "
+        f"planned r13 window holds fresh-anchored entries {bad} — move them "
         "behind position 100 and pull debt/stale entries forward"
     )
-    # ordered: never-anchored additions, then the <= r07 cohort, then any
-    # r08 tail-fill — monotone by (is-anchored, anchor round >= 08)
+    # ordered: never-anchored additions, then the <= r07 displaced trio,
+    # then r08 tail-fill — monotone by (is-anchored, anchor round >= 08)
     phases = [
         0 if newest.get(n, "00") == "00"
         else (1 if newest[n] <= "07" else 2)
         for n in planned
     ]
     assert phases == sorted(phases), (
-        "planned r12 window is mis-ordered: never-anchored additions must "
-        "precede the r07 cohort, r08 tail-fill must come last — got "
+        "planned r13 window is mis-ordered: never-anchored additions must "
+        "precede the r07 trio, r08 tail-fill must come last — got "
         f"{list(zip(planned, phases))}"
     )
 

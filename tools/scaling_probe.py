@@ -107,6 +107,12 @@ PROBES: dict[str, list[str]] = {
         # round-11: per-source dedup-rate drift — two survivorship windows
         # + a |sources|-row compare; must inherit dedup_loss_by_source's slope
         "dedup_rate_drift_sources",
+        # round-12: token survivorship — the dedup_loss_by_source digest
+        # window + the ngram_jaccard shingle equi-join over exact
+        # survivors + one source aggregate; slope must track the pair
+        # pipeline (replica-disjoint shingles keep it bucket-local),
+        # never survivors x survivors
+        "dedup_token_survivorship",
         # round-11: span extraction — window-hash agg + h-keyed flag join +
         # per-doc islands; replica suffixes keep dup structure within-replica,
         # so flagged-window volume (and spans) scale linearly
@@ -147,6 +153,11 @@ PROBES: dict[str, list[str]] = {
         # candidate fan-out, rank-filtered per sweep value; must track the
         # corpus scan like the recall panels
         "ivf_nprobe_sweep",
+        # round-12: the suggest_nlist composition — nlist grows with the
+        # corpus (ceil(n/63)), so the cluster-local pair term must stay
+        # ~linear (the 0.73-slope config-scaled regime; contrast the
+        # pinned-nlist semantic_dedup exclusion note below)
+        "semantic_dedup_scaled",
         # round-11: rerank harness — pool build (bm25 + cosine top-k) is the
         # corpus-sized part, rerank itself is k-sized; must track the
         # retrievers' scans
@@ -161,6 +172,11 @@ PROBES: dict[str, list[str]] = {
         # |groups|-row compare; must track the score scan, with per-group
         # percentile buffers the only stateful part
         "quality_drift_sources",
+        # round-12: the sketch-contract twin — ONE aggregate carrying the
+        # exact envelope AND the GK sketch side by side; must be
+        # flat-linear like any single hash aggregate (per-group sketch
+        # state is O(accuracy), independent of n)
+        "quality_drift_approx_ok",
         # round-10: chunk relation + per-doc reassembly aggregate + token
         # stream join; must track chunk volume (docs x chunks/doc)
         "chunk_reconstruction_check",
@@ -276,6 +292,10 @@ PROBES: dict[str, list[str]] = {
         # round-9: stateful first-seen digest stream + complete-mode window
         # totals; state is O(distinct digests), emission O(novel)
         "streaming_novelty_monitor",
+        # round-12: late-data accounting — two plain windowed aggregations
+        # over the 4-drop replay (admitted + total); state is O(windows),
+        # slope must track the event volume like any windowed count
+        "streaming_late_audit",
         "psi_drift_events",
         "scd2_lookup_events",
         # session-3: KS shares PSI's binning; rank_transform is the
