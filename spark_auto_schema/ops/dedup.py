@@ -985,7 +985,12 @@ def lsh_config_sweep(
         .distinct()
     )
     # Unhinted semi-join on the union of all configs' candidate ids — the
-    # worst-scaling relation in the sweep; AQE decides the join strategy.
+    # worst-scaling relation in the sweep; AQE decides the join strategy
+    # at runtime.  This join sits under a persist() boundary, where AQE
+    # applies only with canChangeCachedPlanOutputPartitioning=true — the
+    # canonical session (session.py) sets it; without it the cached plan
+    # pins a static shuffle join (measured 5.6x at sf0.1, BASELINE
+    # round-12).
     sh_c = _persist(sh.join(uids, on="id", how="left_semi"))
     jac = _jaccard_from_shingles(sh_c)
     judged = cand.join(jac, ["id_a", "id_b"], "left").select(

@@ -63,6 +63,7 @@ def main() -> int:
         .appName("correctness-check")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
