@@ -600,12 +600,16 @@ from spark_auto_schema.registry.pipeline_r9 import (  # noqa: F401
     _quantized_recall_oracle_sql,
 )
 from spark_auto_schema.registry.pipeline_r12 import (  # noqa: F401
+    _DEDUP_PROVENANCE_SQL,
     _LATE_DATA_AUDIT_SQL,
+    _MIX_POST_DEDUP_SQL,
     _SCORE_DRIFT_APPROX_SQL,
     _SEMANTIC_DEDUP_SCALED_SQL,
     _TOKEN_SURVIVORSHIP_SQL,
     _events_stream_dir_late,
+    _q_dedup_provenance,
     _q_late_data_audit,
+    _q_mix_weights_post_dedup,
     _q_score_drift_approx_ok,
     _q_semantic_dedup_scaled,
     _q_token_survivorship,
@@ -677,11 +681,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window as a never-anchored entry).  The pins displace the three
     youngest pre-order slots (correlation_matrix_lineitem,
     streaming_ks_monitor, dq_expectations_orders -> r13 head).
-    Positions 51-100 are the planned r13 window: the four round-12
+    Positions 51-100 are the planned r13 window: the six round-12
     additions (never-anchored, backlog precedence) first —
     dedup_token_survivorship, quality_drift_approx_ok,
-    streaming_late_audit, semantic_dedup_scaled — then the displaced
-    trio and the r08-anchored cohort head as tail-fill.  Behind them:
+    streaming_late_audit, semantic_dedup_scaled, dedup_provenance_docs,
+    mix_weights_post_dedup — then the displaced trio and the
+    r08-anchored cohort head as tail-fill.  Behind them:
     the r08 remainder, the r09 cohort, the r10 cohort (minus the three
     pins), the 50 entries freshly r11-anchored, and finally the two
     rows-only terminal queries — every query past the window is
@@ -755,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_drift_approx_ok"] = _q_score_drift_approx_ok
     q["streaming_late_audit"] = _q_late_data_audit
     q["semantic_dedup_scaled"] = _q_semantic_dedup_scaled
+    q["dedup_provenance_docs"] = _q_dedup_provenance
+    q["mix_weights_post_dedup"] = _q_mix_weights_post_dedup
     # --- the three pre-order slots displaced by this round's pins,
     # then the r08-anchored cohort head as tail-fill (oldest anchors
     # first; pushed out as r13 additions land) ---
@@ -1258,4 +1265,6 @@ def oracle_sql() -> dict[str, str]:
     o["quality_drift_approx_ok"] = _SCORE_DRIFT_APPROX_SQL
     o["streaming_late_audit"] = _LATE_DATA_AUDIT_SQL
     o["semantic_dedup_scaled"] = _SEMANTIC_DEDUP_SCALED_SQL
+    o["dedup_provenance_docs"] = _DEDUP_PROVENANCE_SQL
+    o["mix_weights_post_dedup"] = _MIX_POST_DEDUP_SQL
     return o

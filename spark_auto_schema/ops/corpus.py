@@ -830,3 +830,93 @@ def curriculum_phases(
         "max_score",
         "avg_score",
     )
+
+
+def post_dedup_mix_weights(
+    survivorship: DataFrame,
+    target_shares: dict[str, float],
+    group_col: str = "source",
+    tokens_col: str = "tokens_kept_near",
+) -> DataFrame:
+    """Post-dedup mixture realization: given per-source SURVIVING token
+    counts (:func:`~.dedup.token_survivorship` output) and target token
+    SHARES, the largest corpus that honors the shares with sampling
+    rates <= 1 — ``(source, surviving_tokens, target_share, take_tokens,
+    rate, binding)``.
+
+    Mixture weights are set in tokens and dedup changes the token
+    supply unevenly per source (that is token_survivorship's whole
+    point); sampling at pre-dedup rates afterwards silently bends the
+    realized mixture.  The exact fixed-proportions solution: the total
+    budget is ``B = min over s of surviving_s / share_s`` (the BINDING
+    source is taken whole), every source contributes ``floor(B *
+    share_s)`` tokens, and ``rate = take / surviving``.  Up-weighting
+    beyond supply (rate > 1, i.e. repeating data) is a policy decision
+    this op deliberately refuses to make silently — the binding flag
+    shows exactly which source constrains the corpus and by how much.
+
+    Shares must be positive and sum to ~1 (validated); sources in the
+    survivorship frame but not in ``target_shares`` get share 0 (take 0,
+    never binding); a target source MISSING from the frame raises —
+    a mixture spec naming an absent source is a config bug, not a 0.
+
+    Scale: |sources|-row input; the binding minimum is one scalar
+    aggregate broadcast back (AQE converts) — nothing here touches the
+    corpus itself."""
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if any(v <= 0 for v in target_shares.values()):
+        raise ValueError("target shares must all be positive")
+    tot = sum(target_shares.values())
+    if abs(tot - 1.0) > 1e-6:
+        raise ValueError(f"target shares must sum to 1, got {tot}")
+    spark = survivorship.sparkSession
+    shares = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(target_shares.items())],
+        f"{group_col} string, target_share double",
+    )
+    present = {
+        r[0]
+        for r in survivorship.select(group_col)
+        .join(shares, on=group_col, how="left_semi")
+        .collect()
+    }
+    missing = sorted(set(target_shares) - present)
+    if missing:
+        raise ValueError(
+            f"target_shares name sources absent from survivorship: {missing}"
+        )
+    s = survivorship.select(
+        F.col(group_col),
+        F.col(tokens_col).cast("long").alias("surviving_tokens"),
+    ).join(shares, on=group_col, how="left")
+    s = s.withColumn(
+        "target_share", F.coalesce("target_share", F.lit(0.0))
+    )
+    budget = s.where(F.col("target_share") > 0).agg(
+        F.min(F.col("surviving_tokens") / F.col("target_share")).alias("__b")
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    out = s.crossJoin(F.broadcast(budget)).select(
+        group_col,
+        "surviving_tokens",
+        snap(F.col("target_share")).alias("target_share"),
+        F.floor(F.col("__b") * F.col("target_share"))
+        .cast("long")
+        .alias("take_tokens"),
+        snap(
+            F.when(
+                F.col("surviving_tokens") > 0,
+                F.floor(F.col("__b") * F.col("target_share"))
+                / F.col("surviving_tokens"),
+            ).otherwise(F.lit(0.0))
+        ).alias("rate"),
+        (
+            (F.col("target_share") > 0)
+            & (
+                F.col("surviving_tokens") / F.col("target_share")
+                <= F.col("__b") + F.lit(1e-9)
+            )
+        ).alias("binding"),
+    )
+    return out

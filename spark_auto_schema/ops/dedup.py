@@ -2259,6 +2259,79 @@ def dedup_loss_by_source(
     )
 
 
+def dedup_provenance(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Per-document dedup audit trail for the standard exact-then-near
+    pipeline: ``(doc_id, source, stage, winner_id)`` where ``stage`` is
+    ``'kept'`` (survived both stages, ``winner_id`` NULL), ``'exact'``
+    (dropped by exact dedup; ``winner_id`` = the keep-lowest-id digest
+    winner), or ``'near'`` (survived exact, dropped by n-gram-Jaccard
+    near dedup; ``winner_id`` = the SMALLEST-id verified partner — the
+    deterministic attribution).
+
+    The operational complement of :func:`token_survivorship`'s rollup:
+    when a source owner asks "why did my documents disappear", the
+    per-source fractions say how much, this says WHICH documents and to
+    WHOM each lost — the record a governed corpus keeps next to the
+    training manifest (takedown tracing, syndication disputes, dedup
+    regression triage between releases).
+
+    Dataflow: the same one digest window + survivor-side bucketed
+    shingle equi-join as the rollup twin; the near winner is one
+    ``min(id_a) GROUP BY id_b`` over the verified pair set (pair-sized),
+    joined back unhinted — the output stays |corpus|-row but every
+    intermediate is the dedup pipeline the corpus already pays for."""
+    d = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy("__d").orderBy(F.col(id_col))
+    marked = _persist(
+        df.select(
+            F.col(id_col), F.col(group_col), F.col(text_col), d.alias("__d")
+        ).select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(text_col),
+            F.first(id_col).over(w).alias("__winner"),
+        )
+    )
+    survivors = marked.where(F.col(id_col) == F.col("__winner"))
+    near_winner = (
+        ngram_jaccard_pairs(
+            survivors,
+            text_col=text_col,
+            id_col=id_col,
+            n=shingle_n,
+            threshold=threshold,
+            hashed=True,
+            max_df=max_df,
+        )
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("__near_winner"))
+    )
+    return (
+        marked.join(near_winner, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.when(F.col(id_col) != F.col("__winner"), F.lit("exact"))
+            .when(F.col("__near_winner").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+            F.when(
+                F.col(id_col) != F.col("__winner"), F.col("__winner")
+            )
+            .otherwise(F.col("__near_winner"))
+            .alias("winner_id"),
+        )
+    )
+
+
 def token_survivorship(
     df: DataFrame,
     group_col: str = "source",

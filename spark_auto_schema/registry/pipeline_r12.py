@@ -44,7 +44,11 @@ def _q_token_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.token_survivorship(_spread_docs(spark, sf_dir))
 
 
-_TOKEN_SURVIVORSHIP_SQL = f"""
+# Shared exact-then-near pipeline CTEs (digest survivorship window +
+# survivor-side shingle/Jaccard verified pairs) — the SQL twin of the
+# marked/survivors/ngram_jaccard_pairs stages that token_survivorship
+# and dedup_provenance both build on.
+_EXACT_NEAR_CTE = """
 WITH tok AS (
   SELECT doc_id, source, coalesce(text, '') AS t,
          CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
@@ -66,11 +70,17 @@ WITH tok AS (
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-), nd AS (
-  SELECT DISTINCT id_b AS doc_id
+), jacp AS (
+  SELECT id_a, id_b
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
   WHERE CAST(round(CAST(c * 1.0 / (sa.sz + sb.sz - c) AS DECIMAL(18,12)), 4)
              AS DOUBLE) >= 0.8
+)"""
+
+
+_TOKEN_SURVIVORSHIP_SQL = f"""{_EXACT_NEAR_CTE}
+, nd AS (
+  SELECT DISTINCT id_b AS doc_id FROM jacp
 )
 SELECT m.source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -288,3 +298,86 @@ def _q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMANTIC_DEDUP_SCALED_SQL = _semantic_dedup_sql(
     _SDS_ORACLE_NLIST, _SDS_THRESHOLD
 )
+
+
+# ------------------------------------------------- dedup provenance
+def _q_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup audit trail (`ops/dedup.py` dedup_provenance):
+    for every document, whether the standard exact-then-near pipeline
+    kept it, dropped it at the exact stage (winner = the keep-lowest-id
+    digest holder) or at the near stage (winner = the smallest-id
+    verified Jaccard partner) — the record takedown tracing and dedup
+    regression triage read.  The oracle replays the digest window, the
+    survivor-side pair pipeline, and the min-partner attribution."""
+    return dedup.dedup_provenance(_spread_docs(spark, sf_dir))
+
+
+_DEDUP_PROVENANCE_SQL = f"""{_EXACT_NEAR_CTE}
+, w AS (
+  SELECT doc_id, source,
+         min(doc_id) OVER (PARTITION BY dg) AS winner
+  FROM tok
+), nw AS (
+  SELECT id_b AS doc_id, min(id_a) AS near_winner FROM jacp GROUP BY 1
+)
+SELECT w.doc_id, w.source,
+       CASE WHEN w.doc_id != w.winner THEN 'exact'
+            WHEN nw.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS stage,
+       CASE WHEN w.doc_id != w.winner THEN w.winner
+            ELSE nw.near_winner END AS winner_id
+FROM w LEFT JOIN nw ON nw.doc_id = w.doc_id
+"""
+
+
+# ------------------------------------------------- post-dedup mixture
+# target token shares over the 20 testdata sources: share(src_i) =
+# (i+1)/210 — non-uniform, deterministic, sums to exactly 1
+_MIX_N_SOURCES = 20
+_MIX_DENOM = _MIX_N_SOURCES * (_MIX_N_SOURCES + 1) // 2
+
+
+def _mix_target_shares() -> dict:
+    return {
+        f"src{i}": (i + 1) / _MIX_DENOM for i in range(_MIX_N_SOURCES)
+    }
+
+
+def _q_mix_weights_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup mixture realization (`ops/corpus.py`
+    post_dedup_mix_weights over token_survivorship): the largest corpus
+    honoring a fixed target token mixture with sampling rates <= 1,
+    computed from SURVIVING tokens — the number a loader must use once
+    dedup has bent the per-source token supply.  The binding flag names
+    the constraining source.  The oracle replays the survivorship
+    pipeline, the (i+1)/210 share ladder, the min(surviving/share)
+    budget, and the floor/rate/binding arithmetic."""
+    surv = dedup.token_survivorship(_spread_docs(spark, sf_dir))
+    from spark_auto_schema.ops import corpus
+
+    return corpus.post_dedup_mix_weights(surv, _mix_target_shares())
+
+
+_MIX_POST_DEDUP_SQL = f"""{_EXACT_NEAR_CTE}
+, nd AS (
+  SELECT DISTINCT id_b AS doc_id FROM jacp
+), surv AS (
+  SELECT m.source,
+         CAST(sum(CASE WHEN kept AND nd.doc_id IS NULL THEN tk ELSE 0 END)
+              AS BIGINT) AS surviving_tokens
+  FROM m LEFT JOIN nd ON nd.doc_id = m.doc_id
+  GROUP BY 1
+), shr AS (
+  SELECT source, surviving_tokens,
+         (CAST(substr(source, 4) AS INT) + 1) / {float(_MIX_DENOM)} AS share
+  FROM surv
+), b AS (
+  SELECT min(surviving_tokens / share) AS bb FROM shr WHERE share > 0
+)
+SELECT source, surviving_tokens,
+       {_SNAP6("share")} AS target_share,
+       CAST(floor(bb * share) AS BIGINT) AS take_tokens,
+       {_SNAP6("CASE WHEN surviving_tokens > 0 THEN floor(bb * share) / surviving_tokens ELSE 0.0 END")} AS rate,
+       (share > 0 AND surviving_tokens / share <= bb + 1e-9) AS binding
+FROM shr, b
+"""

@@ -1360,3 +1360,33 @@ def test_quantile_sketch_contract_is_one_aggregate(spark):
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 1, plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_dedup_provenance_and_mix_weights_plan_shape(spark):
+    """Provenance: one digest window + the bucketed pair pipeline, no
+    cartesian, no Python eval, no hints beyond ngram_jaccard_pairs' own
+    bounded hot-shingle caps.  Mix weights: the budget scalar rides ONE
+    explicitly-broadcast 1-row frame; no sort-merge join anywhere in the
+    |sources|-row tail."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import corpus, dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    prov = dedup.dedup_provenance(docs)
+    plan = plan_of(prov, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    surv = dedup.token_survivorship(docs)
+    mw = corpus.post_dedup_mix_weights(
+        surv, {f"src{i}": (i + 1) / 210 for i in range(20)}
+    )
+    plan = plan_of(mw, "simple")
+    assert "CartesianProduct" not in plan
+    # the scalar budget crossJoin must be a broadcast nested-loop of a
+    # 1-row frame, never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    dedup.release_caches()

@@ -254,3 +254,103 @@ def test_semantic_dedup_scaled_composition(spark):
     )
     assert composed.exceptAll(explicit).count() == 0
     assert explicit.exceptAll(composed).count() == 0
+
+
+# ------------------------------------------------------- dedup_provenance
+def test_dedup_provenance_planted_pipeline(spark):
+    """Planted corpus: doc 2 is an exact copy of 1 (stage='exact',
+    winner 1), doc 3 a near-dup of 1 (stage='near', winner 1), doc 5 a
+    near-dup of BOTH 1 and 3 — its winner must be the SMALLEST partner
+    id (1, not 3) — and doc 4 is clean.  Exact drops are attributed
+    even when the text also near-matches others (exact takes
+    precedence), and kept rows carry a NULL winner."""
+    from spark_auto_schema.ops import dedup
+
+    base = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, "s1", base),
+            (2, "s2", base),
+            (3, "s2", base + " SEVEN"),
+            (4, "s3", "totally different words here indeed"),
+            (5, "s1", base + " EIGHT"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["stage"], r["winner_id"])
+        for r in dedup.dedup_provenance(df, threshold=0.4).collect()
+    }
+    assert got[1] == ("kept", None)
+    assert got[2] == ("exact", 1)
+    assert got[3] == ("near", 1)
+    assert got[4] == ("kept", None)
+    assert got[5] == ("near", 1)  # min(1, 3), not 3
+    dedup.release_caches()
+
+
+def test_dedup_provenance_consistent_with_token_survivorship(spark):
+    """Cross-op law on the real table: the provenance stages must
+    aggregate to EXACTLY token_survivorship's per-source doc/kept
+    accounting (same pipeline, two projections)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    prov = (
+        dedup.dedup_provenance(d)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("stage") != "exact").cast("long")).alias("n_exact_kept"),
+            F.sum((F.col("stage") == "kept").cast("long")).alias("n_kept"),
+        )
+    )
+    surv = {r["source"]: r for r in dedup.token_survivorship(d).collect()}
+    for r in prov.collect():
+        s = surv[r["source"]]
+        assert r["n_docs"] == s["n_docs"]
+        # token twin has no doc-count columns for the near stage, but a
+        # source with zero token loss must be all-kept here too
+        if s["token_loss_frac"] == 0.0:
+            assert r["n_kept"] == r["n_docs"]
+    dedup.release_caches()
+
+
+# ------------------------------------------------- post_dedup_mix_weights
+def test_post_dedup_mix_weights_laws(spark):
+    """Exact fixed-proportions algebra on a hand corpus: budget = the
+    binding source's surviving/share; every take = floor(B * share);
+    rates <= 1 with the binding source's rate == 1; a zero-share source
+    takes nothing; validation rejects bad share vectors and absent
+    sources."""
+    import pytest as _pytest
+
+    from spark_auto_schema.ops import corpus
+
+    surv = spark.createDataFrame(
+        [("a", 1000), ("b", 4000), ("c", 100)],
+        "source string, tokens_kept_near long",
+    )
+    # shares: a 0.5, b 0.5 -> budget = min(1000/.5, 4000/.5) = 2000
+    out = {
+        r["source"]: r
+        for r in corpus.post_dedup_mix_weights(
+            surv, {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert out["a"]["binding"] and not out["b"]["binding"]
+    assert out["a"]["take_tokens"] == 1000 and out["a"]["rate"] == 1.0
+    assert out["b"]["take_tokens"] == 1000 and out["b"]["rate"] == 0.25
+    assert out["c"]["take_tokens"] == 0 and not out["c"]["binding"]
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        corpus.post_dedup_mix_weights(surv, {"a": 0.5, "b": 0.6})
+    with _pytest.raises(ValueError, match="positive"):
+        corpus.post_dedup_mix_weights(surv, {"a": 1.5, "b": -0.5})
+    with _pytest.raises(ValueError, match="absent"):
+        corpus.post_dedup_mix_weights(surv, {"a": 0.5, "zz": 0.5})
+    with _pytest.raises(ValueError, match="non-empty"):
+        corpus.post_dedup_mix_weights(surv, {})

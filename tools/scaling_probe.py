@@ -113,6 +113,10 @@ PROBES: dict[str, list[str]] = {
         # pipeline (replica-disjoint shingles keep it bucket-local),
         # never survivors x survivors
         "dedup_token_survivorship",
+        # round-12: per-doc provenance — the same pipeline projected to
+        # doc granularity + a pair-sized min-partner aggregate; must
+        # inherit token_survivorship's slope exactly
+        "dedup_provenance_docs",
         # round-11: span extraction — window-hash agg + h-keyed flag join +
         # per-doc islands; replica suffixes keep dup structure within-replica,
         # so flagged-window volume (and spans) scale linearly
@@ -250,6 +254,10 @@ PROBES: dict[str, list[str]] = {
     # super-linear slope here implicates the operators, not the data);
     # group-quantile/HLL scale with events, zorder with lineitem.
     "curation": [
+        # round-12: post-dedup mixture realization — the survivorship
+        # pipeline + a |sources|-row share/budget tail; must inherit the
+        # survivorship slope (the tail is constant-size)
+        "mix_weights_post_dedup",
         # round-11: curriculum bands — one percentile agg + in-scan
         # assignment + |phases|-row rollup; must be flat-linear
         "curriculum_phases",
