@@ -101,6 +101,12 @@ def _release_op_caches() -> None:
     except Exception:
         pass
     try:
+        from spark_auto_schema.ops import corpus as _corpus
+
+        _corpus.release_caches()
+    except Exception:
+        pass
+    try:
         from spark_auto_schema.ops import sampling as _sampling
 
         _sampling.release_caches()

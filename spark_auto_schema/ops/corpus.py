@@ -45,6 +45,23 @@ from pyspark.sql import functions as F
 # printable delimiter).
 _FS = "\x1f"
 
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by this module's operators."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
 
 # ---------------------------------------------------------------- profiling
 def profile_table(
@@ -870,6 +887,10 @@ def post_dedup_mix_weights(
     tot = sum(target_shares.values())
     if abs(tot - 1.0) > 1e-6:
         raise ValueError(f"target shares must sum to 1, got {tot}")
+    # the survivorship frame is typically the full exact+near dedup
+    # pipeline; three actions read it below (presence validation, the
+    # budget scalar, the output) — persist once or pay the pipeline 3x
+    survivorship = _persist(survivorship)
     spark = survivorship.sparkSession
     shares = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(target_shares.items())],

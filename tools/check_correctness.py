@@ -176,6 +176,12 @@ def main() -> int:
             _sampling.release_caches()
         except Exception:
             pass
+        try:
+            from spark_auto_schema.ops import corpus as _corpus
+
+            _corpus.release_caches()
+        except Exception:
+            pass
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

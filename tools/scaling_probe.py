@@ -439,7 +439,7 @@ def _build_dir(spark, src: str, out: str, replicas: int) -> None:
 
 
 def _release_caches() -> None:
-    for mod in ("dedup", "text", "similarity", "sampling"):
+    for mod in ("dedup", "text", "similarity", "sampling", "corpus"):
         try:
             import importlib
 
