@@ -667,107 +667,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Their semantics stay pinned by oracle-checked contract twins and the
     local mirror.
 
-    Round-12 window: executes the pre-order committed in round 11 — the
-    8 round-11 operators (never-anchored, debt back to ZERO:
-    dedup_rate_drift_sources through lsh_config_sweep), semantic_dedup
-    (the shared-pair-stage re-anchor queued at the r12 head last round),
-    the displaced pair (skew_profile_events, streaming_drift_monitor)
-    and the r07-anchored remainder — plus three policy-(b) pins whose
-    code changed this round: minhash_dup_pairs, minhash_md5_dup_pairs
-    and incremental_near_dedup (the round-11 verdict's broadcast-hint
-    removal — the unconditional F.broadcast on candidate-id sets in the
-    MinHash/LSH verify paths is gone; AQE now picks the join strategy;
-    lsh_config_sweep is the fourth changed path and already sits in the
-    window as a never-anchored entry).  The pins displace the three
-    youngest pre-order slots (correlation_matrix_lineitem,
-    streaming_ks_monitor, dq_expectations_orders -> r13 head).
-    Positions 51-100 are the planned r13 window: the six round-12
-    additions (never-anchored, backlog precedence) first —
+    Round-13 window: executes the pre-order committed in round 12 (and
+    machine-checked there by test_planned_r13_window_composition) — the
+    six round-12 additions (never-anchored, debt back to ZERO:
     dedup_token_survivorship, quality_drift_approx_ok,
     streaming_late_audit, semantic_dedup_scaled, dedup_provenance_docs,
-    mix_weights_post_dedup — then the displaced trio and the
-    r08-anchored cohort head as tail-fill.  Behind them:
-    the r08 remainder, the r09 cohort, the r10 cohort (minus the three
-    pins), the 50 entries freshly r11-anchored, and finally the two
-    rows-only terminal queries — every query past the window is
-    driver-green on current code r08-r11 and stays covered by the local
-    mirror (tools/check_correctness.py) and pytest every round."""
+    mix_weights_post_dedup), the displaced r07 trio
+    (correlation_matrix_lineitem, streaming_ks_monitor,
+    dq_expectations_orders) and the r08-anchored cohort head as
+    tail-fill — plus five policy-(b) pins whose code changed this round:
+    semantic_dedup, semantic_threshold_sweep, incremental_semantic_dedup,
+    topic_share_balance and kmeans_inertia_ok (the round-12 verdict's
+    literal-centroid finding — every centroid-assignment site now routes
+    through _assign_nearest, which swaps the plan-literal argmin for a
+    broadcast-join argmin above a few-hundred-centroid cutover;
+    semantic_dedup_scaled is the sixth changed path and already heads the
+    window as a never-anchored entry).  The pins displace the five
+    youngest r08 tail-fill slots (parts_supplier_count, small_qty_revenue,
+    large_volume_orders, discount_band_revenue, sales_opportunity -> r14
+    head).  Positions 51-100 are the planned r14 window: round-13
+    additions (never-anchored, backlog precedence) first, then the five
+    displaced r08 slots, the r08 remainder and the r09 cohort head as
+    tail-fill.  Behind them: the r09 remainder, the r10/r11 cohorts
+    (minus the two pins), the 47 entries freshly r12-anchored, and
+    finally the two rows-only terminal queries — every query past the
+    window is driver-green on current code r08-r12 and stays covered by
+    the local mirror (tools/check_correctness.py) and pytest every
+    round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r12 window (positions 1-50; executes the pre-order committed in
-    # r11): the 8 round-11 operators (never-anchored, debt back to zero),
-    # semantic_dedup (shared-pair-stage re-anchor), the displaced pair +
-    # the r07-anchored remainder, and 3 policy-(b) pins for this round's
-    # broadcast-hint removal in the MinHash/LSH verify family
-    # (ops/dedup.py minhash_lsh_pairs[_md5] / incremental_near_dedup --
-    # lsh_config_sweep is the fourth changed path and is already in the
-    # window as a never-anchored entry); the pins displace the three
-    # youngest pre-order slots (correlation_matrix_lineitem,
-    # streaming_ks_monitor, dq_expectations_orders -> r13 head) ---
-    q["dedup_rate_drift_sources"] = _q_dedup_rate_drift
-    q["curriculum_phases"] = _q_curriculum_phases
-    q["contamination_ngram_sweep"] = _q_contamination_sweep
-    q["rerank_cross_encoder"] = _q_rerank
-    q["dup_spans"] = _q_dup_spans
-    q["semantic_threshold_sweep"] = _q_semantic_tsweep
-    q["ivf_nprobe_sweep"] = _q_ivf_nprobe_sweep
-    q["lsh_config_sweep"] = _q_lsh_config_sweep
-    q["semantic_dedup"] = _q_semantic_dedup
-    q["skew_profile_events"] = _q_skew_profile
-    q["streaming_drift_monitor"] = _q_streaming_drift
-    q["merge_insert_only_orders"] = _q_merge_insert_only
-    q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
-    q["media_resize"] = _q_media_resize
-    q["approx_percentile_ok"] = _q_approx_percentile_ok
-    q["group_quantile_filter"] = _q_group_quantile_filter
-    q["hll_sharded_uniques"] = _q_hll_sharded_uniques
-    q["zorder_roundtrip"] = _q_zorder_roundtrip
-    q["streaming_attribution"] = _q_streaming_attribution
-    q["tombstone_delete"] = _q_tombstone_delete
-    q["compact_roundtrip"] = _q_compact_roundtrip
-    q["binary_hamming_topk"] = _q_binary_hamming_topk
-    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
-    q["winsorize_events"] = _q_winsorize_events
-    q["streaming_sessions"] = _q_streaming_sessions
-    q["domain_cap_docs"] = _q_domain_cap_docs
-    q["burst_collapse_events"] = _q_burst_collapse_events
-    q["scd2_order_status"] = _q_scd2_order_status
-    q["zone_map_events"] = _q_zone_map_events
-    q["psi_drift_events"] = _q_psi_drift
-    q["csv_quarantine"] = _q_csv_quarantine
-    q["key_suggestions"] = _q_key_suggestions
-    q["key_suggestions_approx_ok"] = _q_key_suggestions_approx_ok
-    q["fk_profile"] = _q_fk_profile
-    q["streaming_psi_monitor"] = _q_streaming_psi_monitor
-    q["equidepth_histogram_events"] = _q_equidepth_histogram
-    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
-    q["remove_boilerplate_docs"] = _q_remove_boilerplate
-    q["kfold_split_docs"] = _q_kfold_split
-    q["time_embargo_split_events"] = _q_time_embargo_split
-    q["ks_drift_events"] = _q_ks_drift
-    q["interval_overlap_sessions"] = _q_interval_overlap
-    q["jl_projection"] = _q_jl_projection
-    q["length_buckets_docs"] = _q_length_buckets
-    q["containment_docs"] = _q_containment
-    q["bigram_logprob_docs"] = _q_bigram_logprob
-    q["rank_transform_events"] = _q_rank_transform
-    q["minhash_dup_pairs"] = _q_minhash_pairs
-    q["minhash_md5_dup_pairs"] = _q_minhash_md5
-    q["incremental_near_dedup"] = _q_incremental_near_dedup
-    # ---- entries below are past the driver's 50-entry window ----
-    # --- planned r13 window head: queries added in round 12
-    # (never-anchored; backlog precedence over anchored entries) ---
+    # --- r13 window (positions 1-50; executes the pre-order committed in
+    # r12 and machine-checked by the round-12
+    # test_planned_r13_window_composition): the six round-12 additions
+    # (never-anchored, debt back to zero), the displaced r07 trio, the
+    # r08-anchored cohort head as tail-fill, and 5 policy-(b) pins for
+    # this round's centroid-assignment path change (ops/similarity.py --
+    # the literal-centroid argmin gained a broadcast-join twin with an
+    # automatic cutover, so every query through _assign_nearest re-anchors:
+    # semantic_dedup, semantic_threshold_sweep, incremental_semantic_dedup,
+    # topic_share_balance, kmeans_inertia_ok); the pins displace the five
+    # youngest r08 tail-fill slots (parts_supplier_count ..
+    # sales_opportunity -> r14 head) ---
     q["dedup_token_survivorship"] = _q_token_survivorship
     q["quality_drift_approx_ok"] = _q_score_drift_approx_ok
     q["streaming_late_audit"] = _q_late_data_audit
     q["semantic_dedup_scaled"] = _q_semantic_dedup_scaled
     q["dedup_provenance_docs"] = _q_dedup_provenance
     q["mix_weights_post_dedup"] = _q_mix_weights_post_dedup
-    # --- the three pre-order slots displaced by this round's pins,
-    # then the r08-anchored cohort head as tail-fill (oldest anchors
-    # first; pushed out as r13 additions land) ---
     q["correlation_matrix_lineitem"] = _q_correlation_matrix
     q["streaming_ks_monitor"] = _q_streaming_ks_monitor
     q["dq_expectations_orders"] = _q_dq_expectations
+    # r08 tail-fill (oldest anchors first)
     q["calibration_bins_docs"] = _q_calibration_bins
     q["binned_roc_docs"] = _q_binned_roc
     q["transition_matrix_events"] = _q_transition_matrix
@@ -804,25 +753,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["returned_items"] = _q_returned_items
     q["promo_revenue"] = _q_promo_revenue
     q["top_supplier"] = _q_top_supplier
+    # policy-(b) pins: centroid-assignment code changed this round
+    q["semantic_dedup"] = _q_semantic_dedup
+    q["semantic_threshold_sweep"] = _q_semantic_tsweep
+    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
+    q["topic_share_balance"] = _q_topic_share_balance
+    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- planned r14 window head: queries added in round 13
+    # (never-anchored; backlog precedence over anchored entries) are
+    # inserted HERE as they land, then the five r08 slots displaced by
+    # this round's pins, the r08 remainder, and the r09 cohort as
+    # tail-fill ---
     q["parts_supplier_count"] = _q_parts_supplier_count
     q["small_qty_revenue"] = _q_small_qty_revenue
     q["large_volume_orders"] = _q_large_volume_orders
     q["discount_band_revenue"] = _q_discount_band_revenue
     q["sales_opportunity"] = _q_sales_opportunity
+    # r08-anchored cohort remainder
     q["cheapest_part_per_type"] = _q_cheapest_part_per_type
     q["segment_dedup_docs"] = _q_segment_dedup
-    # --- r08-anchored cohort remainder (behind the planned window) ---
     q["ngram_novelty_docs"] = _q_ngram_novelty
     q["classifier_scores"] = _q_classifier_scores
     q["profile_docs"] = _q_profile_docs
     q["corpus_diff_docs"] = _q_corpus_diff
     q["epoch_shuffle_docs"] = _q_epoch_shuffle
-    # --- r09-anchored cohort (freshest after r08; queue for r14+) ---
+    # --- r09-anchored cohort (tail-fill for the planned r14 window;
+    # minus topic_share_balance, pinned into the r13 window) ---
     q["nfkc_normalize_docs"] = _q_nfkc_normalize
     q["url_domain_rollup"] = _q_url_domain_rollup
     q["token_window_dedup_docs"] = _q_token_window_dedup
     q["tokenizer_fertility_sources"] = _q_tokenizer_fertility
-    q["topic_share_balance"] = _q_topic_share_balance
     q["top_repeated_substrings"] = _q_top_repeated_substrings
     q["syndication_matrix"] = _q_syndication_matrix
     q["zipf_slope_sources"] = _q_zipf_slope
@@ -867,8 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _q_pack_sequences
     q["ewma_user_values"] = _q_ewma_user_values
     q["repeated_ngram_coverage"] = _q_repeated_ngram_coverage
-    # --- r10-anchored cohort (minus the three policy-(b) pins moved
-    # into the r12 window) ---
+    # --- r10-anchored cohort (minus kmeans_inertia_ok, pinned into
+    # the r13 window) and the r11-anchored cohort ---
     q["pii_density_sources"] = _q_pii_density
     q["lm_kl_sources"] = _q_lm_kl
     q["retrieval_recall_panel"] = _q_retrieval_recall
@@ -907,7 +868,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_topk"] = _q_ivf_topk
     q["embedding_label_neardup"] = _q_label_neardup
     q["embedding_dim_stats"] = _q_embedding_dim_stats
-    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
     q["text_stats"] = _q_text_stats
     q["token_count"] = _q_token_count
     q["lang_id"] = _q_lang_id
@@ -915,8 +875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["heavy_hitters_sketch"] = _q_heavy_hitters
     q["canonical_docs"] = _q_canonical_docs
     q["leakage_safe_split"] = _q_leakage_safe_split
-    # --- r11-anchored cohort (the round-11 driver window; freshest, so
-    # they queue last for rotation) ---
     q["lsh_recall_panel"] = _q_lsh_recall
     q["contamination_snapshot_diff"] = _q_contamination_diff
     q["quality_drift_sources"] = _q_quality_drift
@@ -967,6 +925,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["schema_evolution_roundtrip"] = _q_schema_evolution_roundtrip
     q["streaming_novelty_monitor"] = _q_streaming_novelty
     q["embedding_quantize"] = _q_quantize_embeddings
+    # --- r12-anchored cohort (the round-12 driver window minus the three
+    # centroid-family pins; freshest, so they queue last for rotation) ---
+    q["dedup_rate_drift_sources"] = _q_dedup_rate_drift
+    q["curriculum_phases"] = _q_curriculum_phases
+    q["contamination_ngram_sweep"] = _q_contamination_sweep
+    q["rerank_cross_encoder"] = _q_rerank
+    q["dup_spans"] = _q_dup_spans
+    q["ivf_nprobe_sweep"] = _q_ivf_nprobe_sweep
+    q["lsh_config_sweep"] = _q_lsh_config_sweep
+    q["skew_profile_events"] = _q_skew_profile
+    q["streaming_drift_monitor"] = _q_streaming_drift
+    q["merge_insert_only_orders"] = _q_merge_insert_only
+    q["range_partitioned_roundtrip"] = _q_range_partitioned_roundtrip
+    q["media_resize"] = _q_media_resize
+    q["approx_percentile_ok"] = _q_approx_percentile_ok
+    q["group_quantile_filter"] = _q_group_quantile_filter
+    q["hll_sharded_uniques"] = _q_hll_sharded_uniques
+    q["zorder_roundtrip"] = _q_zorder_roundtrip
+    q["streaming_attribution"] = _q_streaming_attribution
+    q["tombstone_delete"] = _q_tombstone_delete
+    q["compact_roundtrip"] = _q_compact_roundtrip
+    q["binary_hamming_topk"] = _q_binary_hamming_topk
+    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
+    q["winsorize_events"] = _q_winsorize_events
+    q["streaming_sessions"] = _q_streaming_sessions
+    q["domain_cap_docs"] = _q_domain_cap_docs
+    q["burst_collapse_events"] = _q_burst_collapse_events
+    q["scd2_order_status"] = _q_scd2_order_status
+    q["zone_map_events"] = _q_zone_map_events
+    q["psi_drift_events"] = _q_psi_drift
+    q["csv_quarantine"] = _q_csv_quarantine
+    q["key_suggestions"] = _q_key_suggestions
+    q["key_suggestions_approx_ok"] = _q_key_suggestions_approx_ok
+    q["fk_profile"] = _q_fk_profile
+    q["streaming_psi_monitor"] = _q_streaming_psi_monitor
+    q["equidepth_histogram_events"] = _q_equidepth_histogram
+    q["remove_boilerplate_docs"] = _q_remove_boilerplate
+    q["kfold_split_docs"] = _q_kfold_split
+    q["time_embargo_split_events"] = _q_time_embargo_split
+    q["ks_drift_events"] = _q_ks_drift
+    q["interval_overlap_sessions"] = _q_interval_overlap
+    q["jl_projection"] = _q_jl_projection
+    q["length_buckets_docs"] = _q_length_buckets
+    q["containment_docs"] = _q_containment
+    q["bigram_logprob_docs"] = _q_bigram_logprob
+    q["rank_transform_events"] = _q_rank_transform
+    q["minhash_dup_pairs"] = _q_minhash_pairs
+    q["minhash_md5_dup_pairs"] = _q_minhash_md5
+    q["incremental_near_dedup"] = _q_incremental_near_dedup
     # --- rows-only terminal queries (no DuckDB oracle possible: xxhash64
     # signatures; driver scores them err:no_oracle, so they are permanently
     # window-ineligible -- semantics pinned by oracle-checked contract twins

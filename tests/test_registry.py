@@ -40,33 +40,36 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r12 rotation: executes the pre-order committed in round 11 — the 8
-    # round-11 operators (never-anchored), semantic_dedup, the displaced
-    # pair + the r07-anchored remainder, and 3 policy-(b) pins for this
-    # round's broadcast-hint removal in the MinHash/LSH verify paths
+    # r13 rotation: executes the pre-order committed in round 12 — the six
+    # round-12 additions (never-anchored), the displaced r07 trio, the
+    # r08-anchored cohort head as tail-fill, and 5 policy-(b) pins for
+    # this round's centroid-assignment path change (ops/similarity.py
+    # _assign_nearest: literal argmin gained a broadcast-join twin)
     for member in (
-        "dedup_rate_drift_sources",   # r11-op backlog head
-        "lsh_config_sweep",           # 8th r11 op (also a changed path)
-        "semantic_dedup",             # shared-pair-stage re-anchor
-        "skew_profile_events",        # displaced-pair head
-        "streaming_drift_monitor",    # 2nd displaced entry
-        "merge_insert_only_orders",   # r07 remainder head
-        "rank_transform_events",      # last surviving r07 remainder entry
-        "minhash_dup_pairs",          # policy-(b) pin: unhinted verify join
-        "minhash_md5_dup_pairs",      # policy-(b) pin: unhinted verify join
-        "incremental_near_dedup",     # policy-(b) pin: unhinted verify joins
+        "dedup_token_survivorship",   # r12-addition backlog head
+        "mix_weights_post_dedup",     # 6th r12 addition
+        "correlation_matrix_lineitem",  # displaced-trio head (r07)
+        "streaming_ks_monitor",       # 2nd displaced entry (r07)
+        "dq_expectations_orders",     # 3rd displaced entry (r07)
+        "calibration_bins_docs",      # r08 tail-fill head
+        "top_supplier",               # last surviving r08 tail-fill entry
+        "semantic_dedup",             # policy-(b) pin: assignment path
+        "topic_share_balance",        # policy-(b) pin: assignment path
+        "kmeans_inertia_ok",          # policy-(b) pin: assignment path
     ):
         assert member in window, member
-    # freshly r10/r11-anchored entries never re-enter (except explicit
+    # freshly r11/r12-anchored entries never re-enter (except explicit
     # policy-(b) pins); rows-only queries are permanently
     # window-INELIGIBLE (driver can only score err:no_oracle)
     for rotated_out in (
         "lsh_recall_panel", "packing_length_sweep", "fingerprint_docs",
         "streaming_novelty_monitor", "embedding_quantize",
         "pii_density_sources", "infer_lineitem", "canonical_docs",
-        # the three pre-order slots the pins displaced -> r13 head
-        "correlation_matrix_lineitem", "streaming_ks_monitor",
-        "dq_expectations_orders",
+        "dedup_rate_drift_sources", "lsh_config_sweep",
+        "minhash_dup_pairs", "incremental_near_dedup",
+        # the five r08 tail-fill slots the pins displaced -> r14 head
+        "parts_supplier_count", "small_qty_revenue", "large_volume_orders",
+        "discount_band_revenue", "sales_opportunity",
     ):
         assert rotated_out not in window, rotated_out
     assert not (ROWS_ONLY & set(qs[:100])), (
@@ -100,17 +103,18 @@ def test_driver_window_utilization():
     )
 
 
-def test_planned_r13_window_composition():
-    """Positions 51-100 are the PLANNED r13 window (see the queries()
-    docstring): never-driver-anchored round-12 additions first, then the
-    three displaced pre-order slots (r07-anchored) and the r08-anchored
-    cohort head as tail-fill — i.e. next round's rotation is already
-    encoded and a drive-by registry edit can't silently push debt or
-    stale anchors past it.  Tail-fill entries are pushed out as r13
-    additions land, so the block must be ORDERED: never-anchored, then
-    <= r07, then r08 tail-fill — and nothing newer than r08 ever
-    appears.  Rows-only queries are excluded from positions 1-100
-    entirely (asserted in test_registry_size_and_window)."""
+def test_planned_r14_window_composition():
+    """Positions 51-100 are the PLANNED r14 window (see the queries()
+    docstring): never-driver-anchored round-13 additions first, then the
+    five r08-anchored slots this round's pins displaced plus the r08
+    remainder, and the r09-anchored cohort head as tail-fill — i.e. next
+    round's rotation is already encoded and a drive-by registry edit
+    can't silently push debt or stale anchors past it.  Tail-fill
+    entries are pushed out as r13 additions land, so the block must be
+    ORDERED: never-anchored, then <= r08, then r09 tail-fill — and
+    nothing newer than r09 ever appears.  Rows-only queries are excluded
+    from positions 1-100 entirely (asserted in
+    test_registry_size_and_window)."""
     import json
 
     root = Path(__file__).resolve().parent.parent
@@ -122,21 +126,22 @@ def test_planned_r13_window_composition():
     qs = list(entry.queries())
     planned = qs[50:100]
     assert len(planned) == 50
-    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "08"}
+    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "09"}
     assert not bad, (
-        f"planned r13 window holds fresh-anchored entries {bad} — move them "
+        f"planned r14 window holds fresh-anchored entries {bad} — move them "
         "behind position 100 and pull debt/stale entries forward"
     )
-    # ordered: never-anchored additions, then the <= r07 displaced trio,
-    # then r08 tail-fill — monotone by (is-anchored, anchor round >= 08)
+    # ordered: never-anchored additions, then the <= r08 displaced slots
+    # and remainder, then r09 tail-fill — monotone by (is-anchored,
+    # anchor round >= 09)
     phases = [
         0 if newest.get(n, "00") == "00"
-        else (1 if newest[n] <= "07" else 2)
+        else (1 if newest[n] <= "08" else 2)
         for n in planned
     ]
     assert phases == sorted(phases), (
-        "planned r13 window is mis-ordered: never-anchored additions must "
-        "precede the r07 trio, r08 tail-fill must come last — got "
+        "planned r14 window is mis-ordered: never-anchored additions must "
+        "precede the r08 block, r09 tail-fill must come last — got "
         f"{list(zip(planned, phases))}"
     )
 
