@@ -614,6 +614,12 @@ from spark_auto_schema.registry.pipeline_r12 import (  # noqa: F401
     _q_semantic_dedup_scaled,
     _q_token_survivorship,
 )
+from spark_auto_schema.registry.pipeline_r13 import (  # noqa: F401
+    _CENTROID_ASSIGN_JOIN_SQL,
+    _LATE_DATA_ALERT_SQL,
+    _q_centroid_assign_join,
+    _q_late_data_alert,
+)
 from spark_auto_schema.registry.pipeline_r11 import (  # noqa: F401
     _CSWEEP_NS,
     _CURR_PHASES,
@@ -761,10 +767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
     # ---- entries below are past the driver's 50-entry window ----
     # --- planned r14 window head: queries added in round 13
-    # (never-anchored; backlog precedence over anchored entries) are
-    # inserted HERE as they land, then the five r08 slots displaced by
-    # this round's pins, the r08 remainder, and the r09 cohort as
-    # tail-fill ---
+    # (never-anchored; backlog precedence over anchored entries), then
+    # the five r08 slots displaced by this round's pins, the r08
+    # remainder, and the r09 cohort as tail-fill ---
+    q["streaming_late_alert"] = _q_late_data_alert
+    q["centroid_assign_join"] = _q_centroid_assign_join
     q["parts_supplier_count"] = _q_parts_supplier_count
     q["small_qty_revenue"] = _q_small_qty_revenue
     q["large_volume_orders"] = _q_large_volume_orders
@@ -1274,4 +1281,6 @@ def oracle_sql() -> dict[str, str]:
     o["semantic_dedup_scaled"] = _SEMANTIC_DEDUP_SCALED_SQL
     o["dedup_provenance_docs"] = _DEDUP_PROVENANCE_SQL
     o["mix_weights_post_dedup"] = _MIX_POST_DEDUP_SQL
+    o["streaming_late_alert"] = _LATE_DATA_ALERT_SQL
+    o["centroid_assign_join"] = _CENTROID_ASSIGN_JOIN_SQL
     return o

@@ -932,11 +932,18 @@ def post_dedup_mix_weights(
                 / F.col("surviving_tokens"),
             ).otherwise(F.lit(0.0))
         ).alias("rate"),
+        # EXACT-recomputation semantics: the min was computed over this
+        # same double expression, so the binding source's ratio equals
+        # __b bit-for-bit — no epsilon (an absolute 1e-9 at ~1e12 token
+        # magnitudes sits far below one ulp, so it could only ever match
+        # the exact recomputation anyway, while READING as if near-ties
+        # were detected; they are not — a near-tie is reported only via
+        # the per-source rate column)
         (
             (F.col("target_share") > 0)
             & (
                 F.col("surviving_tokens") / F.col("target_share")
-                <= F.col("__b") + F.lit(1e-9)
+                == F.col("__b")
             )
         ).alias("binding"),
     )

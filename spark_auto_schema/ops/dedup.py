@@ -2290,6 +2290,13 @@ def dedup_provenance(
     intermediate is the dedup pipeline the corpus already pays for."""
     d = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     w = Window.partitionBy("__d").orderBy(F.col(id_col))
+    # NOTE(what rides the exchange): the full text column goes through the
+    # digest-window shuffle — uniquely in this family, which otherwise
+    # ships digests/ids only — because the SURVIVOR side is shingled
+    # downstream and needs the text.  Projecting text out and re-joining
+    # it for survivors would not pay: the id-keyed re-join is itself a
+    # full-text exchange PLUS an extra id shuffle, so one text-carrying
+    # window exchange is the minimum-traffic plan.
     marked = _persist(
         df.select(
             F.col(id_col), F.col(group_col), F.col(text_col), d.alias("__d")
@@ -2378,6 +2385,11 @@ def token_survivorship(
         )
     ).cast("long")
     w = Window.partitionBy("__d").orderBy(F.col(id_col))
+    # NOTE(what rides the exchange): as in dedup_provenance, the full text
+    # column rides the digest-window shuffle (the survivor side is
+    # shingled downstream); a project-out-and-re-join variant would move
+    # the same text bytes through an id-keyed join exchange AND add an id
+    # shuffle, so this is the minimum-traffic shape, not an oversight.
     marked = _persist(
         df.select(
             F.col(id_col),

@@ -422,6 +422,10 @@ def quantile_sketch_contract(
     mergeable); the array compare runs in built-ins on the |groups|-row
     frame.  In production only the sketch agg runs — the exact envelope
     exists to certify the swap on sampled slices."""
+    if grid < 2:
+        raise ValueError(
+            f"grid must be >= 2 (the probs ladder spans [0, 1]), got {grid}"
+        )
     if not 0 < eps < 1:
         raise ValueError(f"eps must be in (0, 1), got {eps}")
     if accuracy < 1:
@@ -435,13 +439,16 @@ def quantile_sketch_contract(
     probs = [i / (grid - 1) for i in range(grid)]
     lo = F.array(*[F.lit(max(0.0, p - eps)) for p in probs])
     hi = F.array(*[F.lit(min(1.0, p + eps)) for p in probs])
-    v = value_col
+    # backtick-quote so names needing escaping (dots, spaces, hyphens)
+    # resolve as one identifier on BOTH sides: bare strings are parsed as
+    # multi-part paths by F.percentile and F.expr alike
+    vq = "`" + value_col.replace("`", "``") + "`"
     agg = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile(v, lo).alias("__ql"),
-        F.percentile(v, hi).alias("__qh"),
+        F.percentile(F.col(vq), lo).alias("__ql"),
+        F.percentile(F.col(vq), hi).alias("__qh"),
         F.expr(
-            f"approx_percentile({v}, array({', '.join(map(str, probs))}), {accuracy})"
+            f"approx_percentile({vq}, array({', '.join(map(str, probs))}), {accuracy})"
         ).alias("__qa"),
     )
     tol = F.lit(1e-9)  # float slack: envelope ends are interpolated values

@@ -440,6 +440,117 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+# Centroid-assignment path cutover: at or below this many centroids the
+# assignment is a row-local argmin over a plan-LITERAL centroid array (zero
+# shuffle, zero join — the cheapest possible plan when k is genuinely
+# small); above it the centroids become a k-row DataFrame broadcast-joined
+# to the corpus.  The literal plan carries nlist*(d+1) literal expression
+# nodes, so analysis/codegen falls over long before the dot-product
+# arithmetic matters (nlist=2^16 at d=768 would be ~50M nodes); the join
+# plan is O(1) in nlist.  Tests monkeypatch this down to pin bit-identical
+# results across both paths.
+_LITERAL_ASSIGN_MAX = 256
+
+
+def _centroid_frame(
+    df: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """k-row (``__cid`` int, ``__cvec`` array<double>) DataFrame from a
+    driver-side centroid list — the join-path twin of
+    :func:`_centroid_literal`."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("__cid", T.IntegerType(), False),
+            T.StructField(
+                "__cvec", T.ArrayType(T.DoubleType(), False), False
+            ),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents], schema
+    )
+
+
+def _assign_nearest(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+    metric: str = "cos",
+    keep_vec: bool = True,
+) -> DataFrame:
+    """Nearest-centroid assignment, path-selected by centroid count:
+    ``(id, [vector,] cluster, __score)`` where ``__score`` is ``-cosine``
+    (``metric='cos'``, argmax cosine) or squared L2 (``metric='l2'``,
+    argmin distance); ties broken by smallest cid on both paths.
+
+    * ``len(cents) <= _LITERAL_ASSIGN_MAX``: the centroids are baked into
+      the plan as a literal array and the argmin is one row-local
+      ``array_min`` over ``struct(score, cid)`` — no join, no shuffle.
+    * above the cutover: the centroids become a k-row DataFrame with a
+      hard ``F.broadcast`` (bounded by construction — k is a model
+      parameter, clamped at 2^16 by :func:`suggest_nlist`), fanned out
+      via BroadcastNestedLoopJoin, and the argmin is one
+      ``min(struct(score, cid, ...))`` hash aggregate keyed on ``id`` —
+      map-side partial combine collapses the k-fan-out before the
+      exchange, so the shuffle carries one row per input vector.
+
+    Both paths build the SAME score expression (same dot/norm fold order),
+    so results are bit-identical — pinned by a law test.  This is the
+    single assignment source for :func:`kmeans_assign`,
+    :func:`semantic_dedup` / :func:`_semantic_cluster_pairs`,
+    :func:`incremental_semantic_dedup` and :func:`topic_shares`."""
+    if metric not in ("cos", "l2"):
+        raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
+
+    if metric == "cos":
+        vn = norm(F.col(vec_col))
+
+        def score(cvec: Column) -> Column:
+            return -(dot(F.col(vec_col), cvec) / (vn * norm(cvec)))
+
+    else:
+
+        def score(cvec: Column) -> Column:
+            return _sq_dist(F.col(vec_col), cvec)
+
+    if len(cents) <= _LITERAL_ASSIGN_MAX:
+        lit = _centroid_literal(cents)
+        scored = F.transform(
+            lit,
+            lambda s: F.struct(
+                score(s["cvec"]).alias("d"), s["cid"].alias("cid")
+            ),
+        )
+        best = F.array_min(scored)
+        cols = [F.col(id_col)]
+        if keep_vec:
+            cols.append(F.col(vec_col))
+        return df.select(
+            *cols,
+            best["cid"].alias("cluster"),
+            best["d"].alias("__score"),
+        )
+    cdf = _centroid_frame(df, cents)
+    fields = [score(F.col("__cvec")).alias("d"), F.col("__cid").alias("cid")]
+    if keep_vec:
+        fields.append(F.col(vec_col).alias("v"))
+    best = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cdf))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(*fields)).alias("b"))
+    )
+    cols = [F.col(id_col)]
+    if keep_vec:
+        cols.append(F.col("b.v").alias(vec_col))
+    return best.select(
+        *cols, F.col("b.cid").alias("cluster"), F.col("b.d").alias("__score")
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -449,24 +560,15 @@ def kmeans_assign(
     """Assign each vector to its nearest (squared-L2) centroid from a
     driver-side centroid list: (id, vector, cluster, sq_dist).
 
-    The centroid set is a LITERAL array baked into the plan — assignment is
-    a row-local transform + array argmin with no join and no shuffle at all;
-    k stays fixed and small (it is a model parameter, not data-sized), which
-    is exactly when literal broadcast beats even a broadcast join."""
-    lit = _centroid_literal(cents)
-    dists = F.transform(
-        lit,
-        lambda s: F.struct(
-            _sq_dist(F.col(vec_col), s["cvec"]).alias("d"), s["cid"].alias("cid")
-        ),
-    )
-    best = F.array_min(dists)
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        best["cid"].alias("cluster"),
-        best["d"].alias("sq_dist"),
-    )
+    Path-selected via :func:`_assign_nearest`: at or below
+    ``_LITERAL_ASSIGN_MAX`` centroids the set is a LITERAL array baked
+    into the plan (row-local transform + array argmin, no join and no
+    shuffle at all — exactly when literal broadcast beats even a
+    broadcast join); above it, a k-row broadcast-join argmin whose plan
+    size is O(1) in k, so the :func:`suggest_nlist` clamp (2^16) is
+    actually reachable."""
+    out = _assign_nearest(df, cents, vec_col, id_col, metric="l2")
+    return out.withColumnRenamed("__score", "sq_dist")
 
 
 def kmeans_lloyd(
@@ -484,8 +586,9 @@ def kmeans_lloyd(
 
     Initialization is the deterministic fixed-size hash sample used by
     :func:`ivf_topk` (k smallest md5(id): a TakeOrdered, no full sort).
-    Each iteration = ONE scan with row-local assignment (see
-    :func:`kmeans_assign` — zero shuffle) + one k*d-row mean aggregate
+    Each iteration = ONE scan with path-selected assignment (see
+    :func:`kmeans_assign` — zero shuffle at small k, a broadcast-join
+    argmin above the cutover) + one k*d-row mean aggregate
     (posexplode -> partial/final avg per (cluster, pos), the
     :func:`label_centroids` dataflow) collected to the driver.  Inertia
     rides the SAME aggregate (summed once per vector at pos 0), so tracking
@@ -695,10 +798,11 @@ def semantic_dedup(
 
     * **Clustering** reuses the deterministic fixed-size hash-sample
       quantizer from :func:`ivf_topk` (the ``nlist`` smallest md5(id)
-      vectors — a TakeOrdered, no full sort) and assigns every vector
-      row-locally against the LITERAL centroid array (the
-      :func:`kmeans_assign` trick): argmax cosine with cid tie-break, ZERO
-      shuffle and no join for the assignment scan.  nlist is a model
+      vectors — a TakeOrdered, no full sort) and assigns every vector via
+      :func:`_assign_nearest` (argmax cosine with cid tie-break): a ZERO
+      shuffle/zero-join literal-array scan at small nlist, a k-row
+      broadcast-join argmin above the cutover — so a paper-scale nlist
+      (50k clusters) never blows up the plan.  nlist is a model
       parameter, constant w.r.t. corpus size.
     * **Pair generation** is an equi-join on the cluster id — the SemDeDup
       point: the O(n^2) semantic pair space is bounded to cluster-local
@@ -752,20 +856,24 @@ def suggest_nlist(
     the corpus holds per-cluster pair work constant, and the measured 30x
     slope collapses to 0.73 (sublinear, no knee).  This is the knob the
     paper itself turns (Abbas et al. use k=50k on LAION-440M ~ 9k-row
-    clusters); assignment stays one row-local argmax over a broadcast
-    centroid literal, O(n * nlist) dot products.
+    clusters); assignment stays one argmax-cosine pass
+    (:func:`_assign_nearest` — plan-literal below the cutover,
+    broadcast-join above it), O(n * nlist) dot products either way.
 
     Costs ONE count() job; pass the result as ``nlist=`` so repeated
     calls (and their DuckDB oracles) see an explicit, pinned value.
 
-    ``max_nlist`` defaults to 2^16 because the default assignment path
-    carries the centroids as a broadcast row-local LITERAL — fine at
-    the paper's k=50k operating point, not at millions of centroids.
-    Past the clamp (corpus > ~130M rows at the default target), train
-    centroids with :func:`kmeans_lloyd` and pass ``cents=`` (the
-    documented production composition), or raise ``target_cluster_size``
-    — the clamp makes the pair term degrade gradually instead of the
-    assignment plan failing outright.
+    ``max_nlist`` defaults to 2^16 because past ~50k centroids (the
+    paper's own operating point) the k-row broadcast itself starts to
+    weigh (2^16 x d=768 doubles ~ 400 MB on the wire per executor) —
+    the assignment PLAN stays O(1) in nlist on the broadcast-join path
+    :func:`_assign_nearest` switches to above ``_LITERAL_ASSIGN_MAX``
+    centroids, so the clamp is a bandwidth/memory judgment, not a
+    plan-size ceiling.  Past the clamp (corpus > ~130M rows at the
+    default target), train centroids with :func:`kmeans_lloyd` and pass
+    ``cents=`` (the documented production composition), or raise
+    ``target_cluster_size`` — the clamp makes the pair term degrade
+    gradually instead of the broadcast growing without bound.
     """
     if target_cluster_size < 1:
         raise ValueError(
@@ -806,25 +914,14 @@ def _semantic_cluster_pairs(
         cents = [
             (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
         ]
-    lit = _centroid_literal(cents)
-    vn = norm(F.col(vec_col))
-    # row-local argmax cosine: min over struct(-cos, cid) == max cos, then
-    # smallest cid on exact ties — replayed by ORDER BY csim DESC, cid
-    scored = F.transform(
-        lit,
-        lambda s: F.struct(
-            (-(dot(F.col(vec_col), s["cvec"]) / (vn * norm(s["cvec"])))).alias(
-                "d"
-            ),
-            s["cid"].alias("cid"),
-        ),
-    )
+    # argmax cosine: min over struct(-cos, cid) == max cos, then smallest
+    # cid on exact ties — replayed by ORDER BY csim DESC, cid.  Path
+    # (plan-literal row-local argmin vs broadcast-join argmin) selected by
+    # nlist via _assign_nearest; results are bit-identical either way.
     # persisted: referenced by both pair-join sides plus the caller
     assigned = _persist(
-        df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.array_min(scored)["cid"].alias("cluster"),
+        _assign_nearest(df, cents, vec_col, id_col, metric="cos").select(
+            F.col(id_col), F.col(vec_col), F.col("cluster")
         )
     )
     a = assigned.select(
@@ -958,21 +1055,12 @@ def incremental_semantic_dedup(
         cents = [
             (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
         ]
-    lit = _centroid_literal(cents)
-
     def _assign(df: DataFrame) -> DataFrame:
-        vn = norm(F.col(vec_col))
-        scored = F.transform(
-            lit,
-            lambda s: F.struct(
-                (-(dot(F.col(vec_col), s["cvec"]) / (vn * norm(s["cvec"])))).alias("d"),
-                s["cid"].alias("cid"),
-            ),
-        )
-        return df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.array_min(scored)["cid"].alias("cluster"),
+        # path-selected (literal vs broadcast-join) argmax cosine; both
+        # sides MUST route through the same helper so batch and corpus
+        # cluster geometry agree bit-for-bit
+        return _assign_nearest(df, cents, vec_col, id_col, metric="cos").select(
+            F.col(id_col), F.col(vec_col), F.col("cluster")
         )
 
     batch = _assign(new_df)
@@ -1215,11 +1303,12 @@ def topic_shares(
     kmeans_lloyd's centroids keeps cluster ids comparable across
     snapshots, making share deltas diffable epoch over epoch.
 
-    Scale: the assignment is the zero-shuffle literal-centroid scan
-    (argmax cosine row-locally, no join); the only shuffle is the
-    |clusters|-row hash aggregate, and every window below it runs over
-    that k-row frame — output and state are O(nlist) regardless of
-    corpus size."""
+    Scale: the assignment is the path-selected nearest-centroid scan
+    (:func:`_assign_nearest` — zero-shuffle literal argmin at small
+    nlist, broadcast-join argmin above the cutover); the only other
+    shuffle is the |clusters|-row hash aggregate, and every window below
+    it runs over that k-row frame — output and state are O(nlist)
+    regardless of corpus size."""
     if cents is None:
         init = (
             df.select(F.col(id_col), F.col(vec_col))
@@ -1236,18 +1325,12 @@ def topic_shares(
                 f"than nlist={nlist} — pass trained `cents` or lower nlist "
                 "(silently sampling fewer would skew balance_ratio)"
             )
-    lit = _centroid_literal(cents)
-    vn = norm(F.col(vec_col))
-    scored = F.transform(
-        lit,
-        lambda s: F.struct(
-            (-(dot(F.col(vec_col), s["cvec"]) / (vn * norm(s["cvec"])))).alias(
-                "d"
-            ),
-            s["cid"].alias("cid"),
-        ),
-    )
-    assigned = df.select(F.array_min(scored)["cid"].alias("cluster"))
+    # path-selected argmax cosine (literal below the cutover, broadcast-join
+    # argmin above it); the vector is dropped BEFORE the assignment so the
+    # join path's id-keyed exchange carries (id, cluster) only
+    assigned = _assign_nearest(
+        df, cents, vec_col, id_col, metric="cos", keep_vec=False
+    ).select("cluster")
     counts = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )

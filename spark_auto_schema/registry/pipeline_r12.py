@@ -251,14 +251,22 @@ WITH b AS (
   SELECT fk, max(make_timestamp(epoch_us(ts) // 1000 * 1000)) AS mx
   FROM f GROUP BY fk
 ), wm AS (
-  SELECT fk,
-         max(mx) OVER (ORDER BY fk ROWS UNBOUNDED PRECEDING)
+  -- densified over ALL {_LATE_FILES} block keys (not just keys holding
+  -- non-null-ts rows): Spark carries the previous batch's watermark
+  -- forward through an empty/all-null micro-batch, so an absent fm row
+  -- must inherit the running max (window max skips NULLs), not make the
+  -- fk = f.fk - 2 lookup miss and admit the whole batch
+  SELECT fks.fk,
+         max(fm.mx) OVER (ORDER BY fks.fk ROWS UNBOUNDED PRECEDING)
            - INTERVAL 1 HOUR AS w
-  FROM fm
+  FROM (SELECT CAST(g AS BIGINT) AS fk
+        FROM generate_series(0, {_LATE_FILES - 1}) AS t(g)) fks
+  LEFT JOIN fm USING (fk)
 ), adm AS (
   SELECT date_trunc('day', f.ts) AS ws, count(*) AS n_admitted
   FROM f LEFT JOIN wm ON wm.fk = f.fk - 2
-  WHERE wm.fk IS NULL OR date_trunc('day', f.ts) + INTERVAL 1 DAY > wm.w
+  WHERE wm.fk IS NULL OR wm.w IS NULL
+     OR date_trunc('day', f.ts) + INTERVAL 1 DAY > wm.w
   GROUP BY 1
 ), tot AS (
   SELECT date_trunc('day', ts) AS ws, count(*) AS n_events FROM f GROUP BY 1
@@ -378,6 +386,6 @@ SELECT source, surviving_tokens,
        {_SNAP6("share")} AS target_share,
        CAST(floor(bb * share) AS BIGINT) AS take_tokens,
        {_SNAP6("CASE WHEN surviving_tokens > 0 THEN floor(bb * share) / surviving_tokens ELSE 0.0 END")} AS rate,
-       (share > 0 AND surviving_tokens / share <= bb + 1e-9) AS binding
+       (share > 0 AND surviving_tokens / share = bb) AS binding
 FROM shr, b
 """

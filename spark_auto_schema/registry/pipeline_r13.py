@@ -1,0 +1,130 @@
+"""Round-13 operator cohort: streaming drop-rate alerting over the
+late-data accounting monitor, and the broadcast-join centroid-assignment
+path driver-checked above the literal cutover.
+
+Assembled by __spark_entry__.queries() / oracle_sql() — the single driver
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
+
+from spark_auto_schema.io import read_table
+from spark_auto_schema.ops import similarity
+from spark_auto_schema.registry.pipeline_r11 import _SNAP6
+from spark_auto_schema.registry.pipeline_r12 import (
+    _LATE_DATA_AUDIT_SQL,
+    _events_stream_dir_late,
+)
+
+# ---------------------------------------------------------------------------
+# round-13 operators
+# ---------------------------------------------------------------------------
+
+
+# ------------------------------------------------- streaming late alert
+_LATE_ALERT_THRESHOLD = 0.1
+
+
+def _q_late_data_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drop-rate alerting (`streaming.py` LateDataRateMonitor):
+    the round-12 late_data_monitor counted dropped-by-watermark volume;
+    this turns the count into a fire/no-fire signal the way
+    DataDriftMonitor does for PSI/KS — per day window, drop_rate =
+    dropped/total evaluated per microbatch against a 0.1 threshold with
+    an on_alert callback (O(windows) driver state).  The staged corpus
+    gives a clean three-way split: straggler-era windows at ~0.14
+    (alert), the boundary window at ~0.07 and the tail at 0 (quiet).
+    The oracle wraps the measured-watermark audit replay with the same
+    rate arithmetic and threshold."""
+    from spark_auto_schema.streaming import (
+        LateDataRateMonitor,
+        read_event_stream,
+    )
+
+    src = _events_stream_dir_late(sf_dir)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    mon = LateDataRateMonitor(
+        threshold=_LATE_ALERT_THRESHOLD,
+        window_duration="1 day",
+        delay="1 hour",
+    )
+    mon.drain(stream, state_partitions=8)
+    return mon.report(spark).select(
+        # DATE, not midnight TIMESTAMP (same canonicalization note as
+        # streaming_late_audit)
+        F.col("window_start").cast("date").alias("window_start"),
+        "n_events",
+        "n_admitted",
+        "n_late_dropped",
+        "drop_rate",
+        "alert",
+    )
+
+
+_LATE_DATA_ALERT_SQL = f"""
+WITH audit AS ({_LATE_DATA_AUDIT_SQL})
+SELECT window_start, n_events, n_admitted, n_late_dropped,
+       {_SNAP6("n_late_dropped * 1.0 / n_events")} AS drop_rate,
+       (n_late_dropped * 1.0 / n_events >= {_LATE_ALERT_THRESHOLD}) AS alert
+FROM audit
+"""
+
+
+# ------------------------------------------------- centroid join path
+# > _LITERAL_ASSIGN_MAX (256), so the broadcast-join argmin runs at every
+# scale factor — the driver-checked face of the round-12 verdict fix
+_CAJ_NLIST = 300
+
+
+def _q_centroid_assign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment through the broadcast-join path
+    (`ops/similarity.py` _assign_nearest via kmeans_assign): 300
+    hash-sample centroids — above the 256-centroid literal cutover, so
+    the k-row BroadcastNestedLoopJoin + min(struct) argmin plan runs,
+    not the plan-literal scan (the round-12 verdict's ceiling finding
+    made driver-checkable).  Output is the per-vector assignment
+    (vec_id, cluster, sq_dist rounded to 6); the oracle replays the
+    md5-ordered centroid sample and the argmin-L2 with (d, cid)
+    tie-break."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    init = (
+        embs.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_CAJ_NLIST)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)
+    ]
+    out = similarity.kmeans_assign(embs, cents)
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round(F.col("sq_dist").cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("sq_dist"),
+    )
+
+
+_CENTROID_ASSIGN_JOIN_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_CAJ_NLIST}
+), scored AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM embeddings e, cents c
+)
+SELECT vec_id, cid AS cluster,
+       {_SNAP6("d")} AS sq_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  FROM scored) WHERE rk = 1
+"""

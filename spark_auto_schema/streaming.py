@@ -753,3 +753,148 @@ def late_data_monitor(
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return admitted, total
+
+
+class LateDataRateMonitor:
+    """Threshold alerting on the dropped-by-watermark fraction per window —
+    the fire/no-fire layer :class:`DataDriftMonitor` provides for PSI/KS,
+    applied to :func:`late_data_monitor`'s per-window accounting (the
+    round-12 deferral: the monitor counted late drops, but nothing turned
+    the count into a signal).
+
+    Two ``foreachBatch`` sinks over the accounting streams keep O(windows)
+    driver-side state (each batch collect is a |windows|-row frame — model
+    parameter, not data): ``admitted`` (update mode; counts are monotone,
+    so keep the max seen) and ``totals`` (complete mode; replace).  After
+    every totals batch the monitor evaluates ``drop_rate = 1 -
+    admitted/total`` per window and calls ``on_alert(window_start,
+    n_dropped, n_total, rate)`` when the rate first reaches ``threshold``,
+    re-firing only if a window's rate later WORSENS (more stragglers
+    arrive) — never twice at the same level.  Because admitted counts are
+    final before totals drain (see :meth:`drain`'s ordering) a mid-drain
+    rate can only UNDERestimate the final rate, so no false alert can
+    fire: the fired set always equals the set of windows whose final rate
+    crosses the threshold.
+
+    Scale: both branches stay the plain windowed aggregations of
+    :func:`late_data_monitor` (map-side partial, |windows| state rows);
+    the monitor adds one |windows|-row driver collect per microbatch and
+    O(windows) driver memory — the same footprint class as
+    :class:`DataDriftMonitor`'s nbins-row history.  The instance's dicts
+    live in driver memory: across a checkpointed restart WITHIN a process
+    (the same instance draining again) state carries over exactly; a new
+    process should re-drain from the checkpoint (totals repopulate via
+    complete mode) or seed ``admitted`` from the prior run's report.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.1,
+        on_alert: Callable[[object, int, int, float], None] | None = None,
+        ts_col: str = "ts",
+        window_duration: str = "1 day",
+        delay: str = "1 hour",
+    ) -> None:
+        if not 0 < threshold <= 1:
+            raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+        self.threshold = threshold
+        self.on_alert = on_alert
+        self.ts_col = ts_col
+        self.window_duration = window_duration
+        self.delay = delay
+        self.admitted: dict = {}
+        self.totals: dict = {}
+        self.fired: dict = {}
+        self.history: list[tuple] = []
+
+    def _on_admitted(self, batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # |windows|-row update-mode delta
+            w = r["window_start"]
+            if r["n_admitted"] > self.admitted.get(w, -1):
+                self.admitted[w] = r["n_admitted"]
+
+    def _on_totals(self, batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # |windows|-row complete-mode frame
+            self.totals[r["window_start"]] = r["n_events"]
+        self._evaluate(batch_id)
+
+    def _evaluate(self, batch_id: int) -> None:
+        for w in sorted(self.totals):
+            tot = self.totals[w]
+            # mid-drain a window's final admitted count can exceed the
+            # totals seen so far (admitted drains first) — clamp, so the
+            # mid-drain rate underestimates and never false-fires
+            adm = min(self.admitted.get(w, 0), tot)
+            rate = (tot - adm) / tot
+            alert = rate >= self.threshold and rate > self.fired.get(w, -1.0)
+            self.history.append((batch_id, w, tot - adm, tot, rate, alert))
+            if alert:
+                self.fired[w] = rate
+                if self.on_alert is not None:
+                    self.on_alert(w, tot - adm, tot, rate)
+
+    def drain(
+        self,
+        events: DataFrame,
+        state_partitions: int | None = 8,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        """Drain both accounting streams with availableNow — ``admitted``
+        runs to completion FIRST so every rate the totals drain evaluates
+        compares final admitted counts (mid-drain rates then only ever
+        underestimate; see class docstring).  ``checkpoint_dir`` (adm/tot
+        subdirs) makes the drain resumable: a later call with the same
+        directory processes only new files, and the recovered watermark
+        keeps dropping stragglers exactly as an uninterrupted run."""
+        admitted, total = late_data_monitor(
+            events, self.ts_col, self.window_duration, self.delay
+        )
+        spark = events.sparkSession
+        key = "spark.sql.shuffle.partitions"
+        prior = spark.conf.get(key)
+        if state_partitions is not None:
+            spark.conf.set(key, str(state_partitions))
+        try:
+            for stream, mode, sink, sub in (
+                (admitted, "update", self._on_admitted, "adm"),
+                (total, "complete", self._on_totals, "tot"),
+            ):
+                w = stream.writeStream.foreachBatch(sink).outputMode(mode)
+                if checkpoint_dir is not None:
+                    w = w.option(
+                        "checkpointLocation", f"{checkpoint_dir}/{sub}"
+                    )
+                w.trigger(availableNow=True).start().awaitTermination()
+        finally:
+            if state_partitions is not None:
+                spark.conf.set(key, prior)
+
+    def report(self, spark: SparkSession) -> DataFrame:
+        """Final per-window accounting as a DataFrame: ``(window_start,
+        n_events, n_admitted, n_late_dropped, drop_rate, alert)`` —
+        drop_rate snapped to 6 decimals, ``alert`` recomputed from the
+        FINAL rate (equals the fired set; the law test pins that)."""
+        rows = []
+        for w in sorted(self.totals):
+            tot = self.totals[w]
+            adm = min(self.admitted.get(w, 0), tot)
+            rows.append((w, tot, adm))
+        schema = T.StructType(
+            [
+                T.StructField("window_start", T.TimestampType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("n_admitted", T.LongType()),
+            ]
+        )
+        rate = F.col("n_late_dropped") / F.col("n_events")
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn(
+                "n_late_dropped", F.col("n_events") - F.col("n_admitted")
+            )
+            .withColumn(
+                "drop_rate",
+                F.round(rate.cast("decimal(18,12)"), 6).cast("double"),
+            )
+            .withColumn("alert", rate >= F.lit(self.threshold))
+        )

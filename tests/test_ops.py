@@ -509,6 +509,102 @@ def test_kmeans_inertia_monotone(spark, emb):
     assert i2 <= hist[0]
 
 
+# --------------------------------------------- centroid assignment paths
+def _hash_sample_cents(emb, k):
+    init = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)]
+
+
+def test_assign_nearest_paths_bit_identical(spark, emb, monkeypatch):
+    """LAW: the plan-literal argmin and the broadcast-join argmin are the
+    same function — bit-identical (cluster, score) per id for BOTH
+    metrics, because both paths build the identical score expression
+    (same dot/norm fold order).  This is what lets _LITERAL_ASSIGN_MAX
+    be a pure performance knob with no semantic surface."""
+    cents = _hash_sample_cents(emb, 12)
+    sub = emb.limit(120)
+    for metric in ("cos", "l2"):
+        lit = sorted(
+            (
+                r.asDict()
+                for r in similarity._assign_nearest(
+                    sub, cents, "embedding", "vec_id", metric=metric
+                ).collect()
+            ),
+            key=lambda r: r["vec_id"],
+        )
+        monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX", 0)
+        join = sorted(
+            (
+                r.asDict()
+                for r in similarity._assign_nearest(
+                    sub, cents, "embedding", "vec_id", metric=metric
+                ).collect()
+            ),
+            key=lambda r: r["vec_id"],
+        )
+        monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX", 256)
+        assert len(lit) == 120 and lit == join, metric
+
+
+def test_assign_nearest_cutover_plan_shape(spark, emb):
+    """PLAN PIN for the cutover: at or below _LITERAL_ASSIGN_MAX centroids
+    the assignment plan has no join node of any kind; above it the plan is
+    a BroadcastNestedLoopJoin (a hard broadcast on the k-row centroid
+    frame — bounded by construction, k is a model parameter clamped at
+    2^16 by suggest_nlist) feeding one hash aggregate, never a
+    CartesianProduct, and its size is O(1) in k (the round-12 verdict's
+    literal-ceiling finding: nlist=2^16 at d=768 would otherwise bake
+    ~50M literal nodes into the plan)."""
+    small = _hash_sample_cents(emb, 8)
+    plan_small = (
+        similarity._assign_nearest(emb, small, "embedding", "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan_small and "Exchange" not in plan_small
+
+    big = [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(300)]  # > cutover
+    df = spark.createDataFrame(
+        [(j, [j + 0.25, 0.0, 0.0, 0.0]) for j in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    jdf = similarity._assign_nearest(df, big, "embedding", "vec_id", metric="l2")
+    plan_big = jdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_big
+    assert "CartesianProduct" not in plan_big
+    # plan stays k-independent: the 300 centroids live in a LocalTableScan
+    # relation, not in the expression tree
+    assert plan_big.count("cvec") < 20
+    # and the join path is CORRECT above the cutover without monkeypatching:
+    # point j sits 0.25 right of centroid j, so argmin-L2 assigns cluster j
+    got = {r["vec_id"]: r["cluster"] for r in jdf.collect()}
+    assert got == {j: j for j in range(40)}
+
+
+def test_semantic_dedup_same_verdicts_through_join_path(spark, emb, monkeypatch):
+    """semantic_dedup reaches identical keep/drop verdicts whichever
+    assignment path runs — the driver query semantic_dedup_scaled stays
+    green if a corpus ever pushes suggest_nlist past the cutover."""
+    base = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in similarity.semantic_dedup(emb, threshold=0.3, nlist=8).collect()
+    }
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX", 0)
+    forced = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in similarity.semantic_dedup(emb, threshold=0.3, nlist=8).collect()
+    }
+    similarity.release_caches()
+    assert base == forced
+
+
 # ------------------------------------------------- vocab coverage / tf-idf
 def test_vocab_coverage_fractions(spark):
     df = spark.createDataFrame(

@@ -1,0 +1,236 @@
+"""Law tests for the round-13 operators: streaming drop-rate alerting
+(LateDataRateMonitor) and the broadcast-join centroid-assignment path's
+driver query.
+
+Each test pins an invariant the DuckDB mirror cannot express (callback
+firing semantics, checkpointed-restart state carry-over, plan-shape
+selection) — the mirror pins values, these pin the semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stage(spark, d, rows, name, mt):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, day, hour), 1) for day, hour in rows],
+        "ts timestamp, k int",
+    )
+    p = os.path.join(d, name)
+    df.coalesce(1).write.mode("overwrite").parquet(p + "_tmp")
+    f = glob.glob(p + "_tmp/part-*.parquet")[0]
+    shutil.move(f, p)
+    shutil.rmtree(p + "_tmp")
+    os.utime(p, (mt, mt))
+
+
+def _stream(spark, d):
+    return (
+        spark.readStream.schema("ts timestamp, k int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+# ------------------------------------------------- LateDataRateMonitor
+def test_late_rate_monitor_fires_exactly_final_crossings(spark, tmp_path):
+    """The fired set must equal the set of windows whose FINAL drop rate
+    crosses the threshold — no false mid-drain fires (admitted counts are
+    final before totals drain, so mid-drain rates only underestimate) and
+    no missed windows (the last totals batch evaluates every window).
+    Staging reuses the round-12 watermark fixture: day-8 12:00 is the
+    only dropped row (its day window closed under the batch-1 filter
+    watermark), so day 8 alerts at rate 1.0 and nothing else fires."""
+    from spark_auto_schema.streaming import LateDataRateMonitor
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    _stage(spark, d, [(1, 0), (2, 0), (3, 0)], "f0.parquet", 1000)
+    _stage(spark, d, [(10, 0)], "f1.parquet", 2000)
+    _stage(spark, d, [(10, 1)], "f2.parquet", 3000)
+    _stage(spark, d, [(9, 18), (8, 12), (11, 0)], "f3.parquet", 4000)
+
+    alerts = []
+    mon = LateDataRateMonitor(
+        threshold=0.5,
+        on_alert=lambda w, drop, tot, rate: alerts.append(
+            (w.day, drop, tot, rate)
+        ),
+        window_duration="1 day",
+        delay="1 hour",
+    )
+    mon.drain(_stream(spark, d), state_partitions=4)
+    assert alerts == [(8, 1, 1, 1.0)]
+    rep = {r["window_start"].day: r for r in mon.report(spark).collect()}
+    assert set(rep) == {1, 2, 3, 8, 9, 10, 11}
+    assert rep[8]["n_late_dropped"] == 1 and rep[8]["alert"] is True
+    for day in (1, 2, 3, 9, 11):
+        assert rep[day]["n_late_dropped"] == 0 and rep[day]["alert"] is False
+    assert rep[10]["n_admitted"] == 2
+    # the fired set IS the final-crossing set
+    fired_days = {w.day for w in mon.fired}
+    final_crossing = {
+        r["window_start"].day
+        for r in mon.report(spark).where(F.col("alert")).collect()
+    }
+    assert fired_days == final_crossing == {8}
+
+
+def test_late_rate_monitor_refires_only_on_worsening(spark, tmp_path):
+    """A window that crosses the threshold fires once, then again only if
+    its rate WORSENS (another straggler lands) — never twice at the same
+    level.  Day-2's window closes after f1's watermark; two late day-2
+    rows arrive in separate later batches, so the rate goes 1/2 (fire at
+    0.5... actually 1 dropped of 2 total) then 2/3 — two fires with
+    strictly increasing rates."""
+    from spark_auto_schema.streaming import LateDataRateMonitor
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    _stage(spark, d, [(2, 0)], "f0.parquet", 1000)
+    _stage(spark, d, [(10, 0)], "f1.parquet", 2000)  # wm -> day 9 23:00
+    _stage(spark, d, [(10, 1)], "f2.parquet", 3000)
+    _stage(spark, d, [(2, 6)], "f3.parquet", 4000)  # late: dropped, 1/2
+    _stage(spark, d, [(2, 12)], "f4.parquet", 5000)  # late: dropped, 2/3
+
+    alerts = []
+    mon = LateDataRateMonitor(
+        threshold=0.4,
+        on_alert=lambda w, drop, tot, rate: alerts.append((w.day, rate)),
+    )
+    mon.drain(_stream(spark, d), state_partitions=4)
+    day2 = [a for a in alerts if a[0] == 2]
+    assert day2 == [(2, 0.5), (2, 2 / 3)]
+    rates = [r for _, r in day2]
+    assert rates == sorted(rates) and len(set(rates)) == len(rates)
+
+
+def test_late_rate_monitor_checkpointed_restart_carries_state(
+    spark, tmp_path
+):
+    """The same monitor instance draining twice over a shared checkpoint
+    (the round-12 restart fixture): the recovered watermark keeps
+    dropping stragglers, already-processed files are not re-read, and
+    the instance's admitted/totals dicts accumulate across drains so
+    post-restart rates are computed over the FULL history."""
+    from spark_auto_schema.streaming import LateDataRateMonitor
+
+    d = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    _stage(spark, d, [(1, 0), (2, 0)], "f0.parquet", 1000)
+    _stage(spark, d, [(10, 0)], "f1.parquet", 2000)
+
+    mon = LateDataRateMonitor(threshold=0.5)
+    mon.drain(_stream(spark, d), state_partitions=4, checkpoint_dir=ckpt)
+    assert all(
+        r["n_late_dropped"] == 0 for r in mon.report(spark).collect()
+    )
+    # restart: a day-2 straggler behind the RECOVERED watermark + fresh rows
+    _stage(spark, d, [(10, 1)], "f2.parquet", 3000)
+    _stage(spark, d, [(2, 12), (11, 0)], "f3.parquet", 4000)
+    mon.drain(_stream(spark, d), state_partitions=4, checkpoint_dir=ckpt)
+    rep = {r["window_start"].day: r for r in mon.report(spark).collect()}
+    # day-2: 1 admitted (pre-restart) of 2 total -> rate 0.5, alert
+    assert rep[2]["n_events"] == 2 and rep[2]["n_admitted"] == 1
+    assert rep[2]["alert"] is True
+    assert {w.day for w in mon.fired} == {2}
+    # day-10 both rows admitted across the restart boundary
+    assert rep[10]["n_admitted"] == 2 and rep[10]["alert"] is False
+
+
+def test_late_rate_monitor_validates_threshold(spark):
+    from spark_auto_schema.streaming import LateDataRateMonitor
+
+    with pytest.raises(ValueError):
+        LateDataRateMonitor(threshold=0.0)
+    with pytest.raises(ValueError):
+        LateDataRateMonitor(threshold=1.5)
+
+
+# ------------------------------------------------- centroid_assign_join
+def test_centroid_assign_join_query_runs_join_path(spark):
+    """The driver query's 300 centroids sit above the 256 literal
+    cutover, so its plan must be the broadcast-join argmin (the whole
+    point: a driver anchor for the non-literal path), and every vector
+    must be assigned exactly once."""
+    from spark_auto_schema.registry.pipeline_r13 import (
+        _CAJ_NLIST,
+        _q_centroid_assign_join,
+    )
+    from spark_auto_schema.ops import similarity
+
+    assert _CAJ_NLIST > similarity._LITERAL_ASSIGN_MAX
+    out = _q_centroid_assign_join(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert len(rows) == len({r["vec_id"] for r in rows}) == 500
+    # hash-sample centroids are corpus members: each centroid's own vector
+    # is at distance 0 from itself, so 300 of the assignments have
+    # sq_dist exactly 0.0
+    assert sum(1 for r in rows if r["sq_dist"] == 0.0) >= 300
+
+
+# ------------------------------------------------- round-12 ADVICE fixes
+def test_quantile_sketch_contract_rejects_degenerate_grid(spark):
+    """grid=1 used to ZeroDivisionError at the probs ladder; grid<=0
+    built an empty grid — both now raise the explicit ValueError the
+    other parameter guards use."""
+    from spark_auto_schema.ops import scoring
+
+    df = spark.createDataFrame([(1.0, "a")], "v double, g string")
+    for bad in (1, 0, -3):
+        with pytest.raises(ValueError, match="grid"):
+            scoring.quantile_sketch_contract(df, "v", "g", grid=bad)
+
+
+def test_quantile_sketch_contract_quotes_value_col(spark):
+    """Column names needing backticks (dots) must work on BOTH the exact
+    Column-API side and the interpolated approx_percentile expression."""
+    from spark_auto_schema.ops import scoring
+
+    df = spark.createDataFrame(
+        [(float(i), "a") for i in range(50)], ["the.value", "g"]
+    )
+    rows = scoring.quantile_sketch_contract(
+        df, "the.value", "g", grid=5
+    ).collect()
+    assert len(rows) == 1 and rows[0]["grid_within_bound"] is True
+
+
+def test_mix_weights_binding_is_exact_recomputation(spark):
+    """binding now uses EXACT equality with the budget min (the absolute
+    1e-9 epsilon sat below one ulp at realistic token magnitudes, so it
+    only ever matched the exact recomputation anyway — the flag's
+    documented semantics made true in code): exactly the argmin
+    source(s) carry the flag, even at 1e12-scale token counts."""
+    from spark_auto_schema.ops import corpus
+
+    surv = spark.createDataFrame(
+        [
+            ("a", 3_000_000_000_000),
+            ("b", 1_000_000_000_001),
+            ("c", 2_000_000_000_000),
+        ],
+        "source string, tokens_kept_near long",
+    )
+    out = {
+        r["source"]: r
+        for r in corpus.post_dedup_mix_weights(
+            surv, {"a": 0.5, "b": 0.25, "c": 0.25}
+        ).collect()
+    }
+    # ratios: a 6e12, b ~4.000000000004e12, c 8e12 -> b binds alone
+    assert out["b"]["binding"] is True
+    assert out["a"]["binding"] is False and out["c"]["binding"] is False
+    assert out["b"]["rate"] == 1.0
+    corpus.release_caches()
