@@ -617,8 +617,10 @@ from spark_auto_schema.registry.pipeline_r12 import (  # noqa: F401
 from spark_auto_schema.registry.pipeline_r13 import (  # noqa: F401
     _CENTROID_ASSIGN_JOIN_SQL,
     _LATE_DATA_ALERT_SQL,
+    _TOPIC_SHARE_DRIFT_SQL,
     _q_centroid_assign_join,
     _q_late_data_alert,
+    _q_topic_share_drift,
 )
 from spark_auto_schema.registry.pipeline_r11 import (  # noqa: F401
     _CSWEEP_NS,
@@ -686,7 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     topic_share_balance and kmeans_inertia_ok (the round-12 verdict's
     literal-centroid finding — every centroid-assignment site now routes
     through _assign_nearest, which swaps the plan-literal argmin for a
-    broadcast-join argmin above a few-hundred-centroid cutover;
+    broadcast-join argmin above a literal-node budget;
     semantic_dedup_scaled is the sixth changed path and already heads the
     window as a never-anchored entry).  The pins displace the five
     youngest r08 tail-fill slots (parts_supplier_count, small_qty_revenue,
@@ -772,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder, and the r09 cohort as tail-fill ---
     q["streaming_late_alert"] = _q_late_data_alert
     q["centroid_assign_join"] = _q_centroid_assign_join
+    q["topic_share_drift"] = _q_topic_share_drift
     q["parts_supplier_count"] = _q_parts_supplier_count
     q["small_qty_revenue"] = _q_small_qty_revenue
     q["large_volume_orders"] = _q_large_volume_orders
@@ -1283,4 +1286,5 @@ def oracle_sql() -> dict[str, str]:
     o["mix_weights_post_dedup"] = _MIX_POST_DEDUP_SQL
     o["streaming_late_alert"] = _LATE_DATA_ALERT_SQL
     o["centroid_assign_join"] = _CENTROID_ASSIGN_JOIN_SQL
+    o["topic_share_drift"] = _TOPIC_SHARE_DRIFT_SQL
     return o

@@ -440,16 +440,24 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-# Centroid-assignment path cutover: at or below this many centroids the
-# assignment is a row-local argmin over a plan-LITERAL centroid array (zero
-# shuffle, zero join — the cheapest possible plan when k is genuinely
-# small); above it the centroids become a k-row DataFrame broadcast-joined
-# to the corpus.  The literal plan carries nlist*(d+1) literal expression
-# nodes, so analysis/codegen falls over long before the dot-product
-# arithmetic matters (nlist=2^16 at d=768 would be ~50M nodes); the join
-# plan is O(1) in nlist.  Tests monkeypatch this down to pin bit-identical
-# results across both paths.
-_LITERAL_ASSIGN_MAX = 256
+# Centroid-assignment path cutover, as a LITERAL-NODE budget: at or below
+# this many literal expression nodes (len(cents) * (d+1) — one cid plus d
+# vector components per centroid) the assignment is a row-local argmin
+# over a plan-LITERAL centroid array (zero shuffle, zero join — the
+# cheapest plan when the set is genuinely small); above it the centroids
+# become a k-row DataFrame broadcast-joined to the corpus.  The limiting
+# cost is DRIVER-side, so the budget is on nodes, not centroids: measured
+# on this box (500 rows, d=64), analysis+codegen of the literal plan
+# costs ~49 s at 65k nodes and ~395 s at 520k while the join path runs
+# the same assignment in 1-3 s; below ~8k nodes (every anchored
+# nlist<=64 query) the literal plan is sub-second and beats the join's
+# n*k row fan-out.  Tests monkeypatch this to pin bit-identical results
+# across both paths.
+_LITERAL_ASSIGN_NODE_BUDGET = 8192
+
+
+def _literal_nodes(cents: list[tuple[int, list[float]]]) -> int:
+    return len(cents) * (len(cents[0][1]) + 1) if cents else 0
 
 
 def _centroid_frame(
@@ -481,42 +489,49 @@ def _assign_nearest(
     metric: str = "cos",
     keep_vec: bool = True,
 ) -> DataFrame:
-    """Nearest-centroid assignment, path-selected by centroid count:
-    ``(id, [vector,] cluster, __score)`` where ``__score`` is ``-cosine``
-    (``metric='cos'``, argmax cosine) or squared L2 (``metric='l2'``,
-    argmin distance); ties broken by smallest cid on both paths.
+    """Nearest-centroid assignment, path-selected by the literal-node
+    budget: ``(id, [vector,] cluster, __score)`` where ``__score`` is
+    ``-cosine`` (``metric='cos'``, argmax cosine) or squared L2
+    (``metric='l2'``, argmin distance); ties broken by smallest cid on
+    both paths.
 
-    * ``len(cents) <= _LITERAL_ASSIGN_MAX``: the centroids are baked into
-      the plan as a literal array and the argmin is one row-local
-      ``array_min`` over ``struct(score, cid)`` — no join, no shuffle.
-    * above the cutover: the centroids become a k-row DataFrame with a
+    * ``len(cents) * (d+1) <= _LITERAL_ASSIGN_NODE_BUDGET``: the
+      centroids are baked into the plan as a literal array and the
+      argmin is one row-local ``array_min`` over ``struct(score, cid)``
+      — no join, no shuffle, and no per-pair row materialization.
+    * above the budget: the centroids become a k-row DataFrame with a
       hard ``F.broadcast`` (bounded by construction — k is a model
       parameter, clamped at 2^16 by :func:`suggest_nlist`), fanned out
       via BroadcastNestedLoopJoin, and the argmin is one
       ``min(struct(score, cid, ...))`` hash aggregate keyed on ``id`` —
       map-side partial combine collapses the k-fan-out before the
-      exchange, so the shuffle carries one row per input vector.
+      exchange, so the shuffle carries one row per input vector.  Norms
+      are computed ONCE per row and once per centroid before the
+      fan-out (same expressions as the literal path evaluates, so the
+      products are bit-identical), leaving one dot product as the only
+      per-pair work.
 
-    Both paths build the SAME score expression (same dot/norm fold order),
-    so results are bit-identical — pinned by a law test.  This is the
-    single assignment source for :func:`kmeans_assign`,
+    Both paths build the SAME score arithmetic (same dot/norm fold
+    order), so results are bit-identical — pinned by a law test.  This
+    is the single assignment source for :func:`kmeans_assign`,
     :func:`semantic_dedup` / :func:`_semantic_cluster_pairs`,
-    :func:`incremental_semantic_dedup` and :func:`topic_shares`."""
+    :func:`incremental_semantic_dedup`, :func:`topic_shares` and
+    :func:`topic_share_drift`."""
     if metric not in ("cos", "l2"):
         raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
 
-    if metric == "cos":
-        vn = norm(F.col(vec_col))
+    if _literal_nodes(cents) <= _LITERAL_ASSIGN_NODE_BUDGET:
+        if metric == "cos":
+            vn = norm(F.col(vec_col))
 
-        def score(cvec: Column) -> Column:
-            return -(dot(F.col(vec_col), cvec) / (vn * norm(cvec)))
+            def score(cvec: Column) -> Column:
+                return -(dot(F.col(vec_col), cvec) / (vn * norm(cvec)))
 
-    else:
+        else:
 
-        def score(cvec: Column) -> Column:
-            return _sq_dist(F.col(vec_col), cvec)
+            def score(cvec: Column) -> Column:
+                return _sq_dist(F.col(vec_col), cvec)
 
-    if len(cents) <= _LITERAL_ASSIGN_MAX:
         lit = _centroid_literal(cents)
         scored = F.transform(
             lit,
@@ -534,12 +549,24 @@ def _assign_nearest(
             best["d"].alias("__score"),
         )
     cdf = _centroid_frame(df, cents)
-    fields = [score(F.col("__cvec")).alias("d"), F.col("__cid").alias("cid")]
+    left = df.select(F.col(id_col), F.col(vec_col))
+    if metric == "cos":
+        # norms once per side BEFORE the n*k fan-out; norm() here is the
+        # identical expression the literal path evaluates inline, so the
+        # downstream products/divisions see bit-identical doubles
+        cdf = cdf.withColumn("__cn", norm(F.col("__cvec")))
+        left = left.withColumn("__vn", norm(F.col(vec_col)))
+        d = -(
+            dot(F.col(vec_col), F.col("__cvec"))
+            / (F.col("__vn") * F.col("__cn"))
+        )
+    else:
+        d = _sq_dist(F.col(vec_col), F.col("__cvec"))
+    fields = [d.alias("d"), F.col("__cid").alias("cid")]
     if keep_vec:
         fields.append(F.col(vec_col).alias("v"))
     best = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cdf))
+        left.crossJoin(F.broadcast(cdf))
         .groupBy(id_col)
         .agg(F.min(F.struct(*fields)).alias("b"))
     )
@@ -560,13 +587,12 @@ def kmeans_assign(
     """Assign each vector to its nearest (squared-L2) centroid from a
     driver-side centroid list: (id, vector, cluster, sq_dist).
 
-    Path-selected via :func:`_assign_nearest`: at or below
-    ``_LITERAL_ASSIGN_MAX`` centroids the set is a LITERAL array baked
-    into the plan (row-local transform + array argmin, no join and no
-    shuffle at all — exactly when literal broadcast beats even a
-    broadcast join); above it, a k-row broadcast-join argmin whose plan
-    size is O(1) in k, so the :func:`suggest_nlist` clamp (2^16) is
-    actually reachable."""
+    Path-selected via :func:`_assign_nearest`: within the literal-node
+    budget the set is a LITERAL array baked into the plan (row-local
+    transform + array argmin, no join and no shuffle at all — exactly
+    when literal broadcast beats even a broadcast join); above it, a
+    k-row broadcast-join argmin whose plan size is O(1) in k, so the
+    :func:`suggest_nlist` clamp (2^16) is actually reachable."""
     out = _assign_nearest(df, cents, vec_col, id_col, metric="l2")
     return out.withColumnRenamed("__score", "sq_dist")
 
@@ -867,8 +893,8 @@ def suggest_nlist(
     paper's own operating point) the k-row broadcast itself starts to
     weigh (2^16 x d=768 doubles ~ 400 MB on the wire per executor) —
     the assignment PLAN stays O(1) in nlist on the broadcast-join path
-    :func:`_assign_nearest` switches to above ``_LITERAL_ASSIGN_MAX``
-    centroids, so the clamp is a bandwidth/memory judgment, not a
+    :func:`_assign_nearest` switches to above its literal-node budget,
+    so the clamp is a bandwidth/memory judgment, not a
     plan-size ceiling.  Past the clamp (corpus > ~130M rows at the
     default target), train centroids with :func:`kmeans_lloyd` and pass
     ``cents=`` (the documented production composition), or raise
@@ -1347,6 +1373,86 @@ def topic_shares(
         .over(Window.orderBy(F.col("n_vecs").desc(), F.col("cluster")))
         .cast("int")
         .alias("share_rank"),
+    )
+
+
+def topic_share_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Topic-mixture drift between two corpus snapshots over a SHARED
+    coarse quantizer: per cluster ``(cluster, n_a, n_b, share_a,
+    share_b, share_delta)``, shares snapped to 6 decimals, ``share_delta
+    = share_b - share_a`` (sums to ~0; sum of |delta| = the L1 the
+    categorical :func:`~.corpus.mix_drift` reports per group).  The
+    semantic sibling of that op: a crawl refresh can hold source and
+    language mixes flat while quietly doubling one TOPIC — this diff
+    localizes the move to the embedding-space cluster, which is the
+    composition the :func:`topic_shares` docstring promises ("share
+    deltas diffable epoch over epoch"), made an operator.
+
+    Centroids: ``cents`` (the trained quantizer you curated with —
+    production, ids comparable across every snapshot it ever assigned)
+    or the deterministic md5 hash sample of SNAPSHOT A — the stable
+    side, matching :func:`incremental_semantic_dedup`'s convention —
+    so both snapshots are assigned against the SAME geometry by
+    construction.  Raises if snapshot A holds fewer than ``nlist`` rows
+    (silently sampling fewer would skew every share).
+
+    Scale: two path-selected assignment scans (:func:`_assign_nearest`
+    — plan-literal argmin below the cutover, broadcast-join argmin
+    above), two k-row count aggregates, one k-row full-outer join;
+    totals ride windows over the k-row frame (the documented
+    aggregate-frame exception) — output and every post-assignment frame
+    is O(nlist) regardless of corpus size."""
+    if cents is None:
+        init = (
+            df_a.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        cents = [
+            (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+        ]
+        if len(cents) != nlist:
+            raise ValueError(
+                f"topic_share_drift: snapshot A has only {len(cents)} "
+                f"rows, fewer than nlist={nlist} — pass trained `cents` "
+                "or lower nlist"
+            )
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            _assign_nearest(
+                df, cents, vec_col, id_col, metric="cos", keep_vec=False
+            )
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    j = counts(df_a, "a").join(counts(df_b, "b"), "cluster", "full_outer")
+    j = j.select(
+        "cluster",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    tot_a = F.sum("n_a").over(Window.partitionBy())
+    tot_b = F.sum("n_b").over(Window.partitionBy())
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    share_a = F.col("n_a") / tot_a
+    share_b = F.col("n_b") / tot_b
+    return j.select(
+        "cluster",
+        "n_a",
+        "n_b",
+        snap(share_a).alias("share_a"),
+        snap(share_b).alias("share_b"),
+        snap(share_b - share_a).alias("share_delta"),
     )
 
 

@@ -1,6 +1,7 @@
 """Round-13 operator cohort: streaming drop-rate alerting over the
-late-data accounting monitor, and the broadcast-join centroid-assignment
-path driver-checked above the literal cutover.
+late-data accounting monitor, the broadcast-join centroid-assignment
+path driver-checked above the literal cutover, and topic-mixture drift
+between snapshots over a shared quantizer.
 
 Assembled by __spark_entry__.queries() / oracle_sql() — the single driver
 contract.
@@ -75,18 +76,20 @@ FROM audit
 
 
 # ------------------------------------------------- centroid join path
-# > _LITERAL_ASSIGN_MAX (256), so the broadcast-join argmin runs at every
-# scale factor — the driver-checked face of the round-12 verdict fix
+# 300 centroids * (64+1) = 19500 literal nodes > the 8192-node budget, so
+# the broadcast-join argmin runs at every scale factor — the
+# driver-checked face of the round-12 verdict fix
 _CAJ_NLIST = 300
 
 
 def _q_centroid_assign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment through the broadcast-join path
     (`ops/similarity.py` _assign_nearest via kmeans_assign): 300
-    hash-sample centroids — above the 256-centroid literal cutover, so
-    the k-row BroadcastNestedLoopJoin + min(struct) argmin plan runs,
-    not the plan-literal scan (the round-12 verdict's ceiling finding
-    made driver-checkable).  Output is the per-vector assignment
+    hash-sample centroids — above the literal-node budget at the
+    testdata's d=64, so the k-row BroadcastNestedLoopJoin + min(struct)
+    argmin plan runs, not the plan-literal scan (the round-12 verdict's
+    ceiling finding made driver-checkable).  Output is the per-vector
+    assignment
     (vec_id, cluster, sq_dist rounded to 6); the oracle replays the
     md5-ordered centroid sample and the argmin-L2 with (d, cid)
     tie-break."""
@@ -108,6 +111,68 @@ def _q_centroid_assign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sq_dist"),
     )
+
+
+# ------------------------------------------------- topic share drift
+_TSD_NLIST = 16
+
+
+def _q_topic_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-mixture drift between snapshots (`ops/similarity.py`
+    topic_share_drift): snapshot A = even vec_ids, snapshot B = vec_ids
+    divisible by 3 (overlapping, distinct distributions), assigned
+    against the SHARED md5 hash-sample quantizer of snapshot A — per
+    cluster counts, shares, and the share delta a crawl-refresh review
+    reads to localize a topic move that source/language mixes cannot
+    see.  The oracle replays the A-side centroid sample, both argmax-
+    cosine assignments, the full-outer share join, and the snapped
+    deltas."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    a = embs.where(F.col("vec_id") % 2 == 0)
+    b = embs.where(F.col("vec_id") % 3 == 0)
+    return similarity.topic_share_drift(a, b, nlist=_TSD_NLIST)
+
+
+_TOPIC_SHARE_DRIFT_SQL = f"""
+WITH a_side AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+), b_side AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+), cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM a_side ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_TSD_NLIST}
+), assign_a AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) DESC,
+             c.cid) AS rk
+    FROM a_side e, cents c) WHERE rk = 1
+), assign_b AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) DESC,
+             c.cid) AS rk
+    FROM b_side e, cents c) WHERE rk = 1
+), ca AS (SELECT cluster, count(*) AS n_a FROM assign_a GROUP BY 1),
+cb AS (SELECT cluster, count(*) AS n_b FROM assign_b GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.cluster, cb.cluster) AS cluster,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.cluster = cb.cluster
+)
+SELECT cluster, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {_SNAP6("n_a * 1.0 / sum(n_a) OVER ()")} AS share_a,
+       {_SNAP6("n_b * 1.0 / sum(n_b) OVER ()")} AS share_b,
+       {_SNAP6("n_b * 1.0 / sum(n_b) OVER () - n_a * 1.0 / sum(n_a) OVER ()")} AS share_delta
+FROM j
+"""
 
 
 _CENTROID_ASSIGN_JOIN_SQL = f"""

@@ -523,9 +523,11 @@ def _hash_sample_cents(emb, k):
 def test_assign_nearest_paths_bit_identical(spark, emb, monkeypatch):
     """LAW: the plan-literal argmin and the broadcast-join argmin are the
     same function — bit-identical (cluster, score) per id for BOTH
-    metrics, because both paths build the identical score expression
-    (same dot/norm fold order).  This is what lets _LITERAL_ASSIGN_MAX
-    be a pure performance knob with no semantic surface."""
+    metrics, because both paths build the identical score arithmetic
+    (same dot/norm fold order; the join path's precomputed per-side
+    norms are the same expressions evaluated once).  This is what lets
+    _LITERAL_ASSIGN_NODE_BUDGET be a pure performance knob with no
+    semantic surface."""
     cents = _hash_sample_cents(emb, 12)
     sub = emb.limit(120)
     for metric in ("cos", "l2"):
@@ -538,7 +540,7 @@ def test_assign_nearest_paths_bit_identical(spark, emb, monkeypatch):
             ),
             key=lambda r: r["vec_id"],
         )
-        monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX", 0)
+        monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_NODE_BUDGET", 0)
         join = sorted(
             (
                 r.asDict()
@@ -548,20 +550,21 @@ def test_assign_nearest_paths_bit_identical(spark, emb, monkeypatch):
             ),
             key=lambda r: r["vec_id"],
         )
-        monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX", 256)
+        monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_NODE_BUDGET", 8192)
         assert len(lit) == 120 and lit == join, metric
 
 
 def test_assign_nearest_cutover_plan_shape(spark, emb):
-    """PLAN PIN for the cutover: at or below _LITERAL_ASSIGN_MAX centroids
-    the assignment plan has no join node of any kind; above it the plan is
-    a BroadcastNestedLoopJoin (a hard broadcast on the k-row centroid
-    frame — bounded by construction, k is a model parameter clamped at
-    2^16 by suggest_nlist) feeding one hash aggregate, never a
-    CartesianProduct, and its size is O(1) in k (the round-12 verdict's
-    literal-ceiling finding: nlist=2^16 at d=768 would otherwise bake
-    ~50M literal nodes into the plan)."""
-    small = _hash_sample_cents(emb, 8)
+    """PLAN PIN for the cutover: within the literal-node budget
+    (len(cents) * (d+1) expression nodes) the assignment plan has no join
+    node of any kind; above it the plan is a BroadcastNestedLoopJoin (a
+    hard broadcast on the k-row centroid frame — bounded by construction,
+    k is a model parameter clamped at 2^16 by suggest_nlist) feeding one
+    hash aggregate, never a CartesianProduct, and its size is O(1) in k
+    (the round-12 verdict's literal-ceiling finding: nlist=2^16 at d=768
+    would otherwise bake ~50M literal nodes into the plan, and the
+    measured driver cost of literal analysis is ~49 s at 65k nodes)."""
+    small = _hash_sample_cents(emb, 8)  # 8 * 65 = 520 nodes, within budget
     plan_small = (
         similarity._assign_nearest(emb, small, "embedding", "vec_id")
         ._jdf.queryExecution()
@@ -570,16 +573,20 @@ def test_assign_nearest_cutover_plan_shape(spark, emb):
     )
     assert "Join" not in plan_small and "Exchange" not in plan_small
 
-    big = [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(300)]  # > cutover
+    # 200 centroids * 65 nodes at d=64 = 13000 nodes > the 8192 budget
+    dim = 64
+    big = [
+        (i, [float(i)] + [0.0] * (dim - 1)) for i in range(200)
+    ]
     df = spark.createDataFrame(
-        [(j, [j + 0.25, 0.0, 0.0, 0.0]) for j in range(40)],
+        [(j, [j + 0.25] + [0.0] * (dim - 1)) for j in range(40)],
         "vec_id long, embedding array<double>",
     )
     jdf = similarity._assign_nearest(df, big, "embedding", "vec_id", metric="l2")
     plan_big = jdf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan_big
     assert "CartesianProduct" not in plan_big
-    # plan stays k-independent: the 300 centroids live in a LocalTableScan
+    # plan stays k-independent: the 200 centroids live in a LocalTableScan
     # relation, not in the expression tree
     assert plan_big.count("cvec") < 20
     # and the join path is CORRECT above the cutover without monkeypatching:
@@ -596,7 +603,7 @@ def test_semantic_dedup_same_verdicts_through_join_path(spark, emb, monkeypatch)
         (r["vec_id"], r["cluster"], r["kept"])
         for r in similarity.semantic_dedup(emb, threshold=0.3, nlist=8).collect()
     }
-    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX", 0)
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_NODE_BUDGET", 0)
     forced = {
         (r["vec_id"], r["cluster"], r["kept"])
         for r in similarity.semantic_dedup(emb, threshold=0.3, nlist=8).collect()

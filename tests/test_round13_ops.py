@@ -157,17 +157,18 @@ def test_late_rate_monitor_validates_threshold(spark):
 
 # ------------------------------------------------- centroid_assign_join
 def test_centroid_assign_join_query_runs_join_path(spark):
-    """The driver query's 300 centroids sit above the 256 literal
-    cutover, so its plan must be the broadcast-join argmin (the whole
-    point: a driver anchor for the non-literal path), and every vector
-    must be assigned exactly once."""
+    """The driver query's 300 centroids at the testdata's d=64 sit above
+    the literal-node budget (300 * 65 = 19500 > 8192), so its plan must
+    be the broadcast-join argmin (the whole point: a driver anchor for
+    the non-literal path), and every vector must be assigned exactly
+    once."""
     from spark_auto_schema.registry.pipeline_r13 import (
         _CAJ_NLIST,
         _q_centroid_assign_join,
     )
     from spark_auto_schema.ops import similarity
 
-    assert _CAJ_NLIST > similarity._LITERAL_ASSIGN_MAX
+    assert _CAJ_NLIST * 65 > similarity._LITERAL_ASSIGN_NODE_BUDGET
     out = _q_centroid_assign_join(spark, "/root/testdata/sf0.001")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
@@ -234,3 +235,72 @@ def test_mix_weights_binding_is_exact_recomputation(spark):
     assert out["a"]["binding"] is False and out["c"]["binding"] is False
     assert out["b"]["rate"] == 1.0
     corpus.release_caches()
+
+
+# ------------------------------------------------- topic_share_drift
+def test_topic_share_drift_localizes_planted_move(spark):
+    """Planted drift: two well-separated topics at (0,10) and (10,0);
+    snapshot A is 10/10, snapshot B is 5/15 — the diff must localize the
+    move to exactly the two clusters with deltas -0.25/+0.25, shares
+    summing to 1 per side and deltas to 0."""
+    from spark_auto_schema.ops import similarity
+
+    t0 = [(i, [0.0 + i * 0.001, 10.0]) for i in range(10)]
+    t1 = [(100 + i, [10.0, 0.0 + i * 0.001]) for i in range(10)]
+    a = spark.createDataFrame(t0 + t1, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(
+        t0[:5] + t1 + [(200 + i, [10.0, 0.5 + i * 0.001]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.topic_share_drift(a, b, nlist=2).collect()
+    assert len(rows) == 2
+    by_delta = sorted(rows, key=lambda r: r["share_delta"])
+    assert by_delta[0]["share_delta"] == -0.25
+    assert by_delta[1]["share_delta"] == 0.25
+    assert sum(r["share_a"] for r in rows) == 1.0
+    assert sum(r["share_b"] for r in rows) == 1.0
+    assert abs(sum(r["share_delta"] for r in rows)) < 1e-9
+    assert {r["n_a"] for r in rows} == {10} and sorted(
+        r["n_b"] for r in rows
+    ) == [5, 15]
+
+
+def test_topic_share_drift_rejects_small_snapshot_a(spark):
+    from spark_auto_schema.ops import similarity
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="fewer than nlist"):
+        similarity.topic_share_drift(a, a, nlist=4)
+
+
+def test_topic_share_drift_l1_matches_mix_drift_convention(spark):
+    """Cross-op law: sum of |share_delta| over clusters equals the L1
+    distance corpus.mix_drift reports for the same assignment treated as
+    a categorical column — the two drift dials agree by construction."""
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import corpus, similarity
+    from pyspark.sql import functions as F2
+
+    embs = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = embs.where(F2.col("vec_id") % 2 == 0)
+    b = embs.where(F2.col("vec_id") % 3 == 0)
+    drift = similarity.topic_share_drift(a, b, nlist=8).collect()
+    l1_topic = round(sum(abs(r["share_delta"]) for r in drift), 5)
+
+    init = (
+        a.select("vec_id", "embedding")
+        .orderBy(F2.md5(F2.col("vec_id").cast("string")), F2.col("vec_id"))
+        .limit(8)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)
+    ]
+    assign = lambda df: similarity._assign_nearest(
+        df, cents, "embedding", "vec_id", metric="cos", keep_vec=False
+    ).withColumn("grp", F2.lit("all"))
+    md = corpus.mix_drift(assign(a), assign(b), "grp", "cluster").collect()
+    assert len(md) == 1
+    assert round(md[0]["l1_distance"], 5) == l1_topic
