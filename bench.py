@@ -41,7 +41,8 @@ _FAMILIES: list[tuple[str, tuple[str, ...]]] = [
                 "pipeline_", "domain_cap", "table_checksum",
                 "calibration_", "binned_roc")),
     ("similarity", ("embedding_", "ann_", "ivf_", "kmeans_", "binary_hamming",
-                    "semantic_", "jl_", "topic_", "lsh_recall")),
+                    "semantic_", "jl_", "topic_", "lsh_recall",
+                    "centroid_")),
     ("analytics", ("user_retention", "event_funnel", "value_histogram",
                    "zscore_", "mad_outliers", "equidepth_", "psi_drift",
                    "burst_collapse", "ks_drift", "interval_overlap",

@@ -18,6 +18,8 @@ from spark_auto_schema.ops import similarity
 from spark_auto_schema.registry.pipeline_r11 import _SNAP6
 from spark_auto_schema.registry.pipeline_r12 import (
     _LATE_DATA_AUDIT_SQL,
+    _LATE_FILES,
+    _LATE_STRAGGLER_MOD,
     _events_stream_dir_late,
 )
 
@@ -193,3 +195,62 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
   FROM scored) WHERE rk = 1
 """
+
+
+# ------------------------------------------------- lateness profile
+def _q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window lateness-mix profile (`streaming.py` LatenessProfiler):
+    the distribution behind the late-audit counts — per day window, how
+    far behind the observed event-time frontier each row arrived, on the
+    <=1h / <=1d / <=7d / >7d ladder (frontier includes the row's own
+    batch, so frontier-setting rows read lag 0 -> le_1h).  Over the same
+    deterministic 4-block staging as streaming_late_audit: blocks span
+    ~7.5 days of event time each, so in-block rows land in le_1h..le_7d
+    and the planted 2-batch-late stragglers in gt_7d — the read that
+    says what `delay` would have admitted them.  The oracle replays the
+    per-block inclusive running max and the bucket ladder in SQL."""
+    from spark_auto_schema.streaming import (
+        LatenessProfiler,
+        read_event_stream,
+    )
+
+    src = _events_stream_dir_late(sf_dir)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    prof = LatenessProfiler(ts_col="ts", window_duration="1 day")
+    prof.drain(stream)
+    return prof.report(spark).select(
+        F.col("window_start").cast("date").alias("window_start"),
+        "bucket",
+        "n_events",
+    )
+
+
+_LATENESS_PROFILE_SQL = f"""
+WITH b AS (
+  SELECT CAST(ceil((max(event_id) + 1) * 1.0 / {{files}}) AS BIGINT) AS bs
+  FROM events
+), f AS (
+  SELECT ts,
+         CAST(floor(event_id * 1.0 / b.bs) AS BIGINT)
+         + CASE WHEN event_id % {{mod}} = 0
+                 AND CAST(floor(event_id * 1.0 / b.bs) AS BIGINT) < 2
+                THEN 2 ELSE 0 END AS fk
+  FROM events, b WHERE ts IS NOT NULL
+), fm AS (
+  SELECT fk, max(ts) AS mx FROM f GROUP BY fk
+), rm AS (
+  SELECT fk, max(mx) OVER (ORDER BY fk ROWS UNBOUNDED PRECEDING) AS frontier
+  FROM fm
+), lagged AS (
+  SELECT date_trunc('day', f.ts) AS ws,
+         epoch_us(rm.frontier) - epoch_us(f.ts) AS lag_us
+  FROM f JOIN rm ON rm.fk = f.fk
+)
+SELECT ws AS window_start,
+       CASE WHEN lag_us <= 3600000000 THEN 'le_1h'
+            WHEN lag_us <= 86400000000 THEN 'le_1d'
+            WHEN lag_us <= 604800000000 THEN 'le_7d'
+            ELSE 'gt_7d' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM lagged GROUP BY 1, 2
+""".format(files=_LATE_FILES, mod=_LATE_STRAGGLER_MOD)

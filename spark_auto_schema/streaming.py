@@ -898,3 +898,97 @@ class LateDataRateMonitor:
             )
             .withColumn("alert", rate >= F.lit(self.threshold))
         )
+
+
+# lateness mix ladder: (label, upper bound in microseconds); rows with
+# lag above every bound fall into the terminal bucket
+_LATENESS_BUCKETS: tuple[tuple[str, int], ...] = (
+    ("le_1h", 3_600 * 10**6),
+    ("le_1d", 86_400 * 10**6),
+    ("le_7d", 7 * 86_400 * 10**6),
+)
+_LATENESS_TERMINAL = "gt_7d"
+
+
+class LatenessProfiler:
+    """Per-window lateness-mix profile: how far behind the observed
+    event-time frontier each row arrived — the distribution BEHIND the
+    counts :func:`late_data_monitor` reports and the rates
+    :class:`LateDataRateMonitor` alerts on (audit -> alert -> profile:
+    this is the knob-tuning read; "how much delay tolerance would admit
+    the stragglers" is read straight off the bucket ladder).
+
+    Per micro-batch: one scalar ``max(ts)`` aggregate advances the
+    running frontier (a driver-held scalar — the same quantity Spark's
+    watermark tracks), then every row's ``lag = frontier - ts`` is
+    bucketed on a fixed ladder (<=1h, <=1d, <=7d, >7d — lag is measured
+    against the frontier INCLUDING the row's own batch, so the
+    frontier-setting row itself has lag 0) and counted per (event-time
+    window, bucket) — one |windows x buckets|-row collect per batch,
+    accumulated in O(windows x 4) driver state.  NULL event times are
+    excluded (they carry no position on the event-time axis).
+
+    Scale: the per-batch cost is one scalar agg + one map-side-combined
+    count aggregate over the batch; nothing stateful runs in the stream
+    itself, so there is no state store at all — the profile IS the
+    driver dict, same footprint class as :class:`DataDriftMonitor`'s
+    history."""
+
+    def __init__(
+        self, ts_col: str = "ts", window_duration: str = "1 day"
+    ) -> None:
+        self.ts_col = ts_col
+        self.window_duration = window_duration
+        self.frontier = None
+        self.counts: dict = {}
+
+    def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        e = batch_df.where(F.col(self.ts_col).isNotNull())
+        mx = e.agg(F.max(self.ts_col)).collect()[0][0]
+        if mx is None:
+            return
+        if self.frontier is None or mx > self.frontier:
+            self.frontier = mx
+        lag = F.unix_micros(
+            F.lit(self.frontier).cast("timestamp")
+        ) - F.unix_micros(F.col(self.ts_col))
+        bucket = F.lit(_LATENESS_TERMINAL)
+        for label, bound in reversed(_LATENESS_BUCKETS):
+            bucket = F.when(lag <= bound, label).otherwise(bucket)
+        rows = (
+            e.groupBy(
+                F.window(self.ts_col, self.window_duration)["start"].alias(
+                    "w"
+                ),
+                bucket.alias("b"),
+            )
+            .count()
+            .collect()
+        )
+        for r in rows:  # |windows x buckets|-row frame, model-sized
+            key = (r["w"], r["b"])
+            self.counts[key] = self.counts.get(key, 0) + r["count"]
+
+    def drain(self, events: DataFrame) -> None:
+        """availableNow drain over the raw stream (append semantics —
+        every batch's rows are profiled exactly once; no watermark, no
+        state store)."""
+        (
+            events.writeStream.foreachBatch(self._on_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    def report(self, spark: SparkSession) -> DataFrame:
+        """(window_start, bucket, n_events) — the accumulated mix."""
+        schema = T.StructType(
+            [
+                T.StructField("window_start", T.TimestampType()),
+                T.StructField("bucket", T.StringType()),
+                T.StructField("n_events", T.LongType()),
+            ]
+        )
+        rows = [(w, b, n) for (w, b), n in sorted(self.counts.items())]
+        return spark.createDataFrame(rows, schema)

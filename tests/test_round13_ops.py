@@ -1,6 +1,7 @@
 """Law tests for the round-13 operators: streaming drop-rate alerting
-(LateDataRateMonitor) and the broadcast-join centroid-assignment path's
-driver query.
+(LateDataRateMonitor), the broadcast-join centroid-assignment path's
+driver query, topic-mixture drift between snapshots, and the per-window
+lateness-mix profiler (LatenessProfiler).
 
 Each test pins an invariant the DuckDB mirror cannot express (callback
 firing semantics, checkpointed-restart state carry-over, plan-shape
@@ -304,3 +305,54 @@ def test_topic_share_drift_l1_matches_mix_drift_convention(spark):
     md = corpus.mix_drift(assign(a), assign(b), "grp", "cluster").collect()
     assert len(md) == 1
     assert round(md[0]["l1_distance"], 5) == l1_topic
+
+
+# ------------------------------------------------- LatenessProfiler
+def test_lateness_profiler_buckets_planted_lags(spark, tmp_path):
+    """Planted lags against a known frontier: batch 0 sets the frontier
+    at day-10 00:00; batch 1 delivers rows 30 min, 5 h, 3 d and 9 d
+    behind it — one row per ladder bucket, counted under the right
+    day window.  The frontier-setting row itself reads lag 0 (le_1h)."""
+    from spark_auto_schema.streaming import LatenessProfiler
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    _stage(spark, d, [(10, 0)], "f0.parquet", 1000)
+    # lags vs day-10 00:00: 30min (d9 23:30 is hour-granular -> use 23h),
+    # stage() only does (day, hour): d9 23h -> 1h lag (le_1h boundary),
+    # d9 19h -> 5h (le_1d), d7 0h -> 3d (le_7d), d1 0h -> 9d (gt_7d)
+    _stage(spark, d, [(9, 23), (9, 19), (7, 0), (1, 0)], "f1.parquet", 2000)
+
+    prof = LatenessProfiler(ts_col="ts", window_duration="1 day")
+    prof.drain(_stream(spark, d))
+    got = {
+        (r["window_start"].day, r["bucket"]): r["n_events"]
+        for r in prof.report(spark).collect()
+    }
+    assert got == {
+        (10, "le_1h"): 1,  # the frontier row, lag 0
+        (9, "le_1h"): 1,   # exactly 1 h behind: boundary inclusive
+        (9, "le_1d"): 1,
+        (7, "le_7d"): 1,
+        (1, "gt_7d"): 1,
+    }
+
+
+def test_lateness_profiler_frontier_never_regresses(spark, tmp_path):
+    """A late batch (all rows behind the frontier) must not pull the
+    frontier back: rows in it are bucketed against the PRIOR frontier,
+    and counts accumulate across batches into the same windows."""
+    from spark_auto_schema.streaming import LatenessProfiler
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    _stage(spark, d, [(10, 0)], "f0.parquet", 1000)
+    _stage(spark, d, [(2, 0)], "f1.parquet", 2000)  # 8 d behind -> gt_7d
+    _stage(spark, d, [(2, 1)], "f2.parquet", 3000)  # still vs day-10
+    prof = LatenessProfiler()
+    prof.drain(_stream(spark, d))
+    got = {
+        (r["window_start"].day, r["bucket"]): r["n_events"]
+        for r in prof.report(spark).collect()
+    }
+    assert got == {(10, "le_1h"): 1, (2, "gt_7d"): 2}
