@@ -618,10 +618,12 @@ from spark_auto_schema.registry.pipeline_r13 import (  # noqa: F401
     _CENTROID_ASSIGN_JOIN_SQL,
     _LATE_DATA_ALERT_SQL,
     _LATENESS_PROFILE_SQL,
+    _TOPIC_DRIFT_MONITOR_SQL,
     _TOPIC_SHARE_DRIFT_SQL,
     _q_centroid_assign_join,
     _q_late_data_alert,
     _q_lateness_profile,
+    _q_topic_drift_monitor,
     _q_topic_share_drift,
 )
 from spark_auto_schema.registry.pipeline_r11 import (  # noqa: F401
@@ -778,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["centroid_assign_join"] = _q_centroid_assign_join
     q["topic_share_drift"] = _q_topic_share_drift
     q["streaming_lateness_profile"] = _q_lateness_profile
+    q["streaming_topic_drift"] = _q_topic_drift_monitor
     q["parts_supplier_count"] = _q_parts_supplier_count
     q["small_qty_revenue"] = _q_small_qty_revenue
     q["large_volume_orders"] = _q_large_volume_orders
@@ -1291,4 +1294,5 @@ def oracle_sql() -> dict[str, str]:
     o["centroid_assign_join"] = _CENTROID_ASSIGN_JOIN_SQL
     o["topic_share_drift"] = _TOPIC_SHARE_DRIFT_SQL
     o["streaming_lateness_profile"] = _LATENESS_PROFILE_SQL
+    o["streaming_topic_drift"] = _TOPIC_DRIFT_MONITOR_SQL
     return o

@@ -1,7 +1,8 @@
 """Round-13 operator cohort: streaming drop-rate alerting over the
 late-data accounting monitor, the broadcast-join centroid-assignment
-path driver-checked above the literal cutover, and topic-mixture drift
-between snapshots over a shared quantizer.
+path driver-checked above the literal cutover, topic-mixture drift
+between snapshots over a shared quantizer (batch + streaming-monitor
+forms), and the per-window lateness-mix profile.
 
 Assembled by __spark_entry__.queries() / oracle_sql() — the single driver
 contract.
@@ -254,3 +255,126 @@ SELECT ws AS window_start,
        CAST(count(*) AS BIGINT) AS n_events
 FROM lagged GROUP BY 1, 2
 """.format(files=_LATE_FILES, mod=_LATE_STRAGGLER_MOD)
+
+
+# ------------------------------------------------- topic drift monitor
+_TDM_FILES = 4
+_TDM_NLIST = 8
+_TDM_THRESHOLD = 0.1
+
+
+def _embeddings_stream_dir(sf_dir: str) -> str:
+    """Drop-dir with the embeddings table staged as 4 sequential vec_id
+    blocks (one file per micro-batch under maxFilesPerTrigger=1,
+    distinct mtimes pin the batch order) — block 0 doubles as the
+    monitor baseline, so batch 0's drift score is the ~0 self-check."""
+    from spark_auto_schema.registry.analytics import _STREAM_DIRS
+
+    key = f"{sf_dir}#embstream"
+    if key not in _STREAM_DIRS:
+        import os
+        import tempfile
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="embeddings_stream_")
+        t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+        ids = t.column("vec_id")
+        max_id = pc.max(ids).as_py()
+        block_sz = -(-(max_id + 1) // _TDM_FILES)
+        blk = pc.cast(
+            pc.floor(pc.divide(pc.cast(ids, "double"), block_sz)), "int64"
+        )
+        for k in range(_TDM_FILES):
+            part = t.filter(pc.equal(blk, k))
+            p = os.path.join(d, f"drop{k}.parquet")
+            pq.write_table(part, p)
+            os.utime(p, (2_000_000 + k * 1000, 2_000_000 + k * 1000))
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
+
+
+def _q_topic_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming topic-drift alerting (`streaming.py` TopicDriftMonitor):
+    the embeddings table replayed as 4 vec_id-block micro-batches
+    against a baseline frozen from block 0 — per batch, the L1 distance
+    between the batch's topic-share vector and the baseline's over the
+    SHARED 8-centroid hash-sample quantizer, with the drifted flag at
+    0.1 (batch 0 re-streams the baseline itself, so its score is the ~0
+    self-check).  The oracle replays the block split, the baseline
+    centroid sample, both assignments, and the per-block L1."""
+    from spark_auto_schema.streaming import TopicDriftMonitor
+
+    src = _embeddings_stream_dir(sf_dir)
+    embs = read_table(spark, sf_dir, "embeddings")
+    bs = -(-(embs.agg(F.max("vec_id")).collect()[0][0] + 1) // _TDM_FILES)
+    baseline = embs.where(F.col("vec_id") < bs)
+    mon = TopicDriftMonitor(
+        baseline, nlist=_TDM_NLIST, threshold=_TDM_THRESHOLD
+    )
+    stream = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mon.attach(stream).awaitTermination()
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    out = spark.createDataFrame(
+        [(int(b), float(s)) for b, s, _ in mon.history],
+        "batch_ord long, l1_raw double",
+    )
+    return out.select(
+        "batch_ord",
+        snap(F.col("l1_raw")).alias("l1_distance"),
+        (F.col("l1_raw") >= F.lit(_TDM_THRESHOLD)).alias("drifted"),
+    )
+
+
+_TOPIC_DRIFT_MONITOR_SQL = f"""
+WITH bsz AS (
+  SELECT CAST(ceil((max(vec_id) + 1) * 1.0 / {_TDM_FILES}) AS BIGINT) AS bs
+  FROM embeddings
+), f AS (
+  SELECT vec_id, embedding,
+         CAST(floor(vec_id * 1.0 / bsz.bs) AS BIGINT) AS blk
+  FROM embeddings, bsz
+), cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM f WHERE blk = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_TDM_NLIST}
+), assign AS (
+  SELECT vec_id, blk, cid AS cluster FROM (
+    SELECT e.vec_id, e.blk, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])))) DESC,
+             c.cid) AS rk
+    FROM f e, cents c) WHERE rk = 1
+), bc AS (
+  SELECT cluster, count(*) AS bn FROM assign WHERE blk = 0 GROUP BY 1
+), bt AS (SELECT sum(bn) AS t FROM bc),
+batchc AS (SELECT blk, cluster, count(*) AS cn FROM assign GROUP BY 1, 2),
+batcht AS (SELECT blk, sum(cn) AS t FROM batchc GROUP BY 1),
+grid AS (
+  SELECT b.blk, c.cluster
+  FROM (SELECT DISTINCT blk FROM f) b,
+       (SELECT DISTINCT cluster FROM assign) c
+), l1 AS (
+  SELECT g.blk,
+         sum(abs(coalesce(batchc.cn, 0) * 1.0 / batcht.t
+                 - coalesce(bc.bn, 0) * 1.0 / bt.t)) AS l1_raw
+  FROM grid g
+  LEFT JOIN batchc ON batchc.blk = g.blk AND batchc.cluster = g.cluster
+  LEFT JOIN bc ON bc.cluster = g.cluster
+  JOIN batcht ON batcht.blk = g.blk
+  CROSS JOIN bt
+  GROUP BY 1
+)
+SELECT blk AS batch_ord,
+       {_SNAP6("l1_raw")} AS l1_distance,
+       (l1_raw >= {_TDM_THRESHOLD}) AS drifted
+FROM l1
+"""

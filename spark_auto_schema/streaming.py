@@ -992,3 +992,127 @@ class LatenessProfiler:
         )
         rows = [(w, b, n) for (w, b), n in sorted(self.counts.items())]
         return spark.createDataFrame(rows, schema)
+
+
+class TopicDriftMonitor:
+    """Per-microbatch topic-mixture drift of an embedding stream against
+    a frozen baseline — :class:`DataDriftMonitor`'s pattern applied to
+    the EMBEDDING axis: that one watches a numeric column's distribution
+    (PSI/KS), this one watches WHAT the corpus is about.  A crawl
+    refresh can hold source and language mixes flat while quietly
+    doubling one topic; this is the ingest-time sentinel that moves
+    first (the batch twin is :func:`ops.similarity.topic_share_drift`).
+
+    At construction the baseline corpus is assigned ONCE against a
+    SHARED quantizer (``cents`` if given — the trained production
+    quantizer — else the deterministic md5 hash sample of the baseline)
+    and only its k-row share vector is kept.  Each microbatch then runs
+    the SAME path-selected assignment
+    (:func:`~.ops.similarity._assign_nearest` — plan-literal below the
+    node budget, broadcast-join argmin above), collects its k-row
+    cluster counts, and calls ``on_drift(batch_id, score)`` when
+    ``score = sum over clusters |share_batch - share_baseline|`` (the
+    L1 = 2x total-variation distance, same statistic as
+    :func:`ops.corpus.mix_drift` and the sum of
+    :func:`~.ops.similarity.topic_share_drift`'s |share_delta|) crosses
+    ``threshold``.  Per-batch (cluster, share_base, share_batch, delta)
+    rows accumulate in ``history``.
+
+    Scale: the per-batch cost is one assignment scan over the batch plus
+    two k-row aggregates; the baseline side is a FROZEN k-row share
+    list, never rescanned.  Driver state is O(nlist) per batch of
+    history — the :class:`DataDriftMonitor` footprint class."""
+
+    def __init__(
+        self,
+        baseline: DataFrame,
+        nlist: int = 16,
+        threshold: float = 0.25,
+        on_drift: Callable[[int, float], None] | None = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        cents: list[tuple[int, list[float]]] | None = None,
+    ) -> None:
+        if not 0 < threshold <= 2:
+            raise ValueError(
+                f"threshold must be in (0, 2] (L1 of shares), got {threshold}"
+            )
+        if cents is None:
+            init = (
+                baseline.select(F.col(id_col), F.col(vec_col))
+                .orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+                .limit(nlist)
+                .collect()
+            )
+            cents = [
+                (i, [float(x) for x in r[vec_col]])
+                for i, r in enumerate(init)
+            ]
+            if len(cents) != nlist:
+                raise ValueError(
+                    f"TopicDriftMonitor: baseline has only {len(cents)} "
+                    f"rows, fewer than nlist={nlist} — pass trained "
+                    "`cents` or lower nlist"
+                )
+        self.cents = cents
+        self.threshold = threshold
+        self.on_drift = on_drift
+        self.vec_col = vec_col
+        self.id_col = id_col
+        # baseline assigned ONCE; only the frozen k-row share vector is
+        # kept — no baseline rescan ever happens after construction
+        from spark_auto_schema.ops.similarity import _assign_nearest
+
+        counts = {
+            r["cluster"]: r["n"]
+            for r in _assign_nearest(
+                baseline, cents, vec_col, id_col, metric="cos", keep_vec=False
+            )
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        self.baseline_shares = {c: n / total for c, n in counts.items()}
+        self.history: list[tuple[int, float, list]] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from spark_auto_schema.ops.similarity import _assign_nearest
+
+        if batch_df.isEmpty():
+            return
+        counts = {
+            r["cluster"]: r["n"]
+            for r in _assign_nearest(
+                batch_df,
+                self.cents,
+                self.vec_col,
+                self.id_col,
+                metric="cos",
+                keep_vec=False,
+            )
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # k-row frame: model-sized collect, not data
+        }
+        total = sum(counts.values())
+        rows = []
+        score = 0.0
+        for c in sorted(set(self.baseline_shares) | set(counts)):
+            sb = self.baseline_shares.get(c, 0.0)
+            sx = counts.get(c, 0) / total
+            score += abs(sx - sb)
+            rows.append((c, sb, sx, sx - sb))
+        self.history.append((batch_id, score, rows))
+        if self.on_drift is not None and score >= self.threshold:
+            self.on_drift(batch_id, score)
+
+    def attach(self, stream_df: DataFrame):
+        """Start the monitor on a streaming DataFrame (availableNow)."""
+        return (
+            stream_df.writeStream.foreachBatch(self)
+            .trigger(availableNow=True)
+            .start()
+        )

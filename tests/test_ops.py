@@ -2262,3 +2262,24 @@ def test_length_drift_sources_zero_on_uniform_lengths(spark):
     assert got, "every source has both hash halves at n=120"
     for r in got:
         assert r["max_qdiff"] == 0.0 and r["avg_qdiff"] == 0.0
+
+
+def test_kmeans_lloyd_identical_through_join_path(spark, monkeypatch):
+    """The iterative composition (init -> assign -> k*d mean aggregate,
+    repeated) must reproduce exactly when every assignment runs the
+    broadcast-join path: same centroids, same inertia history — the
+    training loop is path-invariant, not just a single assignment."""
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (100 + i, [10.0 + i * 0.01, 10.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    c_lit, a_lit, h_lit = similarity.kmeans_lloyd(df, k=2, iters=3)
+    lit_assign = sorted(
+        (r["vec_id"], r["cluster"], r["sq_dist"]) for r in a_lit.collect()
+    )
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_NODE_BUDGET", 0)
+    c_j, a_j, h_j = similarity.kmeans_lloyd(df, k=2, iters=3)
+    join_assign = sorted(
+        (r["vec_id"], r["cluster"], r["sq_dist"]) for r in a_j.collect()
+    )
+    assert c_lit == c_j and h_lit == h_j and lit_assign == join_assign

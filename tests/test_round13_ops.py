@@ -1,7 +1,8 @@
 """Law tests for the round-13 operators: streaming drop-rate alerting
 (LateDataRateMonitor), the broadcast-join centroid-assignment path's
-driver query, topic-mixture drift between snapshots, and the per-window
-lateness-mix profiler (LatenessProfiler).
+driver query, topic-mixture drift between snapshots (batch op +
+streaming TopicDriftMonitor), and the per-window lateness-mix profiler
+(LatenessProfiler).
 
 Each test pins an invariant the DuckDB mirror cannot express (callback
 firing semantics, checkpointed-restart state carry-over, plan-shape
@@ -356,3 +357,64 @@ def test_lateness_profiler_frontier_never_regresses(spark, tmp_path):
         for r in prof.report(spark).collect()
     }
     assert got == {(10, "le_1h"): 1, (2, "gt_7d"): 2}
+
+
+# ------------------------------------------------- TopicDriftMonitor
+def test_topic_drift_monitor_fires_on_planted_shift(spark, tmp_path):
+    """Planted topic move: baseline is a 50/50 mix of two well-separated
+    topics; batch files replay (a) the same 50/50 mix (score ~0, quiet)
+    then (b) a 100/0 batch (L1 = |1-0.5| + |0-0.5| = 1.0, fires).  The
+    callback carries the batch id and the exact L1."""
+    from spark_auto_schema.streaming import TopicDriftMonitor
+
+    t0 = [(i, [0.0 + i * 0.001, 10.0]) for i in range(10)]
+    t1 = [(100 + i, [10.0, 0.0 + i * 0.001]) for i in range(10)]
+    baseline = spark.createDataFrame(
+        t0 + t1, "vec_id long, embedding array<double>"
+    )
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    mixed = spark.createDataFrame(
+        t0[5:] + t1[5:], "vec_id long, embedding array<double>"
+    )
+    skewed = spark.createDataFrame(
+        [(200 + i, [0.0 + i * 0.001, 10.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    for i, df in enumerate((mixed, skewed)):
+        p = os.path.join(d, f"f{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + "_tmp")
+        f = glob.glob(p + "_tmp/part-*.parquet")[0]
+        shutil.move(f, p)
+        shutil.rmtree(p + "_tmp")
+        os.utime(p, (1000 + i * 1000, 1000 + i * 1000))
+
+    fires = []
+    mon = TopicDriftMonitor(
+        baseline,
+        nlist=2,
+        threshold=0.5,
+        on_drift=lambda bid, score: fires.append((bid, score)),
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    mon.attach(stream).awaitTermination()
+    assert [b for b, _ in fires] == [1]
+    assert abs(fires[0][1] - 1.0) < 1e-12
+    scores = {bid: s for bid, s, _ in mon.history}
+    assert scores[0] == 0.0 and scores[1] == fires[0][1]
+
+
+def test_topic_drift_monitor_validates_inputs(spark):
+    from spark_auto_schema.streaming import TopicDriftMonitor
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        TopicDriftMonitor(base, threshold=0.0)
+    with pytest.raises(ValueError, match="fewer than nlist"):
+        TopicDriftMonitor(base, nlist=4)
