@@ -162,6 +162,15 @@ PROBES: dict[str, list[str]] = {
         # ~linear (the 0.73-slope config-scaled regime; contrast the
         # pinned-nlist semantic_dedup exclusion note below)
         "semantic_dedup_scaled",
+        # round-13: snapshot topic-share diff — two path-selected
+        # assignment scans + k-row aggregates/join; must be flat-linear
+        # like topic_share_balance
+        "topic_share_drift",
+        # round-13: the broadcast-join assignment path driver anchor —
+        # n x 300 BNLJ fan-out + one id-keyed min(struct) aggregate;
+        # must track the corpus scan (the fan-out is arithmetic, not
+        # shuffle)
+        "centroid_assign_join",
         # round-11: rerank harness — pool build (bm25 + cosine top-k) is the
         # corpus-sized part, rerank itself is k-sized; must track the
         # retrievers' scans
@@ -304,6 +313,18 @@ PROBES: dict[str, list[str]] = {
         # over the 4-drop replay (admitted + total); state is O(windows),
         # slope must track the event volume like any windowed count
         "streaming_late_audit",
+        # round-13: the alert layer over the same two drains + O(windows)
+        # foreachBatch collects — must inherit the audit's flat slope
+        "streaming_late_alert",
+        # round-13: lateness-mix profile — per batch one scalar max agg +
+        # one count agg, NO state store; slope must track the event
+        # volume with the stream's fixed per-batch cost on top
+        "streaming_lateness_profile",
+        # round-13: topic drift monitor — per batch one assignment scan +
+        # a k-row collect over the 4-block embedding replay; the frozen
+        # baseline is never rescanned, so the slope must track the
+        # embedding volume only
+        "streaming_topic_drift",
         "psi_drift_events",
         "scd2_lookup_events",
         # session-3: KS shares PSI's binning; rank_transform is the
