@@ -618,11 +618,13 @@ from spark_auto_schema.registry.pipeline_r13 import (  # noqa: F401
     _CENTROID_ASSIGN_JOIN_SQL,
     _LATE_DATA_ALERT_SQL,
     _LATENESS_PROFILE_SQL,
+    _QUANTIZED_ASSIGN_AGREEMENT_SQL,
     _TOPIC_DRIFT_MONITOR_SQL,
     _TOPIC_SHARE_DRIFT_SQL,
     _q_centroid_assign_join,
     _q_late_data_alert,
     _q_lateness_profile,
+    _q_quantized_assign_agreement,
     _q_topic_drift_monitor,
     _q_topic_share_drift,
 )
@@ -781,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topic_share_drift"] = _q_topic_share_drift
     q["streaming_lateness_profile"] = _q_lateness_profile
     q["streaming_topic_drift"] = _q_topic_drift_monitor
+    q["quantized_assign_agreement"] = _q_quantized_assign_agreement
     q["parts_supplier_count"] = _q_parts_supplier_count
     q["small_qty_revenue"] = _q_small_qty_revenue
     q["large_volume_orders"] = _q_large_volume_orders
@@ -1295,4 +1298,5 @@ def oracle_sql() -> dict[str, str]:
     o["topic_share_drift"] = _TOPIC_SHARE_DRIFT_SQL
     o["streaming_lateness_profile"] = _LATENESS_PROFILE_SQL
     o["streaming_topic_drift"] = _TOPIC_DRIFT_MONITOR_SQL
+    o["quantized_assign_agreement"] = _QUANTIZED_ASSIGN_AGREEMENT_SQL
     return o

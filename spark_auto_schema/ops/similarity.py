@@ -1456,6 +1456,90 @@ def topic_share_drift(
     )
 
 
+def quantized_assign_agreement(
+    df: DataFrame,
+    nlist: int = 16,
+    levels: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Cluster-assignment agreement under int8 scalar quantization: per
+    FLOAT-side cluster, how many vectors keep their cluster when
+    assigned from the dequantized codes (asymmetric ADC-style — float
+    centroids x dequantized corpus) — ``(cluster, n_vecs, n_match,
+    agreement)``, agreement snapped to 6 decimals.
+
+    The clustering-path twin of :func:`quantized_recall_eval` (which
+    prices the 4x memory cut on the SEARCH path): a cluster whose
+    members scatter under quantization is a cluster whose SemDeDup
+    verdicts and topic shares would change if the corpus stored int8 —
+    this is the contract to read before committing a curated corpus to
+    quantized storage.  Codes come from the shared
+    :func:`_quant_coded` expression source (identical arithmetic to
+    :func:`quantize_embeddings` and the recall eval, so the contract
+    cannot drift from the op it prices).
+
+    Centroids: ``cents`` (trained) or the deterministic md5 hash sample
+    of ``df`` (raises if the corpus holds fewer than ``nlist`` rows).
+    Both assignments run the SAME path-selected argmax cosine
+    (:func:`_assign_nearest`).
+
+    Scale: the quantize dataflow (one posexplode scan + d-row broadcast
+    stats + one id-keyed reassembly) + two assignment scans + one
+    id-keyed equi-join of two (id, cluster) frames + a k-row aggregate
+    — no pairwise anything."""
+    if cents is None:
+        init = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(nlist)
+            .collect()
+        )
+        cents = [
+            (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+        ]
+        if len(cents) != nlist:
+            raise ValueError(
+                f"quantized_assign_agreement: corpus has only "
+                f"{len(cents)} rows, fewer than nlist={nlist} — pass "
+                "trained `cents` or lower nlist"
+            )
+    ref = _assign_nearest(
+        df, cents, vec_col, id_col, metric="cos", keep_vec=False
+    ).select(F.col(id_col), F.col("cluster"))
+    dv = (
+        _quant_coded(df, vec_col, id_col, levels)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dq"))),
+                lambda s: s["dq"],
+            ).alias("__dvec")
+        )
+    )
+    qa = _assign_nearest(
+        dv, cents, "__dvec", id_col, metric="cos", keep_vec=False
+    ).select(F.col(id_col), F.col("cluster").alias("__qcluster"))
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        ref.join(qa, on=id_col)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("cluster") == F.col("__qcluster")).cast("long")
+            ).alias("n_match"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "n_match",
+            snap(F.col("n_match") / F.col("n_vecs")).alias("agreement"),
+        )
+    )
+
+
 def _salted_topk_per_qid(
     scored: DataFrame, id_col: str, k: int, n_salts: int = 32
 ) -> DataFrame:

@@ -378,3 +378,71 @@ SELECT blk AS batch_ord,
        (l1_raw >= {_TDM_THRESHOLD}) AS drifted
 FROM l1
 """
+
+
+# ------------------------------------------------- quantized agreement
+_QAA_NLIST = 16
+_QAA_LEVELS = 256
+
+
+def _q_quantized_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-assignment agreement contract (`ops/similarity.py`
+    quantized_assign_agreement): per float-side cluster over the
+    16-centroid hash-sample quantizer, how many vectors keep their
+    cluster when assigned from the int8-dequantized codes — the
+    clustering-path twin of quantized_recall_panel, pricing the 4x
+    memory cut on the SemDeDup/topic read path.  The oracle replays the
+    per-dimension quantization stats, the half-up code rounding, the
+    dequantization, both argmax-cosine assignments, and the per-cluster
+    match counts."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_assign_agreement(
+        embs, nlist=_QAA_NLIST, levels=_QAA_LEVELS
+    )
+
+
+def _quantized_assign_agreement_sql() -> str:
+    from spark_auto_schema.registry.pipeline_r9 import _cos_sql
+
+    lv = _QAA_LEVELS - 1
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_QAA_NLIST}
+), ref AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_cos_sql("e.embedding", "c.cvec")} DESC, c.cid) AS rk
+    FROM embeddings e, cents c) WHERE rk = 1
+), ex AS (
+  SELECT vec_id, t.i - 1 AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), stats AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM ex GROUP BY 1),
+dv AS (
+  SELECT vec_id,
+         list(CASE WHEN hi > lo
+                   THEN lo + CAST(floor((v - lo) / (hi - lo) * {lv} + 0.5) AS INT)
+                        / {lv}::DOUBLE * (hi - lo)
+                   ELSE lo END ORDER BY pos) AS dvec
+  FROM ex JOIN stats USING (pos) GROUP BY vec_id
+), qa AS (
+  SELECT vec_id, cid AS qcluster FROM (
+    SELECT d.vec_id, c.cid,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+             {_cos_sql("d.dvec", "c.cvec")} DESC, c.cid) AS rk
+    FROM dv d, cents c) WHERE rk = 1
+)
+SELECT ref.cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN ref.cluster = qa.qcluster THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       {_SNAP6("sum(CASE WHEN ref.cluster = qa.qcluster THEN 1 ELSE 0 END) * 1.0 / count(*)")}
+         AS agreement
+FROM ref JOIN qa USING (vec_id)
+GROUP BY 1
+"""
+
+
+_QUANTIZED_ASSIGN_AGREEMENT_SQL = _quantized_assign_agreement_sql()

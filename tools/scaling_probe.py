@@ -166,6 +166,11 @@ PROBES: dict[str, list[str]] = {
         # assignment scans + k-row aggregates/join; must be flat-linear
         # like topic_share_balance
         "topic_share_drift",
+        # round-13: quantized-assignment agreement — the quantize
+        # dataflow (explode + d-row broadcast + id reassembly) + two
+        # assignment scans + one id equi-join + k-row agg; must track
+        # the quantize/assign scans, never anything pairwise
+        "quantized_assign_agreement",
         # round-13: the broadcast-join assignment path driver anchor —
         # n x 300 BNLJ fan-out + one id-keyed min(struct) aggregate;
         # must track the corpus scan (the fan-out is arithmetic, not
@@ -553,7 +558,23 @@ def main() -> None:
         for fam, names in PROBES.items()
         if any(n in results for n in names)
     }
+    extra = {}
+    if os.path.exists(out_path):
+        prior = json.loads(Path(out_path).read_text())
+        extra = {
+            k: v
+            for k, v in prior.items()
+            if k
+            not in (
+                "replicas",
+                "reps",
+                "source",
+                "family_median_log_slope",
+                "queries",
+            )
+        }
     payload = {
+        **extra,
         "replicas": replicas,
         "reps": reps,
         "source": src,
