@@ -914,8 +914,14 @@ def post_dedup_mix_weights(
     s = s.withColumn(
         "target_share", F.coalesce("target_share", F.lit(0.0))
     )
+    # the ONE ratio expression both the budget min and the binding
+    # compare evaluate — sharing the Column object (not just the text)
+    # makes it impossible for a future edit to perturb one side and
+    # silently empty the binding set; guarded by
+    # test_mix_weights_binding_is_exact_recomputation (r13-ADVICE)
+    ratio = F.col("surviving_tokens") / F.col("target_share")
     budget = s.where(F.col("target_share") > 0).agg(
-        F.min(F.col("surviving_tokens") / F.col("target_share")).alias("__b")
+        F.min(ratio).alias("__b")
     )
     snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
     out = s.crossJoin(F.broadcast(budget)).select(
@@ -932,19 +938,15 @@ def post_dedup_mix_weights(
                 / F.col("surviving_tokens"),
             ).otherwise(F.lit(0.0))
         ).alias("rate"),
-        # EXACT-recomputation semantics: the min was computed over this
-        # same double expression, so the binding source's ratio equals
-        # __b bit-for-bit — no epsilon (an absolute 1e-9 at ~1e12 token
-        # magnitudes sits far below one ulp, so it could only ever match
-        # the exact recomputation anyway, while READING as if near-ties
-        # were detected; they are not — a near-tie is reported only via
-        # the per-source rate column)
-        (
-            (F.col("target_share") > 0)
-            & (
-                F.col("surviving_tokens") / F.col("target_share")
-                == F.col("__b")
-            )
-        ).alias("binding"),
+        # EXACT-recomputation semantics: the min was computed over the
+        # SHARED `ratio` Column above, so the binding source's ratio
+        # equals __b bit-for-bit — no epsilon (an absolute 1e-9 at ~1e12
+        # token magnitudes sits far below one ulp, so it could only ever
+        # match the exact recomputation anyway, while READING as if
+        # near-ties were detected; they are not — a near-tie is reported
+        # only via the per-source rate column)
+        ((F.col("target_share") > 0) & (ratio == F.col("__b"))).alias(
+            "binding"
+        ),
     )
     return out

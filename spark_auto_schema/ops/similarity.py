@@ -516,7 +516,16 @@ def _assign_nearest(
     is the single assignment source for :func:`kmeans_assign`,
     :func:`semantic_dedup` / :func:`_semantic_cluster_pairs`,
     :func:`incremental_semantic_dedup`, :func:`topic_shares` and
-    :func:`topic_share_drift`."""
+    :func:`topic_share_drift`.
+
+    PRECONDITION: ``id_col`` values must be UNIQUE and NON-NULL.  The
+    join path collapses the k-fan-out with ``groupBy(id_col)`` (one
+    output row per id) while the literal path emits one output row per
+    INPUT row — with duplicate (or null) ids the two paths would return
+    different cardinalities, turning the literal-node budget from a
+    perf knob into a semantic one.  Every in-repo caller passes a
+    primary-key id (vec_id / doc_id); the law test that pins
+    bit-identity across paths covers unique ids only (r13-ADVICE)."""
     if metric not in ("cos", "l2"):
         raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
 
@@ -1444,8 +1453,12 @@ def topic_share_drift(
     tot_a = F.sum("n_a").over(Window.partitionBy())
     tot_b = F.sum("n_b").over(Window.partitionBy())
     snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
-    share_a = F.col("n_a") / tot_a
-    share_b = F.col("n_b") / tot_b
+    # an EMPTY snapshot (possible only with trained `cents` supplied —
+    # the sampled path raises above) has total 0; 0/0 would emit NULL
+    # shares, so pin the share to 0.0: "everything in the other snapshot
+    # is new" is the honest read, and deltas stay non-null (r13-ADVICE)
+    share_a = F.when(tot_a > 0, F.col("n_a") / tot_a).otherwise(F.lit(0.0))
+    share_b = F.when(tot_b > 0, F.col("n_b") / tot_b).otherwise(F.lit(0.0))
     return j.select(
         "cluster",
         "n_a",

@@ -941,8 +941,16 @@ class LatenessProfiler:
         self.window_duration = window_duration
         self.frontier = None
         self.counts: dict = {}
+        # highest batch_id already accumulated — foreachBatch may
+        # re-invoke a batch id on retry, and += state is not idempotent
+        # the way LateDataRateMonitor's max/replace sinks are; skipping
+        # batch_id <= last makes re-delivery a no-op (r13-ADVICE)
+        self._last_batch = -1
 
     def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch:
+            return
+        self._last_batch = batch_id
         e = batch_df.where(F.col(self.ts_col).isNotNull())
         mx = e.agg(F.max(self.ts_col)).collect()[0][0]
         if mx is None:
@@ -969,17 +977,25 @@ class LatenessProfiler:
             key = (r["w"], r["b"])
             self.counts[key] = self.counts.get(key, 0) + r["count"]
 
-    def drain(self, events: DataFrame) -> None:
+    def drain(
+        self, events: DataFrame, checkpoint_dir: str | None = None
+    ) -> None:
         """availableNow drain over the raw stream (append semantics —
         every batch's rows are profiled exactly once; no watermark, no
-        state store)."""
-        (
-            events.writeStream.foreachBatch(self._on_batch)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
+        state store).  ``checkpoint_dir`` makes a second drain over the
+        same directory process only NEW files and keeps batch ids
+        monotone across drains, so the batch-id re-delivery guard stays
+        sound — use it whenever the same instance drains twice.  Without
+        it, the guard still makes foreachBatch RETRY re-deliveries a
+        no-op within one query, and an uncheckpointed re-drain (which
+        restarts at batch 0 over ALL files) is skipped up to the highest
+        batch id already seen instead of double-counting (r13-ADVICE)."""
+        w = events.writeStream.foreachBatch(self._on_batch).outputMode(
+            "append"
         )
+        if checkpoint_dir is not None:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        w.trigger(availableNow=True).start().awaitTermination()
 
     def report(self, spark: SparkSession) -> DataFrame:
         """(window_start, bucket, n_events) — the accumulated mix."""
@@ -1075,6 +1091,14 @@ class TopicDriftMonitor:
             .collect()
         }
         total = sum(counts.values())
+        if total == 0:
+            # reachable only with trained `cents` supplied and an empty
+            # baseline (the sampled path raised above); without this the
+            # share division is an opaque ZeroDivisionError (r13-ADVICE)
+            raise ValueError(
+                "TopicDriftMonitor: baseline produced zero assigned rows "
+                "— empty baseline frame; pass a non-empty baseline"
+            )
         self.baseline_shares = {c: n / total for c, n in counts.items()}
         self.history: list[tuple[int, float, list]] = []
 
@@ -1109,10 +1133,17 @@ class TopicDriftMonitor:
         if self.on_drift is not None and score >= self.threshold:
             self.on_drift(batch_id, score)
 
-    def attach(self, stream_df: DataFrame):
-        """Start the monitor on a streaming DataFrame (availableNow)."""
-        return (
-            stream_df.writeStream.foreachBatch(self)
-            .trigger(availableNow=True)
-            .start()
-        )
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str | None = None):
+        """Start the monitor on a streaming DataFrame (availableNow).
+
+        ``checkpoint_dir`` makes the attachment resumable: a
+        RECONSTRUCTED monitor (new process, same baseline frame and
+        parameters) attached to the same checkpoint processes only new
+        files, re-deriving the identical frozen baseline shares in
+        ``__init__`` (the md5 hash sample and the assignment are
+        deterministic), so its fire/no-fire decisions match an
+        uninterrupted run — pinned by a restart law test."""
+        w = stream_df.writeStream.foreachBatch(self)
+        if checkpoint_dir is not None:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w.trigger(availableNow=True).start()

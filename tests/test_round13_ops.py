@@ -444,50 +444,66 @@ def test_quantized_agreement_perfect_on_boundary_vectors(spark):
 
 
 def test_quantized_agreement_detects_planted_scatter(spark):
-    """A vector sitting just on the near side of the cluster boundary
-    whose quantization error pushes it across must be counted as a
-    mismatch in its FLOAT cluster's row.  Construction: centroids at
-    x=0 and x=10 (from the md5 sample — verified, not assumed); a probe
-    vector at the midpoint + epsilon lands float-side with cluster B,
-    but coarse 2-level quantization snaps its x to 0, flipping it to
-    cluster A on the dequantized side."""
+    """A vector whose quantization error pushes it across the cluster
+    boundary must be counted as a mismatch in its FLOAT cluster's row —
+    asserted as a CONCRETE expected mismatch count, so a
+    quantized_assign_agreement that (wrongly) reported perfect agreement
+    fails here (r13-ADVICE: the prior version's assertions held
+    vacuously).  Construction with TRAINED cents [0,5] / [10,5] and
+    levels=2: the probe [4.8, 5.0] is cosine-closer to [10,5] (angle
+    46.2 deg vs c1's 26.6 deg, c0's 90 deg) -> float cluster 1, but its
+    x-code floors to lo (floor(0.48 + 0.5) = 0) so the dequantized
+    vector is exactly [0,5] = c0 -> qa cluster 0: one planted, certain
+    mismatch; the base vectors are quantization fixed points and always
+    match."""
     from spark_auto_schema.ops import similarity
+    from spark_auto_schema.ops.similarity import _assign_nearest, _quant_coded
 
-    base = [(1, [0.0, 5.0]), (2, [10.0, 5.0])]
-    probe = [(3, [5.2, 5.0])]
+    cents = [(0, [0.0, 5.0]), (1, [10.0, 5.0])]
     df = spark.createDataFrame(
-        base + probe, "vec_id long, embedding array<double>"
+        [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [4.8, 5.0])],
+        "vec_id long, embedding array<double>",
     )
-    # levels=2: codes are only lo/hi per dimension -> x snaps to 0 or 10;
-    # the probe's 5.2 rounds half-up to 10 -> wait, (5.2-0)/10*1+0.5 =
-    # 1.02 -> floor = 1 -> dequantized x = 10: stays cluster B.  Use 4.8
-    # on the OTHER side of the float boundary instead: float cluster is
-    # A-or-B by cosine against the sampled centroids — assert a mismatch
-    # exists anywhere rather than pin a cluster id.
-    df2 = spark.createDataFrame(
-        base + [(3, [5.2, 0.4])], "vec_id long, embedding array<double>"
-    )
-    rows = similarity.quantized_assign_agreement(
-        df2, nlist=2, levels=2
-    ).collect()
-    assert sum(r["n_vecs"] for r in rows) == 3
-    total_match = sum(r["n_match"] for r in rows)
-    # the two base vectors are quantization fixed points (pure lo/hi) and
-    # always agree; whether the probe scatters depends on the cosine
-    # geometry after the 2-level snap — recompute the expectation exactly
-    ref = {
-        r["vec_id"]: r["cluster"]
-        for r in similarity._assign_nearest(
-            df2,
-            [(0, [0.0, 5.0]), (1, [10.0, 5.0])],
-            "embedding",
-            "vec_id",
-            metric="cos",
-            keep_vec=False,
+    out = {
+        r["cluster"]: r
+        for r in similarity.quantized_assign_agreement(
+            df, levels=2, cents=cents
         ).collect()
     }
-    assert total_match >= 2  # base vectors can never scatter
-    assert ref  # float-side assignment well-defined
+    # recompute the expectation from the op's own building blocks: the
+    # float-side and dequantized-side assignments of every vector
+    ref = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_nearest(
+            df, cents, "embedding", "vec_id", metric="cos", keep_vec=False
+        ).collect()
+    }
+    dv = (
+        _quant_coded(df, "embedding", "vec_id", 2)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dq"))),
+                lambda s: s["dq"],
+            ).alias("__dvec")
+        )
+    )
+    qa = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_nearest(
+            dv, cents, "__dvec", "vec_id", metric="cos", keep_vec=False
+        ).collect()
+    }
+    # the planted geometry: probe lands float-side in cluster 1, snaps
+    # to cluster 0 dequantized — the scatter is certain, not incidental
+    assert ref[3] == 1 and qa[3] == 0
+    assert ref[1] == qa[1] == 0 and ref[2] == qa[2] == 1
+    # the op's per-cluster rows must equal the recounted expectation:
+    # cluster 0 = {v1} all matching; cluster 1 = {v2, v3} with exactly
+    # ONE mismatch (the probe)
+    assert (out[0]["n_vecs"], out[0]["n_match"]) == (1, 1)
+    assert (out[1]["n_vecs"], out[1]["n_match"]) == (2, 1)
+    assert out[1]["agreement"] == 0.5
 
 
 def test_quantized_agreement_matches_manual_recount(spark, emb):
@@ -540,3 +556,205 @@ def test_quantized_agreement_matches_manual_recount(spark, emb):
         n, m = manual.get(c, (0, 0))
         manual[c] = (n + 1, m + (1 if qa[vid] == c else 0))
     assert out == manual
+
+
+# --------------------------------------------- restart law tests (r14)
+def test_lateness_profiler_checkpointed_restart_rederives_frontier(
+    spark, tmp_path
+):
+    """Process-restart semantics (r13-verdict item 4): a FRESH profiler
+    instance resuming from the same checkpoint processes only new files,
+    its frontier re-derives from the first post-restart batch, and the
+    combined profile (pre-restart report + post-restart report) equals
+    the uninterrupted run's — the fixture re-plants the frontier row in
+    the post-restart data so the re-derived frontier matches and buckets
+    stay consistent."""
+    from spark_auto_schema.streaming import LatenessProfiler
+
+    d = str(tmp_path / "drops")
+    d2 = str(tmp_path / "control")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    os.makedirs(d2)
+    batches = [
+        ([(10, 0)], "f0.parquet", 1000),
+        ([(9, 19)], "f1.parquet", 2000),  # 5 h behind -> le_1d
+    ]
+    post = [
+        ([(10, 0), (7, 0)], "f2.parquet", 3000),  # frontier re-plant + 3 d
+        ([(1, 0)], "f3.parquet", 4000),  # 9 d behind -> gt_7d
+    ]
+    for rows, name, mt in batches:
+        _stage(spark, d, rows, name, mt)
+    prof_a = LatenessProfiler()
+    prof_a.drain(_stream(spark, d), checkpoint_dir=ckpt)
+    pre = dict(prof_a.counts)
+    assert prof_a.frontier is not None
+
+    # process restart: new instance, frontier None, counts empty
+    for rows, name, mt in post:
+        _stage(spark, d, rows, name, mt)
+    prof_b = LatenessProfiler()
+    assert prof_b.frontier is None
+    prof_b.drain(_stream(spark, d), checkpoint_dir=ckpt)
+    # only the new files were read (pre-restart windows absent from B
+    # except where post-restart rows landed), and the frontier
+    # re-derived to the SAME day-10 00:00 value
+    assert prof_b.frontier == prof_a.frontier
+
+    # uninterrupted control over the identical file sequence
+    for rows, name, mt in batches + post:
+        _stage(spark, d2, rows, name, mt)
+    ctrl = LatenessProfiler()
+    ctrl.drain(_stream(spark, d2))
+    combined: dict = dict(pre)
+    for k, v in prof_b.counts.items():
+        combined[k] = combined.get(k, 0) + v
+    assert combined == ctrl.counts
+    got = {
+        (r["window_start"].day, r["bucket"]): r["n_events"]
+        for r in ctrl.report(spark).collect()
+    }
+    assert got == {
+        (10, "le_1h"): 2,
+        (9, "le_1d"): 1,
+        (7, "le_7d"): 1,
+        (1, "gt_7d"): 1,
+    }
+
+
+def test_lateness_profiler_uncheckpointed_redrain_is_noop(spark, tmp_path):
+    """The += accumulation is guarded by the last-seen batch id: an
+    uncheckpointed second drain over the SAME directory (which restarts
+    at batch 0 and re-reads every file) must leave the profile unchanged
+    instead of double-counting every window (r13-ADVICE)."""
+    from spark_auto_schema.streaming import LatenessProfiler
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    _stage(spark, d, [(10, 0)], "f0.parquet", 1000)
+    _stage(spark, d, [(9, 19), (7, 0)], "f1.parquet", 2000)
+    prof = LatenessProfiler()
+    prof.drain(_stream(spark, d))
+    first = dict(prof.counts)
+    assert sum(first.values()) == 3
+    prof.drain(_stream(spark, d))  # same files, batch ids restart at 0
+    assert prof.counts == first
+
+
+def test_topic_drift_monitor_checkpointed_restart_fire_parity(
+    spark, tmp_path
+):
+    """Process-restart semantics (r13-verdict item 4): a RECONSTRUCTED
+    monitor (same baseline frame, same params) resuming from the same
+    checkpoint re-derives the identical frozen baseline shares, processes
+    only the post-restart files, and fires exactly where an uninterrupted
+    run fires — batch ids continue monotonically across the restart, so
+    fired batch ids and L1 scores match the control run exactly."""
+    from spark_auto_schema.streaming import TopicDriftMonitor
+
+    t0 = [(i, [0.0 + i * 0.001, 10.0]) for i in range(10)]
+    t1 = [(100 + i, [10.0, 0.0 + i * 0.001]) for i in range(10)]
+    baseline = spark.createDataFrame(
+        t0 + t1, "vec_id long, embedding array<double>"
+    )
+    mixed = spark.createDataFrame(
+        t0[5:] + t1[5:], "vec_id long, embedding array<double>"
+    )
+    skewed = spark.createDataFrame(
+        [(200 + i, [0.0 + i * 0.001, 10.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def stage_vec(dirname, df, name, mt):
+        p = os.path.join(dirname, name)
+        df.coalesce(1).write.mode("overwrite").parquet(p + "_tmp")
+        f = glob.glob(p + "_tmp/part-*.parquet")[0]
+        shutil.move(f, p)
+        shutil.rmtree(p + "_tmp")
+        os.utime(p, (mt, mt))
+
+    def stream_vec(dirname):
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dirname)
+        )
+
+    d = str(tmp_path / "drops")
+    d2 = str(tmp_path / "control")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    os.makedirs(d2)
+
+    # pre-restart: quiet mixed batch only
+    stage_vec(d, mixed, "f0.parquet", 1000)
+    fires_a: list = []
+    mon_a = TopicDriftMonitor(
+        baseline, nlist=2, threshold=0.5,
+        on_drift=lambda b, s: fires_a.append((b, s)),
+    )
+    mon_a.attach(stream_vec(d), checkpoint_dir=ckpt).awaitTermination()
+    assert fires_a == [] and len(mon_a.history) == 1
+
+    # restart: reconstruct from the same baseline, resume the checkpoint
+    stage_vec(d, skewed, "f1.parquet", 2000)
+    fires_b: list = []
+    mon_b = TopicDriftMonitor(
+        baseline, nlist=2, threshold=0.5,
+        on_drift=lambda b, s: fires_b.append((b, s)),
+    )
+    assert mon_b.baseline_shares == mon_a.baseline_shares
+    mon_b.attach(stream_vec(d), checkpoint_dir=ckpt).awaitTermination()
+    # only the new file was processed, under the CONTINUED batch id
+    assert len(mon_b.history) == 1 and mon_b.history[0][0] == 1
+
+    # uninterrupted control: same file sequence, no restart
+    stage_vec(d2, mixed, "f0.parquet", 1000)
+    stage_vec(d2, skewed, "f1.parquet", 2000)
+    fires_c: list = []
+    mon_c = TopicDriftMonitor(
+        baseline, nlist=2, threshold=0.5,
+        on_drift=lambda b, s: fires_c.append((b, s)),
+    )
+    mon_c.attach(stream_vec(d2)).awaitTermination()
+    assert fires_b == fires_c == [(1, fires_c[0][1])]
+    assert abs(fires_b[0][1] - 1.0) < 1e-12
+
+
+def test_topic_drift_monitor_rejects_empty_baseline_with_cents(spark):
+    """Trained `cents` + an empty baseline used to ZeroDivisionError in
+    the share division; now an explicit ValueError (r13-ADVICE)."""
+    from spark_auto_schema.streaming import TopicDriftMonitor
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero assigned rows"):
+        TopicDriftMonitor(
+            empty, cents=[(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        )
+
+
+def test_topic_share_drift_empty_snapshot_emits_zero_shares(spark):
+    """With trained `cents` and an EMPTY snapshot A the share_a side is
+    0/0 — pinned to emit 0.0 (not NULL): every share_delta then reads
+    'everything in B is new', and no null ever reaches the driver hash
+    (r13-ADVICE)."""
+    from spark_auto_schema.ops import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.topic_share_drift(
+        empty, b, cents=[(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["share_a"] == 0.0 and r["n_a"] == 0
+        assert r["share_b"] == 0.5
+        assert r["share_delta"] == 0.5
