@@ -681,103 +681,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Their semantics stay pinned by oracle-checked contract twins and the
     local mirror.
 
-    Round-13 window: executes the pre-order committed in round 12 (and
-    machine-checked there by test_planned_r13_window_composition) — the
-    six round-12 additions (never-anchored, debt back to ZERO:
-    dedup_token_survivorship, quality_drift_approx_ok,
-    streaming_late_audit, semantic_dedup_scaled, dedup_provenance_docs,
-    mix_weights_post_dedup), the displaced r07 trio
-    (correlation_matrix_lineitem, streaming_ks_monitor,
-    dq_expectations_orders) and the r08-anchored cohort head as
-    tail-fill — plus five policy-(b) pins whose code changed this round:
-    semantic_dedup, semantic_threshold_sweep, incremental_semantic_dedup,
-    topic_share_balance and kmeans_inertia_ok (the round-12 verdict's
-    literal-centroid finding — every centroid-assignment site now routes
-    through _assign_nearest, which swaps the plan-literal argmin for a
-    broadcast-join argmin above a literal-node budget;
-    semantic_dedup_scaled is the sixth changed path and already heads the
-    window as a never-anchored entry).  The pins displace the five
-    youngest r08 tail-fill slots (parts_supplier_count, small_qty_revenue,
-    large_volume_orders, discount_band_revenue, sales_opportunity -> r14
-    head).  Positions 51-100 are the planned r14 window: round-13
-    additions (never-anchored, backlog precedence) first, then the five
-    displaced r08 slots, the r08 remainder and the r09 cohort head as
-    tail-fill.  Behind them: the r09 remainder, the r10/r11 cohorts
-    (minus the two pins), the 47 entries freshly r12-anchored, and
-    finally the two rows-only terminal queries — every query past the
-    window is driver-green on current code r08-r12 and stays covered by
-    the local mirror (tools/check_correctness.py) and pytest every
-    round."""
+    Round-14 window: executes the pre-order committed in round 13 (and
+    machine-checked there by test_planned_r14_window_composition) — the
+    six round-13 additions (never-anchored, debt back to ZERO:
+    streaming_late_alert, centroid_assign_join, topic_share_drift,
+    streaming_lateness_profile, streaming_topic_drift,
+    quantized_assign_agreement), the five r08 slots the r13 pins
+    displaced (parts_supplier_count, small_qty_revenue,
+    large_volume_orders, discount_band_revenue, sales_opportunity), the
+    r08-anchored cohort remainder, and the r09 cohort head as tail-fill.
+    NO policy-(b) pins this round — adjudicated explicitly: the round-14
+    _assign_nearest change adds a two-level coarse-quantizer tier that
+    is branch-gated ABOVE a super-centroid budget no registry query's
+    nlist reaches (sub-budget arithmetic is the identical code path,
+    law-tested bit-identical across the tiers); the only other
+    code-touched queries — topic_share_drift (empty-snapshot share
+    guard) and the two streaming monitors (idempotency/restart
+    hardening) — are round-13 additions already heading this window;
+    and the post_dedup_mix_weights edit is a shared-Column refactor
+    whose analyzed plan is unchanged (the same ratio expression tree
+    built once instead of twice), leaving mix_weights_post_dedup's r13
+    anchor valid.  Positions 51-100 are the planned r15 window:
+    round-14 additions (never-anchored, backlog precedence) first, then
+    the r09 remainder and the r10-anchored cohort head as tail-fill.
+    Behind them: the r10 remainder, the r11 and r12 cohorts, the 50
+    entries freshly r13-anchored (the round-13 window), and finally the
+    two rows-only terminal queries — every query past the window is
+    driver-green on current code r08-r13 and stays covered by the local
+    mirror (tools/check_correctness.py) and pytest every round."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r13 window (positions 1-50; executes the pre-order committed in
-    # r12 and machine-checked by the round-12
-    # test_planned_r13_window_composition): the six round-12 additions
-    # (never-anchored, debt back to zero), the displaced r07 trio, the
-    # r08-anchored cohort head as tail-fill, and 5 policy-(b) pins for
-    # this round's centroid-assignment path change (ops/similarity.py --
-    # the literal-centroid argmin gained a broadcast-join twin with an
-    # automatic cutover, so every query through _assign_nearest re-anchors:
-    # semantic_dedup, semantic_threshold_sweep, incremental_semantic_dedup,
-    # topic_share_balance, kmeans_inertia_ok); the pins displace the five
-    # youngest r08 tail-fill slots (parts_supplier_count ..
-    # sales_opportunity -> r14 head) ---
-    q["dedup_token_survivorship"] = _q_token_survivorship
-    q["quality_drift_approx_ok"] = _q_score_drift_approx_ok
-    q["streaming_late_audit"] = _q_late_data_audit
-    q["semantic_dedup_scaled"] = _q_semantic_dedup_scaled
-    q["dedup_provenance_docs"] = _q_dedup_provenance
-    q["mix_weights_post_dedup"] = _q_mix_weights_post_dedup
-    q["correlation_matrix_lineitem"] = _q_correlation_matrix
-    q["streaming_ks_monitor"] = _q_streaming_ks_monitor
-    q["dq_expectations_orders"] = _q_dq_expectations
-    # r08 tail-fill (oldest anchors first)
-    q["calibration_bins_docs"] = _q_calibration_bins
-    q["binned_roc_docs"] = _q_binned_roc
-    q["transition_matrix_events"] = _q_transition_matrix
-    q["token_entropy_sources"] = _q_token_entropy
-    q["conversation_assembly_events"] = _q_conversation_assembly
-    q["jsonl_inference"] = _q_jsonl_inference
-    q["eval_sample_per_lang"] = _q_eval_sample_per_lang
-    q["bloom_incremental_dedup"] = _q_bloom_incremental_dedup
-    q["bm25_topk_docs"] = _q_bm25_topk
-    q["pagerank_event_types"] = _q_pagerank_event_types
-    q["labeler_kappa_docs"] = _q_labeler_kappa
-    q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
-    q["cdc_dedup_stats"] = _q_cdc_dedup_stats
-    q["waterfill_sources"] = _q_waterfill_sources
-    q["fim_transform_docs"] = _q_fim_transform
-    q["contrastive_negatives"] = _q_contrastive_negatives
-    q["span_corruption_docs"] = _q_span_corruption
-    q["quantile_normalize_docs"] = _q_quantile_normalize
-    q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
-    q["filter_funnel_docs"] = _q_filter_funnel
-    q["gini_source_concentration"] = _q_gini_sources
-    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
-    q["scd2_lookup_events"] = _q_scd2_lookup
-    q["mad_outliers_events"] = _q_mad_outliers
-    q["table_checksum_orders"] = _q_table_checksum
-    q["text_roundtrip"] = _q_text_roundtrip
-    q["sessionize_events"] = _q_sessionize
-    q["ewma_value_check"] = _q_ewma_value_check
-    q["streaming_window_counts"] = _q_streaming_window_counts
-    q["label_centroids"] = _q_label_centroids
-    q["order_priority_check"] = _q_order_priority_check
-    q["volume_shipping"] = _q_volume_shipping
-    q["product_profit"] = _q_product_profit
-    q["returned_items"] = _q_returned_items
-    q["promo_revenue"] = _q_promo_revenue
-    q["top_supplier"] = _q_top_supplier
-    # policy-(b) pins: centroid-assignment code changed this round
-    q["semantic_dedup"] = _q_semantic_dedup
-    q["semantic_threshold_sweep"] = _q_semantic_tsweep
-    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
-    q["topic_share_balance"] = _q_topic_share_balance
-    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
-    # ---- entries below are past the driver's 50-entry window ----
-    # --- planned r14 window head: queries added in round 13
-    # (never-anchored; backlog precedence over anchored entries), then
-    # the five r08 slots displaced by this round's pins, the r08
-    # remainder, and the r09 cohort as tail-fill ---
+    # --- r14 window (positions 1-50; executes the pre-order committed in
+    # r13 and machine-checked there by
+    # test_planned_r14_window_composition): the six round-13 additions
+    # (never-anchored, debt back to zero), the five r08 slots the r13
+    # pins displaced, the r08-anchored cohort remainder, and the r09
+    # cohort head as tail-fill.  NO policy-(b) pins this round: the
+    # round-14 _assign_nearest change (two-level coarse-quantizer tier)
+    # is branch-gated ABOVE a super-centroid budget no registry nlist
+    # reaches, sub-budget behavior is law-tested bit-identical, and the
+    # only other code-touched queries (topic_share_drift + the two
+    # streaming monitors) already head this window; the
+    # post_dedup_mix_weights edit is a shared-Column refactor whose
+    # analyzed plan is unchanged (same expression tree built once
+    # instead of twice) ---
     q["streaming_late_alert"] = _q_late_data_alert
     q["centroid_assign_join"] = _q_centroid_assign_join
     q["topic_share_drift"] = _q_topic_share_drift
@@ -789,7 +735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["large_volume_orders"] = _q_large_volume_orders
     q["discount_band_revenue"] = _q_discount_band_revenue
     q["sales_opportunity"] = _q_sales_opportunity
-    # r08-anchored cohort remainder
     q["cheapest_part_per_type"] = _q_cheapest_part_per_type
     q["segment_dedup_docs"] = _q_segment_dedup
     q["ngram_novelty_docs"] = _q_ngram_novelty
@@ -797,8 +742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_docs"] = _q_profile_docs
     q["corpus_diff_docs"] = _q_corpus_diff
     q["epoch_shuffle_docs"] = _q_epoch_shuffle
-    # --- r09-anchored cohort (tail-fill for the planned r14 window;
-    # minus topic_share_balance, pinned into the r13 window) ---
     q["nfkc_normalize_docs"] = _q_nfkc_normalize
     q["url_domain_rollup"] = _q_url_domain_rollup
     q["token_window_dedup_docs"] = _q_token_window_dedup
@@ -831,6 +774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pivot_event_counts"] = _q_pivot_event_counts
     q["window_functions"] = _q_window_functions
     q["top_events_per_user"] = _q_top_events_per_user
+    # ---- entries below are past the driver's 50-entry window ----
+    # --- planned r15 window: round-14 additions land HERE (never-
+    # anchored; backlog precedence over anchored entries), then the r09
+    # remainder, then the r10-anchored cohort head as tail-fill (pushed
+    # out as r14 additions land) ---
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
     q["approx_distinct_ok"] = _q_approx_distinct_ok
@@ -993,6 +941,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_dup_pairs"] = _q_minhash_pairs
     q["minhash_md5_dup_pairs"] = _q_minhash_md5
     q["incremental_near_dedup"] = _q_incremental_near_dedup
+    # --- r13-anchored cohort (the round-13 driver window: the six
+    # round-12 additions, the displaced r07 trio, the r08 head and the
+    # five r13 centroid-path pins; freshest anchors, so they queue last
+    # for rotation) ---
+    q["dedup_token_survivorship"] = _q_token_survivorship
+    q["quality_drift_approx_ok"] = _q_score_drift_approx_ok
+    q["streaming_late_audit"] = _q_late_data_audit
+    q["semantic_dedup_scaled"] = _q_semantic_dedup_scaled
+    q["dedup_provenance_docs"] = _q_dedup_provenance
+    q["mix_weights_post_dedup"] = _q_mix_weights_post_dedup
+    q["correlation_matrix_lineitem"] = _q_correlation_matrix
+    q["streaming_ks_monitor"] = _q_streaming_ks_monitor
+    q["dq_expectations_orders"] = _q_dq_expectations
+    q["calibration_bins_docs"] = _q_calibration_bins
+    q["binned_roc_docs"] = _q_binned_roc
+    q["transition_matrix_events"] = _q_transition_matrix
+    q["token_entropy_sources"] = _q_token_entropy
+    q["conversation_assembly_events"] = _q_conversation_assembly
+    q["jsonl_inference"] = _q_jsonl_inference
+    q["eval_sample_per_lang"] = _q_eval_sample_per_lang
+    q["bloom_incremental_dedup"] = _q_bloom_incremental_dedup
+    q["bm25_topk_docs"] = _q_bm25_topk
+    q["pagerank_event_types"] = _q_pagerank_event_types
+    q["labeler_kappa_docs"] = _q_labeler_kappa
+    q["rrf_hybrid_topk"] = _q_rrf_hybrid_topk
+    q["cdc_dedup_stats"] = _q_cdc_dedup_stats
+    q["waterfill_sources"] = _q_waterfill_sources
+    q["fim_transform_docs"] = _q_fim_transform
+    q["contrastive_negatives"] = _q_contrastive_negatives
+    q["span_corruption_docs"] = _q_span_corruption
+    q["quantile_normalize_docs"] = _q_quantile_normalize
+    q["cooccurrence_pmi_docs"] = _q_cooccurrence_pmi
+    q["filter_funnel_docs"] = _q_filter_funnel
+    q["gini_source_concentration"] = _q_gini_sources
+    q["fuzzy_match_customers"] = _q_fuzzy_match_customers
+    q["scd2_lookup_events"] = _q_scd2_lookup
+    q["mad_outliers_events"] = _q_mad_outliers
+    q["table_checksum_orders"] = _q_table_checksum
+    q["text_roundtrip"] = _q_text_roundtrip
+    q["sessionize_events"] = _q_sessionize
+    q["ewma_value_check"] = _q_ewma_value_check
+    q["streaming_window_counts"] = _q_streaming_window_counts
+    q["label_centroids"] = _q_label_centroids
+    q["order_priority_check"] = _q_order_priority_check
+    q["volume_shipping"] = _q_volume_shipping
+    q["product_profit"] = _q_product_profit
+    q["returned_items"] = _q_returned_items
+    q["promo_revenue"] = _q_promo_revenue
+    q["top_supplier"] = _q_top_supplier
+    q["semantic_dedup"] = _q_semantic_dedup
+    q["semantic_threshold_sweep"] = _q_semantic_tsweep
+    q["incremental_semantic_dedup"] = _q_incremental_semantic_dedup
+    q["topic_share_balance"] = _q_topic_share_balance
+    q["kmeans_inertia_ok"] = _q_kmeans_inertia_ok
     # --- rows-only terminal queries (no DuckDB oracle possible: xxhash64
     # signatures; driver scores them err:no_oracle, so they are permanently
     # window-ineligible -- semantics pinned by oracle-checked contract twins

@@ -40,36 +40,39 @@ def test_registry_size_and_window():
     assert len(qs) >= 150  # only grows; shrinking loses driver coverage
     window = qs[:50]
     assert len(set(window)) == 50
-    # r13 rotation: executes the pre-order committed in round 12 — the six
-    # round-12 additions (never-anchored), the displaced r07 trio, the
-    # r08-anchored cohort head as tail-fill, and 5 policy-(b) pins for
-    # this round's centroid-assignment path change (ops/similarity.py
-    # _assign_nearest: literal argmin gained a broadcast-join twin)
+    # r14 rotation: executes the pre-order committed in round 13 — the six
+    # round-13 additions (never-anchored), the five r08 slots the r13
+    # pins displaced, the r08 remainder, and the r09 cohort head as
+    # tail-fill.  No policy-(b) pins: the round-14 _assign_nearest change
+    # is branch-gated above a super-centroid budget no registry query
+    # reaches (law-tested bit-identical below it), and the other
+    # code-touched queries are round-13 additions already in the window
     for member in (
-        "dedup_token_survivorship",   # r12-addition backlog head
-        "mix_weights_post_dedup",     # 6th r12 addition
-        "correlation_matrix_lineitem",  # displaced-trio head (r07)
-        "streaming_ks_monitor",       # 2nd displaced entry (r07)
-        "dq_expectations_orders",     # 3rd displaced entry (r07)
-        "calibration_bins_docs",      # r08 tail-fill head
-        "top_supplier",               # last surviving r08 tail-fill entry
-        "semantic_dedup",             # policy-(b) pin: assignment path
-        "topic_share_balance",        # policy-(b) pin: assignment path
-        "kmeans_inertia_ok",          # policy-(b) pin: assignment path
+        "streaming_late_alert",       # r13-addition backlog head
+        "centroid_assign_join",       # 2nd r13 addition
+        "quantized_assign_agreement",  # 6th r13 addition
+        "parts_supplier_count",       # displaced r08 head
+        "sales_opportunity",          # 5th displaced r08 slot
+        "cheapest_part_per_type",     # r08 remainder head
+        "epoch_shuffle_docs",         # last r08 remainder entry
+        "nfkc_normalize_docs",        # r09 tail-fill head
+        "top_events_per_user",        # last r09 tail-fill entry
     ):
         assert member in window, member
-    # freshly r11/r12-anchored entries never re-enter (except explicit
+    # freshly r12/r13-anchored entries never re-enter (except explicit
     # policy-(b) pins); rows-only queries are permanently
     # window-INELIGIBLE (driver can only score err:no_oracle)
     for rotated_out in (
-        "lsh_recall_panel", "packing_length_sweep", "fingerprint_docs",
-        "streaming_novelty_monitor", "embedding_quantize",
-        "pii_density_sources", "infer_lineitem", "canonical_docs",
+        # the r13 window's 50 entries are now the freshest anchors
+        "dedup_token_survivorship", "mix_weights_post_dedup",
+        "correlation_matrix_lineitem", "streaming_ks_monitor",
+        "dq_expectations_orders", "calibration_bins_docs",
+        "top_supplier", "semantic_dedup", "topic_share_balance",
+        "kmeans_inertia_ok",
+        # r11/r12 cohorts stay parked
+        "lsh_recall_panel", "packing_length_sweep",
         "dedup_rate_drift_sources", "lsh_config_sweep",
         "minhash_dup_pairs", "incremental_near_dedup",
-        # the five r08 tail-fill slots the pins displaced -> r14 head
-        "parts_supplier_count", "small_qty_revenue", "large_volume_orders",
-        "discount_band_revenue", "sales_opportunity",
     ):
         assert rotated_out not in window, rotated_out
     assert not (ROWS_ONLY & set(qs[:100])), (
@@ -103,17 +106,16 @@ def test_driver_window_utilization():
     )
 
 
-def test_planned_r14_window_composition():
-    """Positions 51-100 are the PLANNED r14 window (see the queries()
-    docstring): never-driver-anchored round-13 additions first, then the
-    five r08-anchored slots this round's pins displaced plus the r08
-    remainder, and the r09-anchored cohort head as tail-fill — i.e. next
-    round's rotation is already encoded and a drive-by registry edit
-    can't silently push debt or stale anchors past it.  Tail-fill
-    entries are pushed out as r13 additions land, so the block must be
-    ORDERED: never-anchored, then <= r08, then r09 tail-fill — and
-    nothing newer than r09 ever appears.  Rows-only queries are excluded
-    from positions 1-100 entirely (asserted in
+def test_planned_r15_window_composition():
+    """Positions 51-100 are the PLANNED r15 window (see the queries()
+    docstring): never-driver-anchored round-14 additions first, then the
+    r09-anchored cohort remainder, and the r10-anchored cohort head as
+    tail-fill — i.e. next round's rotation is already encoded and a
+    drive-by registry edit can't silently push debt or stale anchors
+    past it.  Tail-fill entries are pushed out as r14 additions land,
+    so the block must be ORDERED: never-anchored, then <= r09, then r10
+    tail-fill — and nothing newer than r10 ever appears.  Rows-only
+    queries are excluded from positions 1-100 entirely (asserted in
     test_registry_size_and_window)."""
     import json
 
@@ -126,22 +128,21 @@ def test_planned_r14_window_composition():
     qs = list(entry.queries())
     planned = qs[50:100]
     assert len(planned) == 50
-    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "09"}
+    bad = {n: newest[n] for n in planned if newest.get(n, "00") > "10"}
     assert not bad, (
-        f"planned r14 window holds fresh-anchored entries {bad} — move them "
+        f"planned r15 window holds fresh-anchored entries {bad} — move them "
         "behind position 100 and pull debt/stale entries forward"
     )
-    # ordered: never-anchored additions, then the <= r08 displaced slots
-    # and remainder, then r09 tail-fill — monotone by (is-anchored,
-    # anchor round >= 09)
+    # ordered: never-anchored additions, then the r09 remainder, then
+    # r10 tail-fill — monotone by (is-anchored, anchor round >= 10)
     phases = [
         0 if newest.get(n, "00") == "00"
-        else (1 if newest[n] <= "08" else 2)
+        else (1 if newest[n] <= "09" else 2)
         for n in planned
     ]
     assert phases == sorted(phases), (
-        "planned r14 window is mis-ordered: never-anchored additions must "
-        "precede the r08 block, r09 tail-fill must come last — got "
+        "planned r15 window is mis-ordered: never-anchored additions must "
+        "precede the r09 remainder, r10 tail-fill must come last — got "
         f"{list(zip(planned, phases))}"
     )
 
