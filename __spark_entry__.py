@@ -628,6 +628,12 @@ from spark_auto_schema.registry.pipeline_r13 import (  # noqa: F401
     _q_topic_drift_monitor,
     _q_topic_share_drift,
 )
+from spark_auto_schema.registry.pipeline_r14 import (  # noqa: F401
+    _CENTROID_ASSIGN_TWO_LEVEL_SQL,
+    _PARAGRAPH_PROVENANCE_SQL,
+    _q_centroid_assign_two_level,
+    _q_paragraph_provenance,
+)
 from spark_auto_schema.registry.pipeline_r11 import (  # noqa: F401
     _CSWEEP_NS,
     _CURR_PHASES,
@@ -693,8 +699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     NO policy-(b) pins this round — adjudicated explicitly: the round-14
     _assign_nearest change adds a two-level coarse-quantizer tier that
     is branch-gated ABOVE a super-centroid budget no registry query's
-    nlist reaches (sub-budget arithmetic is the identical code path,
-    law-tested bit-identical across the tiers); the only other
+    nlist reaches (sub-budget arithmetic is law-tested bit-identical
+    across the tiers; the flat path additionally gained a narrow score
+    pre-projection whose results are pinned bit-identical to the
+    UNCHANGED literal tier, and the only registry query on the flat
+    path — centroid_assign_join, k=300 — heads this window); the only other
     code-touched queries — topic_share_drift (empty-snapshot share
     guard) and the two streaming monitors (idempotency/restart
     hardening) — are round-13 additions already heading this window;
@@ -779,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # anchored; backlog precedence over anchored entries), then the r09
     # remainder, then the r10-anchored cohort head as tail-fill (pushed
     # out as r14 additions land) ---
+    q["centroid_assign_two_level"] = _q_centroid_assign_two_level
+    q["paragraph_provenance_docs"] = _q_paragraph_provenance
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
     q["approx_distinct_ok"] = _q_approx_distinct_ok
@@ -1301,4 +1312,7 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_lateness_profile"] = _LATENESS_PROFILE_SQL
     o["streaming_topic_drift"] = _TOPIC_DRIFT_MONITOR_SQL
     o["quantized_assign_agreement"] = _QUANTIZED_ASSIGN_AGREEMENT_SQL
+    # --- round-14 operators ---
+    o["centroid_assign_two_level"] = _CENTROID_ASSIGN_TWO_LEVEL_SQL
+    o["paragraph_provenance_docs"] = _PARAGRAPH_PROVENANCE_SQL
     return o

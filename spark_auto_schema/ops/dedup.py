@@ -2591,6 +2591,143 @@ def paragraph_minhash_pairs(
     )
 
 
+def paragraph_dedup_provenance(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup audit trail at PARAGRAPH granularity: the
+    :func:`dedup_provenance` attribution applied to
+    :func:`paragraph_minhash_pairs`' fixed ``seg_words``-word segments,
+    joined back to documents — ``(doc_id, seg_idx, source, stage,
+    winner_doc_id, winner_seg_idx)`` where ``stage`` is ``'kept'``
+    (winner columns NULL), ``'exact'`` (dropped by segment-digest dedup;
+    winner = the keep-lowest-(doc_id, seg_idx) digest winner) or
+    ``'near'`` (survived exact, dropped by segment MinHash near-dedup;
+    winner = the numerically SMALLEST (doc_id, seg_idx) verified
+    partner).
+
+    Doc-level provenance answers "why did my DOCUMENT disappear"; this
+    answers the takedown/syndication question one level down — WHICH
+    PARAGRAPH of a kept document duplicates whom (a syndicated block
+    inside an otherwise-unique page never trips doc-level dedup, but its
+    segment rows here carry the attribution a takedown traces).
+
+    Dataflow: the segment explode of :func:`paragraph_minhash_pairs`
+    (|segments| ~ corpus words / seg_words, linear); ONE segment-digest
+    window for the exact stage (the text rides that exchange, same
+    documented trade-off as :func:`dedup_provenance`); the near stage is
+    :func:`minhash_lsh_pairs_md5` over the exact SURVIVORS only
+    (banded, bucket-local, never all-pairs) collapsed to a
+    min-(doc, seg)-per-victim attribution (pair-sized) and joined back
+    unhinted.  Output is |segments| rows; every intermediate is the
+    paragraph-dedup pipeline the corpus already pays for."""
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil(F.size(words) / F.lit(seg_words)).cast("int") - 1, F.lit(0)
+        ),
+    )
+    segs = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(group_col),
+        F.explode(starts).alias("__s"),
+        words.alias("__w"),
+    ).select(
+        F.col("__doc"),
+        F.col(group_col),
+        F.col("__s"),
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), F.col("__s") * seg_words + 1, seg_words)
+        ).alias("__seg"),
+    )
+    w = Window.partitionBy("__dg").orderBy(F.col("__doc"), F.col("__s"))
+    marked = _persist(
+        segs.withColumn("__dg", F.md5(F.col("__seg")))
+        .select(
+            "__doc",
+            group_col,
+            "__s",
+            "__seg",
+            F.first("__doc").over(w).alias("__wdoc"),
+            F.first("__s").over(w).alias("__wseg"),
+        )
+    )
+    survivors = marked.where(
+        (F.col("__doc") == F.col("__wdoc")) & (F.col("__s") == F.col("__wseg"))
+    )
+    sid = survivors.select(
+        F.concat_ws(
+            ":", F.col("__doc").cast("string"), F.col("__s").cast("string")
+        ).alias("sid"),
+        F.col("__seg").alias("seg"),
+    )
+    pairs = minhash_lsh_pairs_md5(
+        sid,
+        text_col="seg",
+        id_col="sid",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        verify_threshold=verify_threshold,
+    )
+    # recover numeric (doc, seg) from 'doc:seg' (strip only the trailing
+    # segment suffix — robust to ':' inside string doc ids) and
+    # RE-canonicalize numerically: minhash pairs are id_a < id_b by STRING
+    # order, but the keep/drop rule is the numeric (doc_id, seg_idx) order
+    id_type = df.schema[id_col].dataType.simpleString()
+    doc_of = lambda c: F.regexp_replace(c, r":[0-9]+$", "").cast(id_type)
+    seg_of = lambda c: F.regexp_extract(c, r":([0-9]+)$", 1).cast("int")
+    pa = F.struct(
+        doc_of(F.col("id_a")).alias("d"), seg_of(F.col("id_a")).alias("s")
+    )
+    pb = F.struct(
+        doc_of(F.col("id_b")).alias("d"), seg_of(F.col("id_b")).alias("s")
+    )
+    near_winner = (
+        pairs.select(
+            F.when(pa < pb, pb).otherwise(pa).alias("__victim"),
+            F.when(pa < pb, pa).otherwise(pb).alias("__lesser"),
+        )
+        .groupBy("__victim")
+        .agg(F.min("__lesser").alias("__nw"))
+        .select(
+            F.col("__victim.d").alias("__doc"),
+            F.col("__victim.s").alias("__s"),
+            F.col("__nw.d").alias("__nwdoc"),
+            F.col("__nw.s").alias("__nwseg"),
+        )
+    )
+    exact_drop = (F.col("__doc") != F.col("__wdoc")) | (
+        F.col("__s") != F.col("__wseg")
+    )
+    return (
+        marked.join(near_winner, on=["__doc", "__s"], how="left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("__s").alias("seg_idx"),
+            F.col(group_col),
+            F.when(exact_drop, F.lit("exact"))
+            .when(F.col("__nwdoc").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+            F.when(exact_drop, F.col("__wdoc"))
+            .otherwise(F.col("__nwdoc"))
+            .alias("winner_doc_id"),
+            F.when(exact_drop, F.col("__wseg"))
+            .otherwise(F.col("__nwseg"))
+            .alias("winner_seg_idx"),
+        )
+    )
+
+
 def lsh_s_curve(
     spark,
     num_hashes: int = 16,

@@ -455,9 +455,42 @@ def _sq_dist(a: Column, b: Column) -> Column:
 # across both paths.
 _LITERAL_ASSIGN_NODE_BUDGET = 8192
 
+# Two-level (coarse-quantizer) cutover for the assignment fan-out: above
+# this many centroids — or above the broadcast byte budget below — the
+# flat broadcast-join argmin's O(n*k) per-pair arithmetic and its k-row
+# centroid broadcast both stop scaling (SemDeDup's nlist = ceil(n/63)
+# rule drives k with the corpus, so at 100 TB k reaches 2^16 where the
+# d=768 centroid frame alone is ~400 MB per executor).  The two-level
+# tier groups the centroids into m ~ sqrt(k) contiguous-cid groups,
+# assigns each vector to its top-`probe` super-centroids (group means),
+# and refines only against the centroids of the probed groups — an
+# IVF-style pruned assignment (ivf_topk's shape applied to the
+# assignment path; r13-verdict item 2): O(n * sqrt(k) * (1 + probe))
+# arithmetic, and the refine join is a hash EQUI-join on the group id,
+# so it stays plannable without a hard broadcast when the centroid
+# frame exceeds the byte budget.  probe >= m is EXACT (bit-identical to
+# the flat join path — law-tested); the default probe of ceil(m/4) is a
+# documented approximation whose per-vector score can only IMPROVE as
+# probe grows (law-tested monotone).
+_TWO_LEVEL_CENTROID_BUDGET = 1024
+
+# Hard-broadcast cap for the centroid frame (estimated serialized bytes):
+# under it the refine side ships as an explicit broadcast; over it the
+# equi-join is left unhinted so the planner/AQE may shuffle both sides
+# on the group id instead of forcing a >64 MB broadcast per executor.
+_CENTROID_BROADCAST_BYTE_BUDGET = 64 * 1024 * 1024
+
+_TWO_LEVEL_DEFAULT_PROBE_FRAC = 0.25
+
 
 def _literal_nodes(cents: list[tuple[int, list[float]]]) -> int:
     return len(cents) * (len(cents[0][1]) + 1) if cents else 0
+
+
+def _centroid_bytes(cents: list[tuple[int, list[float]]]) -> int:
+    """Estimated serialized size of the centroid frame: 8 bytes per
+    vector component plus ~16 of per-row overhead."""
+    return len(cents) * (len(cents[0][1]) * 8 + 16) if cents else 0
 
 
 def _centroid_frame(
@@ -488,6 +521,7 @@ def _assign_nearest(
     id_col: str,
     metric: str = "cos",
     keep_vec: bool = True,
+    probe: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment, path-selected by the literal-node
     budget: ``(id, [vector,] cluster, __score)`` where ``__score`` is
@@ -499,10 +533,10 @@ def _assign_nearest(
       centroids are baked into the plan as a literal array and the
       argmin is one row-local ``array_min`` over ``struct(score, cid)``
       — no join, no shuffle, and no per-pair row materialization.
-    * above the budget: the centroids become a k-row DataFrame with a
-      hard ``F.broadcast`` (bounded by construction — k is a model
-      parameter, clamped at 2^16 by :func:`suggest_nlist`), fanned out
-      via BroadcastNestedLoopJoin, and the argmin is one
+    * above the budget (and at or below ``_TWO_LEVEL_CENTROID_BUDGET``
+      centroids / the broadcast byte budget): the centroids become a
+      k-row DataFrame with a hard ``F.broadcast``, fanned out via
+      BroadcastNestedLoopJoin, and the argmin is one
       ``min(struct(score, cid, ...))`` hash aggregate keyed on ``id`` —
       map-side partial combine collapses the k-fan-out before the
       exchange, so the shuffle carries one row per input vector.  Norms
@@ -510,6 +544,18 @@ def _assign_nearest(
       fan-out (same expressions as the literal path evaluates, so the
       products are bit-identical), leaving one dot product as the only
       per-pair work.
+    * above ``_TWO_LEVEL_CENTROID_BUDGET`` centroids or the
+      ``_CENTROID_BROADCAST_BYTE_BUDGET`` — or whenever ``probe`` is
+      given — the two-level coarse-quantizer tier
+      (:func:`_assign_nearest_two_level`): vectors pick their top-probe
+      super-centroid groups (m ~ sqrt(k) group means), then refine only
+      against those groups' centroids through a hash EQUI-join on the
+      group id.  ``probe >= m`` is exact and bit-identical to the flat
+      join path; the default ``ceil(m/4)`` probe is a documented
+      pruning whose per-vector score is monotone improving in probe
+      (both law-tested).  This is the tier that keeps corpus-driven
+      nlist (SemDeDup's ceil(n/63)) workable at 100 TB: O(n*sqrt(k))
+      arithmetic instead of O(n*k), and no forced k-row broadcast.
 
     Both paths build the SAME score arithmetic (same dot/norm fold
     order), so results are bit-identical — pinned by a law test.  This
@@ -528,6 +574,15 @@ def _assign_nearest(
     bit-identity across paths covers unique ids only (r13-ADVICE)."""
     if metric not in ("cos", "l2"):
         raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
+
+    if (
+        probe is not None
+        or len(cents) > _TWO_LEVEL_CENTROID_BUDGET
+        or _centroid_bytes(cents) > _CENTROID_BROADCAST_BYTE_BUDGET
+    ):
+        return _assign_nearest_two_level(
+            df, cents, vec_col, id_col, metric, keep_vec, probe
+        )
 
     if _literal_nodes(cents) <= _LITERAL_ASSIGN_NODE_BUDGET:
         if metric == "cos":
@@ -571,11 +626,214 @@ def _assign_nearest(
         )
     else:
         d = _sq_dist(F.col(vec_col), F.col("__cvec"))
-    fields = [d.alias("d"), F.col("__cid").alias("cid")]
+    # project the score to a NARROW column before the argmin aggregate:
+    # min(struct) compiles to SortAggregate, whose sort runs on the
+    # aggregate's CHILD rows — with the score inline those rows carry
+    # both full vector arrays (the fan-out spilled ~1 KB/row at
+    # n=60k x k=4096 in the r14 probe); pre-projected, the sort rows are
+    # (id, double, int) [+ the kept vec], bit-identical results
+    proj = [F.col(id_col), d.alias("__d"), F.col("__cid")]
+    if keep_vec:
+        proj.append(F.col(vec_col))
+    fields = [F.col("__d").alias("d"), F.col("__cid").alias("cid")]
     if keep_vec:
         fields.append(F.col(vec_col).alias("v"))
     best = (
         left.crossJoin(F.broadcast(cdf))
+        .select(*proj)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(*fields)).alias("b"))
+    )
+    cols = [F.col(id_col)]
+    if keep_vec:
+        cols.append(F.col("b.v").alias(vec_col))
+    return best.select(
+        *cols, F.col("b.cid").alias("cluster"), F.col("b.d").alias("__score")
+    )
+
+
+def _assign_nearest_two_level(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+    metric: str,
+    keep_vec: bool,
+    probe: int | None,
+) -> DataFrame:
+    """Two-level (coarse-quantizer) nearest-centroid assignment — the
+    above-budget tier of :func:`_assign_nearest` (same output contract,
+    same unique-id precondition).
+
+    The cid-sorted centroid list is cut into contiguous groups of
+    ``ceil(k/m)`` (m = ceil(sqrt(k))); each group's super-centroid is
+    the per-dimension mean over its cid-ordered members (a plain
+    left-to-right Python sum — the oracle replays the identical fold
+    via ``list_sum`` over cid-ordered lists, so coarse scores are
+    cross-engine stable).  Dataflow:
+
+    1. COARSE: score every vector against the m super-centroids and
+       keep the top-``probe`` group ids (ties broken by smaller gid).
+       When ``m * (d+1)`` fits the literal-node budget this is a
+       row-local literal transform + ``array_sort`` slice — zero
+       shuffle; otherwise an m-row broadcast BNLJ plus one id-keyed
+       ``collect_list`` aggregate (shuffle carries one row per vector:
+       m (score, gid) structs + the vector).
+    2. REFINE: explode the probe set to (id, vec, gid) and hash
+       EQUI-join it to the (cid, cvec, gid) centroid frame on gid —
+       broadcast when the frame fits ``_CENTROID_BROADCAST_BYTE_BUDGET``,
+       otherwise unhinted so the planner/AQE may shuffle on gid instead
+       of forcing a giant broadcast.  The per-pair score is the SAME
+       expression the flat join path builds, and the argmin is the same
+       ``min(struct(score, cid, ...))`` map-side-combined aggregate —
+       so with ``probe >= m`` the result is bit-identical to the flat
+       path (law-tested), and with a pruned probe each vector's score
+       is monotone improving in probe (law-tested).
+
+    Arithmetic per vector: m coarse + probe * ceil(k/m) refine dot
+    products ~ sqrt(k) * (1 + probe) instead of k.  Default probe is
+    ``ceil(m * _TWO_LEVEL_DEFAULT_PROBE_FRAC)``."""
+    import math
+
+    ordered = sorted(cents, key=lambda c: c[0])
+    k = len(ordered)
+    dim = len(ordered[0][1])
+    m = math.isqrt(k - 1) + 1 if k > 1 else 1  # ceil(sqrt(k))
+    gsz = -(-k // m)
+    ngroups = -(-k // gsz)
+    supers: list[tuple[int, list[float]]] = []
+    for g in range(ngroups):
+        members = ordered[g * gsz : (g + 1) * gsz]
+        supers.append(
+            (
+                g,
+                [
+                    sum(float(vec[j]) for _, vec in members) / len(members)
+                    for j in range(dim)
+                ],
+            )
+        )
+    if probe is None:
+        probe = max(1, math.ceil(ngroups * _TWO_LEVEL_DEFAULT_PROBE_FRAC))
+    probe = min(int(probe), ngroups)
+
+    left = df.select(F.col(id_col), F.col(vec_col))
+    if _literal_nodes(supers) <= _LITERAL_ASSIGN_NODE_BUDGET:
+        # zero-shuffle coarse: literal super array, row-local top-probe
+        if metric == "cos":
+            vn = norm(F.col(vec_col))
+
+            def cscore(gvec: Column) -> Column:
+                return -(dot(F.col(vec_col), gvec) / (vn * norm(gvec)))
+
+        else:
+
+            def cscore(gvec: Column) -> Column:
+                return _sq_dist(F.col(vec_col), gvec)
+
+        slit = F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("gid"),
+                    F.array(*[F.lit(float(x)) for x in gv]).alias("gvec"),
+                )
+                for g, gv in supers
+            ]
+        )
+        scored = F.transform(
+            slit,
+            lambda s: F.struct(
+                cscore(s["gvec"]).alias("d"), s["gid"].alias("gid")
+            ),
+        )
+        probes = F.slice(F.array_sort(scored), 1, probe)
+        probed = left.withColumn(
+            "__gid", F.explode(F.transform(probes, lambda p: p["gid"]))
+        )
+    else:
+        sdf = _centroid_frame(df, supers).withColumnRenamed(
+            "__cid", "__gid"
+        )
+        if metric == "cos":
+            sdf = sdf.withColumn("__sn", norm(F.col("__cvec")))
+            cleft = left.withColumn("__vn", norm(F.col(vec_col)))
+            cd = -(
+                dot(F.col(vec_col), F.col("__cvec"))
+                / (F.col("__vn") * F.col("__sn"))
+            )
+        else:
+            cleft = left
+            cd = _sq_dist(F.col(vec_col), F.col("__cvec"))
+        top = (
+            cleft.crossJoin(F.broadcast(sdf))
+            .groupBy(id_col)
+            .agg(
+                F.first(F.col(vec_col)).alias(vec_col),
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                cd.alias("d"), F.col("__gid").alias("gid")
+                            )
+                        )
+                    ),
+                    1,
+                    probe,
+                ).alias("__probes"),
+            )
+        )
+        probed = top.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                F.transform(F.col("__probes"), lambda p: p["gid"])
+            ).alias("__gid"),
+        )
+
+    from pyspark.sql import types as T
+
+    cschema = T.StructType(
+        [
+            T.StructField("__cid", T.IntegerType(), False),
+            T.StructField("__cvec", T.ArrayType(T.DoubleType(), False), False),
+            T.StructField("__gid", T.IntegerType(), False),
+        ]
+    )
+    cdf = df.sparkSession.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec], idx // gsz)
+            for idx, (cid, vec) in enumerate(ordered)
+        ],
+        cschema,
+    )
+    if metric == "cos":
+        # identical refine expression to the flat join path: norms once
+        # per side, one dot per pair — bit-identical doubles
+        cdf = cdf.withColumn("__cn", norm(F.col("__cvec")))
+        probed = probed.withColumn("__vn", norm(F.col(vec_col)))
+        d = -(
+            dot(F.col(vec_col), F.col("__cvec"))
+            / (F.col("__vn") * F.col("__cn"))
+        )
+    else:
+        d = _sq_dist(F.col(vec_col), F.col("__cvec"))
+    right = (
+        F.broadcast(cdf)
+        if _centroid_bytes(cents) <= _CENTROID_BROADCAST_BYTE_BUDGET
+        else cdf
+    )
+    # same narrow pre-projection as the flat path (see the comment
+    # there): evaluate the refine score before the SortAggregate so its
+    # sort rows drop the centroid array
+    proj = [F.col(id_col), d.alias("__d"), F.col("__cid")]
+    if keep_vec:
+        proj.append(F.col(vec_col))
+    fields = [F.col("__d").alias("d"), F.col("__cid").alias("cid")]
+    if keep_vec:
+        fields.append(F.col(vec_col).alias("v"))
+    best = (
+        probed.join(right, "__gid")
+        .select(*proj)
         .groupBy(id_col)
         .agg(F.min(F.struct(*fields)).alias("b"))
     )
