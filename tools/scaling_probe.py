@@ -54,6 +54,11 @@ PROBES: dict[str, list[str]] = {
         # round-9: paragraph-level MinHash — |segments| keys scale with
         # corpus words; pair space must stay bucket-local
         "paragraph_minhash_pairs",
+        # round-14: paragraph provenance — one segment-digest window +
+        # the segment MinHash pair engine over exact survivors + a
+        # pair-sized attribution joined back; must track
+        # paragraph_minhash_pairs' |segments|-linear slope
+        "paragraph_provenance_docs",
         # round-10: two contamination_check passes + a hits-sized diff
         # join; must track the corpus shingle volume, never probe x corpus
         "contamination_snapshot_diff",
@@ -176,6 +181,11 @@ PROBES: dict[str, list[str]] = {
         # must track the corpus scan (the fan-out is arithmetic, not
         # shuffle)
         "centroid_assign_join",
+        # round-14: the two-level pruned assignment driver anchor — the
+        # 1540-centroid codebook is a CONSTANT, so coarse (n x 40) and
+        # refine (n x 10 x 39) fan-outs are both per-row arithmetic;
+        # must be flat-linear in the corpus like centroid_assign_join
+        "centroid_assign_two_level",
         # round-11: rerank harness — pool build (bm25 + cosine top-k) is the
         # corpus-sized part, rerank itself is k-sized; must track the
         # retrievers' scans
