@@ -631,8 +631,10 @@ from spark_auto_schema.registry.pipeline_r13 import (  # noqa: F401
 from spark_auto_schema.registry.pipeline_r14 import (  # noqa: F401
     _CENTROID_ASSIGN_TWO_LEVEL_SQL,
     _PARAGRAPH_PROVENANCE_SQL,
+    _TWO_LEVEL_PROBE_SWEEP_SQL,
     _q_centroid_assign_two_level,
     _q_paragraph_provenance,
+    _q_two_level_probe_sweep,
 )
 from spark_auto_schema.registry.pipeline_r11 import (  # noqa: F401
     _CSWEEP_NS,
@@ -790,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out as r14 additions land) ---
     q["centroid_assign_two_level"] = _q_centroid_assign_two_level
     q["paragraph_provenance_docs"] = _q_paragraph_provenance
+    q["two_level_probe_sweep"] = _q_two_level_probe_sweep
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
     q["approx_distinct_ok"] = _q_approx_distinct_ok
@@ -1315,4 +1318,5 @@ def oracle_sql() -> dict[str, str]:
     # --- round-14 operators ---
     o["centroid_assign_two_level"] = _CENTROID_ASSIGN_TWO_LEVEL_SQL
     o["paragraph_provenance_docs"] = _PARAGRAPH_PROVENANCE_SQL
+    o["two_level_probe_sweep"] = _TWO_LEVEL_PROBE_SWEEP_SQL
     return o

@@ -493,6 +493,40 @@ def _centroid_bytes(cents: list[tuple[int, list[float]]]) -> int:
     return len(cents) * (len(cents[0][1]) * 8 + 16) if cents else 0
 
 
+def _two_level_params(k: int) -> tuple[int, int, int]:
+    """(m, group_size, n_groups) for the two-level tier: m = ceil(sqrt(k))
+    groups of ceil(k/m) contiguous cid-sorted centroids.  The ONE
+    derivation shared by the tier, the probe-sweep contract, and the
+    registry oracles' baked constants (law-pinned)."""
+    import math
+
+    m = math.isqrt(k - 1) + 1 if k > 1 else 1  # ceil(sqrt(k))
+    gsz = -(-k // m)
+    return m, gsz, -(-k // gsz)
+
+
+def _super_centroids(
+    ordered: list[tuple[int, list[float]]], gsz: int, ngroups: int
+) -> list[tuple[int, list[float]]]:
+    """Per-group mean super-centroids over cid-ORDERED members — a plain
+    left-to-right Python sum, the fold the oracles replay via
+    ``list_sum`` over cid-ordered lists (cross-engine stable)."""
+    dim = len(ordered[0][1])
+    supers: list[tuple[int, list[float]]] = []
+    for g in range(ngroups):
+        members = ordered[g * gsz : (g + 1) * gsz]
+        supers.append(
+            (
+                g,
+                [
+                    sum(float(vec[j]) for _, vec in members) / len(members)
+                    for j in range(dim)
+                ],
+            )
+        )
+    return supers
+
+
 def _centroid_frame(
     df: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -697,22 +731,8 @@ def _assign_nearest_two_level(
 
     ordered = sorted(cents, key=lambda c: c[0])
     k = len(ordered)
-    dim = len(ordered[0][1])
-    m = math.isqrt(k - 1) + 1 if k > 1 else 1  # ceil(sqrt(k))
-    gsz = -(-k // m)
-    ngroups = -(-k // gsz)
-    supers: list[tuple[int, list[float]]] = []
-    for g in range(ngroups):
-        members = ordered[g * gsz : (g + 1) * gsz]
-        supers.append(
-            (
-                g,
-                [
-                    sum(float(vec[j]) for _, vec in members) / len(members)
-                    for j in range(dim)
-                ],
-            )
-        )
+    m, gsz, ngroups = _two_level_params(k)
+    supers = _super_centroids(ordered, gsz, ngroups)
     if probe is None:
         probe = max(1, math.ceil(ngroups * _TWO_LEVEL_DEFAULT_PROBE_FRAC))
     probe = min(int(probe), ngroups)
@@ -843,6 +863,188 @@ def _assign_nearest_two_level(
     return best.select(
         *cols, F.col("b.cid").alias("cluster"), F.col("b.d").alias("__score")
     )
+
+
+def two_level_probe_sweep(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    probes: tuple[int, ...] = (1, 2, 4),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+) -> DataFrame:
+    """Pressure curve for the two-level tier's ``probe`` knob: per probe
+    value, how many vectors the PRUNED assignment places in the same
+    cluster as the exhaustive argmin — ``(probe, n_vecs, n_match,
+    agreement)``, agreement snapped to 6 decimals, with the full-probe
+    row (probe = n_groups, agreement exactly 1.0) always appended as
+    the exactness anchor.
+
+    The clustering-path sibling of :func:`ivf_nprobe_sweep` (which
+    prices nprobe on the SEARCH path): before committing a corpus-scale
+    SemDeDup or topic run to a pruned assignment, this is the contract
+    that says what the default ``ceil(m/4)`` probe costs on YOUR
+    geometry — decorrelated corpora sit low, clustered ones high, and
+    the law-tested monotonicity means the knob only moves one way.
+
+    Dataflow: ONE scored fan-out, not |probes| assignment runs — coarse
+    group ranks are row-local (literal super array + ``array_sort`` +
+    ``posexplode``) under the node budget, else an m-row broadcast BNLJ
+    plus a per-id rank window; the refine equi-join on group id scores
+    every (vector, centroid) pair ONCE with the coarse rank attached,
+    persisted as narrow (id, rank, score, cid) rows; each sweep value
+    is then a filtered argmin aggregate over that cached frame, and
+    agreement is an id equi-join against the full-probe argmin.  The
+    exact side is inherently O(n*k) — this is an offline eval contract
+    (sample the corpus at 100 TB), exactly like the recall panels."""
+    if metric not in ("cos", "l2"):
+        raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
+    ordered = sorted(cents, key=lambda c: c[0])
+    k = len(ordered)
+    m, gsz, ngroups = _two_level_params(k)
+    supers = _super_centroids(ordered, gsz, ngroups)
+    plist = sorted(
+        {min(int(p), ngroups) for p in probes if int(p) > 0} | {ngroups}
+    )
+
+    left = df.select(F.col(id_col), F.col(vec_col))
+    if _literal_nodes(supers) <= _LITERAL_ASSIGN_NODE_BUDGET:
+        if metric == "cos":
+            vn = norm(F.col(vec_col))
+
+            def cscore(gvec: Column) -> Column:
+                return -(dot(F.col(vec_col), gvec) / (vn * norm(gvec)))
+
+        else:
+
+            def cscore(gvec: Column) -> Column:
+                return _sq_dist(F.col(vec_col), gvec)
+
+        slit = F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("gid"),
+                    F.array(*[F.lit(float(x)) for x in gv]).alias("gvec"),
+                )
+                for g, gv in supers
+            ]
+        )
+        scored_arr = F.array_sort(
+            F.transform(
+                slit,
+                lambda s: F.struct(
+                    cscore(s["gvec"]).alias("d"), s["gid"].alias("gid")
+                ),
+            )
+        )
+        ranked = left.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(scored_arr).alias("__r", "__g"),
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.col("__r") + 1).alias("__crank"),
+            F.col("__g.gid").alias("__gid"),
+        )
+    else:
+        sdf = _centroid_frame(df, supers).withColumnRenamed("__cid", "__gid")
+        if metric == "cos":
+            sdf = sdf.withColumn("__sn", norm(F.col("__cvec")))
+            cleft = left.withColumn("__vn", norm(F.col(vec_col)))
+            cd = -(
+                dot(F.col(vec_col), F.col("__cvec"))
+                / (F.col("__vn") * F.col("__sn"))
+            )
+        else:
+            cleft = left
+            cd = _sq_dist(F.col(vec_col), F.col("__cvec"))
+        rw = Window.partitionBy(id_col).orderBy(cd.asc(), F.col("__gid"))
+        ranked = (
+            cleft.crossJoin(F.broadcast(sdf))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.row_number().over(rw).alias("__crank"),
+                F.col("__gid"),
+            )
+        )
+
+    from pyspark.sql import types as T
+
+    cschema = T.StructType(
+        [
+            T.StructField("__cid", T.IntegerType(), False),
+            T.StructField("__cvec", T.ArrayType(T.DoubleType(), False), False),
+            T.StructField("__gid", T.IntegerType(), False),
+        ]
+    )
+    cdf = df.sparkSession.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec], idx // gsz)
+            for idx, (cid, vec) in enumerate(ordered)
+        ],
+        cschema,
+    )
+    if metric == "cos":
+        cdf = cdf.withColumn("__cn", norm(F.col("__cvec")))
+        ranked = ranked.withColumn("__vn", norm(F.col(vec_col)))
+        d = -(
+            dot(F.col(vec_col), F.col("__cvec"))
+            / (F.col("__vn") * F.col("__cn"))
+        )
+    else:
+        d = _sq_dist(F.col(vec_col), F.col("__cvec"))
+    right = (
+        F.broadcast(cdf)
+        if _centroid_bytes(cents) <= _CENTROID_BROADCAST_BYTE_BUDGET
+        else cdf
+    )
+    scored = _persist(
+        ranked.join(right, "__gid").select(
+            F.col(id_col),
+            F.col("__crank"),
+            d.alias("__d"),
+            F.col("__cid"),
+        )
+    )
+
+    def best(p: int) -> DataFrame:
+        return (
+            scored.where(F.col("__crank") <= p)
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("__d").alias("d"), F.col("__cid").alias("cid")
+                    )
+                ).alias("b")
+            )
+            .select(F.col(id_col), F.col("b.cid").alias("__c"))
+        )
+
+    exact = best(ngroups).withColumnRenamed("__c", "__exact")
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    out = None
+    for p in plist:
+        row = (
+            best(p)
+            .join(exact, on=id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(
+                    (F.col("__c") == F.col("__exact")).cast("long")
+                ).alias("n_match"),
+            )
+            .select(
+                F.lit(p).alias("probe"),
+                "n_vecs",
+                "n_match",
+                snap(F.col("n_match") / F.col("n_vecs")).alias("agreement"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def kmeans_assign(

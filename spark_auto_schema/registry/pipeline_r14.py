@@ -228,3 +228,99 @@ SELECT m.did AS doc_id, m.s AS seg_idx, m.source,
             ELSE nw.nwseg END AS winner_seg_idx
 FROM marked m LEFT JOIN nw ON nw.vd = m.did AND nw.vs = m.s
 """
+
+
+# ------------------------------------------- two-level probe sweep
+_CATL_SWEEP_PROBES = (1, 2, 4, 10)
+
+
+def _q_two_level_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe pressure curve for the two-level tier (`ops/similarity.py`
+    two_level_probe_sweep): over the same 1540-centroid pairwise-mean
+    codebook as centroid_assign_two_level, the fraction of vectors whose
+    pruned assignment matches the exhaustive argmin at probe 1, 2, 4, 10
+    (the tier default) and 40 (= n_groups, the law-guaranteed exactness
+    anchor at agreement 1.0) — the read that prices the probe knob
+    before a corpus-scale pruned SemDeDup/topic run, the clustering-path
+    sibling of ivf_nprobe_sweep.  The oracle replays the codebook, the
+    group means, the full coarse rank table, the per-probe filtered
+    argmin, and the agreement join."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    init = (
+        embs.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_CATL_SAMPLE)
+        .collect()
+    )
+    base = [[float(x) for x in r["embedding"]] for r in init]
+    dim = len(base[0])
+    cents = []
+    cid = 0
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            cents.append(
+                (cid, [(base[i][t] + base[j][t]) / 2.0 for t in range(dim)])
+            )
+            cid += 1
+    return similarity.two_level_probe_sweep(
+        embs, cents, probes=_CATL_SWEEP_PROBES
+    )
+
+
+_TWO_LEVEL_PROBE_SWEEP_SQL = f"""
+WITH samp AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sid,
+         CAST(embedding AS DOUBLE[]) AS svec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_CATL_SAMPLE}
+), cents AS (
+  SELECT row_number() OVER (ORDER BY a.sid, b.sid) - 1 AS cid,
+         list_transform(list_zip(a.svec, b.svec), x -> (x[1] + x[2]) / 2) AS cvec
+  FROM samp a JOIN samp b ON a.sid < b.sid
+), cg AS (
+  SELECT cid, cvec, CAST(floor(cid / {_CATL_GSZ}) AS INT) AS gid FROM cents
+), cex AS (
+  SELECT gid, cid, t.i AS pos, cvec[t.i] AS v
+  FROM cg, UNNEST(generate_series(1, len(cvec))) AS t(i)
+), sup AS (
+  SELECT gid, pos, list_sum(list(v ORDER BY cid)) / count(*) AS sv
+  FROM cex GROUP BY gid, pos
+), supers AS (
+  SELECT gid, list(sv ORDER BY pos) AS gvec FROM sup GROUP BY gid
+), coarse AS (
+  SELECT e.vec_id, s.gid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_sum(list_transform(
+             list_zip(CAST(e.embedding AS DOUBLE[]), s.gvec),
+             x -> (x[1] - x[2]) * (x[1] - x[2]))), s.gid) AS crank
+  FROM embeddings e, supers s
+), refined AS (
+  SELECT c.vec_id, c.crank, cg.cid,
+         list_sum(list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]), cg.cvec),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM embeddings e
+  JOIN coarse c ON c.vec_id = e.vec_id
+  JOIN cg ON cg.gid = c.gid
+), pr AS (
+  SELECT unnest([{", ".join(str(p) for p in _CATL_SWEEP_PROBES)}, {_CATL_NGROUPS}]) AS probe
+), best AS (
+  SELECT probe, vec_id, cid FROM (
+    SELECT pr.probe, r.vec_id, r.cid,
+           row_number() OVER (PARTITION BY pr.probe, r.vec_id
+                              ORDER BY r.d, r.cid) AS rk
+    FROM pr JOIN refined r ON r.crank <= pr.probe) WHERE rk = 1
+), ex AS (
+  SELECT vec_id, cid AS ecid FROM best WHERE probe = {_CATL_NGROUPS}
+)
+SELECT b.probe,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN b.cid = ex.ecid THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       {{snap}} AS agreement
+FROM best b JOIN ex USING (vec_id)
+GROUP BY 1
+""".format(
+    snap=_SNAP6(
+        "sum(CASE WHEN b.cid = ex.ecid THEN 1 ELSE 0 END) * 1.0 / count(*)"
+    )
+)

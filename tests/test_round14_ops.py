@@ -398,3 +398,54 @@ def test_paragraph_provenance_invariants_on_real_corpus(spark):
             )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------- two_level_probe_sweep
+def test_probe_sweep_monotone_and_exact_anchor(spark, emb, cents200):
+    """The agreement curve must be monotone nondecreasing in probe, the
+    appended full-probe row must be EXACT (agreement 1.0 — the law that
+    anchors the whole curve), and n_vecs must be the corpus size on
+    every row."""
+    from spark_auto_schema.ops import similarity as S
+
+    rows = sorted(
+        S.two_level_probe_sweep(emb, cents200, probes=(1, 3, 7)).collect(),
+        key=lambda r: r["probe"],
+    )
+    assert [r["probe"] for r in rows] == [1, 3, 7, 15]  # 15 = n_groups
+    assert all(r["n_vecs"] == 500 for r in rows)
+    matches = [r["n_match"] for r in rows]
+    assert matches == sorted(matches)
+    assert rows[-1]["agreement"] == 1.0 and rows[-1]["n_match"] == 500
+
+
+def test_probe_sweep_matches_assign_nearest_per_probe(spark, emb, cents200):
+    """Cross-op bit-consistency: the sweep's n_match at probe p must
+    equal a manual recount from _assign_nearest(probe=p) vs the
+    exhaustive assignment — the contract cannot drift from the tier it
+    prices (the quantized_assign_agreement recount pattern)."""
+    from spark_auto_schema.ops import similarity as S
+
+    rows = {
+        r["probe"]: r["n_match"]
+        for r in S.two_level_probe_sweep(
+            emb, cents200, probes=(2, 5)
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]: r["cluster"]
+        for r in S._assign_nearest(
+            emb, cents200, "embedding", "vec_id",
+            metric="l2", keep_vec=False, probe=10**9,
+        ).collect()
+    }
+    for p in (2, 5):
+        pruned = {
+            r["vec_id"]: r["cluster"]
+            for r in S._assign_nearest(
+                emb, cents200, "embedding", "vec_id",
+                metric="l2", keep_vec=False, probe=p,
+            ).collect()
+        }
+        manual = sum(1 for v in exact if pruned[v] == exact[v])
+        assert rows[p] == manual, p

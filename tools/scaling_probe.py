@@ -186,6 +186,10 @@ PROBES: dict[str, list[str]] = {
         # refine (n x 10 x 39) fan-outs are both per-row arithmetic;
         # must be flat-linear in the corpus like centroid_assign_join
         "centroid_assign_two_level",
+        # round-14: the probe pressure curve — ONE persisted n x k scored
+        # fan-out + |probes| filtered argmin aggregates; must track the
+        # fan-out scan, never |probes| x corpus re-assignment runs
+        "two_level_probe_sweep",
         # round-11: rerank harness — pool build (bm25 + cosine top-k) is the
         # corpus-sized part, rerank itself is k-sized; must track the
         # retrievers' scans
