@@ -887,16 +887,19 @@ def two_level_probe_sweep(
     geometry — decorrelated corpora sit low, clustered ones high, and
     the law-tested monotonicity means the knob only moves one way.
 
-    Dataflow: ONE scored fan-out, not |probes| assignment runs — coarse
-    group ranks are row-local (literal super array + ``array_sort`` +
-    ``posexplode``) under the node budget, else an m-row broadcast BNLJ
-    plus a per-id rank window; the refine equi-join on group id scores
-    every (vector, centroid) pair ONCE with the coarse rank attached,
-    persisted as narrow (id, rank, score, cid) rows; each sweep value
-    is then a filtered argmin aggregate over that cached frame, and
-    agreement is an id equi-join against the full-probe argmin.  The
-    exact side is inherently O(n*k) — this is an offline eval contract
-    (sample the corpus at 100 TB), exactly like the recall panels."""
+    Dataflow: ONE scored fan-out and ONE pass, not |probes| assignment
+    runs — coarse group ranks are row-local (literal super array +
+    ``array_sort`` + ``posexplode``) under the node budget, else an
+    m-row broadcast BNLJ plus a per-id rank window; the refine
+    equi-join on group id scores every (vector, centroid) pair ONCE
+    with the coarse rank attached; a (id, rank)-keyed ``min(struct)``
+    collapses the fan-out to n x m level rows, and a per-id RUNNING
+    window min turns the level rows into the prefix argmin at every
+    probe simultaneously (the probe-p winner IS the best over ranks
+    <= p), with the full-window min as the exact side — one filtered
+    |probes|-level aggregate finishes the curve.  The exact side is
+    inherently O(n*k) — this is an offline eval contract (sample the
+    corpus at 100 TB), exactly like the recall panels."""
     if metric not in ("cos", "l2"):
         raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
     ordered = sorted(cents, key=lambda c: c[0])
@@ -1000,51 +1003,49 @@ def two_level_probe_sweep(
         if _centroid_bytes(cents) <= _CENTROID_BROADCAST_BYTE_BUDGET
         else cdf
     )
-    scored = _persist(
-        ranked.join(right, "__gid").select(
-            F.col(id_col),
-            F.col("__crank"),
-            d.alias("__d"),
-            F.col("__cid"),
+    scored = ranked.join(right, "__gid").select(
+        F.col(id_col),
+        F.col("__crank"),
+        d.alias("__d"),
+        F.col("__cid"),
+    )
+    # collapse the fan-out to n x m per-rank level rows, then one per-id
+    # RUNNING min gives the prefix argmin at EVERY probe simultaneously
+    # (the probe-p winner is the best over coarse ranks <= p); the
+    # full-partition min is the exhaustive side — one job, two shuffles
+    lvl = scored.groupBy(id_col, "__crank").agg(
+        F.min(
+            F.struct(F.col("__d").alias("d"), F.col("__cid").alias("cid"))
+        ).alias("lv")
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("__crank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy(id_col)
+    cum = lvl.select(
+        F.col("__crank"),
+        F.min("lv").over(run).alias("__best"),
+        F.min("lv").over(full).alias("__exact"),
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return (
+        cum.where(F.col("__crank").isin([int(p) for p in plist]))
+        .groupBy(F.col("__crank").alias("probe"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("__best.cid") == F.col("__exact.cid")).cast("long")
+            ).alias("n_match"),
+        )
+        .select(
+            "probe",
+            "n_vecs",
+            "n_match",
+            snap(F.col("n_match") / F.col("n_vecs")).alias("agreement"),
         )
     )
-
-    def best(p: int) -> DataFrame:
-        return (
-            scored.where(F.col("__crank") <= p)
-            .groupBy(id_col)
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col("__d").alias("d"), F.col("__cid").alias("cid")
-                    )
-                ).alias("b")
-            )
-            .select(F.col(id_col), F.col("b.cid").alias("__c"))
-        )
-
-    exact = best(ngroups).withColumnRenamed("__c", "__exact")
-    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
-    out = None
-    for p in plist:
-        row = (
-            best(p)
-            .join(exact, on=id_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_vecs"),
-                F.sum(
-                    (F.col("__c") == F.col("__exact")).cast("long")
-                ).alias("n_match"),
-            )
-            .select(
-                F.lit(p).alias("probe"),
-                "n_vecs",
-                "n_match",
-                snap(F.col("n_match") / F.col("n_vecs")).alias("agreement"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
 
 
 def kmeans_assign(

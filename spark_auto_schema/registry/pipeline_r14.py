@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import SparkSession
 
-from spark_auto_schema.io import read_table
+from spark_auto_schema.io import read_table, spread_small_scan
 from spark_auto_schema.ops import similarity
 from spark_auto_schema.registry.pipeline_r11 import _SNAP6
 
@@ -57,7 +57,7 @@ def _q_centroid_assign_two_level(
     (d, gid)-tie-broken top-probe coarse selection, and the refine
     argmin with (d, cid) tie-break — the full two-level pipeline in
     SQL, not just the exact argmin."""
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = spread_small_scan(read_table(spark, sf_dir, "embeddings"))
     init = (
         embs.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
@@ -231,25 +231,36 @@ FROM marked m LEFT JOIN nw ON nw.vd = m.did AND nw.vs = m.s
 
 
 # ------------------------------------------- two-level probe sweep
-_CATL_SWEEP_PROBES = (1, 2, 4, 10)
+# The sweep carries its OWN codebook (C(33,2) = 528 pairwise-mean
+# centroids): the contract's exact side is inherently n x k, and the
+# 1540-centroid codebook priced it at ~30 s per bench run — out of the
+# family's cost range for a per-round query.  528 keeps the same
+# geometry class and the same derivation formulas (law-pinned below)
+# at ~1/3 the arithmetic; the sweep grid holds the tier's DEFAULT probe
+# (ceil(23/4) = 6) plus the n_groups exactness anchor (23).
+_TLPS_SAMPLE = 33
+_TLPS_K = _TLPS_SAMPLE * (_TLPS_SAMPLE - 1) // 2  # 528
+_TLPS_M, _TLPS_GSZ, _TLPS_NGROUPS = similarity._two_level_params(_TLPS_K)
+_TLPS_SWEEP_PROBES = (1, 2, 4, 6)
 
 
 def _q_two_level_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe pressure curve for the two-level tier (`ops/similarity.py`
-    two_level_probe_sweep): over the same 1540-centroid pairwise-mean
-    codebook as centroid_assign_two_level, the fraction of vectors whose
-    pruned assignment matches the exhaustive argmin at probe 1, 2, 4, 10
-    (the tier default) and 40 (= n_groups, the law-guaranteed exactness
-    anchor at agreement 1.0) — the read that prices the probe knob
+    two_level_probe_sweep): over a 528-centroid pairwise-mean codebook (the
+    centroid_assign_two_level construction at a third the arithmetic —
+    the exact side is n x k by nature), the fraction of vectors whose
+    pruned assignment matches the exhaustive argmin at probe 1, 2, 4, 6
+    (the tier default for k=528) and 23 (= n_groups, the law-guaranteed
+    exactness anchor at agreement 1.0) — the read that prices the probe knob
     before a corpus-scale pruned SemDeDup/topic run, the clustering-path
     sibling of ivf_nprobe_sweep.  The oracle replays the codebook, the
     group means, the full coarse rank table, the per-probe filtered
     argmin, and the agreement join."""
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = spread_small_scan(read_table(spark, sf_dir, "embeddings"))
     init = (
         embs.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(_CATL_SAMPLE)
+        .limit(_TLPS_SAMPLE)
         .collect()
     )
     base = [[float(x) for x in r["embedding"]] for r in init]
@@ -263,7 +274,7 @@ def _q_two_level_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cid += 1
     return similarity.two_level_probe_sweep(
-        embs, cents, probes=_CATL_SWEEP_PROBES
+        embs, cents, probes=_TLPS_SWEEP_PROBES
     )
 
 
@@ -271,13 +282,13 @@ _TWO_LEVEL_PROBE_SWEEP_SQL = f"""
 WITH samp AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sid,
          CAST(embedding AS DOUBLE[]) AS svec
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_CATL_SAMPLE}
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_TLPS_SAMPLE}
 ), cents AS (
   SELECT row_number() OVER (ORDER BY a.sid, b.sid) - 1 AS cid,
          list_transform(list_zip(a.svec, b.svec), x -> (x[1] + x[2]) / 2) AS cvec
   FROM samp a JOIN samp b ON a.sid < b.sid
 ), cg AS (
-  SELECT cid, cvec, CAST(floor(cid / {_CATL_GSZ}) AS INT) AS gid FROM cents
+  SELECT cid, cvec, CAST(floor(cid / {_TLPS_GSZ}) AS INT) AS gid FROM cents
 ), cex AS (
   SELECT gid, cid, t.i AS pos, cvec[t.i] AS v
   FROM cg, UNNEST(generate_series(1, len(cvec))) AS t(i)
@@ -302,7 +313,7 @@ WITH samp AS (
   JOIN coarse c ON c.vec_id = e.vec_id
   JOIN cg ON cg.gid = c.gid
 ), pr AS (
-  SELECT unnest([{", ".join(str(p) for p in _CATL_SWEEP_PROBES)}, {_CATL_NGROUPS}]) AS probe
+  SELECT unnest([{", ".join(str(p) for p in _TLPS_SWEEP_PROBES)}, {_TLPS_NGROUPS}]) AS probe
 ), best AS (
   SELECT probe, vec_id, cid FROM (
     SELECT pr.probe, r.vec_id, r.cid,
@@ -310,7 +321,7 @@ WITH samp AS (
                               ORDER BY r.d, r.cid) AS rk
     FROM pr JOIN refined r ON r.crank <= pr.probe) WHERE rk = 1
 ), ex AS (
-  SELECT vec_id, cid AS ecid FROM best WHERE probe = {_CATL_NGROUPS}
+  SELECT vec_id, cid AS ecid FROM best WHERE probe = {_TLPS_NGROUPS}
 )
 SELECT b.probe,
        CAST(count(*) AS BIGINT) AS n_vecs,
