@@ -631,9 +631,11 @@ from spark_auto_schema.registry.pipeline_r13 import (  # noqa: F401
 from spark_auto_schema.registry.pipeline_r14 import (  # noqa: F401
     _CENTROID_ASSIGN_TWO_LEVEL_SQL,
     _PARAGRAPH_PROVENANCE_SQL,
+    _QUANTIZER_ROUNDTRIP_SQL,
     _TWO_LEVEL_PROBE_SWEEP_SQL,
     _q_centroid_assign_two_level,
     _q_paragraph_provenance,
+    _q_quantizer_roundtrip,
     _q_two_level_probe_sweep,
 )
 from spark_auto_schema.registry.pipeline_r11 import (  # noqa: F401
@@ -793,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["centroid_assign_two_level"] = _q_centroid_assign_two_level
     q["paragraph_provenance_docs"] = _q_paragraph_provenance
     q["two_level_probe_sweep"] = _q_two_level_probe_sweep
+    q["quantizer_roundtrip"] = _q_quantizer_roundtrip
     q["monthly_orders"] = _q_monthly_orders
     q["distinct_status"] = _q_distinct_status
     q["approx_distinct_ok"] = _q_approx_distinct_ok
@@ -1319,4 +1322,5 @@ def oracle_sql() -> dict[str, str]:
     o["centroid_assign_two_level"] = _CENTROID_ASSIGN_TWO_LEVEL_SQL
     o["paragraph_provenance_docs"] = _PARAGRAPH_PROVENANCE_SQL
     o["two_level_probe_sweep"] = _TWO_LEVEL_PROBE_SWEEP_SQL
+    o["quantizer_roundtrip"] = _QUANTIZER_ROUNDTRIP_SQL
     return o

@@ -865,6 +865,66 @@ def _assign_nearest_two_level(
     )
 
 
+def save_centroids(
+    cents: list[tuple[int, list[float]]], path: str, spark
+) -> None:
+    """Persist a trained quantizer codebook as a k-row parquet artifact
+    ``(cid int, cvec array<double>)`` — the durable half of the
+    ``cents`` parameter every assignment consumer takes
+    (:func:`semantic_dedup`, :func:`topic_shares`,
+    :func:`topic_share_drift`, :func:`quantized_assign_agreement`,
+    ``streaming.TopicDriftMonitor``).  Cluster ids are only comparable
+    across snapshots, epochs and restarts when every run assigns
+    against the SAME geometry; a written artifact makes that contract
+    explicit instead of re-deriving a sample per call.  Parquet stores
+    the doubles exactly, so a load-back assignment is bit-identical to
+    one through the in-memory list (law-tested).
+
+    Scale: k is a model parameter (thousands); the artifact is k rows
+    regardless of corpus size."""
+    if not cents:
+        raise ValueError("save_centroids: empty centroid list")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("cvec", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in sorted(cents, key=lambda c: c[0])
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Load a codebook written by :func:`save_centroids` back into the
+    driver-side list the assignment ops take, cid-sorted and validated:
+    raises on an empty artifact, duplicate cids, or ragged vector
+    dimensions (a truncated/mixed artifact silently skewing every
+    downstream share is exactly the failure this guards)."""
+    rows = spark.read.parquet(path).select("cid", "cvec").collect()
+    if not rows:
+        raise ValueError(f"load_centroids: empty codebook at {path}")
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows
+    )
+    ids = [c for c, _ in cents]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({c for c in ids if ids.count(c) > 1})
+        raise ValueError(f"load_centroids: duplicate cids {dupes[:5]}")
+    dims = {len(v) for _, v in cents}
+    if len(dims) != 1:
+        raise ValueError(
+            f"load_centroids: ragged vector dimensions {sorted(dims)}"
+        )
+    return cents
+
+
 def two_level_probe_sweep(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],

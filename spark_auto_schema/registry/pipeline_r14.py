@@ -335,3 +335,78 @@ GROUP BY 1
         "sum(CASE WHEN b.cid = ex.ecid THEN 1 ELSE 0 END) * 1.0 / count(*)"
     )
 )
+
+
+# ------------------------------------------- quantizer lifecycle
+_QRT_NLIST = 16
+_QRT_DIRS: dict[str, str] = {}
+
+
+def _quantizer_dir(sf_dir: str) -> str:
+    import tempfile
+
+    key = f"{sf_dir}#quantizer"
+    if key not in _QRT_DIRS:
+        _QRT_DIRS[key] = tempfile.mkdtemp(prefix="quantizer_artifact_")
+    return _QRT_DIRS[key]
+
+
+def _q_quantizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer lifecycle (`ops/similarity.py` save_centroids /
+    load_centroids): sample a 16-centroid codebook, PERSIST it as the
+    k-row parquet artifact, load it back, and assign the corpus against
+    the LOADED copy — the production shape where one trained quantizer
+    serves every snapshot, epoch and streaming restart with comparable
+    cluster ids (today's ops re-derive a sample per call; the artifact
+    is the durable `cents` source they all accept).  Parquet stores the
+    doubles exactly, so the oracle is the plain argmax-cosine
+    assignment replay over the same md5 sample — any roundtrip
+    imprecision or id reshuffle hash-fails."""
+    from spark_auto_schema.ops.similarity import (
+        _assign_nearest,
+        load_centroids,
+        save_centroids,
+    )
+
+    embs = spread_small_scan(read_table(spark, sf_dir, "embeddings"))
+    init = (
+        embs.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_QRT_NLIST)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)
+    ]
+    path = _quantizer_dir(sf_dir)
+    save_centroids(cents, path, spark)
+    loaded = load_centroids(spark, path)
+    out = _assign_nearest(
+        embs, loaded, "embedding", "vec_id", metric="cos", keep_vec=False
+    )
+    snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
+    return out.select(
+        "vec_id", "cluster", snap(-F.col("__score")).alias("cosine")
+    )
+
+
+def _quantizer_roundtrip_sql() -> str:
+    from spark_auto_schema.registry.pipeline_r9 import _cos_sql
+
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_QRT_NLIST}
+)
+SELECT vec_id, cid AS cluster,
+       {_SNAP6("cs")} AS cosine
+FROM (
+  SELECT e.vec_id, c.cid, {_cos_sql("e.embedding", "c.cvec")} AS cs,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_cos_sql("e.embedding", "c.cvec")} DESC, c.cid) AS rk
+  FROM embeddings e, cents c) WHERE rk = 1
+"""
+
+
+_QUANTIZER_ROUNDTRIP_SQL = _quantizer_roundtrip_sql()

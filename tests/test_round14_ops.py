@@ -449,3 +449,65 @@ def test_probe_sweep_matches_assign_nearest_per_probe(spark, emb, cents200):
         }
         manual = sum(1 for v in exact if pruned[v] == exact[v])
         assert rows[p] == manual, p
+
+
+# ------------------------------------------- quantizer lifecycle
+def test_quantizer_roundtrip_bit_exact(spark, emb, cents200, tmp_path):
+    """save_centroids -> load_centroids must return the EXACT input list
+    (cids and double values bit-for-bit — parquet stores doubles
+    exactly), and an assignment through the loaded codebook must equal
+    one through the original list — cluster ids stay comparable across
+    the persistence boundary."""
+    from spark_auto_schema.ops import similarity as S
+
+    p = str(tmp_path / "codebook")
+    S.save_centroids(cents200, p, spark)
+    loaded = S.load_centroids(spark, p)
+    assert loaded == sorted(cents200)
+    a = {
+        r["vec_id"]: (r["cluster"], r["__score"])
+        for r in S._assign_nearest(
+            emb, cents200, "embedding", "vec_id",
+            metric="cos", keep_vec=False,
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cluster"], r["__score"])
+        for r in S._assign_nearest(
+            emb, loaded, "embedding", "vec_id",
+            metric="cos", keep_vec=False,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_quantizer_load_validates_artifact(spark, tmp_path):
+    """A corrupted codebook must raise, not silently skew every
+    downstream share: empty artifact, duplicate cids, and ragged vector
+    dimensions each get an explicit ValueError."""
+    import pytest as _pytest
+
+    from spark_auto_schema.ops import similarity as S
+
+    with _pytest.raises(ValueError, match="empty"):
+        S.save_centroids([], str(tmp_path / "x"), spark)
+
+    schema = "cid int, cvec array<double>"
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], schema).write.parquet(empty)
+    with _pytest.raises(ValueError, match="empty"):
+        S.load_centroids(spark, empty)
+
+    dup = str(tmp_path / "dup")
+    spark.createDataFrame(
+        [(0, [1.0]), (0, [2.0])], schema
+    ).write.parquet(dup)
+    with _pytest.raises(ValueError, match="duplicate"):
+        S.load_centroids(spark, dup)
+
+    ragged = str(tmp_path / "ragged")
+    spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0, 2.0])], schema
+    ).write.parquet(ragged)
+    with _pytest.raises(ValueError, match="ragged"):
+        S.load_centroids(spark, ragged)
