@@ -707,7 +707,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across the tiers; the flat path additionally gained a narrow score
     pre-projection whose results are pinned bit-identical to the
     UNCHANGED literal tier, and the only registry query on the flat
-    path — centroid_assign_join, k=300 — heads this window); the only other
+    path — centroid_assign_join, k=300 — heads this window; the probe
+    knob later surfaced on the semantic/topic/kmeans consumers is a
+    default-None passthrough whose None path is the byte-identical
+    pre-change call); the only other
     code-touched queries — topic_share_drift (empty-snapshot share
     guard) and the two streaming monitors (idempotency/restart
     hardening) — are round-13 additions already heading this window;

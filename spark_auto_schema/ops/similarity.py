@@ -1113,9 +1113,13 @@ def kmeans_assign(
     cents: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest (squared-L2) centroid from a
     driver-side centroid list: (id, vector, cluster, sq_dist).
+    ``probe`` forces the two-level pruned tier at that probe width
+    (exact when probe >= n_groups); default None = exact below the
+    two-level budgets, auto-pruned above them.
 
     Path-selected via :func:`_assign_nearest`: within the literal-node
     budget the set is a LITERAL array baked into the plan (row-local
@@ -1123,7 +1127,7 @@ def kmeans_assign(
     when literal broadcast beats even a broadcast join); above it, a
     k-row broadcast-join argmin whose plan size is O(1) in k, so the
     :func:`suggest_nlist` clamp (2^16) is actually reachable."""
-    out = _assign_nearest(df, cents, vec_col, id_col, metric="l2")
+    out = _assign_nearest(df, cents, vec_col, id_col, metric="l2", probe=probe)
     return out.withColumnRenamed("__score", "sq_dist")
 
 
@@ -1344,6 +1348,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     decimals: int = 4,
     cents: list[tuple[int, list[float]]] | None = None,
+    probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     corpus by embedding, then within each cluster drop every vector that has
@@ -1381,10 +1386,15 @@ def semantic_dedup(
     Pass ``cents`` (the (cid, vector) list :func:`kmeans_lloyd` returns)
     to cluster with TRAINED centroids instead of the hash sample — the
     production composition: train once, reuse the quantizer across
-    snapshots so cluster ids stay comparable between runs.
+    snapshots so cluster ids stay comparable between runs.  ``probe``
+    exposes the two-level pruning knob at corpus-driven nlist (see
+    :func:`_assign_nearest`; price it with
+    :func:`two_level_probe_sweep` first) — default None keeps the exact
+    assignment below the budgets and the documented auto-pruned default
+    above them.
     """
     assigned, pairs = _semantic_cluster_pairs(
-        df, nlist, vec_col, id_col, decimals, cents, threshold
+        df, nlist, vec_col, id_col, decimals, cents, threshold, probe
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
@@ -1449,6 +1459,7 @@ def _semantic_cluster_pairs(
     decimals: int,
     cents: list[tuple[int, list[float]]] | None,
     min_cos: float,
+    probe: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared SemDeDup pair stage: deterministic hash-sample centroids
     (or the ``cents`` provided), row-local argmax-cosine assignment
@@ -1476,9 +1487,9 @@ def _semantic_cluster_pairs(
     # nlist via _assign_nearest; results are bit-identical either way.
     # persisted: referenced by both pair-join sides plus the caller
     assigned = _persist(
-        _assign_nearest(df, cents, vec_col, id_col, metric="cos").select(
-            F.col(id_col), F.col(vec_col), F.col("cluster")
-        )
+        _assign_nearest(
+            df, cents, vec_col, id_col, metric="cos", probe=probe
+        ).select(F.col(id_col), F.col(vec_col), F.col("cluster"))
     )
     a = assigned.select(
         F.col("cluster").alias("blk"),
@@ -1512,6 +1523,7 @@ def semantic_threshold_sweep(
     id_col: str = "vec_id",
     decimals: int = 4,
     cents: list[tuple[int, list[float]]] | None = None,
+    probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup pressure curve: how many near-dup pairs, involved vectors,
     and dropped vectors each candidate cosine THRESHOLD would produce —
@@ -1537,7 +1549,7 @@ def semantic_threshold_sweep(
             f"thresholds must be non-empty ascending, got {thresholds}"
         )
     _, pairs = _semantic_cluster_pairs(
-        df, nlist, vec_col, id_col, decimals, cents, min(thresholds)
+        df, nlist, vec_col, id_col, decimals, cents, min(thresholds), probe
     )
     pairs = _persist(pairs)
     parts = []
@@ -1580,6 +1592,7 @@ def incremental_semantic_dedup(
     id_col: str = "vec_id",
     decimals: int = 4,
     cents: list[tuple[int, list[float]]] | None = None,
+    probe: int | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` with no semantic near-duplicate (cosine >=
     ``threshold``) in ``corpus_df`` — the SemDeDup analogue of
@@ -1615,9 +1628,9 @@ def incremental_semantic_dedup(
         # path-selected (literal vs broadcast-join) argmax cosine; both
         # sides MUST route through the same helper so batch and corpus
         # cluster geometry agree bit-for-bit
-        return _assign_nearest(df, cents, vec_col, id_col, metric="cos").select(
-            F.col(id_col), F.col(vec_col), F.col("cluster")
-        )
+        return _assign_nearest(
+            df, cents, vec_col, id_col, metric="cos", probe=probe
+        ).select(F.col(id_col), F.col(vec_col), F.col("cluster"))
 
     batch = _assign(new_df)
     corpus = _assign(corpus_df).select(
@@ -1844,6 +1857,7 @@ def topic_shares(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cents: list[tuple[int, list[float]]] | None = None,
+    probe: int | None = None,
 ) -> DataFrame:
     """Topic-mixture balance report over embedding-space clusters: assign
     every vector to its nearest coarse centroid (the deterministic
@@ -1885,7 +1899,8 @@ def topic_shares(
     # argmin above it); the vector is dropped BEFORE the assignment so the
     # join path's id-keyed exchange carries (id, cluster) only
     assigned = _assign_nearest(
-        df, cents, vec_col, id_col, metric="cos", keep_vec=False
+        df, cents, vec_col, id_col, metric="cos", keep_vec=False,
+        probe=probe,
     ).select("cluster")
     counts = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs")
@@ -1913,6 +1928,7 @@ def topic_share_drift(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cents: list[tuple[int, list[float]]] | None = None,
+    probe: int | None = None,
 ) -> DataFrame:
     """Topic-mixture drift between two corpus snapshots over a SHARED
     coarse quantizer: per cluster ``(cluster, n_a, n_b, share_a,
@@ -1959,7 +1975,8 @@ def topic_share_drift(
     def counts(df: DataFrame, side: str) -> DataFrame:
         return (
             _assign_nearest(
-                df, cents, vec_col, id_col, metric="cos", keep_vec=False
+                df, cents, vec_col, id_col, metric="cos",
+                keep_vec=False, probe=probe,
             )
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias(f"n_{side}"))

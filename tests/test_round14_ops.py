@@ -511,3 +511,50 @@ def test_quantizer_load_validates_artifact(spark, tmp_path):
     ).write.parquet(ragged)
     with _pytest.raises(ValueError, match="ragged"):
         S.load_centroids(spark, ragged)
+
+
+# ------------------------------------------- probe knob plumbing
+def test_probe_knob_passthrough_family(spark, emb, cents200):
+    """The probe knob surfaced on the assignment consumers must (a) at
+    probe >= n_groups reproduce the default EXACT results bit-for-bit
+    (the two-level full-probe law lifted to the op level), and (b) at a
+    pruned probe still return one verdict per vector.  Covers
+    semantic_dedup, topic_shares, and kmeans_assign; the other
+    consumers route through the same two arguments."""
+    from spark_auto_schema.ops import similarity as S
+
+    full = 10**9  # clamped to n_groups internally
+    base = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in S.semantic_dedup(emb, threshold=0.8, nlist=16).collect()
+    }
+    viaknob = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in S.semantic_dedup(
+            emb, threshold=0.8, nlist=16, probe=full
+        ).collect()
+    }
+    assert base == viaknob
+    pruned = S.semantic_dedup(emb, threshold=0.8, nlist=16, probe=1).collect()
+    assert len(pruned) == 500
+
+    ts = {
+        r["cluster"]: r["n_vecs"]
+        for r in S.topic_shares(emb, nlist=8).collect()
+    }
+    tsk = {
+        r["cluster"]: r["n_vecs"]
+        for r in S.topic_shares(emb, nlist=8, probe=full).collect()
+    }
+    assert ts == tsk
+
+    init = sorted(cents200)[:32]
+    ka = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"])
+        for r in S.kmeans_assign(emb, init).collect()
+    }
+    kak = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"])
+        for r in S.kmeans_assign(emb, init, probe=full).collect()
+    }
+    assert ka == kak
