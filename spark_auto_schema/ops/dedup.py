@@ -238,6 +238,13 @@ def _jaccard_from_shingles(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    # The (capped) shingle relation is consumed THREE times below — the
+    # per-id sizes and both sides of the self-join — and its producer
+    # (scan + split/transform explode + xxhash64 + hot anti-join) is the
+    # expensive part.  Persist so that pipeline runs once instead of three
+    # times (guide §5: reused AND expensive to recompute); released via
+    # release_caches() like every other intra-query cache in this module.
+    sh = _persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1680,6 +1687,13 @@ def containment_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    # The (capped) shingle relation is consumed THREE times below — the
+    # per-id sizes and both sides of the self-join — and its producer
+    # (scan + split/transform explode + xxhash64 + hot anti-join) is the
+    # expensive part.  Persist so that pipeline runs once instead of three
+    # times (guide §5: reused AND expensive to recompute); released via
+    # release_caches() like every other intra-query cache in this module.
+    sh = _persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1114,12 +1114,20 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe: int | None = None,
+    keep_vec: bool = True,
 ) -> DataFrame:
     """Assign each vector to its nearest (squared-L2) centroid from a
     driver-side centroid list: (id, vector, cluster, sq_dist).
     ``probe`` forces the two-level pruned tier at that probe width
     (exact when probe >= n_groups); default None = exact below the
-    two-level budgets, auto-pruned above them.
+    two-level budgets, auto-pruned above them.  ``keep_vec=False``
+    drops the vector column from the output — callers that only read
+    (id, cluster, sq_dist) should pass it: the join-path argmin's
+    ``min(struct)`` state then carries (double, int) instead of the
+    full d-dim array (Spark cannot prune inside an aggregate struct),
+    with bit-identical assignment — (score, cid) is already unique per
+    fan-out row, so the vector field never participates in the
+    comparison.
 
     Path-selected via :func:`_assign_nearest`: within the literal-node
     budget the set is a LITERAL array baked into the plan (row-local
@@ -1127,7 +1135,9 @@ def kmeans_assign(
     when literal broadcast beats even a broadcast join); above it, a
     k-row broadcast-join argmin whose plan size is O(1) in k, so the
     :func:`suggest_nlist` clamp (2^16) is actually reachable."""
-    out = _assign_nearest(df, cents, vec_col, id_col, metric="l2", probe=probe)
+    out = _assign_nearest(
+        df, cents, vec_col, id_col, metric="l2", keep_vec=keep_vec, probe=probe
+    )
     return out.withColumnRenamed("__score", "sq_dist")
 
 
@@ -1209,7 +1219,7 @@ def kmeans_inertia(
     """Total within-cluster squared distance for a centroid set — the
     quantity Lloyd iterations monotonically non-increase."""
     row = (
-        kmeans_assign(df, cents, vec_col, id_col)
+        kmeans_assign(df, cents, vec_col, id_col, keep_vec=False)
         .agg(F.sum("sq_dist").alias("inertia"))
         .collect()[0]
     )

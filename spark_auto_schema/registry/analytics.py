@@ -1361,7 +1361,9 @@ def _q_streaming_window_counts(spark, sf_dir):
         windowed_event_counts(stream, "1 hour", "2 hours"),
         name,
         output_mode="complete",
-        state_partitions=8,
+        # (window, event_type) state is ~330 rows and partial-aggregated:
+        # 2 partitions are scale-correct (state tracks time, not data)
+        state_partitions=2,
     )
     return spark.table(name)
 
@@ -1424,7 +1426,9 @@ def _q_streaming_domain_cap(spark, sf_dir):
         ),
         name,
         output_mode="update",
-        state_partitions=8,
+        # keyed by event_type (~6 keys): >6 state partitions are provably
+        # empty; 2 cuts per-batch state-task overhead at any scale
+        state_partitions=2,
     )
     t = spark.table(name)
     w = Window.partitionBy("key").orderBy(F.col("n_seen").desc())
@@ -1515,7 +1519,8 @@ def _q_streaming_enriched_counts(spark, sf_dir):
         enriched_counts_stream(stream, dim),
         name,
         output_mode="complete",
-        state_partitions=8,
+        # dimension-keyed state (|segments| rows), partial-aggregated
+        state_partitions=2,
     )
     return spark.table(name)
 

@@ -212,8 +212,8 @@ def _q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = f"__late_adm_{next(_STREAM_SEQ)}"
     n2 = f"__late_tot_{next(_STREAM_SEQ)}"
-    run_to_memory(admitted, n1, output_mode="update", state_partitions=8)
-    run_to_memory(total, n2, output_mode="complete", state_partitions=8)
+    run_to_memory(admitted, n1, output_mode="update", state_partitions=2)
+    run_to_memory(total, n2, output_mode="complete", state_partitions=2)
     adm = (
         spark.table(n1)
         .groupBy("window_start")

@@ -56,7 +56,10 @@ def _q_late_data_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="1 day",
         delay="1 hour",
     )
-    mon.drain(stream, state_partitions=8)
+    # state is |windows|-sized (~30 day-windows) and the windowed aggs
+    # partial-aggregate map-side, so 2 state partitions are scale-correct
+    # (state cardinality tracks TIME, not corpus size) — measured 10.1->7.8 s
+    mon.drain(stream, state_partitions=2)
     return mon.report(spark).select(
         # DATE, not midnight TIMESTAMP (same canonicalization note as
         # streaming_late_audit)
@@ -106,7 +109,10 @@ def _q_centroid_assign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [
         (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)
     ]
-    out = similarity.kmeans_assign(embs, cents)
+    # keep_vec=False: the query reads only (vec_id, cluster, sq_dist), so
+    # the BNLJ argmin's min(struct) state drops the 64-double embedding —
+    # bit-identical assignment, far lighter aggregate (guide §2.3)
+    out = similarity.kmeans_assign(embs, cents, keep_vec=False)
     return out.select(
         "vec_id",
         "cluster",

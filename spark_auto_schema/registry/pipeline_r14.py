@@ -74,7 +74,9 @@ def _q_centroid_assign_two_level(
                 (cid, [(base[i][t] + base[j][t]) / 2.0 for t in range(dim)])
             )
             cid += 1
-    out = similarity.kmeans_assign(embs, cents)
+    # keep_vec=False: only (vec_id, cluster, sq_dist) is read — the refine
+    # join's min(struct) state drops the embedding array (guide §2.3)
+    out = similarity.kmeans_assign(embs, cents, keep_vec=False)
     return out.select(
         "vec_id",
         "cluster",

@@ -649,7 +649,7 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
-    run_to_memory(tot_stream, n2, output_mode="complete", state_partitions=8)
+    run_to_memory(tot_stream, n2, output_mode="complete", state_partitions=2)
     novel = (
         spark.table(n1)
         .groupBy(F.date_trunc("hour", "first_ts").alias("window_start"))

@@ -1105,8 +1105,6 @@ class TopicDriftMonitor:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from spark_auto_schema.ops.similarity import _assign_nearest
 
-        if batch_df.isEmpty():
-            return
         counts = {
             r["cluster"]: r["n"]
             for r in _assign_nearest(
@@ -1122,6 +1120,11 @@ class TopicDriftMonitor:
             .collect()  # k-row frame: model-sized collect, not data
         }
         total = sum(counts.values())
+        if total == 0:
+            # empty microbatch: same no-op as the old isEmpty() pre-check,
+            # but decided from the count aggregate itself — one job per
+            # batch instead of two (guide §1.2: fewer passes)
+            return
         rows = []
         score = 0.0
         for c in sorted(set(self.baseline_shares) | set(counts)):
