@@ -88,13 +88,25 @@ def profile_table(
     """
     cols = list(columns) if columns is not None else list(df.columns)
     distinct_of = F.count_distinct if exact else F.approx_count_distinct
+    # TWO single-row aggregate passes, not one: count/null/distinct
+    # buffers are all longs/sketches, so that pass stays a map-side
+    # HashAggregate even through the multi-distinct Expand; min/max over
+    # STRING columns carry variable-length agg buffers, which force the
+    # whole aggregate into SortAggregate — mixed into one pass they
+    # dragged the Expand-multiplied relation through a sort (measured
+    # 3.6 s -> 1.4 s on 150k x 6 at sf0.1).  Both passes are
+    # column-pruned scans with partial aggregation; the join of two
+    # 1-row frames is free (guide §1.2: fix the algorithm, not the
+    # config).
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
         aggs.append(distinct_of(F.col(c)).alias(f"__distinct_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
-    row = df.agg(*aggs)
+    minmax = []
+    for c in cols:
+        minmax.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        minmax.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs).crossJoin(df.agg(*minmax))
     stack_args = ", ".join(
         f"'{c}', `__nulls_{c}`, `__distinct_{c}`, `__min_{c}`, `__max_{c}`"
         for c in cols

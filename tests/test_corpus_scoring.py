@@ -36,11 +36,23 @@ def test_profile_table_values(spark):
     assert p2["min_value"] == "9" and p2["max_value"] == "10"
 
 
-def test_profile_is_single_scan(spark, docs):
+def test_profile_is_two_hash_aggregating_scans(spark, docs):
+    """Plan pin for the r14 profile split: the count/null/distinct pass
+    and the min/max pass run as SEPARATE scans so the multi-distinct
+    Expand stays a HashAggregate — min/max over string columns carry
+    variable-length agg buffers that would force the whole (Expanded)
+    relation through SortAggregate if mixed into one pass."""
     plan = corpus.profile_table(
         docs, ["doc_id", "lang", "source"]
     )._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan") == 1  # one pass regardless of column count
+    assert plan.count("FileScan") == 2  # two column-pruned passes, not one per column
+    assert "Expand" in plan  # the multi-distinct rewrite is still one pass
+    # every count/distinct aggregate must live in a HashAggregate; only
+    # the keyless min/max pass (no sort actually runs for a global
+    # aggregate) may plan as SortAggregate
+    sort_agg_lines = [l for l in plan.splitlines() if "SortAggregate" in l]
+    assert sort_agg_lines, "min/max pass expected"
+    assert all("count(" not in l for l in sort_agg_lines), sort_agg_lines
 
 
 # ------------------------------------------------------------ snapshot diff

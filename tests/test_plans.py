@@ -523,7 +523,12 @@ _EXCHANGE_PINS = {
     "text_stats": 0,             # shuffle-free per-row projection
     "lang_id": 0,                # shuffle-free per-row projection
     "corpus_mix": 0,             # CASE-threshold filter, no shuffle
-    "profile_docs": 2,           # 1-row profile agg + stack ordering
+    "profile_docs": 3,           # r14 split: count/distinct 1-row agg +
+                                 # min/max 1-row agg (separate pass so the
+                                 # multi-distinct Expand stays HashAggregate
+                                 # — see ops/corpus.py profile_table) +
+                                 # stack ordering; both agg exchanges are
+                                 # 1-row
     "pack_sequences": 1,         # single bucket shuffle, window reuses it
     "top_terms": 1,              # one wordcount agg, top-k is TakeOrdered
     "time_bucket_events": 1,     # one hash agg with map-side combine
@@ -569,7 +574,9 @@ _EXCHANGE_PINS = {
     "csv_quarantine": 2,         # one cached parse, two 1-row aggs
     "scd2_lookup_events": 2,     # dim-build window + as-of equi-join
                                  # reuse one key shuffle; final agg
-    "key_suggestions": 2,        # single-pass profile agg + the
+    "key_suggestions": 3,        # r14 split profile: two 1-row aggs
+                                 # (count/distinct pass + min/max pass —
+                                 # see ops/corpus.py profile_table) + the
                                  # |columns|-row rank window
     "fk_profile": 15,            # 3 relationships x (stats agg + child
                                  # distinct + parent distinct + anti-join
