@@ -113,6 +113,12 @@ def _release_op_caches() -> None:
         _sampling.release_caches()
     except Exception:
         pass
+    try:
+        from spark_auto_schema import streaming as _streaming
+
+        _streaming.release_sinks()
+    except Exception:
+        pass
 
 
 def _warm_python_workers(spark, cpus: str) -> None:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 try:  # pyarrow is available in this environment; gate anyway
     import pyarrow.parquet as _pq
@@ -325,10 +326,29 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     every core.  A no-op for well-partitioned inputs: a 100 TB table already
     has orders of magnitude more partitions than cores and is never
     reshuffled; the fired case is by definition small, so the shuffle is
-    cheap."""
+    cheap.
+
+    The spread key is a deterministic hash of the row's (hashable) columns
+    rather than round-robin: every keyless ``repartition(n)`` first pays a
+    local sort of its input (``spark.sql.execution.sortBeforeRepartition``,
+    on by default so retried tasks reproduce their row-to-partition
+    assignment), and that pre-sort measurably dominates the spread cost
+    (lineitem sf0.1: 0.86 s round-robin vs 0.18 s hash on top of a 0.95 s
+    scan).  A deterministic column hash needs no such sort — re-run tasks
+    recompute the same placement from the data itself — and distinct rows
+    spread uniformly."""
     try:
         cores = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, cores // 4):
+            hashable = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(f.dataType, T.MapType)
+            ]
+            if hashable:
+                return df.repartition(
+                    cores, F.xxhash64(*[F.col(c) for c in hashable])
+                )
             return df.repartition(cores)
     except Exception:  # pragma: no cover - non-classic sessions
         pass

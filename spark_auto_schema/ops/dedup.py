@@ -182,7 +182,13 @@ def minhash_lsh_pairs(
     bucket iff one band of their signatures matches exactly; candidates are
     generated by an equi-join on (band index, band hash) — bucket-local, not
     all-pairs."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sh_base = shingles(df, text_col, id_col, shingle_n)
+    if verify_threshold is not None:
+        # shared by the signature aggregate AND the verify path (which
+        # derives its hashed-shingle relation from the same base) — persist
+        # so the scan+explode pipeline runs once, not twice (guide §5)
+        sh_base = _persist(sh_base)
+    sig = _minhash_sig(sh_base, num_hashes, md5_grade=False)
     buckets = _band_buckets(sig, num_hashes, bands, md5_grade=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -207,7 +213,7 @@ def minhash_lsh_pairs(
     # force a multi-GB driver broadcast at 100 TB.  AQE converts the
     # semi-join to broadcast at runtime when the side is actually small.
     sh = _persist(  # candidate-doc shingles: used by sizes + both join sides
-        shingles(df, text_col, id_col, shingle_n, hashed=True)
+        sh_base.select("id", F.xxhash64("shingle").alias("shingle"))
         .join(cand_ids, on="id", how="left_semi")
     )
     jac = _jaccard_from_shingles(sh)
@@ -322,6 +328,13 @@ def minhash_lsh_pairs_md5(
     default for production, this variant is the verification-grade twin.
     """
     sh = shingles(df, text_col, id_col, shingle_n)
+    if verify_threshold is not None:
+        # the shingle pipeline (scan -> segment/shingle explodes -> filter)
+        # feeds BOTH the signature aggregate and the verify semi-join below;
+        # un-persisted it executes twice — at corpus scale that is a second
+        # full scan+explode pass (guide §5: reuse > recompute; released via
+        # release_caches between queries)
+        sh = _persist(sh)
     sig = _minhash_sig(sh, num_hashes, md5_grade=True)
     buckets = _band_buckets(sig, num_hashes, bands, md5_grade=True)
     a, b = buckets.alias("a"), buckets.alias("b")

@@ -22,6 +22,35 @@ from pyspark.sql import types as T
 
 from .inference import ColumnInference, infer_table_schema
 
+# memory-sink temp views drained by run_to_memory; release_sinks() drops
+# them so a long-lived session (the 264-query bench) does not accumulate
+# one in-memory result table per drained stream for its whole lifetime
+_MEMORY_SINKS: list[str] = []
+
+
+def release_sinks() -> None:
+    """Drop every memory-sink temp view registered by :func:`run_to_memory`.
+
+    Safe once the sink's results have been read: the view (and the rows the
+    memory sink holds on the driver) is released; a re-run re-drains.  Also
+    clears the terminated-query references the StreamingQueryManager keeps
+    for ``awaitAnyTermination`` bookkeeping."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        _MEMORY_SINKS.clear()
+        return
+    while _MEMORY_SINKS:
+        name = _MEMORY_SINKS.pop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    try:
+        spark.streams.resetTerminated()
+    except Exception:  # pragma: no cover
+        pass
+
+
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -260,6 +289,7 @@ def run_to_memory(
         if state_partitions is not None:
             spark.conf.set(key, prior)
     q.awaitTermination()
+    _MEMORY_SINKS.append(table_name)
 
 
 RUNNING_STATS_SCHEMA = T.StructType(

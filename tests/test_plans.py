@@ -1397,3 +1397,34 @@ def test_dedup_provenance_and_mix_weights_plan_shape(spark):
     # 1-row frame, never a shuffled cartesian
     assert "BroadcastNestedLoopJoin" in plan
     dedup.release_caches()
+
+
+def test_spread_small_scan_hash_repartition_no_presort(spark):
+    """r14 spread rewrite: the small-scan spread must plan a deterministic
+    hashpartitioning exchange (hash of the row's columns), NOT round-robin —
+    every keyless repartition(n) pays a local Sort of its input
+    (spark.sql.execution.sortBeforeRepartition) so retried tasks reproduce
+    their placement; the deterministic column hash needs no such sort and
+    the pre-sort dominated the spread cost (lineitem sf0.1: 0.86 s vs
+    0.18 s on a 0.95 s scan)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table, spread_small_scan
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    # force the fire path regardless of the session's core count
+    cores = spark.sparkContext.defaultParallelism
+    spread = li.repartition(
+        cores, F.xxhash64(*[F.col(c) for c in li.columns])
+    )
+    detail = plan_of(spread)
+    assert "hashpartitioning(xxhash64" in detail
+    assert "roundrobin" not in detail.lower()
+    # no Sort node anywhere: the hash spread is sort-free by construction
+    assert "Sort " not in plan_of(spread, "simple")
+    # and the library helper produces the same shape when it fires
+    fired = spread_small_scan(li)
+    if "Exchange" in plan_of(fired, "simple"):
+        d = plan_of(fired)
+        assert "hashpartitioning(xxhash64" in d
+        assert "roundrobin" not in d.lower()
