@@ -237,6 +237,11 @@ def _jaccard_from_shingles(
     hot-shingle set (shingles with df > max_df) is tiny by construction and
     is removed with a broadcast anti-join."""
     if max_df is not None:
+        # the pre-cap relation is read twice — once by the hot-set
+        # aggregate, once as the anti-join input — so persist it too;
+        # without this the shingle producer runs 2x before the capped
+        # persist below even builds (guide §5)
+        sh = _persist(sh)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -486,11 +491,19 @@ def incremental_near_dedup(
     arguments); the corpus is then never re-shingled here — the per-batch
     cost is the batch's own shingling plus bucket-local joins."""
     sh_new = shingles(new_df, text_col, id_col, shingle_n)
+    if verify_threshold is not None:
+        # the batch shingle pipeline feeds the signature aggregate AND (via
+        # the verify relations below) both _cross_jaccard consumers — three
+        # executions un-persisted; persist so the scan+explode runs once
+        # (guide §5, same shape as the minhash pair engines)
+        sh_new = _persist(sh_new)
     bk_new = _band_buckets(_minhash_sig(sh_new, num_hashes, md5_grade), num_hashes, bands, md5_grade)
     if corpus_index is not None:
         bk_cor, idx_verify_sh = corpus_index
     else:
         sh_cor = shingles(corpus_df, text_col, id_col, shingle_n)
+        if verify_threshold is not None:
+            sh_cor = _persist(sh_cor)  # same triple-consumer shape as sh_new
         idx_verify_sh = None
         bk_cor = _band_buckets(_minhash_sig(sh_cor, num_hashes, md5_grade), num_hashes, bands, md5_grade)
     cand = (
@@ -503,21 +516,27 @@ def incremental_near_dedup(
         dup_ids = cand.select("id_new").distinct()
     else:
         cand = _persist(cand)
+        hashed_of = lambda base: base.select(
+            "id", F.xxhash64("shingle").alias("shingle")
+        )
         if md5_grade:
             vn = sh_new
             vc = idx_verify_sh if idx_verify_sh is not None else sh_cor
-        else:  # hashed shingles: 8-byte join keys for the verify stage
-            vn = shingles(new_df, text_col, id_col, shingle_n, hashed=True)
+        else:  # hashed shingles: 8-byte join keys for the verify stage —
+            # derived from the persisted bases so no second explode runs
+            vn = hashed_of(sh_new)
             vc = (
                 idx_verify_sh
                 if idx_verify_sh is not None
-                else shingles(corpus_df, text_col, id_col, shingle_n, hashed=True)
+                else hashed_of(sh_cor)
             )
         # Unhinted semi-joins: the candidate-id sets grow with the batch's
         # overlap against the corpus (unbounded at 100 TB) — AQE converts
         # to broadcast at runtime only when a side is actually small.
-        vn = vn.join(cand.select(F.col("id_new").alias("id")).distinct(), "id", "left_semi")
-        vc = vc.join(cand.select(F.col("id_cor").alias("id")).distinct(), "id", "left_semi")
+        # The semi-joined verify relations are candidate-sized and each
+        # consumed twice by _cross_jaccard (sizes + intersection) — persist.
+        vn = _persist(vn.join(cand.select(F.col("id_new").alias("id")).distinct(), "id", "left_semi"))
+        vc = _persist(vc.join(cand.select(F.col("id_cor").alias("id")).distinct(), "id", "left_semi"))
         jac = _cross_jaccard(vn, vc)
         dup_ids = (
             cand.join(jac, on=["id_new", "id_cor"], how="inner")
@@ -983,7 +1002,10 @@ def lsh_config_sweep(
         raise ValueError(
             f"bands_sweep must be non-empty ascending, got {bands_sweep}"
         )
-    sh = shingles(df, text_col, id_col, shingle_n)
+    # the shingle base feeds the signature aggregate AND the verify
+    # semi-join below — persist so the scan+explode runs once (guide §5,
+    # same shape as the minhash pair engines)
+    sh = _persist(shingles(df, text_col, id_col, shingle_n))
     sig = _persist(_minhash_sig(sh, num_hashes, md5_grade=True))
     entries = None
     for b in bands_sweep:
@@ -1693,6 +1715,11 @@ def containment_pairs(
     the pair aggregate, no extra shuffle."""
     sh = shingles(df, text_col, id_col, n, hashed=hashed)
     if max_df is not None:
+        # the pre-cap relation is read twice — once by the hot-set
+        # aggregate, once as the anti-join input — so persist it too;
+        # without this the shingle producer runs 2x before the capped
+        # persist below even builds (guide §5)
+        sh = _persist(sh)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))

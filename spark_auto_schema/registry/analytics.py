@@ -1321,7 +1321,13 @@ def _q_dedup_cluster_stats(spark, sf_dir):
     the same cluster, and edge-free clusters are kept at density 0.0
     (r10-advice fix).  The oracle extends the shared closure CTE with
     the same two |clusters|-row aggregates."""
-    pairs = dedup.ngram_jaccard_pairs(_spread_docs(spark, sf_dir), threshold=0.8)
+    # persist the pair set: dedup_clusters' edge build executes it during
+    # query construction and cluster_stats re-reads it (twice — one join
+    # per edge endpoint) at collect time; un-persisted the full n-gram
+    # pair pipeline would run three times (guide §5)
+    pairs = dedup._persist(
+        dedup.ngram_jaccard_pairs(_spread_docs(spark, sf_dir), threshold=0.8)
+    )
     return dedup.cluster_stats(pairs, dedup.dedup_clusters(pairs))
 
 

@@ -1428,3 +1428,44 @@ def test_spread_small_scan_hash_repartition_no_presort(spark):
         d = plan_of(fired)
         assert "hashpartitioning(xxhash64" in d
         assert "roundrobin" not in d.lower()
+
+
+def test_pair_engines_persist_shared_shingle_base(spark):
+    """r14 recompute cuts: relations consumed by BOTH the signature/hot
+    aggregate and a verify/anti-join path must be persisted so the
+    scan+explode producer runs once — visible as InMemoryRelation nodes in
+    the plan and as registered intra-query caches (released afterwards)."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    other = docs.where(F.col("doc_id") % 2 == 1)
+
+    dedup.release_caches()
+    out = dedup.incremental_near_dedup(
+        half, other, verify_threshold=0.5, md5_grade=True
+    )
+    # the batch and corpus shingle bases + cand + the two semi-joined
+    # verify relations are persisted for reuse
+    assert len(dedup._CACHED) >= 4
+    plan = plan_of(out, "simple")
+    assert "InMemoryTableScan" in plan
+    n = out.count()
+    dedup.release_caches()
+    assert not dedup._CACHED
+
+    out2 = dedup.minhash_lsh_pairs_md5(half, verify_threshold=0.5)
+    assert len(dedup._CACHED) >= 2  # shingle base + candidate set
+    assert "InMemoryTableScan" in plan_of(out2, "simple")
+    out2.count()
+    dedup.release_caches()
+
+    # capped engine: the pre-cap relation (hot aggregate + anti-join input)
+    # and the capped relation (sizes + both self-join sides) are both cached
+    out3 = dedup.ngram_jaccard_pairs(half, threshold=0.0, max_df=10)
+    assert len(dedup._CACHED) >= 2
+    out3.count()
+    dedup.release_caches()
