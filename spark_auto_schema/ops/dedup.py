@@ -447,14 +447,20 @@ def prepare_corpus_index(
     promises.  Arguments must match the ones later passed to
     :func:`incremental_near_dedup` (band layout and hash construction are
     baked into the frames)."""
-    sh = shingles(corpus_df, text_col, id_col, shingle_n)
+    # one shingle pipeline feeds BOTH outputs (signature aggregate and the
+    # verify relation) — persist the shared base so the corpus-wide
+    # scan+explode runs once across the caller's two writes; the hashed
+    # verify relation derives from the same base (xxhash64 post-persist —
+    # identical values to shingles(hashed=True)), not a second explode
+    # (guide §5, same shape as the minhash pair engines / change #10)
+    sh = _persist(shingles(corpus_df, text_col, id_col, shingle_n))
     buckets = _band_buckets(
         _minhash_sig(sh, num_hashes, md5_grade), num_hashes, bands, md5_grade
     )
     verify_sh = (
         sh
         if md5_grade
-        else shingles(corpus_df, text_col, id_col, shingle_n, hashed=True)
+        else sh.select("id", F.xxhash64("shingle").alias("shingle"))
     )
     return buckets, verify_sh
 

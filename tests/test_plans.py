@@ -1469,3 +1469,31 @@ def test_pair_engines_persist_shared_shingle_base(spark):
     assert len(dedup._CACHED) >= 2
     out3.count()
     dedup.release_caches()
+
+
+def test_prepare_corpus_index_single_shingle_pipeline(spark):
+    """r14: prepare_corpus_index's two outputs (band buckets + verify
+    shingles) must share ONE persisted shingle base — the non-md5 verify
+    relation is derived by hashing the shared base (xxhash64 post-persist),
+    never by a second corpus-wide scan+explode."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents").limit(200)
+
+    dedup.release_caches()
+    buckets, verify_sh = dedup.prepare_corpus_index(docs)
+    # exactly the one shared shingle base is cached
+    assert len(dedup._CACHED) == 1
+    assert "InMemoryTableScan" in plan_of(buckets, "simple")
+    assert "InMemoryTableScan" in plan_of(verify_sh, "simple")
+
+    # value identity: the derived verify relation equals the twin-build it
+    # replaced (shingles(hashed=True) over the same corpus)
+    twin = dedup.shingles(docs, hashed=True)
+    assert verify_sh.exceptAll(twin).count() == 0
+    assert twin.exceptAll(verify_sh).count() == 0
+    dedup.release_caches()
+    assert not dedup._CACHED
