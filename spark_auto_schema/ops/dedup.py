@@ -256,20 +256,33 @@ def _jaccard_from_shingles(
     # times (guide §5: reused AND expensive to recompute); released via
     # release_caches() like every other intra-query cache in this module.
     sh = _persist(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # persisted: the per-id size relation is probed by BOTH enrichment
+    # joins below (one per self-join side) — without it the |shingles|
+    # aggregation pass runs twice; the relation itself is |docs| rows
+    sizes = _persist(sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
+    # Carry each side's set size THROUGH the pair aggregation instead of
+    # joining the (much larger) pair relation against `sizes` twice
+    # afterwards: the enrichment join touches |shingles| rows once per
+    # side (cached scan + a join AQE sizes at runtime — sizes is |docs|
+    # rows, so no hard broadcast hint), while the former tail re-joined
+    # the pair relation — the largest relation in this pipeline — twice.
+    # sz is constant within an (id_a, id_b) group, so min() recovers it
+    # exactly; the widened pair shuffle costs 16 bytes/row against two
+    # eliminated joins over every candidate pair.
+    shz = sh.join(sizes, on="id")
+    a, b = shz.alias("a"), shz.alias("b")
     inter = (
         a.join(b, on="shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("a.sz")).alias("sz_a"),
+            F.min(F.col("b.sz")).alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             # snapped through DECIMAL(18,12) before the 4-decimal round:
             # plain round(double, 4) half-rounds differently from DuckDB on
@@ -371,17 +384,24 @@ def _cross_jaccard(sh_new: DataFrame, sh_cor: DataFrame) -> DataFrame:
     """(id_new, id_cor, jaccard) for every cross-relation pair sharing a
     shingle.  Two-relation analogue of ``_jaccard_from_shingles``: the
     equi-join on the shingle key generates only co-occurring pairs."""
+    # Same tail shape as _jaccard_from_shingles: attach each side's set
+    # size BEFORE the shingle join and carry it through the pair
+    # aggregation (min() of a per-group constant), rather than re-joining
+    # the pair relation against the two size aggregates afterwards.
     sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz_new"))
     sz_cor = sh_cor.groupBy("id").agg(F.count(F.lit(1)).alias("sz_cor"))
     inter = (
-        sh_new.alias("n")
-        .join(sh_cor.alias("c"), on="shingle")
+        sh_new.join(sz_new, on="id").alias("n")
+        .join(sh_cor.join(sz_cor, on="id").alias("c"), on="shingle")
         .groupBy(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_cor"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("n.sz_new")).alias("sz_new"),
+            F.min(F.col("c.sz_cor")).alias("sz_cor"),
+        )
     )
     return (
-        inter.join(sz_new.withColumnRenamed("id", "id_new"), "id_new")
-        .join(sz_cor.withColumnRenamed("id", "id_cor"), "id_cor")
+        inter
         .select(
             "id_new",
             "id_cor",
@@ -1740,22 +1760,30 @@ def containment_pairs(
     # times (guide §5: reused AND expensive to recompute); released via
     # release_caches() like every other intra-query cache in this module.
     sh = _persist(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # persisted: probed by both enrichment joins, |docs| rows (see
+    # _jaccard_from_shingles)
+    sizes = _persist(sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
+    # Same tail shape as _jaccard_from_shingles: sizes ride the shingle
+    # rows into the pair aggregation (min() of a per-group constant)
+    # instead of re-joining the pair relation — the largest relation in
+    # this pipeline — against `sizes` twice afterwards.
+    shz = sh.join(sizes, on="id")
+    a, b = shz.alias("a"), shz.alias("b")
     inter = (
         a.join(b, on="shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("a.sz")).alias("sz_a"),
+            F.min(F.col("b.sz")).alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     small_is_a = (F.col("sz_a") < F.col("sz_b")) | (
         (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter
         .select(
             F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
             F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_large"),

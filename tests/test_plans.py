@@ -1187,9 +1187,12 @@ def test_round10_new_ops_plan_shapes(spark):
     plan = plan_of(emp, "simple")
     assert "CartesianProduct" not in plan
     # persisted shingle relation: every FileScan string sits inside an
-    # InMemoryRelation description (cache fill), consumers read the cache
+    # InMemoryRelation description (cache fill), consumers read the cache.
+    # InMemoryRelations may OUTNUMBER FileScans since r14: nested caches
+    # (the per-id sizes persist atop the shingle cache) fill from another
+    # cache, not from a file.
     assert plan.count("InMemoryTableScan") >= 2
-    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+    assert plan.count("FileScan parquet") <= plan.count("InMemoryRelation")
     dedup.release_caches()
 
     occ = dedup.band_occupancy(docs)
@@ -1497,3 +1500,77 @@ def test_prepare_corpus_index_single_shingle_pipeline(spark):
     assert twin.exceptAll(verify_sh).count() == 0
     dedup.release_caches()
     assert not dedup._CACHED
+
+
+def test_jaccard_tail_carries_sizes_through_pair_agg(spark):
+    """r14: the pair tail of _jaccard_from_shingles must NOT re-join the
+    pair relation against the per-id sizes after the pair aggregate —
+    sizes ride the shingle rows into the aggregation via one enrichment
+    join placed BEFORE the self-join, and the same holds for the
+    containment and cross-relation variants."""
+    from pyspark.sql import functions as F
+
+    from spark_auto_schema.io import read_table
+    from spark_auto_schema.ops import dedup
+
+    docs = read_table(spark, SF_DIR, "documents").limit(300)
+
+    dedup.release_caches()
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_df=100)
+    plan = plan_of(out, "simple")
+    # nothing but filter/projection sits ABOVE the pair aggregate: the
+    # sizes were carried through it (min(sz) agg functions), so the two
+    # former post-aggregate size joins are gone.  (Join counts over the
+    # whole text are meaningless here — cached subtrees print inline
+    # repeatedly — so pin the tree segment above the aggregate instead.)
+    lines = plan.splitlines()
+    agg_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate" in ln and "min(sz" in ln
+    )
+    head = "\n".join(lines[:agg_idx])
+    assert "Join" not in head, head
+    assert "min(sz" in lines[agg_idx]
+
+    # value identity against the replaced two-join tail, rebuilt inline
+    sh = dedup.shingles(docs, hashed=True)
+    pre = dedup._persist(sh)
+    hot = (
+        pre.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 100)
+        .select("shingle")
+    )
+    capped = dedup._persist(
+        pre.join(F.broadcast(hot), on="shingle", how="left_anti")
+    )
+    sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ref = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                (
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).cast("decimal(18,12)"),
+                4,
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+    dedup.release_caches()
