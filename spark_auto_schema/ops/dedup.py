@@ -216,9 +216,72 @@ def minhash_lsh_pairs(
         sh_base.select("id", F.xxhash64("shingle").alias("shingle"))
         .join(cand_ids, on="id", how="left_semi")
     )
-    jac = _jaccard_from_shingles(sh)
-    return cand.join(jac, on=["id_a", "id_b"], how="inner").where(
+    return _pair_jaccard(cand, sh).where(
         F.col("jaccard") >= verify_threshold
+    )
+
+
+def _pair_jaccard(
+    pairs: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Exact shingle Jaccard for EXACTLY the ``(a_col, b_col)`` pairs given:
+    ``(a_col, b_col, jaccard)``, inner — pairs sharing zero shingles are
+    absent (identical to joining the co-shingle engine's full output
+    against the pair set, which is what every verify tail used to do).
+
+    Candidate-driven verify (guide §1.2/§3): the co-shingle SELF-join
+    scores every pair of candidate docs that shares any shingle —
+    Σ_s df(s)² rows, most of which the band join never proposed — and the
+    verify tail then threw the extras away.  Here the pair set drives the
+    work: join each side's shingles onto the pairs (rows =
+    Σ_pairs |shingles(doc)|) and count matches, so verify cost tracks the
+    CANDIDATE count.  Set sizes ride the pair aggregation as min() of a
+    per-group constant (the #14 tail shape).  ``sh_b=None`` means both
+    ids draw from the one relation ``sh_a`` (its sizes aggregate is then
+    probed by both side joins and persisted); joins are unhinted — AQE
+    picks broadcast when the pair set is actually small."""
+    cross = sh_b is not None
+    sz_a = sh_a.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if not cross:
+        sh_b = sh_a
+        sz_a = _persist(sz_a)
+        sz_b = sz_a
+    else:
+        sz_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    left = sh_a.join(sz_a, on="id").select(
+        F.col("id").alias(a_col), "shingle", F.col("sz").alias("__sza")
+    )
+    right = sh_b.join(sz_b, on="id").select(
+        F.col("id").alias(b_col), "shingle", F.col("sz").alias("__szb")
+    )
+    inter = (
+        pairs.join(left, on=a_col)
+        .join(right, on=[b_col, "shingle"])
+        .groupBy(a_col, b_col)
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("__sza").alias("__sza"),
+            F.min("__szb").alias("__szb"),
+        )
+    )
+    return inter.select(
+        a_col,
+        b_col,
+        # same DECIMAL(18,12) snap as _jaccard_from_shingles (bounded
+        # fraction; keeps every verify tail in lockstep with the oracles)
+        F.round(
+            (
+                F.col("inter")
+                / (F.col("__sza") + F.col("__szb") - F.col("inter"))
+            ).cast("decimal(18,12)"),
+            4,
+        )
+        .cast("double")
+        .alias("jaccard"),
     )
 
 
@@ -373,52 +436,12 @@ def minhash_lsh_pairs_md5(
     # Unhinted semi-join: candidate ids scale with the near-dup fraction, so
     # boundedness is NOT known by construction — AQE decides at runtime.
     sh_c = _persist(sh.join(cand_ids, on="id", how="left_semi"))
-    jac = _jaccard_from_shingles(sh_c)
-    return cand.join(jac, on=["id_a", "id_b"], how="inner").where(
+    return _pair_jaccard(cand, sh_c).where(
         F.col("jaccard") >= verify_threshold
     )
 
 
 # ------------------------------------------------------ incremental dedup
-def _cross_jaccard(sh_new: DataFrame, sh_cor: DataFrame) -> DataFrame:
-    """(id_new, id_cor, jaccard) for every cross-relation pair sharing a
-    shingle.  Two-relation analogue of ``_jaccard_from_shingles``: the
-    equi-join on the shingle key generates only co-occurring pairs."""
-    # Same tail shape as _jaccard_from_shingles: attach each side's set
-    # size BEFORE the shingle join and carry it through the pair
-    # aggregation (min() of a per-group constant), rather than re-joining
-    # the pair relation against the two size aggregates afterwards.
-    sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz_new"))
-    sz_cor = sh_cor.groupBy("id").agg(F.count(F.lit(1)).alias("sz_cor"))
-    inter = (
-        sh_new.join(sz_new, on="id").alias("n")
-        .join(sh_cor.join(sz_cor, on="id").alias("c"), on="shingle")
-        .groupBy(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_cor"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.min(F.col("n.sz_new")).alias("sz_new"),
-            F.min(F.col("c.sz_cor")).alias("sz_cor"),
-        )
-    )
-    return (
-        inter
-        .select(
-            "id_new",
-            "id_cor",
-            # same DECIMAL(18,12) snap as _jaccard_from_shingles (bounded
-            # fraction; keeps the cross-relation path in lockstep with the
-            # oracle twins' rounding)
-            F.round(
-                (
-                    F.col("inter")
-                    / (F.col("sz_new") + F.col("sz_cor") - F.col("inter"))
-                ).cast("decimal(18,12)"),
-                4,
-            ).cast("double").alias("jaccard"),
-        )
-    )
-
-
 def incremental_exact_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -519,7 +542,7 @@ def incremental_near_dedup(
     sh_new = shingles(new_df, text_col, id_col, shingle_n)
     if verify_threshold is not None:
         # the batch shingle pipeline feeds the signature aggregate AND (via
-        # the verify relations below) both _cross_jaccard consumers — three
+        # the verify relations below) both _pair_jaccard consumers — three
         # executions un-persisted; persist so the scan+explode runs once
         # (guide §5, same shape as the minhash pair engines)
         sh_new = _persist(sh_new)
@@ -560,12 +583,11 @@ def incremental_near_dedup(
         # overlap against the corpus (unbounded at 100 TB) — AQE converts
         # to broadcast at runtime only when a side is actually small.
         # The semi-joined verify relations are candidate-sized and each
-        # consumed twice by _cross_jaccard (sizes + intersection) — persist.
+        # consumed twice by _pair_jaccard (sizes + intersection) — persist.
         vn = _persist(vn.join(cand.select(F.col("id_new").alias("id")).distinct(), "id", "left_semi"))
         vc = _persist(vc.join(cand.select(F.col("id_cor").alias("id")).distinct(), "id", "left_semi"))
-        jac = _cross_jaccard(vn, vc)
         dup_ids = (
-            cand.join(jac, on=["id_new", "id_cor"], how="inner")
+            _pair_jaccard(cand, vn, vc, a_col="id_new", b_col="id_cor")
             .where(F.col("jaccard") >= verify_threshold)
             .select("id_new")
             .distinct()
@@ -1060,7 +1082,7 @@ def lsh_config_sweep(
     # pins a static shuffle join (measured 5.6x at sf0.1, BASELINE
     # round-12).
     sh_c = _persist(sh.join(uids, on="id", how="left_semi"))
-    jac = _jaccard_from_shingles(sh_c)
+    jac = _pair_jaccard(upairs, sh_c)
     judged = cand.join(jac, ["id_a", "id_b"], "left").select(
         "cfg",
         (F.coalesce("jaccard", F.lit(0.0)) >= F.lit(verify_threshold))

@@ -892,13 +892,19 @@ def save_centroids(
             T.StructField("cvec", T.ArrayType(T.DoubleType(), False), False),
         ]
     )
+    # ONE parallelize slice, not coalesce(1): a coalesced write task computes
+    # every parent slice of the default-parallelism parallelize SERIALLY,
+    # spinning one Python worker per slice (~7 s for 16 rows on local[32],
+    # measured); a single-slice parallelize writes the same one-file artifact
+    # through one worker in ~0.5 s (guide §1.2 — don't compute what you
+    # throw away; the artifact is k driver-side rows, no distribution needed)
+    rows = [
+        (int(cid), [float(x) for x in vec])
+        for cid, vec in sorted(cents, key=lambda c: c[0])
+    ]
     spark.createDataFrame(
-        [
-            (int(cid), [float(x) for x in vec])
-            for cid, vec in sorted(cents, key=lambda c: c[0])
-        ],
-        schema,
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+        spark.sparkContext.parallelize(rows, 1), schema
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:

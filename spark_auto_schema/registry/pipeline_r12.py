@@ -212,8 +212,18 @@ def _q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = f"__late_adm_{next(_STREAM_SEQ)}"
     n2 = f"__late_tot_{next(_STREAM_SEQ)}"
-    run_to_memory(admitted, n1, output_mode="update", state_partitions=2)
-    run_to_memory(total, n2, output_mode="complete", state_partitions=2)
+    # the two accounting drains are independent (each a separate streaming
+    # query over the same staged files; both sinks are read only after BOTH
+    # terminate) — start both, await both (guide §2.6: overlap independent
+    # jobs; each drain's 4-micro-batch machinery back-fills the other's)
+    q1 = run_to_memory(
+        admitted, n1, output_mode="update", state_partitions=2, wait=False
+    )
+    q2 = run_to_memory(
+        total, n2, output_mode="complete", state_partitions=2, wait=False
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
     adm = (
         spark.table(n1)
         .groupBy("window_start")

@@ -629,7 +629,10 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_files_per_trigger=None: the whole drop backlog in ONE availableNow
     # batch, so the stateful batch-min first_ts equals the oracle's global
     # min(ts) even when the staged table arrives as many part files
-    run_to_memory(
+    # independent of the windowed-total drain below (separate streaming
+    # queries; both sinks read only after both terminate) — start both,
+    # await both (guide §2.6: overlap independent jobs)
+    q1 = run_to_memory(
         novelty_stream(
             read_event_stream(
                 spark, _events_stream_dir(sf_dir), max_files_per_trigger=None
@@ -639,6 +642,7 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1,
         output_mode="update",
         state_partitions=8,
+        wait=False,
     )
     n2 = f"__novelty_tot_{next(_STREAM_SEQ)}"
     tot_stream = (
@@ -649,7 +653,11 @@ def _q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
-    run_to_memory(tot_stream, n2, output_mode="complete", state_partitions=2)
+    q2 = run_to_memory(
+        tot_stream, n2, output_mode="complete", state_partitions=2, wait=False
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
     novel = (
         spark.table(n1)
         .groupBy(F.date_trunc("hour", "first_ts").alias("window_start"))

@@ -259,7 +259,8 @@ def run_to_memory(
     table_name: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
-) -> None:
+    wait: bool = True,
+):
     """Drain a stream into an in-memory sink with availableNow (test/dev).
 
     ``state_partitions`` sizes the stateful-operator parallelism: a
@@ -271,7 +272,14 @@ def run_to_memory(
     per microbatch; oversizing multiplies that fixed cost (measured 4.5x
     wall-clock for 32 vs 8 partitions on a 1,500-key state at sf0.1).  The
     session value is restored after start — only the stream keeps the
-    override."""
+    override.
+
+    ``wait=False`` returns the started ``StreamingQuery`` WITHOUT awaiting
+    it, so a caller draining several INDEPENDENT streams can start them
+    all and await them together (guide §2.6 — actions are only sequential
+    because the driver awaits them sequentially; overlapped drains
+    back-fill each other's idle micro-batch gaps).  Only valid when no
+    drain's sink is read before every awaited query terminates."""
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(key)
@@ -288,8 +296,10 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set(key, prior)
-    q.awaitTermination()
     _MEMORY_SINKS.append(table_name)
+    if wait:
+        q.awaitTermination()
+    return q
 
 
 RUNNING_STATS_SCHEMA = T.StructType(

@@ -2283,3 +2283,84 @@ def test_kmeans_lloyd_identical_through_join_path(spark, monkeypatch):
         (r["vec_id"], r["cluster"], r["sq_dist"]) for r in a_j.collect()
     )
     assert c_lit == c_j and h_lit == h_j and lit_assign == join_assign
+
+
+def test_pair_jaccard_identical_to_co_shingle_verify_tail(spark):
+    """r14 optimization: every LSH verify tail now computes exact Jaccard
+    ONLY for the candidate pairs (_pair_jaccard) instead of scoring all
+    co-shingle pairs among candidate docs and joining back.  Law: for any
+    pair set, the candidate-driven result equals the old
+    full-co-shingle-then-inner-join tail, in both the single-relation and
+    cross-relation forms, and a zero-overlap pair is absent from both."""
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "p q r s t u v w"),
+        (4, "p q r s t u v y"),
+        (5, "m n o completely different words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dedup.shingles(df, "text", "doc_id", 3)
+    # candidate set: two true near-dup pairs, one zero-overlap pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 5)], "id_a long, id_b long"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup._pair_jaccard(pairs, sh).collect()
+    )
+    ref = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in pairs.join(
+            dedup._jaccard_from_shingles(sh), ["id_a", "id_b"], "inner"
+        ).collect()
+    )
+    assert got == ref and len(got) == 2  # (1,5) shares nothing -> absent
+
+    # cross-relation form (the incremental_near_dedup tail)
+    sh_new = sh.where(F.col("id").isin(1, 3, 5))
+    sh_cor = sh.where(F.col("id").isin(2, 4))
+    cpairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 2)], "id_new long, id_cor long"
+    )
+    got_x = sorted(
+        (r["id_new"], r["id_cor"], r["jaccard"])
+        for r in dedup._pair_jaccard(
+            cpairs, sh_new, sh_cor, a_col="id_new", b_col="id_cor"
+        ).collect()
+    )
+    # reference: full cross co-shingle pairs, inner-joined to the pair set
+    sz_n = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("sz_new"))
+    sz_c = sh_cor.groupBy("id").agg(F.count(F.lit(1)).alias("sz_cor"))
+    inter = (
+        sh_new.join(sz_n, "id").alias("n")
+        .join(sh_cor.join(sz_c, "id").alias("c"), on="shingle")
+        .groupBy(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_cor"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("n.sz_new")).alias("sz_new"),
+            F.min(F.col("c.sz_cor")).alias("sz_cor"),
+        )
+    )
+    ref_x = sorted(
+        (r["id_new"], r["id_cor"], r["jaccard"])
+        for r in cpairs.join(
+            inter.select(
+                "id_new",
+                "id_cor",
+                F.round(
+                    (
+                        F.col("inter")
+                        / (F.col("sz_new") + F.col("sz_cor") - F.col("inter"))
+                    ).cast("decimal(18,12)"),
+                    4,
+                ).cast("double").alias("jaccard"),
+            ),
+            ["id_new", "id_cor"],
+            "inner",
+        ).collect()
+    )
+    assert got_x == ref_x and len(got_x) == 2
+    dedup.release_caches()
