@@ -791,6 +791,16 @@ def ngram_novelty(
 
 
 # -------------------------------------------------------- dedup clustering
+# Driver-side connected-components cutover (see dedup_clusters): at or
+# below this many SYMMETRIZED edges the component labeling is a collected
+# union-find (1M edges ~ 32 MB collected; milliseconds of driver CPU)
+# instead of several distributed join+localCheckpoint rounds whose fixed
+# per-round cost dominates small graphs.  Above it the iterative
+# min-label propagation runs — the corpus-scale path.  Tests monkeypatch
+# this to pin bit-identical results across both paths.
+_DRIVER_CC_EDGE_BUDGET = 1_000_000
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair set: (id, cluster_id)
     with ``cluster_id`` = the minimum doc id in the component — the
@@ -816,15 +826,69 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Only ids appearing in ``pairs`` are returned — singletons are their own
     cluster by definition and joining them in would just re-shuffle the
-    corpus."""
-    # persist the symmetrized edge list: every propagation round joins it,
-    # and without caching each round would re-run the (expensive) upstream
-    # pair-generation lineage from scratch
+    corpus.
+
+    Path cutover: at or below ``_DRIVER_CC_EDGE_BUDGET`` symmetrized edges
+    the components are computed with a driver-side union-find over the
+    collected (already-persisted) edge list — near-dup graphs are usually
+    a few edges per clustered doc, so the edge count a single machine
+    handles in milliseconds costs several distributed rounds of
+    join+checkpoint+collect fixed overhead (measured ~7 s for a 477-node
+    graph at sf0.1, vs <1 s collected).  Above the budget the iterative
+    min-label propagation runs unchanged — the 100 TB path.  Both paths
+    produce the identical (id, min-component-id) labeling (law-tested);
+    the budget bounds driver memory at ~tens of MB."""
+    # persist the symmetrized edge list: every propagation round joins it
+    # (and the cutover below counts it), and without caching each round
+    # would re-run the (expensive) upstream pair-generation lineage
     edges = _persist(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
     )
+    if edges.count() <= _DRIVER_CC_EDGE_BUDGET:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            s, d = row["src"], row["dst"]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        from pyspark.sql import types as T
+
+        id_type = edges.schema["src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type, True),
+                T.StructField("cluster_id", id_type, True),
+            ]
+        )
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(n, comp_min[find(n)]) for n in parent], 1
+            ),
+            schema,
+        )
     # localCheckpoint (not persist) between rounds: persisting caches the
     # DATA but each round's logical plan still nests every previous round's
     # joins — on long chains (high diameter -> many rounds) the doubling

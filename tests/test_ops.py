@@ -2364,3 +2364,29 @@ def test_pair_jaccard_identical_to_co_shingle_verify_tail(spark):
     )
     assert got_x == ref_x and len(got_x) == 2
     dedup.release_caches()
+
+
+def test_dedup_clusters_identical_through_distributed_path(spark, monkeypatch):
+    """The driver union-find cutover (_DRIVER_CC_EDGE_BUDGET) must be a pure
+    perf knob: same (id, cluster_id) multiset as the iterative min-label
+    propagation on the same pair set — including a chain component (where
+    path-halving matters) and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (10, 9)],
+        "id_a long, id_b long",
+    )
+    drv = sorted(
+        (r["id"], r["cluster_id"])
+        for r in dedup.dedup_clusters(pairs).collect()
+    )
+    monkeypatch.setattr(dedup, "_DRIVER_CC_EDGE_BUDGET", 0)
+    dist = sorted(
+        (r["id"], r["cluster_id"])
+        for r in dedup.dedup_clusters(pairs).collect()
+    )
+    assert drv == dist
+    assert drv == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (7, 7), (8, 7), (9, 9), (10, 9),
+    ]
+    dedup.release_caches()
