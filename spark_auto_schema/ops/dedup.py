@@ -1510,7 +1510,6 @@ def simhash_md5(
     ).where(F.length("tok") > 0)
     h_lo = F.md5(F.col("tok"))
     h_hi = F.md5(F.concat(F.lit("x:"), F.col("tok")))
-    high = ("8", "9", "a", "b", "c", "d", "e", "f")
 
     def _digit(i: int):
         return (
@@ -1519,9 +1518,14 @@ def simhash_md5(
             else F.substring(h_hi, i - 31, 1)
         )
 
+    # digit >= '8' IS the "high hex digit" test: md5 hex is lowercase, and
+    # '0'-'7' < '8' <= '8','9' < 'a'-'f' in UTF8 order — identical truth
+    # value to isin('8'..'f'), but ONE comparison instead of an 8-literal
+    # In() per aggregate (64 of them here: measured 2.5-3.3 s -> 1.85 s
+    # on the aggregate, and ~3x cheaper first-plan codegen)
     tallies = tokens.groupBy("id").agg(
         *[
-            F.sum(F.when(_digit(i).isin(*high), 1).otherwise(-1)).alias(f"b{i}")
+            F.sum(F.when(_digit(i) >= "8", 1).otherwise(-1)).alias(f"b{i}")
             for i in range(SIMHASH_BITS)
         ]
     )
@@ -1564,12 +1568,26 @@ def simhash_md5_near_dup_pairs(
         "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = sum(
-        (
-            F.substring(F.col("a.simhash"), i + 1, 1)
-            != F.substring(F.col("b.simhash"), i + 1, 1)
-        ).cast("int")
-        for i in range(SIMHASH_BITS)
+
+    # Hamming over the '0'/'1' signature strings via bit_count(xor) on two
+    # conv()-parsed 32-bit halves — identical count to the former 64-term
+    # per-character comparison sum (each differing char is one differing
+    # bit), but a 6-node expression instead of 256: measured 2x on the
+    # whole pair pipeline (6.0 -> 2.9 s at sf0.1), values identical.
+    def _half(col: Column, lo: int) -> Column:
+        return F.conv(F.substring(col, lo, 32), 2, 10).cast("long")
+
+    hamming = (
+        F.bit_count(
+            _half(F.col("a.simhash"), 1).bitwiseXOR(
+                _half(F.col("b.simhash"), 1)
+            )
+        )
+        + F.bit_count(
+            _half(F.col("a.simhash"), 33).bitwiseXOR(
+                _half(F.col("b.simhash"), 33)
+            )
+        )
     )
     return (
         a.join(b, on=["chunk", "ck"])
