@@ -989,46 +989,67 @@ def contamination_ngram_sweep(
     test pins this); the normalized rates need not be monotone because
     the eval gram universe also changes with n.
 
-    Scale: per sweep value, one in-scan gram explode of each side, the
-    eval side collapsed to a DISTINCT broadcast set (the eval corpus is
-    small BY CONTRACT — it is a benchmark), one broadcast semi-join over
-    the train grams, and two count-distinct aggregates; |ns| passes over
-    the train scan, never an all-pairs or train-side distinct-gram
-    materialization.  The final result is |ns| rows unioned from 1-row
-    frames."""
+    Scale: ONE in-scan gram explode of each side carrying every sweep
+    value as an n-tag (the per-n gram arrays are concatenated row-locally
+    before a single explode, so the corpus is scanned ONCE for the whole
+    sweep, not once per n), the eval side collapsed to a DISTINCT
+    broadcast set (the eval corpus is small BY CONTRACT — it is a
+    benchmark), one broadcast (n, shingle) join over the tagged train
+    grams, and one pair of per-n count-distinct aggregates; never an
+    all-pairs or train-side distinct-gram materialization.  The final
+    result is |ns| rows."""
     snap = lambda c: F.round(c.cast("decimal(18,12)"), 6).cast("double")
-    parts = []
-    for n in ns:
-        e = (
-            shingles(eval_df, text_col, id_col, n)
-            .select("shingle")
-            .distinct()
+
+    def tagged_grams(df: DataFrame) -> DataFrame:
+        # identical per-n gram construction to shingles(); tagged structs
+        # concatenated so one scan+explode serves every n in the sweep
+        words = F.split(F.col(text_col), " ")
+
+        def per_n(n: int):
+            grams = F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+            return F.transform(
+                F.array_distinct(grams),
+                lambda g: F.struct(F.lit(n).alias("n"), g.alias("shingle")),
+            )
+
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(F.concat(*[per_n(n) for n in ns])).alias("g"),
+            )
+            .select("id", F.col("g.n").alias("n"), F.col("g.shingle").alias("shingle"))
+            .where(F.length("shingle") > 0)
         )
-        t = shingles(train_df, text_col, id_col, n)
-        hits = t.join(F.broadcast(e), "shingle").agg(
+
+    e = tagged_grams(eval_df).select("n", "shingle").distinct()
+    hits = (
+        tagged_grams(train_df)
+        .join(F.broadcast(e), ["n", "shingle"])
+        .groupBy("n")
+        .agg(
             F.count_distinct("id").alias("n_train_docs_hit"),
             F.count_distinct("shingle").alias("n_eval_grams_hit"),
         )
-        totals = e.agg(F.count(F.lit(1)).alias("n_eval_grams"))
-        parts.append(
-            totals.crossJoin(hits).select(
-                F.lit(n).cast("long").alias("n"),
-                F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
-                F.col("n_eval_grams_hit").cast("long").alias(
-                    "n_eval_grams_hit"
-                ),
-                F.col("n_train_docs_hit").cast("long").alias(
-                    "n_train_docs_hit"
-                ),
-                snap(
-                    F.col("n_eval_grams_hit") / F.col("n_eval_grams")
-                ).alias("eval_hit_rate"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    totals = e.groupBy("n").agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    # left join: an n with zero hits has no hits row (the old per-n global
+    # aggregate emitted 0s) — coalesce restores the 0-valued row
+    return totals.join(hits, "n", "left").select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
+        F.coalesce("n_eval_grams_hit", F.lit(0))
+        .cast("long")
+        .alias("n_eval_grams_hit"),
+        F.coalesce("n_train_docs_hit", F.lit(0))
+        .cast("long")
+        .alias("n_train_docs_hit"),
+        snap(
+            F.coalesce("n_eval_grams_hit", F.lit(0)) / F.col("n_eval_grams")
+        ).alias("eval_hit_rate"),
+    )
 
 
 def band_occupancy(
