@@ -114,6 +114,12 @@ def _release_op_caches() -> None:
     except Exception:
         pass
     try:
+        from spark_auto_schema.ops import analytics as _analytics
+
+        _analytics.release_caches()
+    except Exception:
+        pass
+    try:
         from spark_auto_schema import streaming as _streaming
 
         _streaming.release_sinks()

@@ -188,7 +188,11 @@ def minhash_lsh_pairs(
         # derives its hashed-shingle relation from the same base) — persist
         # so the scan+explode pipeline runs once, not twice (guide §5)
         sh_base = _persist(sh_base)
-    sig = _minhash_sig(sh_base, num_hashes, md5_grade=False)
+    # persist the signature frame too: both sides of the band-bucket
+    # self-join below read it, and under a cached child AQE's exchange
+    # reuse is not reliable — measured ~0.4 s at sf0.1 on the md5 twin
+    # (guide §5); |docs| x num_hashes longs, tiny relative to shingles
+    sig = _persist(_minhash_sig(sh_base, num_hashes, md5_grade=False))
     buckets = _band_buckets(sig, num_hashes, bands, md5_grade=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -416,7 +420,11 @@ def minhash_lsh_pairs_md5(
         # full scan+explode pass (guide §5: reuse > recompute; released via
         # release_caches between queries)
         sh = _persist(sh)
-    sig = _minhash_sig(sh, num_hashes, md5_grade=True)
+    # signature frame persisted for the same reason as minhash_lsh_pairs:
+    # the band self-join reads it on both sides and exchange reuse under a
+    # cached child is unreliable (A/B: 3.60 -> 3.20 s on this engine at
+    # sf0.1); the frame is |docs| x num_hashes 16-char prefixes
+    sig = _persist(_minhash_sig(sh, num_hashes, md5_grade=True))
     buckets = _band_buckets(sig, num_hashes, bands, md5_grade=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -793,12 +801,16 @@ def ngram_novelty(
 # -------------------------------------------------------- dedup clustering
 # Driver-side connected-components cutover (see dedup_clusters): at or
 # below this many SYMMETRIZED edges the component labeling is a collected
-# union-find (1M edges ~ 32 MB collected; milliseconds of driver CPU)
-# instead of several distributed join+localCheckpoint rounds whose fixed
-# per-round cost dominates small graphs.  Above it the iterative
-# min-label propagation runs — the corpus-scale path.  Tests monkeypatch
-# this to pin bit-identical results across both paths.
-_DRIVER_CC_EDGE_BUDGET = 1_000_000
+# union-find instead of several distributed join+localCheckpoint rounds
+# whose fixed per-round cost dominates small graphs.  Above it the
+# iterative min-label propagation runs — the corpus-scale path.  Budget
+# sizing (r14 ADVICE): a collected edge is a pyspark Row (~150-300 B with
+# object overhead) plus up to two parent/comp_min dict entries, so 250k
+# edges bounds the transient driver footprint at roughly 100 MB — well
+# inside the 8 GB driver — where the former 1M budget could reach several
+# hundred MB.  Tests monkeypatch this to pin bit-identical results across
+# both paths.
+_DRIVER_CC_EDGE_BUDGET = 250_000
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -1035,6 +1047,18 @@ def contamination_ngram_sweep(
         )
     )
     totals = e.groupBy("n").agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    # densify over the swept ns: an n whose EVAL side produces zero grams
+    # (e.g. all-empty eval texts) has no totals row either, but the
+    # operator's row contract is one row per swept n — the former per-n
+    # global aggregate emitted (n, 0, 0, 0, NULL) for it (r14 ADVICE)
+    ns_frame = F.broadcast(
+        eval_df.sparkSession.createDataFrame(
+            [(int(n),) for n in ns], "n int"
+        )
+    )
+    totals = ns_frame.join(totals, "n", "left").select(
+        "n", F.coalesce("n_eval_grams", F.lit(0)).alias("n_eval_grams")
+    )
     # left join: an n with zero hits has no hits row (the old per-n global
     # aggregate emitted 0s) — coalesce restores the 0-valued row
     return totals.join(hits, "n", "left").select(
@@ -1046,8 +1070,15 @@ def contamination_ngram_sweep(
         F.coalesce("n_train_docs_hit", F.lit(0))
         .cast("long")
         .alias("n_train_docs_hit"),
-        snap(
-            F.coalesce("n_eval_grams_hit", F.lit(0)) / F.col("n_eval_grams")
+        # guarded: a gramless n has total 0 and its rate is NULL (the old
+        # per-n aggregate's value) — under ANSI mode a bare 0/0 would
+        # throw, so the division must not execute for that row
+        F.when(
+            F.col("n_eval_grams") > 0,
+            snap(
+                F.coalesce("n_eval_grams_hit", F.lit(0))
+                / F.col("n_eval_grams")
+            ),
         ).alias("eval_hit_rate"),
     )
 
@@ -1487,28 +1518,47 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document: majority vote of token-hash bits.
 
-    One explode + one groupBy(id); the 64 per-bit tallies are plain
-    conditional sums (JVM codegen), reassembled into a single long."""
+    One explode + one groupBy(id).  The per-bit tallies are PACKED, two
+    bit-counters per aggregate: lane mask ``1 | 1<<32`` picks bits ``j``
+    and ``j+32`` of the token hash, so ``sum((h >> j) & mask)`` holds
+    count(bit j) in its low 32 bits and count(bit j+32) in its high 32
+    bits — 32 shift+mask sums plus one count instead of 64 CASE-WHEN
+    sums (half the aggregation-buffer width and ~half the per-row agg
+    work; A/B at sf0.1: 1.93 -> 1.78 s, bit-identical signatures).  The
+    majority vote is branch-free arithmetic: bit i fires iff
+    ``2*cnt_i > n``, i.e. iff ``n - 2*cnt_i`` is negative, so the bit IS
+    the sign bit ``shiftrightunsigned(n - 2*cnt_i, 63)`` — equal to the
+    former ``sum(+/-1) > 0`` exactly (A/B on the determinism join shape:
+    4.22 -> 2.08 s, bit-identical).  Lane safety: counters can only
+    collide after 2^32 tokens in one document, and the packed sum stays
+    below 2^63 until ~2^31 tokens — far beyond any real document."""
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.length("tok") > 0)
     h = F.xxhash64(F.col("tok"))
+    lane_mask = (1 << 32) | 1
     tallies = tokens.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(lane_mask))).alias(f"s{j}")
+            for j in range(32)
+        ],
     )
-    # bit 63 is the sign bit: assemble with shiftleft + bitwise OR (a 2**63
-    # integer literal does not fit in a signed long)
+
+    def _cnt(i: int) -> Column:
+        s = F.col(f"s{i % 32}")
+        if i >= 32:
+            s = F.shiftright(s, 32)
+        return s.bitwiseAND(F.lit(0xFFFFFFFF))
+
+    # branch-free assembly via shiftleft + bitwise OR (a 2**63 integer
+    # literal does not fit in a signed long; bit 63 is the sign bit)
     sig = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
+        bit = F.shiftleft(
+            F.shiftrightunsigned(F.col("__n") - _cnt(i) * 2, 63), i
+        )
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return tallies.select("id", sig.alias("simhash"))
 

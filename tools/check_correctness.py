@@ -182,6 +182,12 @@ def main() -> int:
             _corpus.release_caches()
         except Exception:
             pass
+        try:
+            from spark_auto_schema.ops import analytics as _analytics
+
+            _analytics.release_caches()
+        except Exception:
+            pass
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

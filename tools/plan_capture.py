@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for registry queries into
-plans/r14/<query>_<tag>.txt.
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default round: r15).
 
 Usage: python tools/plan_capture.py <tag> <query> [query ...]
 
@@ -41,7 +41,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = entrymod.queries()
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = registry[name](spark, sf_dir)

@@ -479,7 +479,7 @@ def _build_dir(spark, src: str, out: str, replicas: int) -> None:
 
 
 def _release_caches() -> None:
-    for mod in ("dedup", "text", "similarity", "sampling", "corpus"):
+    for mod in ("dedup", "text", "similarity", "sampling", "corpus", "analytics"):
         try:
             import importlib
 

@@ -71,7 +71,7 @@ def _build_skew(spark, src_dir: str, out_dir: str) -> None:
 def _release_caches() -> None:
     import importlib
 
-    for mod in ("dedup", "corpus", "similarity"):
+    for mod in ("dedup", "corpus", "similarity", "analytics"):
         try:
             importlib.import_module(
                 f"spark_auto_schema.ops.{mod}"
