@@ -290,6 +290,47 @@ def _pair_jaccard(
 
 
 # ------------------------------------------------------------ ngram jaccard
+def _persisted_capped_shingles(
+    sh: DataFrame, max_df: int | None
+) -> DataFrame:
+    """Persist a shingle relation and apply the ``max_df`` hot-shingle cap
+    to it — the shared head of :func:`_jaccard_from_shingles` and
+    :func:`containment_pairs`.
+
+    The cap exists to stop a hot shingle going quadratic in the pair
+    self-join; on a corpus with NO shingle over the cap (the common
+    case — the testdata's max df is 25 against a 10,000 cap) the
+    anti-join is an identity that still cost a broadcast build, a second
+    full pass, and a SECOND persisted copy of the engine's largest
+    relation.  One cheap probe of the (by-construction tiny, persisted)
+    hot aggregate decides at plan-build time — the dedup_clusters
+    data-dependent-cutover precedent; values are identical on both
+    branches (anti-join against an empty set is the identity).  Wall
+    time at sf0.1 is a wash (interleaved A/B on the survivorship shape:
+    old med 4.82 s / min 4.53 vs new med 4.95 / min 4.33 — the skipped
+    pass trades against the probe job); the change is kept for the
+    CACHE-FOOTPRINT half of guide §5: it halves the persisted bytes of
+    this engine whenever the cap does not fire, which at corpus scale is
+    the difference between one and two cached copies of the full shingle
+    relation.  The returned relation is persisted either way (its three
+    downstream consumers — sizes + both self-join sides — are why;
+    released via release_caches)."""
+    sh = _persist(sh)
+    if max_df is None:
+        return sh
+    # persisted so the non-empty branch's anti-join broadcast build reads
+    # the probe's result instead of re-running the aggregate
+    hot = _persist(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    if hot.isEmpty():
+        return sh
+    return _persist(sh.join(F.broadcast(hot), on="shingle", how="left_anti"))
+
+
 def _jaccard_from_shingles(
     sh: DataFrame, threshold: float = 0.0, max_df: int | None = None
 ) -> DataFrame:
@@ -302,27 +343,14 @@ def _jaccard_from_shingles(
     shingles are excluded from both the intersection and the set sizes, so
     the result is the exact Jaccard over the capped shingle space.  The
     hot-shingle set (shingles with df > max_df) is tiny by construction and
-    is removed with a broadcast anti-join."""
-    if max_df is not None:
-        # the pre-cap relation is read twice — once by the hot-set
-        # aggregate, once as the anti-join input — so persist it too;
-        # without this the shingle producer runs 2x before the capped
-        # persist below even builds (guide §5)
-        sh = _persist(sh)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    # The (capped) shingle relation is consumed THREE times below — the
+    is removed with a broadcast anti-join (skipped via a plan-build-time
+    probe when no shingle exceeds the cap — see
+    :func:`_persisted_capped_shingles`)."""
+    # persisted + capped: the relation is consumed THREE times below — the
     # per-id sizes and both sides of the self-join — and its producer
-    # (scan + split/transform explode + xxhash64 + hot anti-join) is the
-    # expensive part.  Persist so that pipeline runs once instead of three
-    # times (guide §5: reused AND expensive to recompute); released via
-    # release_caches() like every other intra-query cache in this module.
-    sh = _persist(sh)
+    # (scan + split/transform explode + xxhash64) is the expensive part
+    # (guide §5: reused AND expensive to recompute)
+    sh = _persisted_capped_shingles(sh, max_df)
     # persisted: the per-id size relation is probed by BOTH enrichment
     # joins below (one per self-join side) — without it the |shingles|
     # aggregation pass runs twice; the relation itself is |docs| rows
@@ -1915,26 +1943,9 @@ def containment_pairs(
     space, exactly like the Jaccard variant.  One extra projection over
     the pair aggregate, no extra shuffle."""
     sh = shingles(df, text_col, id_col, n, hashed=hashed)
-    if max_df is not None:
-        # the pre-cap relation is read twice — once by the hot-set
-        # aggregate, once as the anti-join input — so persist it too;
-        # without this the shingle producer runs 2x before the capped
-        # persist below even builds (guide §5)
-        sh = _persist(sh)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    # The (capped) shingle relation is consumed THREE times below — the
-    # per-id sizes and both sides of the self-join — and its producer
-    # (scan + split/transform explode + xxhash64 + hot anti-join) is the
-    # expensive part.  Persist so that pipeline runs once instead of three
-    # times (guide §5: reused AND expensive to recompute); released via
-    # release_caches() like every other intra-query cache in this module.
-    sh = _persist(sh)
+    # persisted + capped (anti-join skipped when no shingle exceeds the
+    # cap — see _persisted_capped_shingles); consumed three times below
+    sh = _persisted_capped_shingles(sh, max_df)
     # persisted: probed by both enrichment joins, |docs| rows (see
     # _jaccard_from_shingles)
     sizes = _persist(sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")))

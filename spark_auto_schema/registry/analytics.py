@@ -20,7 +20,7 @@ from spark_auto_schema.ops import sampling
 from spark_auto_schema.ops import similarity
 from spark_auto_schema.ops import text
 from spark_auto_schema.registry.inference import (_infer_table_sql)
-from spark_auto_schema.registry.extensions import (_spread_docs, _stop_pat)
+from spark_auto_schema.registry.extensions import (_spread_docs, _spread_embs, _stop_pat)
 
 # ---------------------------------------------------------------------------
 # round-6 additions: behavioral analytics, collocations, MERGE, schema
@@ -996,7 +996,7 @@ def _q_kmeans_inertia_ok(spark, sf_dir):
     the deterministic hash-sampled init must not increase inertia, and the
     assignment must use at most k clusters.  The contract row (not the
     iterative state) is the oracle-checked value."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _spread_embs(spark, sf_dir)
     cents3, assigned, history = similarity.kmeans_lloyd(emb, k=8, iters=3)
     i0 = history[0]  # inertia under the init centroids, free with iter 1
     # ONE final assignment scan serves both contract probes: sum(sq_dist)
@@ -1149,7 +1149,11 @@ _INCR_SPLIT = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'c000'"
 
 
 def _incr_split(spark, sf_dir):
-    docs = read_table(spark, sf_dir, "documents")
+    # spread the single-row-group file before the split: both halves feed
+    # md5-grade shingle+signature pipelines whose per-row work otherwise
+    # runs in ONE scan task (guide §2.5 input parallelism; measured
+    # 5.1 -> 2.9 s on incremental_near_dedup at sf0.1)
+    docs = _spread_docs(spark, sf_dir)
     # Same predicate as _INCR_SPLIT, built from column functions (Spark's
     # SQL parser rejects un-lengthed VARCHAR casts that DuckDB requires).
     is_batch = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) >= "c000"
@@ -1855,7 +1859,7 @@ def _q_simhash_sigs(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(
-        read_table(spark, sf_dir, "embeddings"),
+        _spread_embs(spark, sf_dir),
         query_id=0,
         k=10,
         num_planes=3,
@@ -1942,7 +1946,7 @@ AS t(method, ok)
 
 def _q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(
-        read_table(spark, sf_dir, "embeddings"),
+        _spread_embs(spark, sf_dir),
         query_id=0,
         k=10,
         nlist=16,
@@ -2116,7 +2120,7 @@ def _q_ann_recall_ok(spark, sf_dir):
     """Accuracy contract for approximate search: both LSH and IVF top-10
     must overlap the exact cosine top-10 by >= 5 of 10.  The contract (not
     the sketchy candidate sets) is the oracle-checked value."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _spread_embs(spark, sf_dir)
     exact = {r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()}
     lsh = {
         r["vec_id"]

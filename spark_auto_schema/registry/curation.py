@@ -26,6 +26,7 @@ from spark_auto_schema.registry.extensions import (
     _quality_oracle_sql,
     _region_fmt_path,
     _spread_docs,
+    _spread_embs,
 )
 from spark_auto_schema.registry.analytics import (
     _CLUSTER_CLOSURE_CTE,
@@ -346,7 +347,7 @@ def _q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_auto_schema.ops import similarity
 
     return similarity.hamming_topk(
-        read_table(spark, sf_dir, "embeddings"), query_id=0, k=10
+        _spread_embs(spark, sf_dir), query_id=0, k=10
     )
 
 
@@ -728,7 +729,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax assignment with cid tie-break, cluster-local pair join, and the
     drop anti-set (`ops/similarity.py` semantic_dedup)."""
     return similarity.semantic_dedup(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.3, nlist=16
+        _spread_embs(spark, sf_dir), threshold=0.3, nlist=16
     )
 
 
@@ -1158,7 +1159,7 @@ def _q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     control for a curated corpus.  Centroids come from the CORPUS (the
     stable side); the oracle replays both assignments and the
     batch x corpus cluster-local dup set."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _spread_embs(spark, sf_dir)
     return similarity.incremental_semantic_dedup(
         emb.where(F.col("vec_id") % 5 == 0),
         emb.where(F.col("vec_id") % 5 != 0),
@@ -2183,7 +2184,7 @@ def _q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — the corpus-scale work happened inside the retrievers' own
     TakeOrdered plans.  The oracle replays both pools and the fusion."""
     docs = read_table(spark, sf_dir, "documents")
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _spread_embs(spark, sf_dir)
     lex = text.bm25_topk(
         docs, ["merge", "window", "vector"], topk=50
     ).withColumnRenamed("doc_id", "vec_id")
@@ -3113,7 +3114,7 @@ def _q_topic_share_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine assignment (the semantic_dedup quantizer), then the k-row
     rollup."""
     return similarity.topic_shares(
-        read_table(spark, sf_dir, "embeddings"), nlist=_TOPIC_SHARE_NLIST
+        _spread_embs(spark, sf_dir), nlist=_TOPIC_SHARE_NLIST
     )
 
 

@@ -17,6 +17,7 @@ from spark_auto_schema.ops import text
 from spark_auto_schema.registry.extensions import (
     _quality_expr_sql,
     _spread_docs,
+    _spread_embs,
 )
 from spark_auto_schema.registry.analytics import (_CONTAMINATION_PROBES)
 from spark_auto_schema.registry.curation import (_RRF_POOL_CTE)
@@ -193,7 +194,7 @@ def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with rank movement.  The oracle extends the shared _RRF_POOL_CTE
     with the pool-rank window and the list-intersection F1."""
     docs = read_table(spark, sf_dir, "documents")
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _spread_embs(spark, sf_dir)
     lex = text.bm25_topk(docs, list(_RERANK_TERMS), topk=50).withColumnRenamed(
         "doc_id", "vec_id"
     )
@@ -279,7 +280,7 @@ def _q_semantic_tsweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, assignment, cluster-local pairs at the loosest cut, and
     the per-threshold rollups."""
     return similarity.semantic_threshold_sweep(
-        read_table(spark, sf_dir, "embeddings"),
+        _spread_embs(spark, sf_dir),
         thresholds=_STS_THRESHOLDS,
         nlist=16,
     )
@@ -339,7 +340,7 @@ def _q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     value.  The oracle replays the exact truth, the centroids, probe
     ranks up to max(nprobes), and every per-nprobe rollup."""
     return similarity.ivf_nprobe_sweep(
-        read_table(spark, sf_dir, "embeddings"),
+        _spread_embs(spark, sf_dir),
         query_ids=list(range(_RECALL_PANEL)),
         nprobes=_NPROBE_SWEEP,
         k=_RECALL_K,

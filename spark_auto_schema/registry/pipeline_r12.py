@@ -22,7 +22,7 @@ from spark_auto_schema.registry.analytics import (
     _STREAM_SEQ,
 )
 from spark_auto_schema.registry.curation import _semantic_dedup_sql
-from spark_auto_schema.registry.extensions import _spread_docs
+from spark_auto_schema.registry.extensions import _spread_docs, _spread_embs
 from spark_auto_schema.registry.pipeline_r11 import _SNAP6
 
 # ---------------------------------------------------------------------------
@@ -306,7 +306,7 @@ def _q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle interpolates the EXPECTED suggested value at the oracle
     scale (ceil(500/63) = 8) into the shared parameterized SemDeDup
     replay, so a drifted count or a broken ceil both hash-fail."""
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _spread_embs(spark, sf_dir)
     nlist = similarity.suggest_nlist(embs, target_cluster_size=_SDS_TARGET)
     return similarity.semantic_dedup(
         embs, threshold=_SDS_THRESHOLD, nlist=nlist

@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 
 from spark_auto_schema.io import read_table
 from spark_auto_schema.ops import similarity
+from spark_auto_schema.registry.extensions import _spread_embs
 from spark_auto_schema.registry.pipeline_r11 import _SNAP6
 from spark_auto_schema.registry.pipeline_r12 import (
     _LATE_DATA_AUDIT_SQL,
@@ -99,7 +100,7 @@ def _q_centroid_assign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, cluster, sq_dist rounded to 6); the oracle replays the
     md5-ordered centroid sample and the argmin-L2 with (d, cid)
     tie-break."""
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _spread_embs(spark, sf_dir)
     init = (
         embs.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
@@ -136,7 +137,7 @@ def _q_topic_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     see.  The oracle replays the A-side centroid sample, both argmax-
     cosine assignments, the full-outer share join, and the snapped
     deltas."""
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _spread_embs(spark, sf_dir)
     a = embs.where(F.col("vec_id") % 2 == 0)
     b = embs.where(F.col("vec_id") % 3 == 0)
     return similarity.topic_share_drift(a, b, nlist=_TSD_NLIST)
@@ -313,7 +314,7 @@ def _q_topic_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_auto_schema.streaming import TopicDriftMonitor
 
     src = _embeddings_stream_dir(sf_dir)
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _spread_embs(spark, sf_dir)
     bs = -(-(embs.agg(F.max("vec_id")).collect()[0][0] + 1) // _TDM_FILES)
     baseline = embs.where(F.col("vec_id") < bs)
     mon = TopicDriftMonitor(
@@ -401,7 +402,7 @@ def _q_quantized_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     per-dimension quantization stats, the half-up code rounding, the
     dequantization, both argmax-cosine assignments, and the per-cluster
     match counts."""
-    embs = read_table(spark, sf_dir, "embeddings")
+    embs = _spread_embs(spark, sf_dir)
     return similarity.quantized_assign_agreement(
         embs, nlist=_QAA_NLIST, levels=_QAA_LEVELS
     )

@@ -15,7 +15,7 @@ from spark_auto_schema.io import read_table
 from spark_auto_schema.ops import sampling
 from spark_auto_schema.ops import similarity
 from spark_auto_schema.ops import text
-from spark_auto_schema.registry.extensions import (_spread_docs)
+from spark_auto_schema.registry.extensions import (_spread_docs, _spread_embs)
 from spark_auto_schema.registry.analytics import (
     _STREAM_SEQ,
     _dot_sql,
@@ -232,7 +232,7 @@ def _q_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth, the md5-sampled centroids, the argmax assignment, the ranked
     probe lists, and the per-query rerank."""
     return similarity.retrieval_recall_eval(
-        read_table(spark, sf_dir, "embeddings"),
+        _spread_embs(spark, sf_dir),
         query_ids=list(range(_RECALL_PANEL)),
         k=_RECALL_K,
         nlist=_RECALL_NLIST,
@@ -311,7 +311,7 @@ def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals and replays every signature, the bucket-collision candidate
     sets, both top-k cuts, and the recall."""
     return similarity.lsh_recall_eval(
-        read_table(spark, sf_dir, "embeddings"),
+        _spread_embs(spark, sf_dir),
         query_ids=list(range(_LSHR_PANEL)),
         k=_LSHR_K,
         num_planes=_LSHR_PLANES,
@@ -393,7 +393,7 @@ def _q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the per-dimension stats, the half-up code rounding, the
     dequantization, and both ranked sides."""
     return similarity.quantized_recall_eval(
-        read_table(spark, sf_dir, "embeddings"),
+        _spread_embs(spark, sf_dir),
         query_ids=list(range(_RECALL_PANEL)),
         k=_RECALL_K,
         levels=_QREC_LEVELS,
@@ -450,7 +450,9 @@ def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance weights, Gumbel top-100 with reproducible md5 uniforms.
     The oracle replays feature hashing, both models, the weight sum, and
     the Gumbel draw constant-for-constant."""
-    d = read_table(spark, sf_dir, "documents")
+    # spread: the gram explode + 1024-bucket md5 hashing otherwise runs in
+    # one scan task (guide §2.5; measured 2.02 -> 1.62 s at sf0.1)
+    d = _spread_docs(spark, sf_dir)
     return sampling.dsir_importance_sample(
         d,
         target=F.col("lang") == _DSIR_TARGET_LANG,
